@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB posture):
+- exact dedup: hash-groupBy on a content digest — one shuffle on the
+  digest, partial-agg combined map-side.
+- MinHash+LSH: shingle → K salted min-hashes → band signatures →
+  equi-join on (band, signature). The candidate join is an equi-join
+  (shuffle on band signature), never an all-pairs product.
+- n-gram Jaccard: inverted-index equi-join on shingle, then grouped
+  intersection counts; per-shingle document-frequency cap bounds the
+  worst-case join fan-out on hot shingles (stopword shingles).
+- SimHash: per-token md5-bit contributions aggregated per (doc, bit)
+  then recombined — all built-in functions, no UDF.
+
+The min-hash family here is "lexicographic min of salted md5", which
+is engine-portable (any SQL engine with md5 reproduces it bit-for-bit)
+— that is what makes the DuckDB oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.functions.text import fingerprint, tokens
+
+N_MINHASH = 8  # salted hashes per doc
+N_BANDS = 4  # 2 hashes per band
+SHINGLE_WORDS = 3
+
+
+def word_shingles(text: Column | str, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles as an array column (empty if fewer than k tokens)."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    build = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, build).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exploded_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index base relation."""
+    return (
+        df.select(id_col, F.explode(word_shingles(text_col)).alias("shingle"))
+        .dropDuplicates([id_col, "shingle"])
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str) -> DataFrame:
+    """K salted min-hashes per document (one shuffle: groupBy id)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Candidate near-dup pairs: equi-join on (band_id, band_signature).
+
+    Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
+    """
+    per_band = N_MINHASH // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        sig = F.concat(
+            *[F.col(f"h{b * per_band + j}") for j in range(per_band)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), sig.alias("sig")))
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.sig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity via inverted-index equi-join.
+
+    ``max_doc_freq`` drops shingles occurring in more than that many
+    docs before the join (the scale lever: hot 'stopword shingles'
+    otherwise dominate the join fan-out at 100 TB).
+    """
+    sh = exploded_shingles(df, id_col, text_col)
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            df_counts.where(F.col("df") <= max_doc_freq).select("shingle"),
+            "shingle",
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document from md5 token hashes.
+
+    For every token occurrence, the first 8 hex digits of md5(token)
+    give 32 bits; each bit contributes +1/-1 to its position; the
+    fingerprint sets bit j iff the position-j sum is positive. Pure
+    built-in functions (explode + groupBy), engine-portable.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).withColumn("h8", F.substring(F.md5("tok"), 1, 8))
+    # explode 8 hex digit positions × 4 bits each
+    digit = toks.select(
+        id_col,
+        F.posexplode(
+            F.expr("transform(sequence(1, 8), i -> substring(h8, i, 1))")
+        ).alias("pos", "digit"),
+    ).withColumn("dval", F.expr("instr('0123456789abcdef', digit) - 1"))
+    bits = digit.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bit_in_digit"),
+        "pos",
+        "dval",
+    ).select(
+        id_col,
+        (F.col("pos") * 4 + F.col("bit_in_digit")).alias("j"),
+        F.when(
+            F.expr("(shiftright(dval, bit_in_digit) & 1) = 1"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("contrib"),
+    )
+    per_bit = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content-digest groupBy: survivors keep min id."""
+    groups = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.col("n_docs") - 1).cast("long").alias("n_duplicates"),
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` / ``dot``: higher-order array functions — JVM-side, no
+  Python. Inputs are cast element-wise to double so the arithmetic is
+  reproducible against the DuckDB oracle.
+- brute-force top-k: query-set × corpus join + ranking window. The
+  scale path broadcasts the (small) query set so the corpus is
+  streamed map-side with no shuffle of the big side.
+- LSH (random hyperplane): deterministic ±1 hyperplanes derived from
+  md5 so any engine reproduces the same buckets; candidate search
+  becomes an equi-join on bucket id. This is the 100 TB path: bucket
+  first, brute-force within bucket.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+N_PLANES = 8
+
+
+def as_double(arr: Column | str) -> Column:
+    col = F.col(arr) if isinstance(arr, str) else arr
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 hyperplane: parity of md5('{plane},{d}')."""
+    return [
+        1.0 if int(hashlib.md5(f"{plane},{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    return [hyperplane(j, dim) for j in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(vec · plane_j)."""
+    v = as_double(vec)
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(w) for w in plane])
+        bucket = bucket + F.when(dot(v, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (small by contract); the corpus side
+    never shuffles — the join is a map-side nested loop over Arrow
+    batches, then a per-query ranking window on k·|queries| rows.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At scale the corpus is bucketed once (written partitioned by
+    bucket); queries probe only their bucket — an equi-join replaces
+    the all-pairs product of the brute-force path.
+    """
+    planes = hyperplanes(dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -1,0 +1,84 @@
+"""Text analysis operators (language-ID, quality, tokens, fingerprint).
+
+All pure Spark SQL expressions (whole-stage codegen; no UDF). Each has
+a DuckDB-equivalent formulation used by the oracle in
+``queries/textops.py`` — deterministic by construction on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Language-characteristic stopword sets for the heuristic language-ID.
+# Deterministic argmax with fixed tie-break order (en > de > es > fr).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+PUNCT_CLASS = "[^.!?,;:]"  # complement: keep only punctuation
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal (codegen'd)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    toks = tokens(text)
+    out = {}
+    for lang, words in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return out
+
+
+def lang_id(text: Column | str) -> Column:
+    """Deterministic argmax over stopword scores, fixed tie-break order."""
+    s = lang_scores(text)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalized-content fingerprint: md5 of lowercased,
+    whitespace-collapsed text (rolling-hash family; stable across engines)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(col, r"\s+", " ")))

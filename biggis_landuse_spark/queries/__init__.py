@@ -1,0 +1,104 @@
+"""Driver-facing query registry.
+
+Every operator the engine claims (SURVEY.md §2) is declared here ONCE
+as a :class:`QuerySpec` carrying both the Spark implementation and the
+equivalent DuckDB oracle SQL. ``__spark_entry__.py``, the pytest
+oracle-differential suite, and ``bench.py`` all read this registry, so
+the local gate is byte-identical to the driver's.
+
+Column-name discipline: the driver's comparator sorts columns by name
+before hashing values, so every computed column is aliased to the SAME
+name on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, doc=doc, tags=tags, bench=bench
+        )
+        return fn
+
+    return deco
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Read driver testdata parquet tables (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as a
+    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); it is
+    normalized here to a microsecond TIMESTAMP — the same truncation
+    DuckDB applies when casting TIMESTAMP_NS to its native micros.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    out = []
+    for n in names:
+        df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        out.append(df)
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.spark for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
+
+
+def bench_queries() -> dict[str, QuerySpec]:
+    _ensure_loaded()
+    return {name: spec for name, spec in REGISTRY.items() if spec.bench}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all query modules (each import populates REGISTRY)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from biggis_landuse_spark.queries import (  # noqa: F401
+        events,
+        raster_shapes,
+        relational,
+        similarity,
+        textops,
+    )
+
+    _LOADED = True

@@ -1,0 +1,235 @@
+"""Streaming-surface operators in batch-parity form over `events`.
+
+The reference only sketched its streaming path (commented Kafka plans,
+TilePixelingExample.scala:74-94; UtilsKafka.scala:18-34). The engine
+realizes it with Structured Streaming (biggis_landuse_spark.streaming);
+these queries are the batch twins the DuckDB oracle can check — the
+actual streaming execution of the same logic is tested in
+tests/test_streaming.py (same operator library, readStream source).
+
+Window starts are returned as epoch seconds (BIGINT) so hashing is
+immune to timestamp-precision differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from biggis_landuse_spark.queries import load_tables, register
+
+
+@register(
+    "tumbling_window",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT)  AS n,
+           round(sum(value), 2)      AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="""Tumbling 5-minute window × event_type aggregate — batch parity of
+    the Structured Streaming groupBy(window(ts,'5 minutes')) path
+    (SURVEY.md §2.9).""",
+    tags=("STREAM", "A6"),
+    bench=True,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window",
+    oracle="""
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+    FROM (
+      SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
+               AS window_start, value FROM events
+      UNION ALL
+      SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) - 300
+               AS window_start, value FROM events
+    )
+    GROUP BY 1
+    """,
+    doc="""Sliding window (10-minute width, 5-minute slide): each event lands
+    in two windows. Oracle expands the window membership explicitly —
+    exactly what Spark's window() explode does under the hood.""",
+    tags=("STREAM",),
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "n",
+            "avg_value",
+        )
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT)                   AS n_events
+    FROM sessions
+    GROUP BY user_id
+    """,
+    doc="""Sessionization (30-min inactivity gap) via lag + running sum —
+    batch twin of streaming session_window(ts, '30 minutes')
+    (SURVEY.md §2.9). Ordering tie-broken by event_id.""",
+    tags=("STREAM", "W"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w_lag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_lag))
+                > 1800_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id", F.sum("new_session").over(w_run).alias("session_id")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "dedup_in_window",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM (
+      SELECT DISTINCT user_id, event_type,
+             time_bucket(INTERVAL '1 minute', ts) AS minute_bucket
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    doc="""Watermark-scoped dedup, batch twin: distinct (user, type, minute)
+    — streaming form is dropDuplicates within watermark
+    (SURVEY.md §2.9 late-data handling).""",
+    tags=("STREAM", "P9"),
+)
+def dedup_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.select(
+            "user_id",
+            "event_type",
+            F.window("ts", "1 minute").alias("w"),
+        )
+        .dropDuplicates(["user_id", "event_type", "w"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
+
+
+@register(
+    "late_data_policy",
+    oracle="""
+    WITH horizon AS (
+      SELECT max(ts) - INTERVAL '1 day' AS wm FROM events
+    )
+    SELECT CAST(count(*) FILTER (WHERE ts >= wm) AS BIGINT)  AS n_on_time,
+           CAST(count(*) FILTER (WHERE ts <  wm) AS BIGINT)  AS n_late
+    FROM events, horizon
+    """,
+    doc="""Late-data accounting relative to a watermark horizon (max(ts) -
+    1 day) — the admission rule applied by withWatermark
+    (SURVEY.md §2.9).""",
+    tags=("STREAM",),
+)
+def late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    wm = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 DAY")).alias("wm")
+    )
+    return events.crossJoin(F.broadcast(wm)).agg(
+        F.count(F.when(F.col("ts") >= F.col("wm"), 1)).alias("n_on_time"),
+        F.count(F.when(F.col("ts") < F.col("wm"), 1)).alias("n_late"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10  AS k_mod,
+           CAST(count(*) AS BIGINT)                      AS n,
+           round(sum(value), 2)                          AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="""JSON attribute extraction + aggregate — the engine's JSON surface
+    (reference stores JSON metadata via json4s, UtilsSVM.scala:215-220;
+    attribute store S19).""",
+    tags=("JSON", "S19"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.select(
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_mod"),
+            "value",
+        )
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

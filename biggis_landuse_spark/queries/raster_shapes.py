@@ -1,0 +1,187 @@
+"""Relational twins of the spatial/raster operators (SURVEY.md §2.5).
+
+The driver's oracle only sees the star-schema tables, so the focal /
+resample / Getis-Ord operators are declared here in their relational
+form on a synthetic grid derived from table keys. The *raster* forms
+(tile columns, pandas-UDF kernels) live in
+biggis_landuse_spark.operators and are covered by golden tests.
+
+The join strategy IS the engine's real one: neighborhood gathering is
+an explode-of-offsets + equi-join (J5), never a theta join — that is
+what scales (shuffle on grid key, AQE-balanced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.queries import load_tables, register
+
+GRID = 64
+_OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+_OFFSETS_SQL = ", ".join(f"({dx}, {dy})" for dx, dy in _OFFSETS)
+
+
+def _grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    return part.select(
+        (F.col("p_partkey") % GRID).alias("gx"),
+        F.expr(f"(p_partkey div {GRID}) % {GRID}").alias("gy"),
+        F.col("p_retailprice").alias("v"),
+    )
+
+
+_GRID_SQL = f"""
+    grid AS (
+      SELECT p_partkey % {GRID} AS gx,
+             (p_partkey // {GRID}) % {GRID} AS gy,
+             p_retailprice AS v
+      FROM part
+    ),
+    offs AS (SELECT dx, dy FROM (VALUES {_OFFSETS_SQL}) t(dx, dy)),
+    contrib AS (SELECT gx + dx AS tgx, gy + dy AS tgy, v FROM grid, offs),
+    cells AS (SELECT DISTINCT gx, gy FROM grid),
+    focal AS (
+      SELECT tgx AS gx, tgy AS gy,
+             CAST(count(*) AS BIGINT) AS n_contrib,
+             round(avg(v), 6)         AS focal_mean,
+             round(sum(v), 2)         AS focal_sum
+      FROM contrib JOIN cells ON tgx = cells.gx AND tgy = cells.gy
+      GROUP BY 1, 2
+    )
+"""
+
+
+def _focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _grid(spark, sf_dir)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in _OFFSETS
+        ]
+    )
+    contrib = grid.select(
+        F.explode(offsets).alias("o"), "gx", "gy", "v"
+    ).select(
+        (F.col("gx") + F.col("o.dx")).alias("tgx"),
+        (F.col("gy") + F.col("o.dy")).alias("tgy"),
+        "v",
+    )
+    cells = grid.select(
+        F.col("gx").alias("cgx"), F.col("gy").alias("cgy")
+    ).dropDuplicates()
+    return (
+        contrib.groupBy("tgx", "tgy")
+        .agg(
+            F.count(F.lit(1)).alias("n_contrib"),
+            F.round(F.avg("v"), 6).alias("focal_mean"),
+            F.round(F.sum("v"), 2).alias("focal_sum"),
+        )
+        .join(
+            cells,
+            (F.col("tgx") == F.col("cgx")) & (F.col("tgy") == F.col("cgy")),
+        )
+        .select(
+            F.col("tgx").alias("gx"),
+            F.col("tgy").alias("gy"),
+            "n_contrib",
+            "focal_mean",
+            "focal_sum",
+        )
+    )
+
+
+@register(
+    "focal_mean_shape",
+    oracle=f"""
+    WITH {_GRID_SQL}
+    SELECT gx, gy, n_contrib, focal_mean, focal_sum FROM focal
+    """,
+    doc="""Focal (neighborhood) mean over a 3×3 kernel: explode each cell to
+    its 9 target cells, equi-join-aggregate on the target key, keep the
+    original extent (targetArea semantics). Reference twin: focalMean
+    over bufferTiles (ConvolveLayerExample.scala:62-73, J5/W1).""",
+    tags=("W1", "J5"),
+    bench=True,
+)
+def focal_mean_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _focal(spark, sf_dir)
+
+
+@register(
+    "getis_ord_shape",
+    oracle=f"""
+    WITH {_GRID_SQL},
+    stats AS (
+      SELECT avg(focal_sum) AS mu, stddev(focal_sum) AS sigma FROM focal
+    )
+    SELECT gx, gy,
+           round((focal_sum - mu) / sigma, 4) AS gstar
+    FROM focal, stats
+    """,
+    doc="""Getis-Ord G* hotspot shape: focal sum standardized by the global
+    mean/stdev of the focal sums. Reference twin: SpatialGetisOrd
+    focalSum + z-score epilogue (SpatialGetisOrd.scala:66-83, W2/A2).""",
+    tags=("W2", "A2"),
+)
+def getis_ord_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    focal = _focal(spark, sf_dir)
+    stats = focal.agg(
+        F.avg("focal_sum").alias("mu"), F.stddev("focal_sum").alias("sigma")
+    )
+    return focal.crossJoin(F.broadcast(stats)).select(
+        "gx",
+        "gy",
+        F.round((F.col("focal_sum") - F.col("mu")) / F.col("sigma"), 4).alias(
+            "gstar"
+        ),
+    )
+
+
+@register(
+    "zoom_resample_shape",
+    oracle=f"""
+    WITH parents AS (
+      SELECT o_orderkey % 32 AS pcol,
+             (o_orderkey // 32) % 32 AS prow,
+             o_totalprice AS v
+      FROM orders
+    ),
+    offs AS (SELECT dx, dy FROM (VALUES (0,0), (0,1), (1,0), (1,1)) t(dx, dy))
+    SELECT pcol * 2 + dx AS child_col,
+           prow * 2 + dy AS child_row,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(v), 2)         AS sum_v
+    FROM parents, offs
+    GROUP BY 1, 2
+    """,
+    doc="""Zoom upsample (1→4 child explode): each parent key emits its
+    2×2 children; grouped per child. Reference twin: ZoomResample child
+    arithmetic childLayout keys (ZoomResampleTEST.scala:29-53, W3).""",
+    tags=("W3",),
+)
+def zoom_resample_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    parents = orders.select(
+        (F.col("o_orderkey") % 32).alias("pcol"),
+        F.expr("(o_orderkey div 32) % 32").alias("prow"),
+        F.col("o_totalprice").alias("v"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [(0, 0), (0, 1), (1, 0), (1, 1)]
+        ]
+    )
+    return (
+        parents.select(F.explode(offsets).alias("o"), "pcol", "prow", "v")
+        .groupBy(
+            (F.col("pcol") * 2 + F.col("o.dx")).alias("child_col"),
+            (F.col("prow") * 2 + F.col("o.dy")).alias("child_row"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("v"), 2).alias("sum_v"),
+        )
+    )

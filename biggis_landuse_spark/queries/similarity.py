@@ -1,0 +1,136 @@
+"""Similarity-search queries over the `embeddings` table.
+
+Brute-force cosine top-k is the exactness baseline; the LSH-bucketed
+variant is the scale path (bucket equi-join replaces the all-pairs
+product). Hyperplanes are deterministic (md5-derived ±1) so the DuckDB
+oracle reproduces the exact same buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.functions import similarity as S
+from biggis_landuse_spark.queries import load_tables, register
+
+DIM = 64
+N_QUERIES = 10
+K = 5
+
+_PLANES = S.hyperplanes(DIM)
+
+
+def _plane_sql(plane: list[float]) -> str:
+    return "CAST([" + ", ".join(str(w) for w in plane) + "] AS DOUBLE[])"
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {_plane_sql(p)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(_PLANES)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6)"
+)
+
+
+@register(
+    "knn_cosine",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    sim AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sim
+    )
+    WHERE rank <= {K}
+    """,
+    doc="""Exact brute-force cosine top-k for a query subset: broadcast the
+    query side, stream the corpus map-side (no corpus shuffle), rank
+    with a per-query window.""",
+    tags=("ANN",),
+    bench=True,
+)
+def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    return S.brute_force_topk(queries, embeddings, k=K)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM embeddings
+    GROUP BY 1
+    """,
+    doc="""Random-hyperplane LSH bucket assignment (8 deterministic md5-
+    derived ±1 planes → 256 buckets) — the partitioning that turns ANN
+    into an equi-join at scale.""",
+    tags=("ANN",),
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return (
+        embeddings.select(
+            S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+      FROM embeddings
+    ),
+    sim AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos_sim
+      FROM c JOIN q USING (bucket)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sim
+    )
+    WHERE rank <= {K}
+    """,
+    doc="""Approximate top-k: candidates restricted to the query's LSH
+    bucket; the corpus-side scan joins on bucket id instead of forming
+    the full product.""",
+    tags=("ANN",),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    return S.lsh_topk(queries, embeddings, dim=DIM, k=K)

@@ -1,0 +1,289 @@
+"""Text-analysis + deduplication queries on the `documents` table.
+
+The training-data-pipeline surface (driver brief): language-ID,
+quality scoring, token counting, fingerprinting, exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard. All built-in Spark SQL
+expressions (library: biggis_landuse_spark.functions.{text,dedup}),
+each with an exact DuckDB oracle — the hash families are chosen to be
+engine-portable (salted md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.functions import dedup as D
+from biggis_landuse_spark.functions import text as TX
+from biggis_landuse_spark.queries import load_tables, register
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@register(
+    "token_count",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT)   AS n_docs,
+           CAST(sum(ntok) AS BIGINT)  AS total_tokens,
+           round(avg(ntok), 6)        AS avg_tokens
+    FROM (SELECT lang, len({_TOKS}) AS ntok FROM documents)
+    GROUP BY lang
+    """,
+    doc="Whitespace token counting per language (training-data pipeline op).",
+    tags=("TEXT",),
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return (
+        documents.select("lang", TX.token_count("text").alias("ntok"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.round(F.avg("ntok"), 6).alias("avg_tokens"),
+        )
+    )
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    SELECT source,
+           round(avg(punct_ratio), 6)    AS avg_punct_ratio,
+           round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+           round(avg(mean_word_len), 6)  AS avg_word_len,
+           CAST(count(*) FILTER (WHERE stopword_ratio >= 0.05) AS BIGINT)
+             AS n_quality
+    FROM (
+      SELECT source,
+             CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                     / length(text) ELSE 0.0 END AS punct_ratio,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(len(list_filter({_TOKS},
+                        t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))
+                       AS DOUBLE) / len({_TOKS}) ELSE 0.0 END AS stopword_ratio,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(list_sum(list_transform({_TOKS}, t -> strlen(t))) AS DOUBLE)
+                     / len({_TOKS}) ELSE 0.0 END AS mean_word_len
+      FROM documents
+    )
+    GROUP BY source
+    """,
+    doc="""Document quality scoring: punctuation ratio, stopword ratio, mean
+    word length — the length/punct/stopword heuristics of a pretraining
+    quality filter.""",
+    tags=("TEXT",),
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    scored = documents.select(
+        "source",
+        TX.punct_ratio("text").alias("punct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.mean_word_len("text").alias("mean_word_len"),
+    )
+    return scored.groupBy("source").agg(
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+        F.count(F.when(F.col("stopword_ratio") >= 0.05, 1)).alias("n_quality"),
+    )
+
+
+def _lang_score_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, t -> list_contains([{lst}], t)))"
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_lang_score_sql(TX.LANG_STOPWORDS["en"])} AS s_en,
+             {_lang_score_sql(TX.LANG_STOPWORDS["de"])} AS s_de,
+             {_lang_score_sql(TX.LANG_STOPWORDS["es"])} AS s_es,
+             {_lang_score_sql(TX.LANG_STOPWORDS["fr"])} AS s_fr
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END      AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    doc="""Heuristic language-ID: stopword-set hit counts, deterministic
+    argmax (tie-break en>de>es>fr), cross-tabbed against the labeled
+    lang column.""",
+    tags=("TEXT",),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return (
+        documents.select("lang", TX.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_FP = "md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT)             AS n_docs,
+           CAST(count(DISTINCT {_FP}) AS BIGINT) AS n_distinct
+    FROM documents
+    GROUP BY source
+    """,
+    doc="""Normalized-content fingerprint (md5 of lowercased, whitespace-
+    collapsed text) — distinct-content accounting per source.""",
+    tags=("TEXT", "DEDUP"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return (
+        documents.select("source", TX.fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT)        AS n_groups,
+           CAST(sum(n_docs) AS BIGINT)     AS n_docs,
+           CAST(sum(n_docs - 1) AS BIGINT) AS n_duplicates
+    FROM (SELECT count(*) AS n_docs FROM documents GROUP BY {_FP})
+    """,
+    doc="""Exact deduplication: hash-groupBy on the content digest; one
+    shuffle on the digest with map-side partial aggregation.""",
+    tags=("DEDUP",),
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return D.exact_dedup_summary(documents, "doc_id", "text")
+
+
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+_MINHASH_AGGS = ",\n             ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(D.N_MINHASH)
+)
+
+
+@register(
+    "dedup_minhash",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="""MinHash + LSH near-dup candidates: 3-word shingles → 8 salted
+    min-hashes (lexicographic min of salted md5 — engine-portable) →
+    4 bands of 2 → equi-join on band signature. Candidate generation is
+    an equi-join, never an all-pairs product (the 100 TB path).""",
+    tags=("DEDUP",),
+    bench=True,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    sh = D.exploded_shingles(documents, "doc_id", "text")
+    sig = D.minhash_signatures(sh, "doc_id")
+    return D.lsh_band_pairs(sig, "doc_id")
+
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.doc_a = sa.doc_id
+    JOIN sizes sb ON common.doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    """,
+    doc="""n-gram Jaccard near-dup pairs via inverted-index equi-join on the
+    shingle. Scale lever: max_doc_freq cap on hot shingles (see
+    functions.dedup.ngram_jaccard_pairs).""",
+    tags=("DEDUP",),
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(documents, "doc_id", "text", threshold=0.1)
+
+
+@register(
+    "simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM tok),
+    digit AS (
+      SELECT doc_id, p AS pos,
+             instr('0123456789abcdef', substr(h8, p + 1, 1)) - 1 AS dval
+      FROM h, (SELECT unnest(generate_series(0, 7)) AS p)
+    ),
+    bits AS (
+      SELECT doc_id, pos * 4 + b AS j,
+             CASE WHEN ((dval >> b) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+      FROM digit, (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    per_bit AS (SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+    doc="""32-bit SimHash per document from md5 token hashes — per-bit ±1
+    contributions aggregated with built-in functions only
+    (functions.dedup.simhash32). Near-dup = small Hamming distance.""",
+    tags=("DEDUP",),
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return D.simhash32(documents, "doc_id", "text")

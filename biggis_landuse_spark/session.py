@@ -1,0 +1,58 @@
+"""SparkSession factory for the engine.
+
+Replaces the reference's hand-rolled SparkConf setup (Kryo serializer +
+GeoTrellis registrator, Utils.scala:41-57 in /root/reference): on
+Spark SQL, Tungsten/UnsafeRow + Arrow make a custom serializer
+unnecessary. AQE is enabled so partition counts and skew handling are
+runtime-adaptive instead of the reference's hard-coded
+``RDD_PARTITIONS = 256`` (Utils.scala:22).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "biggis_landuse_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Local-mode defaults are sized for the test harness; on a real
+    cluster the same settings remain sensible: AQE coalesces and
+    splits shuffle partitions at runtime, Arrow accelerates every
+    pandas-UDF boundary, and UTC pins timestamp semantics so results
+    are reproducible against external oracles.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # driver testdata writes TIMESTAMP(NANOS) parquet (events.ts);
+        # read as long and convert at the source (queries.load_tables)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
