@@ -1,0 +1,318 @@
+"""Layer catalog: Parquet-backed tile storage + metadata/attribute tables.
+
+Replaces the reference's HDFS AttributeStore + Avro layer
+readers/writers + SFC index (api/package.scala:62-385):
+
+- ``{base}/tiles/layer=<name>/zoom=<z>/part-*.parquet`` — tile rows,
+  hive-partitioned by (layer, zoom) so reads prune partitions, sorted
+  within files by a Z-order (Morton) key over (tile_col, tile_row) so
+  Parquet row-group min/max stats prune spatial ranges — the exact
+  role of the reference's ZCurveKeyIndexMethod (api/package.scala:143).
+- ``{base}/layers/`` — one metadata row per (layer, zoom)
+  (TileLayerMetadata analog, inferred from the data at write time like
+  TileLayerMetadata.fromRDD, GeotiffTilingExample.scala:50).
+- ``{base}/attributes/`` — JSON attribute store rows
+  (Utils.writeHistogram / readHistogram analog, Utils.scala:78-89).
+
+Scale: writes never collect tiles; metadata inference is one small agg
+job; deletes drop whole partition directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.model import ATTRIBUTE_SCHEMA, LAYER_META_SCHEMA
+
+Z_BITS = 16
+
+
+def zorder_key(col: str = "tile_col", row: str = "tile_row") -> F.Column:
+    """Morton (Z-curve) interleave of two 16-bit keys — a pure column
+    expression, codegen'd; no custom Catalyst work (SURVEY.md §4.1)."""
+    terms = " + ".join(
+        f"(shiftleft(CAST((shiftright({col}, {i}) & 1) AS BIGINT), {2 * i}) + "
+        f"shiftleft(CAST((shiftright({row}, {i}) & 1) AS BIGINT), {2 * i + 1}))"
+        for i in range(Z_BITS)
+    )
+    return F.expr(terms)
+
+
+class LayerCatalog:
+    """Catalog service over a base directory (local FS or HDFS/S3 URI)."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base.rstrip("/")
+        self.tiles_path = f"{self.base}/tiles"
+        self.layers_path = f"{self.base}/layers"
+        self.attributes_path = f"{self.base}/attributes"
+
+    # -- write -------------------------------------------------------------
+
+    def write_layer(
+        self, tiles: DataFrame, layer: str, zoom: int, crs: str = "EPSG:3857"
+    ) -> None:
+        """Write a tile DataFrame as (layer, zoom), Z-ordered within
+        partitions, and upsert the inferred metadata row.
+
+        Reference: writeRddToLayer (api/package.scala:130-180) = SFC
+        index + Avro write + histogram attribute; here the SFC is a
+        sort key and the histogram is a one-pass agg stored as JSON.
+        """
+        keyed = tiles.withColumn("layer", F.lit(layer)).withColumn(
+            "zoom", F.lit(zoom)
+        )
+        (
+            keyed.repartition("layer", "zoom")
+            .sortWithinPartitions(zorder_key())
+            .write.mode("overwrite")
+            .partitionBy("layer", "zoom")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(self.tiles_path)
+        )
+        meta = self._infer_metadata(keyed, layer, zoom, crs)
+        self._upsert_layer_row(meta)
+        self.write_attribute(
+            layer, zoom, "histogramData", self._histogram_json(keyed)
+        )
+
+    def _infer_metadata(
+        self, tiles: DataFrame, layer: str, zoom: int, crs: str
+    ) -> dict:
+        t = F.col("tile")
+        row = (
+            tiles.agg(
+                F.min("tile_col").alias("key_col_min"),
+                F.max("tile_col").alias("key_col_max"),
+                F.min("tile_row").alias("key_row_min"),
+                F.max("tile_row").alias("key_row_max"),
+                F.first(t["cols"]).alias("tile_cols"),
+                F.first(t["rows"]).alias("tile_rows"),
+                F.first(t["cell_type"]).alias("cell_type"),
+                F.max(F.size(t["bands"])).alias("n_bands"),
+            )
+        ).first()
+        return {
+            "layer": layer,
+            "zoom": zoom,
+            "cell_type": row["cell_type"],
+            "crs": crs,
+            "n_bands": row["n_bands"],
+            "tile_cols": row["tile_cols"],
+            "tile_rows": row["tile_rows"],
+            "layout_cols": row["key_col_max"] - row["key_col_min"] + 1,
+            "layout_rows": row["key_row_max"] - row["key_row_min"] + 1,
+            "key_col_min": row["key_col_min"],
+            "key_col_max": row["key_col_max"],
+            "key_row_min": row["key_row_min"],
+            "key_row_max": row["key_row_max"],
+            "extent": None,
+        }
+
+    def _histogram_json(self, tiles: DataFrame, n_buckets: int = 16) -> str:
+        """Layer histogram attribute (reference: rdd.histogram written
+        at zoom 0, api/package.scala:146)."""
+        from biggis_landuse_spark.operators.local import tile_max, tile_min
+
+        t = F.col("tile")
+        bounds = tiles.agg(
+            F.min(tile_min(t)).alias("lo"), F.max(tile_max(t)).alias("hi")
+        ).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None or hi is None or hi == lo:
+            return json.dumps({"lo": lo, "hi": hi, "counts": []})
+        step = (hi - lo) / n_buckets
+        counts = (
+            tiles.select(F.explode(t["bands"]).alias("b"))
+            .select(F.explode("b").alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("v") - F.lit(lo)) / F.lit(step)), F.lit(0)
+                    ),
+                    F.lit(n_buckets - 1),
+                ).alias("bucket")
+            )
+            .count()
+            .orderBy("bucket")
+            .collect()
+        )
+        return json.dumps(
+            {
+                "lo": lo,
+                "hi": hi,
+                "counts": [[int(r["bucket"]), int(r["count"])] for r in counts],
+            }
+        )
+
+    def _upsert_layer_row(self, meta: dict) -> None:
+        new_row = self.spark.createDataFrame([meta], schema=LAYER_META_SCHEMA)
+        existing = self.layers()
+        merged = existing.where(
+            ~((F.col("layer") == meta["layer"]) & (F.col("zoom") == meta["zoom"]))
+        ).unionByName(new_row)
+        self._rewrite_small_table(merged, self.layers_path, LAYER_META_SCHEMA)
+
+    def _rewrite_small_table(self, df: DataFrame, path: str, schema) -> None:
+        rows = df.collect()  # metadata tables are tiny by construction
+        out = self.spark.createDataFrame(rows, schema=schema)
+        out.coalesce(1).write.mode("overwrite").parquet(path)
+
+    # -- read --------------------------------------------------------------
+
+    def layers(self) -> DataFrame:
+        if not self._exists(self.layers_path):
+            return self.spark.createDataFrame([], schema=LAYER_META_SCHEMA)
+        return self.spark.read.parquet(self.layers_path)
+
+    def layer_ids(self) -> list[tuple[str, int]]:
+        """All (layer, zoom) pairs (reference: attributeStore.layerIds,
+        api/package.scala:108-122)."""
+        return [
+            (r["layer"], r["zoom"])
+            for r in self.layers().select("layer", "zoom").collect()
+        ]
+
+    def finest_zoom(self, layer: str) -> int:
+        """Reference: zoomsOfLayer ... maxBy(_.zoom)
+        (NDVILayerExample.scala:95-103)."""
+        row = (
+            self.layers()
+            .where(F.col("layer") == layer)
+            .agg(F.max("zoom").alias("z"))
+            .first()
+        )
+        if row is None or row["z"] is None:
+            raise KeyError(f"layer not found: {layer}")
+        return row["z"]
+
+    def read_layer(
+        self, layer: str, zoom: int | None = None, band: int | None = None
+    ) -> DataFrame:
+        """Partition-pruned read of one (layer, zoom); optional band
+        selection (reference: readRddFromLayer band coercion,
+        api/package.scala:189-308)."""
+        if zoom is None:
+            zoom = self.finest_zoom(layer)
+        df = self.spark.read.parquet(self.tiles_path).where(
+            (F.col("layer") == layer) & (F.col("zoom") == zoom)
+        )
+        if band is not None:
+            from biggis_landuse_spark.operators.local import band_select
+
+            df = df.withColumn("tile", band_select(F.col("tile"), band))
+        return df
+
+    # -- delete ------------------------------------------------------------
+
+    def delete_layer(self, layer: str, zoom: int | None = None) -> None:
+        """Drop one zoom or all zooms of a layer, including metadata and
+        attributes (reference: deleteLayerFromCatalog /
+        deleteZoomLevelFromLayer, api/package.scala:67-102)."""
+        zooms = (
+            [zoom]
+            if zoom is not None
+            else [z for (l, z) in self.layer_ids() if l == layer]
+        )
+        for z in zooms:
+            part_dir = f"{self.tiles_path}/layer={layer}/zoom={z}"
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+        layer_dir = f"{self.tiles_path}/layer={layer}"
+        if zoom is None and os.path.isdir(layer_dir):
+            shutil.rmtree(layer_dir)  # leftover dirs, like the reference
+        keep = ~(
+            (F.col("layer") == layer)
+            & (F.col("zoom").isin(zooms) if zoom is not None else F.lit(True))
+        )
+        self._rewrite_small_table(
+            self.layers().where(keep), self.layers_path, LAYER_META_SCHEMA
+        )
+        if self._exists(self.attributes_path):
+            self._rewrite_small_table(
+                self.attributes().where(keep), self.attributes_path, ATTRIBUTE_SCHEMA
+            )
+
+    # -- merge (layer update) ----------------------------------------------
+
+    def merge_into_layer(self, update: DataFrame, layer: str, zoom: int) -> None:
+        """Merge an update into an existing layer: full-outer join on the
+        tile key, cell-level coalesce(existing, update) — Delta MERGE
+        semantics built from join + overwrite (reference:
+        mergeRddIntoLayer, api/package.scala:328-385)."""
+        from biggis_landuse_spark.operators.local import tile_merge
+
+        existing = self.read_layer(layer, zoom).select(
+            "tile_col", "tile_row", F.col("tile").alias("t_old")
+        )
+        upd = update.select(
+            "tile_col", "tile_row", F.col("tile").alias("t_new")
+        )
+        merged = existing.join(upd, ["tile_col", "tile_row"], "full_outer").select(
+            "tile_col",
+            "tile_row",
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.when(
+                F.col("t_old").isNotNull() & F.col("t_new").isNotNull(),
+                tile_merge(F.col("t_old"), F.col("t_new")),
+            )
+            .otherwise(F.coalesce("t_old", "t_new"))
+            .alias("tile"),
+        )
+        # stage to a temp dir (never read+overwrite the same partition),
+        # then rewrite the layer from the staged result — scales to any
+        # layer size, no driver collect
+        tmp = f"{self.base}/_staging/{layer}/{zoom}"
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = self.spark.read.parquet(tmp)
+        self.write_layer(staged, layer, zoom)
+        shutil.rmtree(f"{self.base}/_staging", ignore_errors=True)
+
+    # -- attributes (S19) ---------------------------------------------------
+
+    def write_attribute(self, layer: str, zoom: int, name: str, payload: str) -> None:
+        new_row = self.spark.createDataFrame(
+            [
+                {"layer": layer, "zoom": zoom, "name": name, "json": payload}
+            ],
+            schema=ATTRIBUTE_SCHEMA,
+        )
+        merged = self.attributes().where(
+            ~(
+                (F.col("layer") == layer)
+                & (F.col("zoom") == zoom)
+                & (F.col("name") == name)
+            )
+        ).unionByName(new_row)
+        self._rewrite_small_table(merged, self.attributes_path, ATTRIBUTE_SCHEMA)
+
+    def attributes(self) -> DataFrame:
+        if not self._exists(self.attributes_path):
+            return self.spark.createDataFrame([], schema=ATTRIBUTE_SCHEMA)
+        return self.spark.read.parquet(self.attributes_path)
+
+    def read_attribute(self, layer: str, zoom: int, name: str) -> str | None:
+        rows = (
+            self.attributes()
+            .where(
+                (F.col("layer") == layer)
+                & (F.col("zoom") == zoom)
+                & (F.col("name") == name)
+            )
+            .select("json")
+            .collect()
+        )
+        return rows[0]["json"] if rows else None
+
+    # -- util ---------------------------------------------------------------
+
+    @staticmethod
+    def _exists(path: str) -> bool:
+        return os.path.exists(path)
