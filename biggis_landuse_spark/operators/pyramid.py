@@ -1,0 +1,136 @@
+"""Pyramid build: hierarchical 2×2→1 downsampling up the zoom levels
+(SURVEY.md §2.4 A8).
+
+Reference: ``Pyramid.upLevels(rdd, layoutScheme, zoom)`` writes one
+layer per zoom (GeotiffToPyramid.scala:58-69, LayerToPyramid.scala:59-65).
+Here one level is a single groupBy on the parent key
+``(tile_col div 2, tile_row div 2)`` — children land in quadrants, a
+numpy block-mean (NaN-aware) produces the parent tile. The shuffle per
+level moves each tile exactly once; level n+1 is ¼ the size of level n,
+so the whole pyramid costs < 2× the base layer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.operators.focal import _to_nullable_list
+
+_GROUPED_SCHEMA = (
+    "layer string, zoom int, tile_col int, tile_row int, "
+    "cols int, rows int, cell_type string, n_bands int, "
+    "quads map<int, array<array<double>>>"
+)
+
+_TILE_OUT_SCHEMA = (
+    "layer string, zoom int, tile_col int, tile_row int, ts timestamp, "
+    "tile struct<cols:int, rows:int, cell_type:string, "
+    "bands:array<array<double>>>"
+)
+
+
+def pyramid_up(tiles: DataFrame) -> DataFrame:
+    """One pyramid level: (zoom) → (zoom-1), 4 child tiles → 1 parent.
+
+    Child (c, r) sits in parent (c div 2, r div 2) at quadrant
+    (c mod 2, r mod 2) — the inverse of the zoom-resample child
+    arithmetic (ZoomResampleTEST.scala:29-36). Downsample = NaN-aware
+    2×2 block mean.
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(tiles.sparkSession)
+    grouped = (
+        tiles.select(
+            "layer",
+            (F.col("zoom") - 1).alias("zoom"),
+            F.expr("tile_col div 2").cast("int").alias("tile_col"),
+            F.expr("tile_row div 2").cast("int").alias("tile_row"),
+            (
+                (F.col("tile_col") % 2) + (F.col("tile_row") % 2) * 2
+            ).cast("int").alias("quad"),
+            F.col("tile")["bands"].alias("bands"),
+            F.col("tile")["cols"].alias("cols"),
+            F.col("tile")["rows"].alias("rows"),
+            F.col("tile")["cell_type"].alias("cell_type"),
+        )
+        .groupBy("layer", "zoom", "tile_col", "tile_row")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("quad"), F.col("bands")))
+            ).alias("quads"),
+            F.first("cols").alias("cols"),
+            F.first("rows").alias("rows"),
+            F.first("cell_type").alias("cell_type"),
+            F.max(F.size("bands")).alias("n_bands"),
+        )
+        .select(
+            "layer", "zoom", "tile_col", "tile_row",
+            "cols", "rows", "cell_type", "n_bands", "quads",
+        )
+    )
+
+    def downsample(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            out = []
+            for r in pdf.itertuples(index=False):
+                cols, rows_, nb = int(r.cols), int(r.rows), int(r.n_bands)
+                bands_out = []
+                for b in range(nb):
+                    big = np.full((2 * rows_, 2 * cols), np.nan)
+                    for quad, bands in (r.quads or {}).items():
+                        if bands is None or b >= len(bands):
+                            continue
+                        qx, qy = quad % 2, quad // 2
+                        arr = np.asarray(
+                            [np.nan if v is None else v for v in bands[b]],
+                            dtype=np.float64,
+                        ).reshape(rows_, cols)
+                        big[
+                            qy * rows_ : (qy + 1) * rows_,
+                            qx * cols : (qx + 1) * cols,
+                        ] = arr
+                    blocks = big.reshape(rows_, 2, cols, 2)
+                    with np.errstate(invalid="ignore"):
+                        cnt = (~np.isnan(blocks)).sum(axis=(1, 3))
+                        s = np.nansum(blocks, axis=(1, 3))
+                        parent = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+                    bands_out.append(_to_nullable_list(parent))
+                out.append(
+                    {
+                        "layer": r.layer,
+                        "zoom": r.zoom,
+                        "tile_col": r.tile_col,
+                        "tile_row": r.tile_row,
+                        "ts": None,
+                        "tile": {
+                            "cols": cols,
+                            "rows": rows_,
+                            "cell_type": r.cell_type,
+                            "bands": bands_out,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(downsample, schema=_TILE_OUT_SCHEMA)
+
+
+def build_pyramid(catalog, layer: str, from_zoom: int, to_zoom: int = 0) -> None:
+    """Write every level from ``from_zoom`` down to ``to_zoom``
+    (reference: Pyramid.upLevels + writeRddToLayer per level,
+    LayerToPyramid.scala:55-65). Each level is read back from the
+    catalog (cheap, pruned) so lineage stays short and each write is
+    independent."""
+    current = catalog.read_layer(layer, from_zoom)
+    for z in range(from_zoom, to_zoom, -1):
+        parent = pyramid_up(current.withColumn("zoom", F.lit(z)))
+        catalog.write_layer(
+            parent.select("tile_col", "tile_row", "ts", "tile"), layer, z - 1
+        )
+        current = catalog.read_layer(layer, z - 1)

@@ -1,0 +1,160 @@
+"""Golden tests for the spatial structure operators: focal mean /
+Getis-Ord (W1/W2 via J5), pyramid (A8), zoom resample (W3), polygon
+rasterization (A5)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark import fixtures as FX
+from biggis_landuse_spark.operators.focal import focal_mean, getis_ord_gstar
+from biggis_landuse_spark.operators.pyramid import pyramid_up
+from biggis_landuse_spark.operators.rasterize import (
+    GridLayout,
+    rasterize_features,
+)
+from biggis_landuse_spark.operators.resample import zoom_resample
+from biggis_landuse_spark.pixeling import tiles_to_pixels
+
+
+def world_grid() -> np.ndarray:
+    """The red fixture as one (GRID*TS, GRID*TS) numpy array
+    (global py-major: row = tr*TS + py)."""
+    n = FX.GRID * FX.TS
+    world = np.full((n, n), np.nan)
+    for tr in range(FX.GRID):
+        for tc in range(FX.GRID):
+            for py in range(FX.TS):
+                for px in range(FX.TS):
+                    world[tr * FX.TS + py, tc * FX.TS + px] = FX.red_value(
+                        tc, tr, px, py
+                    )
+    return world
+
+
+def test_focal_mean_golden(spark):
+    red = FX.fixture_layer(spark, "b4_red")
+    out = focal_mean(red, radius=1)
+    world = world_grid()
+    px = tiles_to_pixels(out).collect()
+    assert len(px) == FX.GRID * FX.GRID * FX.TS * FX.TS
+    # circular kernel radius 1 = von Neumann cross (5 cells)
+    for r in px[:: 7]:  # sample
+        gx = r["tile_col"] * FX.TS + r["px"]
+        gy = r["tile_row"] * FX.TS + r["py"]
+        vals = []
+        for dx, dy in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]:
+            x, y = gx + dx, gy + dy
+            if 0 <= x < world.shape[1] and 0 <= y < world.shape[0]:
+                vals.append(world[y, x])
+        assert r["value"] == pytest.approx(np.mean(vals), rel=1e-12), (gx, gy)
+
+
+def test_getis_ord_golden(spark):
+    red = FX.fixture_layer(spark, "b4_red")
+    out = getis_ord_gstar(red, radius=1)
+    world = world_grid()
+    flat = world.ravel()
+    mu, sd, n = flat.mean(), flat.std(ddof=1), flat.size
+    px = tiles_to_pixels(out).collect()
+    for r in px[:: 13]:
+        gx = r["tile_col"] * FX.TS + r["px"]
+        gy = r["tile_row"] * FX.TS + r["py"]
+        vals = [
+            world[gy + dy, gx + dx]
+            for dx, dy in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]
+            if 0 <= gx + dx < world.shape[1] and 0 <= gy + dy < world.shape[0]
+        ]
+        w = len(vals)
+        expect = (sum(vals) - mu * w) / (
+            sd * math.sqrt((n * w - w * w) / (n - 1))
+        )
+        assert r["value"] == pytest.approx(expect, rel=1e-9), (gx, gy)
+
+
+def test_pyramid_level_golden(spark):
+    red = FX.fixture_layer(spark, "b4_red", zoom=1)
+    parent = pyramid_up(red)
+    assert parent.count() == (FX.GRID // 2) ** 2
+    world = world_grid()
+    px = tiles_to_pixels(parent).collect()
+    for r in px[:: 5]:
+        gx = r["tile_col"] * FX.TS + r["px"]
+        gy = r["tile_row"] * FX.TS + r["py"]
+        block = world[2 * gy : 2 * gy + 2, 2 * gx : 2 * gx + 2]
+        assert r["value"] == pytest.approx(block.mean(), rel=1e-12)
+    meta = parent.first()
+    assert meta["zoom"] == 0
+
+
+def test_zoom_resample_golden(spark):
+    red = FX.fixture_layer(spark, "b4_red", zoom=0)
+    children = zoom_resample(red, dz=1)
+    assert children.count() == FX.GRID * FX.GRID * 4
+    world = world_grid()
+    px = tiles_to_pixels(children).collect()
+    for r in px[:: 11]:
+        gx = r["tile_col"] * FX.TS + r["px"]
+        gy = r["tile_row"] * FX.TS + r["py"]
+        assert r["value"] == world[gy // 2, gx // 2], (gx, gy)
+    assert px[0]["zoom"] == 1 or children.first()["zoom"] == 1
+
+
+def test_zoom_resample_bounds_pruning(spark):
+    red = FX.fixture_layer(spark, "b4_red", zoom=0)
+    pruned = zoom_resample(red, dz=1, target_bounds=(0, 0, 3, 3))
+    assert pruned.count() == 16
+    keys = {(r["tile_col"], r["tile_row"]) for r in pruned.collect()}
+    assert keys == {(c, r) for c in range(4) for r in range(4)}
+
+
+def test_rasterize_rectangle_and_overlap(spark):
+    layout = GridLayout(x0=0.0, y0=0.0, cell=1.0, tile_size=8)
+    feats = spark.createDataFrame(
+        [
+            # rectangle covering x in [2,10), y in [3,6) → straddles 2 tiles
+            (1, "POLYGON ((2 3, 10 3, 10 6, 2 6, 2 3))", 7.0),
+            # overlapping rectangle, higher feature_id wins where both burn
+            (2, "POLYGON ((4 4, 6 4, 6 5, 4 5, 4 4))", 9.0),
+        ],
+        "feature_id long, geom string, value double",
+    )
+    tiles = rasterize_features(feats, layout)
+    got = {
+        (r["tile_col"], r["tile_row"]): r["tile"]["bands"][0]
+        for r in tiles.collect()
+    }
+    assert set(got) == {(0, 0), (1, 0)}
+
+    def cell(tc, px, py):
+        return got[(tc, 0)][py * 8 + px]
+
+    assert cell(0, 2, 3) == 7.0  # inside rect 1
+    assert cell(0, 1, 3) is None  # left of rect 1
+    assert cell(1, 1, 4) == 7.0  # x=9 inside rect 1 (second tile)
+    assert cell(1, 2, 4) is None  # x=10 outside (right edge exclusive)
+    assert cell(0, 4, 4) == 9.0  # overlap: later feature wins
+    assert cell(0, 6, 4) == 7.0  # x=6 at rect2's right edge → rect 1
+
+
+def test_rasterize_with_hole(spark):
+    layout = GridLayout(tile_size=8)
+    feats = spark.createDataFrame(
+        [
+            (
+                1,
+                "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0), (2 2, 6 2, 6 6, 2 6, 2 2))",
+                5.0,
+            )
+        ],
+        "feature_id long, geom string, value double",
+    )
+    tiles = rasterize_features(feats, layout)
+    band = tiles.first()["tile"]["bands"][0]
+    assert band[1 * 8 + 1] == 5.0  # shell
+    assert band[3 * 8 + 3] is None  # inside the hole
+    assert band[6 * 8 + 6] == 5.0  # shell again
