@@ -49,9 +49,10 @@ def combine(t1: Column, t2: Column, fn, cell_type: str = "float64") -> Column:
 
 def ndvi(nir: Column, red: Column) -> Column:
     """(nir - red) / (nir + red), NODATA-propagating; division by zero
-    yields NULL (Spark non-ANSI semantics) — the analog of the
+    yields NULL via try_divide (ANSI-safe — Spark 4 defaults to ANSI
+    mode where bare ``/`` would fail the job) — the analog of the
     reference's isData guard (NDVILayerExample.scala:55-61)."""
-    return combine(nir, red, lambda i, r: (i - r) / (i + r))
+    return combine(nir, red, lambda i, r: F.try_divide(i - r, i + r))
 
 
 def mask_bits(value_tile: Column, qa_tile: Column, bits: int) -> Column:
