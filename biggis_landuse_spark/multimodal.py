@@ -1,0 +1,274 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+The engine treats media as opaque ``binary`` columns with typed
+metadata, mirroring how a 100 TB training-data pipeline stores raw
+bytes next to relational features. Two layers:
+
+1. **JVM-side metadata** (`media_metadata_cols`): byte length, magic
+   prefix, inferred kind — pure Catalyst expressions, no Python. Cheap
+   enough to run over every row at ingest and fully pushdown-friendly.
+2. **Python-side decode/transform** (`decode_media`, `resize_images`,
+   `sample_frames`, `media_features`): Arrow-batched ``mapInPandas``
+   generators, the production shape for per-item media kernels. The
+   actual image/audio codecs are NOT available in this container, so
+   the byte→pixel decode step is stubbed: ``codec="fake"`` (default)
+   derives a small deterministic pixel grid from the bytes themselves
+   (stable across partitions/retries — safe for tests and retried
+   stages); ``codec="pillow"``/``"ffmpeg"`` raise NotImplementedError
+   at plan-build time until real libraries are wired in. Everything
+   around the stub — schemas, batch iteration, partitioning, UDF
+   signatures — is the real production plumbing.
+
+Scale notes: decode is embarrassingly parallel; the mapInPandas
+generators stream Arrow batches (never materialize a partition);
+``maxRecordsPerBatch`` bounds peak memory per batch; no shuffle is
+introduced anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# magic prefixes (hex, uppercase) → media kind
+MAGIC_KINDS = {
+    "89504E47": "image/png",
+    "FFD8FF": "image/jpeg",
+    "52494646": "riff",  # wav/avi container
+    "494433": "audio/mp3",
+    "66747970": "video/mp4",  # at offset 4, simplified
+}
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", ArrayType(DoubleType())),
+    ]
+)
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_bytes", IntegerType()),
+        StructField("checksum", LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_pixels", IntegerType()),
+        StructField("mean", DoubleType()),
+        StructField("std", DoubleType()),
+        StructField("p_bright", DoubleType()),
+    ]
+)
+
+
+def media_metadata_cols(content: Column | str) -> list[Column]:
+    """JVM-side typed metadata for a binary column: n_bytes, 4-byte
+    magic prefix (uppercase hex), inferred kind. Pure expressions —
+    runs in whole-stage codegen, no Python boundary."""
+    col = F.col(content) if isinstance(content, str) else content
+    hexed = F.hex(col)
+    magic = F.substring(hexed, 1, 8)
+    kind = F.lit("unknown")
+    for prefix, k in MAGIC_KINDS.items():
+        kind = F.when(
+            F.substring(hexed, 1, len(prefix)) == F.lit(prefix), F.lit(k)
+        ).otherwise(kind)
+    return [
+        F.length(col).alias("n_bytes"),
+        magic.alias("magic"),
+        kind.alias("kind"),
+    ]
+
+
+def _require_codec(codec: str) -> None:
+    if codec == "fake":
+        return
+    raise NotImplementedError(
+        f"codec={codec!r}: real media codecs (pillow/ffmpeg/librosa) are "
+        "not available in this environment; wire them in here. The "
+        "deterministic 'fake' codec exercises the full Spark plumbing."
+    )
+
+
+def _fake_decode(raw: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in for an image decoder: derives a small
+    w×h×c pixel grid purely from the bytes (stable across retries)."""
+    if not raw:
+        return 1, 1, 1, [0.0]
+    width = 1 + raw[0] % 4
+    height = 1 + raw[-1] % 4
+    channels = 1 + len(raw) % 3
+    n = width * height * channels
+    pixels = [float(raw[i % len(raw)]) / 255.0 for i in range(n)]
+    return width, height, channels, pixels
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """binary → (width, height, channels, pixels) via mapInPandas.
+
+    Arrow-batched generator: consumes input batches lazily, emits one
+    output frame per input batch — constant memory per worker
+    regardless of partition size.
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    _require_codec(codec)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "pixels": [],
+            }
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, px = _fake_decode(bytes(raw) if raw is not None else b"")
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["pixels"].append(px)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+def resize_images(
+    decoded: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel grids (band 0 of each
+    channel-interleaved buffer). Real numpy math — only the byte→pixel
+    codec upstream is stubbed."""
+    import numpy as np
+
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(decoded.sparkSession)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("channels", IntegerType()),
+            StructField("pixels", ArrayType(DoubleType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "pixels": [],
+            }
+            for r in pdf.itertuples(index=False):
+                c = int(r.channels)
+                grid = np.asarray(r.pixels, dtype=np.float64).reshape(
+                    int(r.height), int(r.width), c
+                )
+                ys = np.minimum(
+                    (np.arange(out_h) * r.height // out_h), r.height - 1
+                ).astype(int)
+                xs = np.minimum(
+                    (np.arange(out_w) * r.width // out_w), r.width - 1
+                ).astype(int)
+                resized = grid[np.ix_(ys, xs)]
+                rows["doc_id"].append(int(r.doc_id))
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["channels"].append(c)
+                rows["pixels"].append([float(v) for v in resized.ravel()])
+            yield pd.DataFrame(rows)
+
+    return decoded.mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    frame_size: int = 16,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    codec: str = "fake",
+) -> DataFrame:
+    """Video frame sampling shape: split the byte stream into fixed
+    ``frame_size`` frames, keep every ``every_n``-th. One input row →
+    many output rows (the UDTF shape for media)."""
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    _require_codec(codec)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_bytes": [], "checksum": []}
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(raw) if raw is not None else b""
+                frames = [
+                    raw[i : i + frame_size]
+                    for i in range(0, len(raw), frame_size)
+                ]
+                for fno in range(0, len(frames), every_n):
+                    fb = frames[fno]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_no"].append(fno)
+                    out["frame_bytes"].append(len(fb))
+                    out["checksum"].append(sum(fb))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+def media_features(decoded: DataFrame, bright: float = 0.5) -> DataFrame:
+    """Per-item pixel statistics (mean/std/bright-fraction) — the
+    feature-extraction stage after decode. Vectorized numpy per batch."""
+    import numpy as np
+
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(decoded.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_pixels": [], "mean": [], "std": [], "p_bright": []}
+            for r in pdf.itertuples(index=False):
+                px = np.asarray(r.pixels, dtype=np.float64)
+                out["doc_id"].append(int(r.doc_id))
+                out["n_pixels"].append(int(px.size))
+                out["mean"].append(float(px.mean()))
+                out["std"].append(float(px.std()))
+                out["p_bright"].append(float((px > bright).mean()))
+            yield pd.DataFrame(out)
+
+    return decoded.mapInPandas(run, FEATURES_SCHEMA)

@@ -95,6 +95,7 @@ def _ensure_loaded() -> None:
         return
     from biggis_landuse_spark.queries import (  # noqa: F401
         events,
+        media,
         raster_shapes,
         relational,
         similarity,

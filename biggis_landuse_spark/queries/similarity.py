@@ -134,3 +134,73 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     queries = embeddings.where(F.col("vec_id") < N_QUERIES)
     return S.lsh_topk(queries, embeddings, dim=DIM, k=K)
+
+
+NEAR_DUP_TAU = 0.35
+
+
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec,
+             {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT b.vec_id AS dup_id, a.vec_id AS kept_id,
+             round(list_dot_product(a.vec, b.vec) /
+               (sqrt(list_dot_product(a.vec, a.vec)) *
+                sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
+      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT dup_id, kept_id, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY dup_id ORDER BY kept_id) AS rn
+      FROM pairs WHERE cos_sim >= {NEAR_DUP_TAU}
+    )
+    WHERE rn = 1
+    """,
+    doc="""Embedding-cosine near-duplicate detection, LSH-bucketed scale
+    path: candidate pairs come from a same-bucket self-join (an
+    equi-join — never the all-pairs product), each duplicate keeps the
+    lowest-id representative it matched. At 100 TB the corpus is
+    written partitioned by bucket so the self-join is co-located.""",
+    tags=("dedup", "ANN"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    v = embeddings.select(
+        "vec_id",
+        S.as_double("embedding").alias("vec"),
+        S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("kept_id"),
+        F.col("vec").alias("va"),
+        "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("vec").alias("vb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .where(F.col("kept_id") < F.col("dup_id"))
+        .select(
+            "dup_id",
+            "kept_id",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEAR_DUP_TAU)
+    )
+    w = W.partitionBy("dup_id").orderBy(F.asc("kept_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("dup_id", "kept_id", "cos_sim")
+    )

@@ -1,0 +1,195 @@
+"""Stateful tile reassembly from a pixel stream (SURVEY.md §2.9 —
+the streaming equivalent of A4, which the reference fell back to CSV
+for, TilePixelingToCSVExample.scala:71-72).
+
+``applyInPandasWithState`` keeps one state entry per in-flight tile:
+accumulated (flat_index → value) pairs. A tile emits when complete
+(all cols×rows×n_bands cells seen); an optional processing-time
+timeout flushes incomplete tiles as partial output once idle —
+bounding state size (SURVEY.md §7.5.4: a tile completes only when all
+pixels arrive; timeout-based completion + TTL).
+
+Duplicate pixels within the watermark overwrite (last-wins), matching
+the batch reassembly semantics (pixeling.pixels_to_tiles) — so batch
+and stream produce identical tiles on the same input, which is exactly
+what tests/test_streaming.py asserts.
+
+Implementation note — why the UDF emits sparse (idx, vals) instead of
+dense band arrays: PySpark's applyInPandasWithState Arrow writer
+mis-encodes missing elements inside nested array<array<double>> output
+columns (both None and NaN arrive as nulls that the JVM state-output
+reader fails to decode: "IllegalStateException: Value at index is
+null" → EXPRESSION_DECODING_FAILED). The UDF therefore returns only
+the cells it has — two flat, null-free arrays — and the dense
+``bands`` layout is reconstructed JVM-side with ``map_from_arrays`` +
+``transform``, where NULL cells are fully supported. Missing cells in
+a flushed partial tile are NULL (the engine's relational NODATA,
+SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("idx", ArrayType(IntegerType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+# Sparse UDF output: only observed cells, no nulls anywhere (see
+# module docstring). Densified to `bands` right after, JVM-side.
+RAW_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("tile_col", IntegerType()),
+        StructField("tile_row", IntegerType()),
+        StructField("complete", BooleanType()),
+        StructField("n_pixels", IntegerType()),
+        StructField("idx", ArrayType(IntegerType())),
+        StructField("vals", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _emit(key: Tuple[Any, ...], cells: dict, target: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "tile_col": int(key[0]),
+                "tile_row": int(key[1]),
+                "complete": len(cells) >= target,
+                "n_pixels": len(cells),
+                "idx": [int(i) for i in cells.keys()],
+                "vals": [float(v) for v in cells.values()],
+            }
+        ]
+    )
+
+
+def reassemble_tiles_stream(
+    pixels: DataFrame,
+    cols: int,
+    rows: int,
+    n_bands: int = 1,
+    ts_col: str = "event_ts",
+    watermark: str = "10 minutes",
+    timeout_ms: int | None = None,
+) -> DataFrame:
+    """pixel stream (tile_col, tile_row, band, px, py, value, event_ts)
+    → tile stream (tile_col, tile_row, complete, n_pixels, bands).
+
+    Emits complete tiles immediately. ``timeout_ms`` enables
+    processing-time state timeouts: incomplete tiles flush as partial
+    (NULL-filled) output once idle that long, bounding state size.
+    Note Spark schedules continuous micro-batches while any
+    processing-time timeout is pending — leave it None for finite
+    batch-parity runs, set it for long-lived production streams.
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(pixels.sparkSession)
+    size = cols * rows
+    target = size * n_bands
+    use_timeout = timeout_ms is not None
+
+    def assemble(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (idx, vals) = state.get
+            state.remove()
+            yield _emit(key, dict(zip(idx, vals)), target)
+            return
+        if state.exists:
+            (idx0, vals0) = state.get
+            cells = dict(zip(idx0, vals0))
+        else:
+            cells = {}
+        for pdf in batches:
+            flat = (
+                pdf["band"].astype(int) * size
+                + pdf["py"].astype(int) * cols
+                + pdf["px"].astype(int)
+            )
+            for i, v in zip(flat.tolist(), pdf["value"].tolist()):
+                cells[i] = v  # duplicate pixel → last wins
+        if len(cells) >= target:
+            state.remove()
+            yield _emit(key, cells, target)
+        else:
+            state.update((list(cells.keys()), list(cells.values())))
+            if use_timeout:
+                state.setTimeoutDuration(timeout_ms)
+
+    raw = (
+        pixels.withWatermark(ts_col, watermark)
+        .groupBy("tile_col", "tile_row")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=RAW_OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout,
+        )
+    )
+    # JVM-side densify: map lookup misses → NULL cells (NODATA)
+    return raw.select(
+        "tile_col",
+        "tile_row",
+        "complete",
+        "n_pixels",
+        F.expr(
+            f"transform(sequence(0, {n_bands - 1}), b -> "
+            f"  transform(sequence(0, {size - 1}), i -> "
+            f"    map_from_arrays(idx, vals)[b * {size} + i]))"
+        ).alias("bands"),
+    )
+
+
+def reassemble_tiles_batch(
+    pixels: DataFrame, cols: int, rows: int, n_bands: int = 1
+) -> DataFrame:
+    """Batch twin over the same input schema (parity check target)."""
+    from biggis_landuse_spark.pixeling import pixels_to_tiles
+
+    keyed = pixels.select(
+        F.lit("stream").alias("layer"),
+        F.lit(0).alias("zoom"),
+        "tile_col",
+        "tile_row",
+        "band",
+        "px",
+        "py",
+        "value",
+    )
+    tiles = pixels_to_tiles(keyed, cols=cols, rows=rows, n_bands=n_bands)
+    size = cols * rows
+    return tiles.select(
+        "tile_col",
+        "tile_row",
+        F.expr(
+            "aggregate(flatten(tile.bands), 0, (a, x) -> "
+            "a + CASE WHEN x IS NULL THEN 0 ELSE 1 END)"
+        ).alias("n_pixels"),
+        F.col("tile")["bands"].alias("bands"),
+    ).withColumn("complete", F.col("n_pixels") >= size * n_bands).select(
+        "tile_col", "tile_row", "complete", "n_pixels", "bands"
+    )

@@ -1,0 +1,242 @@
+"""Structured Streaming tests (SURVEY.md §5.4): file sources +
+memory sinks + processAllAvailable, batch ≡ stream parity, stateful
+tile reassembly incl. late/duplicate pixels."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.streaming.pixels import (
+    reassemble_tiles_batch,
+    reassemble_tiles_stream,
+)
+from biggis_landuse_spark.streaming.windows import (
+    dedup_within_watermark,
+    sliding_avg,
+    session_counts,
+    tumbling_counts,
+)
+
+EVENTS_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+PIXEL_DDL = (
+    "tile_col int, tile_row int, band int, px int, py int, "
+    "value double, event_ts timestamp"
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    from biggis_landuse_spark.queries import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    path = str(tmp_path / "events_stream")
+    events.select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).limit(2000).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(df, name: str, mode: str):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def test_tumbling_window_batch_stream_parity(spark, events_dir):
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    batch = spark.read.schema(EVENTS_DDL).parquet(events_dir)
+
+    q = _run_stream(
+        tumbling_counts(stream, watermark=None), "tumbling_out", "complete"
+    )
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+            for r in tumbling_counts(batch).collect()
+        }
+        assert got == want and len(got) > 10
+    finally:
+        q.stop()
+
+
+def test_sliding_and_session_streaming_run(spark, events_dir):
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    q1 = _run_stream(sliding_avg(stream, watermark=None), "sliding_out", "complete")
+    try:
+        n = spark.sql("SELECT count(*) n FROM sliding_out").first()["n"]
+        assert n > 10
+    finally:
+        q1.stop()
+
+    q2 = _run_stream(
+        session_counts(stream, watermark="30 minutes"), "session_out", "append"
+    )
+    try:
+        # append mode only emits sessions sealed by the watermark; the
+        # tail sessions stay in state — presence of rows is the check
+        n = spark.sql("SELECT count(*) n FROM session_out").first()["n"]
+        assert n > 0
+    finally:
+        q2.stop()
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    path = str(tmp_path / "dup_events")
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        (2, _ts("2024-01-01 00:00:00"), 1, "click", 1.0),  # exact dup key+ts
+        (3, _ts("2024-01-01 00:01:00"), 1, "click", 1.0),  # same key, new ts
+        (4, _ts("2024-01-01 00:00:30"), 2, "view", 2.0),
+    ]
+    spark.createDataFrame(
+        [(i, ts, u, et, v) for (i, ts, u, et, v) in rows], EVENTS_DDL
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(path)
+    q = _run_stream(
+        dedup_within_watermark(stream), "dedup_out", "append"
+    )
+    try:
+        got = spark.sql(
+            "SELECT user_id, event_type, ts FROM dedup_out"
+        ).collect()
+        assert len(got) == 3  # duplicate (1, click, 00:00) collapsed
+    finally:
+        q.stop()
+
+
+def _write_pixels(spark, path, rows, mode="append"):
+    spark.createDataFrame(rows, PIXEL_DDL).coalesce(1).write.mode(mode).parquet(
+        path
+    )
+
+
+def _pixel_rows(tc, tr, idxs, ts="2024-01-01 00:00:00", value_of=None):
+    return [
+        (
+            tc,
+            tr,
+            0,
+            i % 4,
+            i // 4,
+            float(value_of(i) if value_of else i),
+            _ts(ts),
+        )
+        for i in idxs
+    ]
+
+
+def test_stateful_reassembly_complete_and_late(spark, tmp_path):
+    """B6 scenarios: in-order completion; late pixels completing a tile
+    in a later batch; duplicates last-wins; incomplete not emitted."""
+    path = str(tmp_path / "pixel_stream")
+    # batch 1: tile (0,0) complete (16 px, with a duplicate of idx 3),
+    #          tile (1,0) missing idx 15
+    _write_pixels(
+        spark,
+        path,
+        _pixel_rows(0, 0, list(range(16)) + [3])
+        + _pixel_rows(1, 0, list(range(15))),
+        mode="overwrite",
+    )
+    stream = spark.readStream.schema(PIXEL_DDL).parquet(path)
+    out = reassemble_tiles_stream(stream, cols=4, rows=4, n_bands=1)
+    q = _run_stream(out, "tiles_out", "append")
+    try:
+        first = spark.sql(
+            "SELECT * FROM tiles_out ORDER BY tile_col"
+        ).collect()
+        assert [(r["tile_col"], r["complete"]) for r in first] == [(0, True)]
+        assert first[0]["bands"][0] == [float(i) for i in range(16)]
+
+        # batch 2: the late pixel arrives → tile (1,0) completes
+        _write_pixels(spark, path, _pixel_rows(1, 0, [15]))
+        q.processAllAvailable()
+        second = spark.sql(
+            "SELECT * FROM tiles_out ORDER BY tile_col"
+        ).collect()
+        assert [(r["tile_col"], r["complete"]) for r in second] == [
+            (0, True),
+            (1, True),
+        ]
+    finally:
+        q.stop()
+
+
+def test_stateful_reassembly_timeout_flush(spark, tmp_path):
+    path = str(tmp_path / "pixel_stream_t")
+    _write_pixels(
+        spark, path, _pixel_rows(5, 5, list(range(10))), mode="overwrite"
+    )
+    stream = spark.readStream.schema(PIXEL_DDL).parquet(path)
+    out = reassemble_tiles_stream(
+        stream, cols=4, rows=4, n_bands=1, timeout_ms=500
+    )
+    # NOTE: no processAllAvailable here — with a pending
+    # ProcessingTimeTimeout Spark schedules micro-batches continuously
+    # and processAllAvailable never returns; poll the sink instead.
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tiles_timeout_out")
+        .start()
+    )
+    try:
+        # poll until the idle tile flushes partial on state timeout
+        deadline = time.time() + 90
+        rows = []
+        while time.time() < deadline and not rows:
+            if q.exception() is not None:
+                raise q.exception()
+            rows = spark.sql(
+                "SELECT * FROM tiles_timeout_out WHERE tile_col = 5"
+            ).collect()
+            time.sleep(0.5)
+        assert len(rows) == 1
+        assert rows[0]["complete"] is False
+        assert rows[0]["n_pixels"] == 10
+        band = rows[0]["bands"][0]
+        assert band[0] == 0.0 and band[15] is None  # NODATA-filled partial
+    finally:
+        q.stop()
+
+
+def test_batch_stream_reassembly_parity(spark, tmp_path):
+    path = str(tmp_path / "pixel_parity")
+    rows = _pixel_rows(0, 0, list(range(16))) + _pixel_rows(2, 1, list(range(16)))
+    _write_pixels(spark, path, rows, mode="overwrite")
+
+    stream = spark.readStream.schema(PIXEL_DDL).parquet(path)
+    q = _run_stream(
+        reassemble_tiles_stream(stream, cols=4, rows=4), "parity_out", "append"
+    )
+    try:
+        got = {
+            (r["tile_col"], r["tile_row"]): tuple(r["bands"][0])
+            for r in spark.sql("SELECT * FROM parity_out").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(PIXEL_DDL).parquet(path)
+    want = {
+        (r["tile_col"], r["tile_row"]): tuple(r["bands"][0])
+        for r in reassemble_tiles_batch(batch, cols=4, rows=4).collect()
+    }
+    assert got == want and len(got) == 2
