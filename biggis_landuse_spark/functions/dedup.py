@@ -29,9 +29,16 @@ N_BANDS = 4  # 2 hashes per band
 SHINGLE_WORDS = 3
 
 
-def word_shingles(text: Column | str, k: int = SHINGLE_WORDS) -> Column:
-    """k-word shingles as an array column (empty if fewer than k tokens)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles from a *materialized* token-array column.
+
+    The token column MUST be a plain column reference, not the
+    tokenizer expression itself: expressions passed in are inlined
+    into every element_at inside the transform lambda (3k copies), so
+    an un-materialized ``tokens(text)`` here re-tokenizes each doc
+    ~10× — measured 9× slower end-to-end on the minhash pipeline.
+    Callers project ``tokens(text).alias("_toks")`` first.
+    """
     idx = F.sequence(F.lit(0), F.size(toks) - k)
     build = F.transform(
         idx,
@@ -44,11 +51,26 @@ def word_shingles(text: Column | str, k: int = SHINGLE_WORDS) -> Column:
     )
 
 
+def word_shingles(text: Column | str, k: int = SHINGLE_WORDS) -> Column:
+    """k-word shingles directly from text — convenience form for
+    single-use expressions. Hot paths use shingles_from_tokens over a
+    materialized token column instead (see its docstring)."""
+    return shingles_from_tokens(tokens(text), k)
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) pairs with duplicates, tokens materialized once."""
+    tokd = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return tokd.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"))).alias("shingle"),
+    )
+
+
 def exploded_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index base relation."""
-    return (
-        df.select(id_col, F.explode(word_shingles(text_col)).alias("shingle"))
-        .dropDuplicates([id_col, "shingle"])
+    return _shingle_rows(df, id_col, text_col).dropDuplicates(
+        [id_col, "shingle"]
     )
 
 
@@ -59,6 +81,24 @@ def minhash_signatures(shingled: DataFrame, id_col: str) -> DataFrame:
         for i in range(N_MINHASH)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_from_text(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """K salted min-hashes per document from raw text.
+
+    min() is insensitive to duplicates, so the distinct-shingle
+    shuffle of the inverted-index formulation is skipped: tokens are
+    materialized once, shingles exploded, and the 8 salted min-hashes
+    partial-aggregate map-side — the groupBy shuffle carries only
+    |docs| × 8 partial minima, not the shingle relation. (An
+    alternative ``array_min(transform(...))`` zero-shuffle form
+    benchmarks ~4× slower: higher-order array lambdas run
+    interpreted, while explode + hash-aggregate stay in whole-stage
+    codegen.)
+    """
+    return minhash_signatures(_shingle_rows(df, id_col, text_col), id_col)
 
 
 def lsh_band_pairs(signatures: DataFrame, id_col: str) -> DataFrame:

@@ -222,8 +222,7 @@ _MINHASH_AGGS = ",\n             ".join(
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    sh = D.exploded_shingles(documents, "doc_id", "text")
-    sig = D.minhash_signatures(sh, "doc_id")
+    sig = D.minhash_signatures_from_text(documents, "doc_id", "text")
     return D.lsh_band_pairs(sig, "doc_id")
 
 
