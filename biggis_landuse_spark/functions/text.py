@@ -3,6 +3,14 @@
 All pure Spark SQL expressions (whole-stage codegen; no UDF). Each has
 a DuckDB-equivalent formulation used by the oracle in
 ``queries/textops.py`` — deterministic by construction on both engines.
+
+Expression-inlining discipline: functions taking a token ARRAY column
+(`*_from_tokens`) expect a *materialized* column reference. Passing
+the tokenizer expression itself makes Catalyst inline
+``filter(split(text))`` at every use site inside the lambdas — the
+doc is re-tokenized many times per row (measured 9× slowdown on the
+shingle pipeline). Hot paths project ``tokens(text).alias("_toks")``
+first and pass ``F.col("_toks")``.
 """
 
 from __future__ import annotations
@@ -41,24 +49,31 @@ def punct_ratio(text: Column | str) -> Column:
     return F.when(F.length(col) > 0, n_punct / F.length(col)).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    toks = tokens(text)
+def stopword_ratio_from_tokens(
+    toks: Column, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
     sw = F.array(*[F.lit(s) for s in stopwords])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def mean_word_len(text: Column | str) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        toks, F.lit(0), lambda acc, t: acc + F.length(t)
-    )
+def stopword_ratio(
+    text: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN
+) -> Column:
+    return stopword_ratio_from_tokens(tokens(text), stopwords)
+
+
+def mean_word_len_from_tokens(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Per-language stopword hit counts."""
-    toks = tokens(text)
+def mean_word_len(text: Column | str) -> Column:
+    return mean_word_len_from_tokens(tokens(text))
+
+
+def lang_scores_from_tokens(toks: Column) -> dict[str, Column]:
+    """Per-language stopword hit counts over a materialized token col."""
     out = {}
     for lang, words in LANG_STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
@@ -66,15 +81,22 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
     return out
 
 
-def lang_id(text: Column | str) -> Column:
-    """Deterministic argmax over stopword scores, fixed tie-break order."""
-    s = lang_scores(text)
+def lang_id_from_scores(s: dict[str, Column]) -> Column:
+    """Deterministic argmax over *materialized* score columns, fixed
+    tie-break order. Score expressions are referenced up to 3× each —
+    callers project them first (see module docstring)."""
     return (
         F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
         .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
         .when(s["es"] >= s["fr"], "es")
         .otherwise("fr")
     )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Single-expression language-ID (convenience; hot paths use the
+    two-step materialized form in queries/textops.py)."""
+    return lang_id_from_scores(lang_scores_from_tokens(tokens(text)))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -389,6 +389,46 @@ def quantile_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S18 — color-map classification (the render half of the tile server)
+# ---------------------------------------------------------------------------
+
+_CM_BREAKS = [10.0, 20.0, 30.0, 40.0]
+_CM_PALETTE = (0x30123BFF, 0x3E9BFEFF, 0x46F884FF, 0xFDA531FF, 0x7A0403FF)
+
+
+@register(
+    "color_map_buckets",
+    oracle=f"""
+    SELECT CAST(CASE
+             WHEN l_quantity <= 10 THEN {0x30123BFF}
+             WHEN l_quantity <= 20 THEN {0x3E9BFEFF}
+             WHEN l_quantity <= 30 THEN {0x46F884FF}
+             WHEN l_quantity <= 40 THEN {0xFDA531FF}
+             ELSE {0x7A0403FF} END AS BIGINT) AS rgba,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="""Color-map classification (value → RGBA class via CASE-WHEN chain)
+    aggregated to class counts — the JVM-side bulk-render path of the
+    tile server (ServeLayerAsMap.scala:88-94); serving.color_map_expr
+    is the same expression the PNG renderer applies per pixel.""",
+    tags=("S18",),
+)
+def color_map_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.serving import color_map_expr
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            color_map_expr("l_quantity", _CM_BREAKS, _CM_PALETTE).alias("rgba")
+        )
+        .groupBy("rgba")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # A6 — word count (the reference's own WordCount.scala)
 # ---------------------------------------------------------------------------
 

@@ -78,11 +78,16 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    scored = documents.select(
+    tokd = documents.select(
         "source",
         TX.punct_ratio("text").alias("punct_ratio"),
-        TX.stopword_ratio("text").alias("stopword_ratio"),
-        TX.mean_word_len("text").alias("mean_word_len"),
+        TX.tokens("text").alias("_toks"),
+    )
+    scored = tokd.select(
+        "source",
+        "punct_ratio",
+        TX.stopword_ratio_from_tokens(F.col("_toks")).alias("stopword_ratio"),
+        TX.mean_word_len_from_tokens(F.col("_toks")).alias("mean_word_len"),
     )
     return scored.groupBy("source").agg(
         F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
@@ -124,8 +129,18 @@ def _lang_score_sql(words: tuple[str, ...]) -> str:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
+    # two-step materialization: tokens once, scores once, then argmax
+    # (inline forms re-tokenize per language and per comparison)
+    tokd = documents.select("lang", TX.tokens("text").alias("_toks"))
+    s = TX.lang_scores_from_tokens(F.col("_toks"))
+    scored = tokd.select(
+        "lang", *[s[lg].alias(f"s_{lg}") for lg in ("en", "de", "es", "fr")]
+    )
+    pred = TX.lang_id_from_scores(
+        {lg: F.col(f"s_{lg}") for lg in ("en", "de", "es", "fr")}
+    )
     return (
-        documents.select("lang", TX.lang_id("text").alias("predicted"))
+        scored.select("lang", pred.alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -1,0 +1,86 @@
+"""Serving layer (S18): color-map expression, stdlib PNG render
+round-trip, indexed point lookup."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark import serving as SV
+from biggis_landuse_spark.catalog import LayerCatalog
+from biggis_landuse_spark.fixtures import fixture_layer
+
+BREAKS = [0.2, 0.5]
+TILE_BREAKS = [1000.0, 2500.0]
+PALETTE = (0x111111FF, 0x222222FF, 0x333333FF)
+
+
+def test_color_map_expr_buckets(spark):
+    df = spark.createDataFrame(
+        [(0.1,), (0.2,), (0.4,), (0.9,), (None,)], "v double"
+    )
+    got = [r["c"] for r in
+           df.select(SV.color_map_expr("v", BREAKS, PALETTE).alias("c")).collect()]
+    assert got == [0x111111FF, 0x111111FF, 0x222222FF, 0x333333FF, 0]
+
+
+def _decode_png(png: bytes) -> tuple[int, int, bytes]:
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", png[16:24])
+    # single IDAT written by our encoder
+    idat_len = struct.unpack(">I", png[33:37])[0]
+    assert png[37:41] == b"IDAT"
+    raw = zlib.decompress(png[41 : 41 + idat_len])
+    rows = b"".join(
+        raw[y * (w * 4 + 1) + 1 : (y + 1) * (w * 4 + 1)] for y in range(h)
+    )
+    return w, h, rows
+
+
+def test_render_tiles_png_roundtrip(spark):
+    tiles = fixture_layer(spark, "b4_red")  # 8×8 tiles
+    rendered = SV.render_tiles_png(tiles, TILE_BREAKS, PALETTE)
+    rows = {(r["tile_col"], r["tile_row"]): r for r in rendered.collect()}
+    assert len(rows) > 0
+    # verify pixel-exact round-trip against the JVM-side color map
+    want = {
+        (r["tile_col"], r["tile_row"]): r["rgba"]
+        for r in tiles.select(
+            "tile_col",
+            "tile_row",
+            F.transform(
+                F.element_at(F.col("tile")["bands"], 1),
+                lambda v: SV.color_map_expr(v, TILE_BREAKS, PALETTE),
+            ).alias("rgba"),
+        ).collect()
+    }
+    for key, r in rows.items():
+        w, h, rgba = _decode_png(bytes(r["png"]))
+        assert (w, h) == (8, 8)
+        got_pixels = [
+            struct.unpack(">I", rgba[i * 4 : (i + 1) * 4])[0]
+            for i in range(w * h)
+        ]
+        assert got_pixels == [v & 0xFFFFFFFF for v in want[key]]
+        assert r["checksum"] == zlib.crc32(bytes(r["png"]))
+
+
+def test_approx_breaks_monotone(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    breaks = SV.approx_breaks(li, "l_extendedprice", n_classes=10)
+    assert len(breaks) == 9
+    assert breaks == sorted(breaks)
+
+
+def test_lookup_tile_pruned(spark, tmp_path):
+    cat = LayerCatalog(spark, str(tmp_path / "catalog"))
+    cat.write_layer(fixture_layer(spark, "b4_red"), "b4_red", zoom=0)
+    hit = SV.lookup_tile(cat, "b4_red", 0, 1, 1)
+    rows = hit.collect()
+    assert len(rows) == 1
+    assert rows[0]["tile_col"] == 1 and rows[0]["tile_row"] == 1
+    # partition pruning: the scan must read only the zoom=0 partition
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
