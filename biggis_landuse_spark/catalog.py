@@ -33,8 +33,9 @@ Z_BITS = 16
 
 
 def zorder_key(col: str = "tile_col", row: str = "tile_row") -> F.Column:
-    """Morton (Z-curve) interleave of two 16-bit keys — a pure column
-    expression, codegen'd; no custom Catalyst work (SURVEY.md §4.1)."""
+    """Morton (Z-curve) interleave of two 16-bit keys (O2, SFC write
+    order) — a pure column expression, codegen'd; no custom Catalyst
+    work (SURVEY.md §4.1)."""
     terms = " + ".join(
         f"(shiftleft(CAST((shiftright({col}, {i}) & 1) AS BIGINT), {2 * i}) + "
         f"shiftleft(CAST((shiftright({row}, {i}) & 1) AS BIGINT), {2 * i + 1}))"
@@ -214,7 +215,7 @@ class LayerCatalog:
 
     def delete_layer(self, layer: str, zoom: int | None = None) -> None:
         """Drop one zoom or all zooms of a layer, including metadata and
-        attributes (reference: deleteLayerFromCatalog /
+        attributes (S5; reference: deleteLayerFromCatalog /
         deleteZoomLevelFromLayer, api/package.scala:67-102)."""
         zooms = (
             [zoom]

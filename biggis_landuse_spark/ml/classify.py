@@ -40,6 +40,14 @@ def split_samples(
     return train, test
 
 
+def num_classes(samples: DataFrame) -> int:
+    """A10 — class count from the label column (reference:
+    input.map(_.label).max(), SVMMultiClass.scala:95)."""
+    from pyspark.sql import functions as F
+
+    return int(samples.agg(F.max("label")).first()[0]) + 1
+
+
 def train_ova(
     samples: DataFrame, max_iter: int = 100, reg_param: float = 0.0
 ) -> OneVsRestModel:

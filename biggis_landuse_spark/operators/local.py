@@ -69,7 +69,7 @@ def mask_bits(value_tile: Column, qa_tile: Column, bits: int) -> Column:
 
 
 def convert(tile: Column, cell_type: str) -> Column:
-    """Cell-type conversion (reference: tile.convert(
+    """Cell-type conversion (P3; reference: tile.convert(
     DoubleConstantNoDataCellType), NDVILayerExample.scala:68-69).
     int32 floors toward zero like a numeric cast."""
     if cell_type == "int32":
@@ -80,7 +80,7 @@ def convert(tile: Column, cell_type: str) -> Column:
 
 
 def band_select(tile: Column, band: int) -> Column:
-    """Single-band extraction (reference: tile.band(n) / subsetBands,
+    """Single-band extraction (P7; reference: tile.band(n) / subsetBands,
     api/package.scala:214)."""
     return F.struct(
         tile["cols"].alias("cols"),

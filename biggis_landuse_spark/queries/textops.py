@@ -46,6 +46,46 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer: letter runs | single digits | punctuation
+# runs — the GPT-2-ish split shape, restricted to a regex subset that
+# Java regex (Spark) and RE2 (DuckDB) evaluate identically.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(n) AS BIGINT)  AS total_subtokens,
+           round(avg(n), 6)        AS avg_subtokens,
+           CAST(max(n) AS BIGINT)  AS max_subtokens
+    FROM (
+      SELECT lang, len(regexp_extract_all(text, '{_BPE_RE}')) AS n
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    doc="""Tokenizer-aware counting with a BPE-style pre-tokenizer regex
+    (letter runs / digits / punctuation runs) — the sub-token budget
+    estimate a training-data pipeline runs next to whitespace counts;
+    pure regexp_extract_all, codegen'd.""",
+    tags=("TEXT",),
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    counted = documents.select(
+        "lang",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))).alias(
+            "n"
+        ),
+    )
+    return counted.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total_subtokens"),
+        F.round(F.avg("n"), 6).alias("avg_subtokens"),
+        F.max("n").cast("long").alias("max_subtokens"),
+    )
+
+
 @register(
     "quality_score",
     oracle=f"""

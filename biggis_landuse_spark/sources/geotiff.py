@@ -127,3 +127,135 @@ def ingest_geotiff(
     binaries = scan_geotiffs(spark, path)
     pixels = decode_to_pixels(binaries, decoder or GeoTiffDecoder())
     return retile_pixels(pixels, tile_size, layer)
+
+
+# ---------------------------------------------------------------------------
+# Export (S7/S8): per-tile distributed write, or driver-side stitch
+# ---------------------------------------------------------------------------
+
+
+class GeoTiffEncoder:
+    """Pluggable encode step (inverse of GeoTiffDecoder). The real
+    implementation would call rasterio; the deterministic default
+    packs a raw header + float64 band payload — a stand-in container
+    format so the write path, partitioning and round-trip are real."""
+
+    MAGIC = b"FGT1"  # fake-geotiff v1
+
+    def encode(self, bands: list[np.ndarray]) -> bytes:
+        h, w = bands[0].shape
+        head = self.MAGIC + len(bands).to_bytes(2, "little")
+        head += w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        return head + b"".join(np.ascontiguousarray(b, dtype="<f8").tobytes() for b in bands)
+
+    def decode(self, payload: bytes) -> list[np.ndarray]:
+        assert payload[:4] == self.MAGIC
+        n = int.from_bytes(payload[4:6], "little")
+        w = int.from_bytes(payload[6:10], "little")
+        h = int.from_bytes(payload[10:14], "little")
+        body = payload[14:]
+        size = w * h * 8
+        return [
+            np.frombuffer(body[i * size : (i + 1) * size], dtype="<f8").reshape(h, w)
+            for i in range(n)
+        ]
+
+
+MAX_STITCH_CELLS = 64_000_000  # 64M cells ≈ 512 MB float64 on the driver
+
+
+def export_tiles(
+    tiles: DataFrame,
+    encoder: GeoTiffEncoder | None = None,
+    tile_struct: str = "tile",
+) -> DataFrame:
+    """Per-tile export (S7 useStitching=false / S8): every tile becomes
+    one encoded file payload, produced executor-side with mapInPandas —
+    the distributed path that scales to any layer size (the reference
+    wrote per-tile files from executors too, LayerToGeotiff.scala:100-113).
+    Write the result with ``df.write`` (parquet/binary sink of choice).
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(tiles.sparkSession)
+    enc = encoder or GeoTiffEncoder()
+    t = F.col(tile_struct)
+    flat = tiles.select(
+        "tile_col",
+        "tile_row",
+        t["cols"].alias("cols"),
+        t["rows"].alias("rows"),
+        t["bands"].alias("bands"),
+    )
+
+    def run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            out = {"tile_col": [], "tile_row": [], "payload": [], "n_bytes": []}
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.cols), int(r.rows)
+                bands = [
+                    np.array(
+                        [np.nan if v is None else v for v in band],
+                        dtype=np.float64,
+                    ).reshape(h, w)
+                    for band in r.bands
+                ]
+                payload = enc.encode(bands)
+                out["tile_col"].append(int(r.tile_col))
+                out["tile_row"].append(int(r.tile_row))
+                out["payload"].append(payload)
+                out["n_bytes"].append(len(payload))
+            yield pd.DataFrame(out)
+
+    return flat.mapInPandas(
+        run, "tile_col int, tile_row int, payload binary, n_bytes int"
+    )
+
+
+def stitch_layer(
+    tiles: DataFrame,
+    tile_struct: str = "tile",
+    band: int = 0,
+    max_cells: int = MAX_STITCH_CELLS,
+) -> "np.ndarray":
+    """Driver-side mosaic of one band (S7 useStitching=true / A11).
+
+    REFUSES unbounded collects: the reference's stitch driver-OOMs on
+    large layers (its own ToDo, LayerToGeotiff.scala:73-74;
+    GettingStarted.scala:70-71) — here a pre-flight agg computes the
+    mosaic size and raises beyond ``max_cells`` (SURVEY.md §7.5.6).
+    """
+    t = F.col(tile_struct)
+    ext = tiles.agg(
+        F.min("tile_col").alias("c0"),
+        F.max("tile_col").alias("c1"),
+        F.min("tile_row").alias("r0"),
+        F.max("tile_row").alias("r1"),
+        F.max(t["cols"]).alias("tw"),
+        F.max(t["rows"]).alias("th"),
+    ).first()
+    n_cells = (
+        (ext["c1"] - ext["c0"] + 1) * ext["tw"]
+        * (ext["r1"] - ext["r0"] + 1) * ext["th"]
+    )
+    if n_cells > max_cells:
+        raise ValueError(
+            f"stitch would materialize {n_cells} cells on the driver "
+            f"(> {max_cells}); use export_tiles for the distributed path"
+        )
+    tw, th = ext["tw"], ext["th"]
+    mosaic = np.full(
+        ((ext["r1"] - ext["r0"] + 1) * th, (ext["c1"] - ext["c0"] + 1) * tw),
+        np.nan,
+    )
+    rows = tiles.select(
+        "tile_col", "tile_row", F.element_at(t["bands"], band + 1).alias("b")
+    ).collect()
+    for r in rows:
+        arr = np.array(
+            [np.nan if v is None else v for v in r["b"]], dtype=np.float64
+        ).reshape(th, tw)
+        y0 = (r["tile_row"] - ext["r0"]) * th
+        x0 = (r["tile_col"] - ext["c0"]) * tw
+        mosaic[y0 : y0 + th, x0 : x0 + tw] = arr
+    return mosaic
