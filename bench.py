@@ -29,12 +29,11 @@ def main() -> None:
     spark = get_spark(app_name="biggis-bench")
 
     specs = bench_queries()
-    # warmup: run the flagship once to absorb JVM + codegen startup
-    first = next(iter(specs.values()))
-    first.spark(spark, sf_dir).count()
-
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        # per-query warmup absorbs plan compilation + codegen so the
+        # timed run measures steady-state execution, not first-run JIT
+        spec.spark(spark, sf_dir).count()
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -101,10 +101,40 @@ def minhash_signatures_from_text(
     return minhash_signatures(_shingle_rows(df, id_col, text_col), id_col)
 
 
+def pairs_within_groups(keyed: DataFrame, id_col: str) -> DataFrame:
+    """(group key cols…, id) → all unordered id pairs per group.
+
+    groupBy + collect_list + in-group pair explosion instead of a
+    self-join: the upstream pipeline (shingling/hashing/bucketing) is
+    evaluated ONCE, not once per join side, and the single shuffle is
+    on the group key. Group fan-out is quadratic in group size — the
+    LSH design keeps groups small by construction; callers cap hot
+    groups upstream if the key can be skewed.
+    """
+    key_cols = [c for c in keyed.columns if c != id_col]
+    grouped = (
+        keyed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    # all (i < j) combinations of the sorted id array, JVM-side
+    pair_expr = (
+        "flatten(transform(ids, (a, i) -> "
+        "  transform(slice(ids, i + 2, size(ids)), b -> "
+        "    struct(a AS doc_a, b AS doc_b))))"
+    )
+    return grouped.select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+
 def lsh_band_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
-    """Candidate near-dup pairs: equi-join on (band_id, band_signature).
+    """Candidate near-dup pairs sharing ≥1 LSH band signature.
 
     Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
+    Formulated as groupBy(band signature) + in-group pair explosion
+    (see pairs_within_groups) — equivalent to the band equi-join but
+    the signature pipeline runs once instead of once per join side.
     """
     per_band = N_MINHASH // N_BANDS
     band_cols = []
@@ -115,20 +145,10 @@ def lsh_band_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
         band_cols.append(F.struct(F.lit(b).alias("band_id"), sig.alias("sig")))
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.sig")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select("band.band_id", "band.sig", id_col)
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-        )
+        pairs_within_groups(banded, id_col)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
 

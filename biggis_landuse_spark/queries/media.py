@@ -53,6 +53,7 @@ _CONTENT_SQL = f"""
     (no Python boundary), so it runs at ingest speed over any corpus
     (SURVEY.md north-star: multimodal columns).""",
     tags=("multimodal",),
+    bench=True,
 )
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")

@@ -168,6 +168,7 @@ NEAR_DUP_TAU = 0.35
     lowest-id representative it matched. At 100 TB the corpus is
     written partitioned by bucket so the self-join is co-located.""",
     tags=("dedup", "ANN"),
+    bench=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

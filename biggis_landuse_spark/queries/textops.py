@@ -70,6 +70,7 @@ _BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
     estimate a training-data pipeline runs next to whitespace counts;
     pure regexp_extract_all, codegen'd.""",
     tags=("TEXT",),
+    bench=True,
 )
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
