@@ -200,6 +200,9 @@ def test_train_predict_persist_accuracy(spark, tmp_path):
         "tile_col int, tile_row int, px int, py int, label double, "
         "features array<double>",
     )
+    from biggis_landuse_spark.ml.classify import num_classes
+
+    assert num_classes(quad) == 5  # labels 1..4 → max+1 (A10 semantics)
     train, test = split_samples(quad)
     model = train_ova(train, max_iter=30)
     preds = predict(model, test)
