@@ -80,19 +80,24 @@ def brute_force_topk(
     never shuffles — the join is a map-side nested loop over Arrow
     batches, then a per-query ranking window on k·|queries| rows.
     """
+    # norms precomputed per vector, not per pair (see embedding_near_dup:
+    # dot/(nq*nc) with nq=sqrt(dot(q,q)) is bit-identical to the inline
+    # cosine, and per-pair work dominates the quadratic candidate set)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
+    ).withColumn("nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
+    ).withColumn("nc", norm(F.col("cv")))
     sim = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -124,19 +129,21 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         as_double(vec_col).alias("qv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("cv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("nc", norm(F.col("cv")))
     sim = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

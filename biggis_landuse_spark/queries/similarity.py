@@ -174,19 +174,26 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    # norms precomputed per vector (|V| sqrt-dots), not per pair: the
+    # pair count is quadratic within buckets, so per-pair work is the
+    # term that matters. dot/(na*nb) with na=sqrt(dot(a,a)) is
+    # bit-identical to dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — safe for
+    # the 6dp-rounded oracle hash.
     v = embeddings.select(
         "vec_id",
         S.as_double("embedding").alias("vec"),
         S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
-    )
+    ).withColumn("nv", S.norm(F.col("vec")))
     a = v.select(
         F.col("vec_id").alias("kept_id"),
         F.col("vec").alias("va"),
+        F.col("nv").alias("na"),
         "bucket",
     )
     b = v.select(
         F.col("vec_id").alias("dup_id"),
         F.col("vec").alias("vb"),
+        F.col("nv").alias("nb"),
         "bucket",
     )
     pairs = (
@@ -195,7 +202,10 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dup_id",
             "kept_id",
-            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEAR_DUP_TAU)
     )
