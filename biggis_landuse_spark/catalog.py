@@ -21,8 +21,6 @@ job; deletes drop whole partition directories.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,21 +116,26 @@ class LayerCatalog:
 
     def _histogram_json(self, tiles: DataFrame, n_buckets: int = 16) -> str:
         """Layer histogram attribute (reference: rdd.histogram written
-        at zoom 0, api/package.scala:146)."""
-        from biggis_landuse_spark.operators.local import tile_max, tile_min
+        at zoom 0, api/package.scala:146).
 
+        Bounds and counts come from the SAME all-band pixel relation,
+        so multiband layers get true lo/hi (not band-0-only clamps).
+        """
         t = F.col("tile")
-        bounds = tiles.agg(
-            F.min(tile_min(t)).alias("lo"), F.max(tile_max(t)).alias("hi")
+        values = (
+            tiles.select(F.explode(t["bands"]).alias("b"))
+            .select(F.explode("b").alias("v"))
+            .where(F.col("v").isNotNull())
+        )
+        bounds = values.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
         ).first()
         lo, hi = bounds["lo"], bounds["hi"]
         if lo is None or hi is None or hi == lo:
             return json.dumps({"lo": lo, "hi": hi, "counts": []})
         step = (hi - lo) / n_buckets
         counts = (
-            tiles.select(F.explode(t["bands"]).alias("b"))
-            .select(F.explode("b").alias("v"))
-            .where(F.col("v").isNotNull())
+            values
             .groupBy(
                 F.least(
                     F.greatest(
@@ -223,12 +226,10 @@ class LayerCatalog:
             else [z for (l, z) in self.layer_ids() if l == layer]
         )
         for z in zooms:
-            part_dir = f"{self.tiles_path}/layer={layer}/zoom={z}"
-            if os.path.isdir(part_dir):
-                shutil.rmtree(part_dir)
-        layer_dir = f"{self.tiles_path}/layer={layer}"
-        if zoom is None and os.path.isdir(layer_dir):
-            shutil.rmtree(layer_dir)  # leftover dirs, like the reference
+            self._delete_dir(f"{self.tiles_path}/layer={layer}/zoom={z}")
+        if zoom is None:
+            # leftover dirs, like the reference
+            self._delete_dir(f"{self.tiles_path}/layer={layer}")
         keep = ~(
             (F.col("layer") == layer)
             & (F.col("zoom").isin(zooms) if zoom is not None else F.lit(True))
@@ -274,7 +275,7 @@ class LayerCatalog:
         merged.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.parquet(tmp)
         self.write_layer(staged, layer, zoom)
-        shutil.rmtree(f"{self.base}/_staging", ignore_errors=True)
+        self._delete_dir(f"{self.base}/_staging")
 
     # -- attributes (S19) ---------------------------------------------------
 
@@ -314,6 +315,20 @@ class LayerCatalog:
 
     # -- util ---------------------------------------------------------------
 
-    @staticmethod
-    def _exists(path: str) -> bool:
-        return os.path.exists(path)
+    def _hadoop_path(self, path: str):
+        """Resolve a path through the Hadoop FileSystem API so every
+        catalog op works on any supported scheme (local FS, HDFS, S3A),
+        not just os.path-reachable local paths."""
+        jvm = self.spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, p
+
+    def _exists(self, path: str) -> bool:
+        fs, p = self._hadoop_path(path)
+        return bool(fs.exists(p))
+
+    def _delete_dir(self, path: str) -> None:
+        fs, p = self._hadoop_path(path)
+        if fs.exists(p):
+            fs.delete(p, True)

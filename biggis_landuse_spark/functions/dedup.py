@@ -191,15 +191,17 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # threshold on the UNROUNDED value (oracle parity: the DuckDB twin
+    # filters before rounding); round only in the projected output
     return (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
+        .where(jac >= threshold)
         .select(
             "doc_a",
             "doc_b",
             F.round(jac, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= threshold)
     )
 
 

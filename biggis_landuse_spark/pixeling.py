@@ -49,7 +49,7 @@ def pixels_to_tiles(
     pixels: DataFrame,
     cols: int,
     rows: int,
-    n_bands: int,
+    n_bands: int | None = None,
     cell_type: str = "float64",
 ) -> DataFrame:
     """Reassemble pixel rows into dense tiles (UDAF shape).
@@ -60,16 +60,22 @@ def pixels_to_tiles(
     map_from_entries semantics), mirroring the reference combiner's
     overwrite behavior (RasterizeFeaturesRDD.scala:56-64).
 
+    ``n_bands=None`` derives the band count per tile from the pixel
+    rows themselves (max(band)+1) — no extra pass over the data, and
+    multiband inputs keep every band.
+
     One shuffle on the tile key with map-side partial collect_list.
     """
     per_tile = F.col("band") * (cols * rows) + F.col("py") * cols + F.col("px")
     entries = pixels.groupBy(*KEY_COLS).agg(
         F.map_from_entries(
             F.collect_list(F.struct(per_tile.alias("k"), F.col("value").alias("v")))
-        ).alias("m")
+        ).alias("m"),
+        (F.max("band") + 1).alias("nb"),
     )
+    hi_band = f"{n_bands - 1}" if n_bands is not None else "nb - 1"
     band_expr = (
-        f"transform(sequence(0, {n_bands - 1}), b -> "
+        f"transform(sequence(0, {hi_band}), b -> "
         f"transform(sequence(0, {cols * rows - 1}), i -> "
         f"m[b * {cols * rows} + i]))"
     )

@@ -59,6 +59,12 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    # Runtime-settable; required because the caller (the driver harness)
+    # may hand us a plain SparkSession without the session.get_spark()
+    # defaults. Without it TIMESTAMP(NANOS) parquet fails with
+    # PARQUET_TYPE_ILLEGAL.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
     out = []
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")

@@ -93,10 +93,18 @@ def decode_to_pixels(
 
 
 def retile_pixels(
-    pixels: DataFrame, tile_size: int, layer: str, zoom: int = 0
+    pixels: DataFrame,
+    tile_size: int,
+    layer: str,
+    zoom: int = 0,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Re-key decoded pixels onto the engine grid and assemble tiles
-    (the tileToLayout analog — one shuffle on the tile key)."""
+    (the tileToLayout analog — one shuffle on the tile key).
+
+    ``n_bands=None`` lets the reassembly derive the band count from the
+    decoded rows (max(band)+1 per tile), so multiband GeoTiffs keep all
+    their bands (S2)."""
     from biggis_landuse_spark.pixeling import pixels_to_tiles
 
     keyed = pixels.select(
@@ -109,7 +117,7 @@ def retile_pixels(
         (F.col("py") % tile_size).cast("int").alias("py"),
         F.col("value"),
     )
-    return pixels_to_tiles(keyed, cols=tile_size, rows=tile_size, n_bands=1)
+    return pixels_to_tiles(keyed, cols=tile_size, rows=tile_size, n_bands=n_bands)
 
 
 def ingest_geotiff(
@@ -118,6 +126,7 @@ def ingest_geotiff(
     layer: str,
     tile_size: int = 256,
     decoder: GeoTiffDecoder | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Full S1→S4 slice: scan → decode → re-tile. Returns the tile
     DataFrame ready for ``LayerCatalog.write_layer``."""
@@ -126,7 +135,7 @@ def ingest_geotiff(
     ensure_package_shipped(spark)
     binaries = scan_geotiffs(spark, path)
     pixels = decode_to_pixels(binaries, decoder or GeoTiffDecoder())
-    return retile_pixels(pixels, tile_size, layer)
+    return retile_pixels(pixels, tile_size, layer, n_bands=n_bands)
 
 
 # ---------------------------------------------------------------------------
