@@ -152,3 +152,105 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``n_probe``
+    nearest centroids by cosine (rounded to 6dp, ties broken by
+    centroid id — deterministic across engines).
+
+    Returns (id, cid, probe_rank). The centroid table is broadcast
+    (small by contract: a few hundred to a few thousand rows even at
+    100 TB); the big side streams map-side through a broadcast
+    nested-loop — no shuffle of the corpus. At scale the corpus is
+    then written partitioned by ``cid`` so cell probes are
+    partition-pruned scans.
+    """
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("_nv", norm(F.col("_v")))
+    c = centroids.select(
+        F.col(cid_col), F.col(cvec_col).alias("_c")
+    ).withColumn("_ncv", norm(F.col("_c")))
+    aff = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        cid_col,
+        F.round(
+            dot(F.col("_v"), F.col("_c")) / (F.col("_nv") * F.col("_ncv")), 6
+        ).alias("_a"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_a"), F.asc(cid_col))
+    return (
+        aff.withColumn("probe_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("probe_rank") <= n_probe)
+        .select(id_col, cid_col, "probe_rank")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors live in their
+    nearest-centroid cell; each query probes its ``n_probe`` nearest
+    cells and brute-forces only those candidates.
+
+    The inverted-file analog of lsh_topk with a trained (here:
+    deterministic) codebook — candidate generation is an equi-join on
+    the cell id, never the all-pairs product. ``centroids`` must have
+    columns (cid, cv).
+    """
+    v = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("vec")
+    )
+    assign = ivf_assign(v, centroids, id_col=id_col, n_probe=1).select(
+        F.col(id_col).alias("neighbor_id"), "cid"
+    )
+    q_probes = ivf_assign(
+        queries.select(F.col(id_col), as_double(vec_col).alias("vec")),
+        centroids,
+        id_col=id_col,
+        n_probe=n_probe,
+    ).select(F.col(id_col).alias("query_id"), "cid")
+    c = v.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv")
+    ).withColumn("nc", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("nq", norm(F.col("qv")))
+    cand = (
+        assign.join(F.broadcast(q_probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()  # a neighbor reachable via 2 probes counts once
+    )
+    sim = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

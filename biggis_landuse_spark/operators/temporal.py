@@ -1,0 +1,166 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+bounded range join.
+
+The reference has no temporal joins (all its joins are SpatialKey
+equi-joins, SURVEY.md §2.3); these belong to the extended
+training-data-pipeline surface (event-log feature engineering:
+"attach the latest prior X to each Y", "find co-occurring events").
+Both are expressed as compositions of built-in DataFrame ops — no
+UDFs, no per-row subqueries — so Catalyst/Tungsten run them entirely
+in whole-stage codegen.
+
+Scale design (100 TB posture):
+
+- ``asof_join``: the naive formulation is a per-left-row correlated
+  subquery (quadratic) or an inequality join (no hash strategy —
+  Spark falls back to broadcast-nested-loop). Instead: UNION the two
+  sides, one window sort per key, carry the last right-side payload
+  forward with ``last(..., ignorenulls)``. Exactly ONE shuffle on the
+  join key, linear work, AQE-skew-splittable — the same trade
+  Flink's temporal join and kdb's aj make.
+- ``range_join``: equality on (key, time-bucket) with a two-bucket
+  probe replaces the inequality predicate, turning the O(n²)
+  theta-join into an equi-join whose fan-out is bounded by events per
+  key per window. The exact band predicate is applied as a residual
+  filter after the hash join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_payload: list[str] | None = None,
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (inclusive,
+    matching DuckDB/kdb ASOF semantics).
+
+    Returns the left rows with ``asof_<payload>`` columns (NULL when
+    no prior right row exists, or when the match is older than
+    ``tolerance_us`` microseconds).
+
+    Single shuffle: union both sides, window-sort per key by
+    (ts, side) — right rows order BEFORE left rows at equal ts, which
+    is what makes the join inclusive — then carry the latest non-null
+    right payload forward.
+    """
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, ts_col)]
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_payload],
+        F.lit(None).cast("long").alias("_r_ts_us"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.unix_micros(F.col(ts_col)).alias("_r_ts_us"),
+    )
+    # deterministic total order: equal-ts right rows precede left rows
+    w = (
+        W.partitionBy(on)
+        .orderBy(ts_col, "_side", "_r_ts_us")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_payload
+        ],
+        F.last("_r_ts_us", ignorenulls=True).over(w).alias("_asof_ts_us"),
+    )
+    out = carried.where(F.col("_side") == 1)
+    if tolerance_us is not None:
+        in_tol = (
+            F.unix_micros(F.col(ts_col)) - F.col("_asof_ts_us")
+        ) <= tolerance_us
+        out = out.select(
+            "*",
+            *[
+                F.when(in_tol, F.col(f"_asof_{c}"))
+                .otherwise(F.lit(None))
+                .alias(f"_tol_{c}")
+                for c in right_payload
+            ],
+            F.when(in_tol, F.col("_asof_ts_us"))
+            .otherwise(F.lit(None))
+            .alias("_tol_ts_us"),
+        )
+        sel_prefix = "_tol_"
+    else:
+        sel_prefix = "_asof_"
+    return out.select(
+        F.col("_lrow.*"),
+        *[
+            F.col(f"{sel_prefix}{c}").alias(f"asof_{c}")
+            for c in right_payload
+        ],
+        F.col(f"{sel_prefix}ts_us").alias("asof_ts_us"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    band_us: int = 60_000_000,
+    strict_after: bool = True,
+) -> DataFrame:
+    """Pairs (l, r) with the same ``on`` key and ``r.ts`` in
+    ``(l.ts, l.ts + band_us]`` microseconds (``strict_after=False``
+    makes the lower bound inclusive).
+
+    Bucketed-band equi-join: each left row probes its own time bucket
+    and the next one, so the hash join key is (key, bucket) and the
+    band inequality is only a residual filter — never a
+    broadcast-nested-loop. Output columns are prefixed ``l_`` / ``r_``.
+    """
+    bucket = lambda c: (F.unix_micros(c) / band_us).cast("long")  # noqa: E731
+    l_pref = left.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(ts_col)).alias("_l_us"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+    )
+    r_pref = right.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(ts_col)).alias("_r_us"),
+        bucket(F.col(ts_col)).alias("_rb"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+    )
+    probes = l_pref.select(
+        "*",
+        F.explode(
+            F.array(
+                (F.col("_l_us") / band_us).cast("long"),
+                (F.col("_l_us") / band_us).cast("long") + 1,
+            )
+        ).alias("_rb"),
+    )
+    lower = (
+        F.col("_r_us") > F.col("_l_us")
+        if strict_after
+        else F.col("_r_us") >= F.col("_l_us")
+    )
+    return (
+        probes.join(r_pref, ["_k", "_rb"])
+        .where(lower & (F.col("_r_us") <= F.col("_l_us") + band_us))
+        .drop("_k", "_rb", "_l_us", "_r_us")
+    )

@@ -233,3 +233,117 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT p.user_id, p.ts AS pts, c.ts AS cts
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)   AS n_purchases,
+           CAST(count(cts) AS BIGINT) AS n_matched,
+           round(avg((epoch_us(pts) - epoch_us(cts)) / 1e6), 6) AS avg_gap_s
+    FROM j
+    GROUP BY user_id
+    """,
+    doc="""As-of join: each purchase attaches the most recent prior click of
+    the same user (operators.temporal.asof_join — union + one window
+    sort per key, never a per-row inequality join), then per-user match
+    stats. Oracle: DuckDB's native ASOF JOIN.""",
+    tags=("ASOF", "W"),
+    bench=True,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.temporal import asof_join
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    joined = asof_join(purchases, clicks, on="user_id", right_payload=[])
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("asof_ts_us").alias("n_matched"),
+        F.round(
+            F.avg((F.unix_micros("ts") - F.col("asof_ts_us")) / 1e6), 6
+        ).alias("avg_gap_s"),
+    )
+
+
+@register(
+    "range_join_cooccur",
+    oracle="""
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '60 seconds'
+    GROUP BY 1, 2
+    """,
+    doc="""Bounded range join: event pairs of the same user within 60s,
+    cross-tabbed by type pair (operators.temporal.range_join — the
+    two-bucket equi-join formulation; the inequality is only a residual
+    filter, so the plan is a hash join, never nested-loop).""",
+    tags=("RANGE", "J"),
+    bench=True,
+)
+def range_join_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.temporal import range_join
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    e = events.select("user_id", "ts", "event_type")
+    pairs = range_join(e, e, on="user_id", band_us=60_000_000)
+    return (
+        pairs.groupBy(
+            F.col("l_event_type").alias("type_a"),
+            F.col("r_event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts))) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(avg(gap_s), 6)         AS avg_gap_s,
+           round(max(gap_s), 6)         AS max_gap_s
+    FROM g
+    GROUP BY event_type
+    """,
+    doc="""lag/lead surface: per-user inter-arrival gap (lag window),
+    aggregated by the later event's type — the ranking/offset window
+    family the reference lacks entirely (SURVEY.md §2.5).""",
+    tags=("W",),
+)
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    g = events.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6
+        ).alias("gap_s"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+    )

@@ -774,3 +774,38 @@ def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="""CUBE grouping-sets aggregate (flag × status × both margins +
+    grand total) — the multi-dimensional rollup surface Spark gives
+    the engine for free beyond the reference (SURVEY.md §2.4 note);
+    one shuffle, partial-aggregated per grouping set.""",
+    tags=("A",),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )

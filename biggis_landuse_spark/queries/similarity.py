@@ -215,3 +215,77 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("dup_id", "kept_id", "cos_sim")
     )
+
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+_IVF_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    aff AS (
+      SELECT v.vec_id, cid,
+             {_IVF_COS.format(a="vec", b="cv")} AS a
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS pr
+      FROM aff
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cid FROM ranked WHERE pr = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM ranked
+      WHERE pr <= {N_PROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM probes JOIN assign USING (cid)
+      WHERE neighbor_id <> query_id
+    ),
+    sim AS (
+      SELECT query_id, neighbor_id,
+             {_IVF_COS.format(a="q.vec", b="c.vec")} AS cos_sim
+      FROM cand
+      JOIN v q ON cand.query_id = q.vec_id
+      JOIN v c ON cand.neighbor_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sim
+    )
+    WHERE rank <= {K}
+    """,
+    doc="""IVF-style ANN: a deterministic codebook (the first 16 corpus
+    vectors stand in for trained k-means centroids — at scale the
+    codebook comes from pyspark.ml KMeans and the plumbing is
+    identical), corpus vectors assigned to their nearest cell, queries
+    probing the 2 nearest cells (functions.similarity.ivf_topk).
+    Candidates come from a cell-id equi-join; at 100 TB the corpus is
+    written partitioned by cell so probes are partition-pruned scans.""",
+    tags=("ANN",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk(
+        queries, embeddings, centroids, k=K, n_probe=N_PROBE
+    )

@@ -342,3 +342,53 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     return D.simhash32(documents, "doc_id", "text")
+
+
+_HEX = "0123456789abcdef"
+
+
+@register(
+    "deterministic_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+    ),
+    b AS (
+      SELECT n_chars,
+             (instr('{_HEX}', substr(hx, 1, 1)) - 1) * 16
+             + instr('{_HEX}', substr(hx, 2, 1)) - 1 AS bucket
+      FROM h
+    )
+    SELECT CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END        AS split,
+           CAST(count(*) AS BIGINT)    AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1
+    """,
+    doc="""Deterministic hash split (~80/10/10 train/val/test) on
+    md5(doc_id) — the reproducible, engine-portable alternative to
+    randomSplit (P10): membership is a pure function of the key, so
+    re-runs, backfills, and other engines agree row-for-row. The
+    seeded-RNG twin is `random_split_counts` (rows-only check).""",
+    tags=("ML", "P10"),
+)
+def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 204, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+    )
+    return (
+        documents.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )

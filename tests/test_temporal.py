@@ -1,0 +1,127 @@
+"""Unit tests for operators.temporal (as-of join, bounded range join)
+and functions.similarity IVF — semantics the aggregate oracle queries
+don't pin down: inclusivity at equal timestamps, tolerance cutoffs,
+no-match NULLs, probe multiplicity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _mk(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+def test_asof_picks_latest_prior_inclusive(spark):
+    left = _mk(spark, [(1, _ts(10)), (1, _ts(30))], ["k", "ts"])
+    right = _mk(
+        spark,
+        [(1, _ts(5), 50.0), (1, _ts(10), 100.0), (1, _ts(20), 200.0)],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["ts"].second: r["asof_v"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    # equal timestamp matches (inclusive); later left row sees the newest
+    assert out == {10: 100.0, 30: 200.0}
+
+
+def test_asof_no_prior_is_null(spark):
+    left = _mk(spark, [(1, _ts(3)), (2, _ts(30))], ["k", "ts"])
+    right = _mk(spark, [(1, _ts(5), 1.0)], ["k", "ts", "v"])
+    rows = {r["k"]: r for r in asof_join(left, right, on="k").collect()}
+    assert rows[1]["asof_v"] is None  # right row is in the future
+    assert rows[2]["asof_v"] is None  # key has no right rows at all
+    assert rows[1]["asof_ts_us"] is None
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    left = _mk(spark, [(1, _ts(50))], ["k", "ts"])
+    right = _mk(spark, [(1, _ts(10), 7.0)], ["k", "ts", "v"])
+    ok = asof_join(left, right, on="k", tolerance_us=60_000_000).collect()
+    assert ok[0]["asof_v"] == 7.0
+    stale = asof_join(left, right, on="k", tolerance_us=30_000_000).collect()
+    assert stale[0]["asof_v"] is None
+
+
+def test_asof_keeps_left_columns_and_keys_separate(spark):
+    left = _mk(spark, [(1, _ts(10), "a"), (2, _ts(10), "b")], ["k", "ts", "tag"])
+    right = _mk(spark, [(1, _ts(1), 9.0), (2, _ts(2), 8.0)], ["k", "ts", "v"])
+    rows = {r["tag"]: r["asof_v"] for r in asof_join(left, right, on="k").collect()}
+    assert rows == {"a": 9.0, "b": 8.0}
+
+
+def test_range_join_band_bounds(spark):
+    left = _mk(spark, [(1, _ts(0), "L")], ["k", "ts", "who"])
+    right = _mk(
+        spark,
+        [(1, _ts(0), "same"), (1, _ts(1), "in"), (1, _ts(60), "edge"),
+         (1, _ts(61), "out"), (2, _ts(1), "otherkey")],
+        ["k", "ts", "who"],
+    )
+    got = {
+        r["r_who"]
+        for r in range_join(left, right, on="k", band_us=60_000_000).collect()
+    }
+    # strict lower bound: equal ts excluded; inclusive upper at +60s
+    assert got == {"in", "edge"}
+    got_incl = {
+        r["r_who"]
+        for r in range_join(
+            left, right, on="k", band_us=60_000_000, strict_after=False
+        ).collect()
+    }
+    assert got_incl == {"same", "in", "edge"}
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    e = _mk(spark, [(1, _ts(0), "x")], ["k", "ts", "who"])
+    plan = range_join(e, e, on="k")._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_assign_nearest_and_probes(spark):
+    from biggis_landuse_spark.functions.similarity import ivf_assign
+
+    vecs = _mk(
+        spark,
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
+        ["vec_id", "vec"],
+    )
+    cents = _mk(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cid", "cv"])
+    one = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(vecs, cents, n_probe=1).collect()
+    }
+    assert one == {0: 0, 1: 1, 2: 0, 3: 1}
+    two = ivf_assign(vecs, cents, n_probe=2).collect()
+    assert len(two) == 8  # every vector reaches both cells at n_probe=2
+
+
+def test_ivf_topk_matches_brute_force_with_full_probes(spark):
+    from biggis_landuse_spark.functions import similarity as S
+
+    emb = _mk(
+        spark,
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    cents = _mk(
+        spark,
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        ["cid", "cv"],
+    )
+    queries = emb.where(F.col("vec_id") < 2)
+    # probing every cell makes IVF exhaustive → must equal brute force
+    ivf = S.ivf_topk(queries, emb, cents, k=3, n_probe=2)
+    bf = S.brute_force_topk(queries, emb, k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
