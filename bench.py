@@ -32,11 +32,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         # per-query warmup absorbs plan compilation + codegen so the
-        # timed run measures steady-state execution, not first-run JIT
+        # timed runs measure steady-state execution, not first-run JIT;
+        # min-of-2 suppresses GC/scheduler noise (±30% run-to-run
+        # observed on a loaded 32-core box)
         spec.spark(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -74,6 +74,30 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     return out
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Re-spread a narrow scan across all cores before CPU-heavy
+    per-row work (tokenize / shingle / hash / dot-product).
+
+    The driver testdata is ONE single-row-group parquet file per
+    table, so Spark's byte-range file splitting cannot parallelize the
+    scan — without this, every downstream map stage runs in a single
+    task while 31 cores idle. The round-robin shuffle is tiny compared
+    to the per-row work it unlocks. At production scale inputs arrive
+    in many files/row-groups, partitions >= cores, and this is a
+    no-op — that is the gate below, not a local-mode hack.
+
+    Apply ONLY where per-row map work dominates (shingling + salted
+    hashing): for cheap scans the added exchange's fixed stage latency
+    exceeds the parallelism win — measured +0.1-0.4s per query on the
+    sf0.1 bench when applied indiscriminately.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
     return {name: spec.spark for name, spec in REGISTRY.items()}

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from biggis_landuse_spark.functions import dedup as D
 from biggis_landuse_spark.functions import text as TX
-from biggis_landuse_spark.queries import load_tables, register
+from biggis_landuse_spark.queries import load_tables, register, spread
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -278,6 +278,7 @@ _MINHASH_AGGS = ",\n             ".join(
 )
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
     sig = D.minhash_signatures_from_text(documents, "doc_id", "text")
     return D.lsh_band_pairs(sig, "doc_id")
 
@@ -306,6 +307,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
     return D.ngram_jaccard_pairs(documents, "doc_id", "text", threshold=0.1)
 
 
@@ -341,6 +343,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
     return D.simhash32(documents, "doc_id", "text")
 
 
