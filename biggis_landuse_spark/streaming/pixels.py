@@ -193,3 +193,53 @@ def reassemble_tiles_batch(
     ).withColumn("complete", F.col("n_pixels") >= size * n_bands).select(
         "tile_col", "tile_row", "complete", "n_pixels", "bands"
     )
+
+
+def stream_to_catalog(
+    tile_stream: DataFrame,
+    catalog,
+    layer: str,
+    cols: int,
+    rows: int,
+    zoom: int = 0,
+    cell_type: str = "float64",
+    checkpoint: str | None = None,
+    complete_only: bool = True,
+):
+    """Streaming layer ingest: the output of ``reassemble_tiles_stream``
+    is merged into a :class:`~biggis_landuse_spark.catalog.LayerCatalog`
+    layer per micro-batch via ``foreachBatch`` — the end of the
+    pipeline the reference planned but never landed (Kafka → pixel
+    stream → tiles → catalog layer, TilePixelingExample.scala:74-94 +
+    WorkflowExample.scala:153-162).
+
+    First batch creates the layer; later batches MERGE (cell-level
+    coalesce, S6 semantics), so re-delivered tiles are idempotent
+    overwrites and partial tiles can be completed by later batches.
+    Returns the DataStreamWriter (caller picks trigger/start).
+    """
+    from biggis_landuse_spark.pixeling import tile_col_expr
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        tiles = batch_df
+        if complete_only:
+            tiles = tiles.where(F.col("complete"))
+        staged = tiles.select(
+            "tile_col",
+            "tile_row",
+            F.lit(None).cast("timestamp").alias("ts"),
+            tile_col_expr(cols, rows, cell_type, F.col("bands")).alias("tile"),
+        )
+        if not staged.take(1):
+            return
+        if (layer, zoom) in catalog.layer_ids():
+            catalog.merge_into_layer(staged, layer, zoom)
+        else:
+            catalog.write_layer(staged, layer, zoom)
+
+    writer = tile_stream.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

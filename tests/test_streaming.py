@@ -240,3 +240,47 @@ def test_batch_stream_reassembly_parity(spark, tmp_path):
         for r in reassemble_tiles_batch(batch, cols=4, rows=4).collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_stream_to_catalog_ingest_and_merge(spark, tmp_path):
+    """E2E streaming layer ingest (the workflow the reference left as
+    commented plans): pixel stream → stateful reassembly → foreachBatch
+    catalog write, with a later batch MERGEd into the live layer."""
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.streaming.pixels import stream_to_catalog
+
+    path = str(tmp_path / "pixel_ingest")
+    cat = LayerCatalog(spark, str(tmp_path / "cat"))
+    _write_pixels(spark, path, _pixel_rows(0, 0, list(range(16))), mode="overwrite")
+
+    stream = spark.readStream.schema(PIXEL_DDL).parquet(path)
+    tiles = reassemble_tiles_stream(stream, cols=4, rows=4, n_bands=1)
+    q = stream_to_catalog(
+        tiles,
+        cat,
+        layer="streamed",
+        cols=4,
+        rows=4,
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    try:
+        q.processAllAvailable()
+        first = cat.read_layer("streamed", 0).collect()
+        assert len(first) == 1
+        assert first[0]["tile"]["bands"][0] == [float(i) for i in range(16)]
+
+        # a second micro-batch delivers another tile → MERGE path
+        _write_pixels(
+            spark, path, _pixel_rows(3, 2, list(range(16)), value_of=lambda i: i * 2)
+        )
+        q.processAllAvailable()
+        rows = {
+            (r["tile_col"], r["tile_row"]): r["tile"]["bands"][0]
+            for r in cat.read_layer("streamed", 0).collect()
+        }
+        assert set(rows) == {(0, 0), (3, 2)}
+        assert rows[(3, 2)] == [float(i * 2) for i in range(16)]
+        # catalog metadata tracks the streamed layer like any other
+        assert ("streamed", 0) in cat.layer_ids()
+    finally:
+        q.stop()
