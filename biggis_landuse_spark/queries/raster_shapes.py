@@ -185,3 +185,71 @@ def zoom_resample_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("v"), 2).alias("sum_v"),
         )
     )
+
+
+@register(
+    "webmercator_grid",
+    oracle="""
+    WITH pts AS (
+      SELECT (p_partkey % 360) - 180 + 0.5 AS lon,
+             (p_partkey % 170) - 85 + 0.5  AS lat
+      FROM part
+    ),
+    proj AS (
+      SELECT radians(lon) * 6378137.0 AS mx,
+             ln(tan(pi() / 4 + radians(lat) / 2)) * 6378137.0 AS my
+      FROM pts WHERE abs(lat) < 85.06
+    ),
+    keyed AS (
+      SELECT CAST(floor((mx + pi() * 6378137.0)
+               / (2 * pi() * 6378137.0 / 4096)) AS BIGINT) // 256 AS tile_col,
+             CAST(floor((pi() * 6378137.0 - my)
+               / (2 * pi() * 6378137.0 / 4096)) AS BIGINT) // 256 AS tile_row,
+             mx
+      FROM proj
+    )
+    SELECT tile_col, tile_row,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(mx), 2)        AS avg_mx
+    FROM keyed
+    GROUP BY 1, 2
+    """,
+    doc="""WebMercator reprojection grid math (operators.reproject — the
+    reference's ingest warp, GeotiffTilingExample.scala:56-60) over
+    synthesized lon/lat points: project, key onto the zoom-4 layout,
+    aggregate per tile. Pure built-in trig, whole-stage codegen.""",
+    tags=("REPROJECT", "W"),
+)
+def webmercator_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        WEB_MERCATOR_MAX,
+        mercator_x,
+        mercator_y,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    zoom, tile_size = 4, 256
+    res = 2 * WEB_MERCATOR_MAX / (2**zoom * tile_size)
+    pts = part.select(
+        ((F.col("p_partkey") % 360) - 180 + 0.5).alias("lon"),
+        ((F.col("p_partkey") % 170) - 85 + 0.5).alias("lat"),
+    ).where(F.abs(F.col("lat")) < 85.06)
+    proj = pts.select(
+        mercator_x(F.col("lon")).alias("mx"),
+        mercator_y(F.col("lat")).alias("my"),
+    )
+    keyed = proj.select(
+        (
+            F.floor((F.col("mx") + WEB_MERCATOR_MAX) / res).cast("long")
+            / tile_size
+        ).cast("long").alias("tile_col"),
+        (
+            F.floor((WEB_MERCATOR_MAX - F.col("my")) / res).cast("long")
+            / tile_size
+        ).cast("long").alias("tile_row"),
+        "mx",
+    )
+    return keyed.groupBy("tile_col", "tile_row").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mx"), 2).alias("avg_mx"),
+    )

@@ -43,17 +43,34 @@ class GeoTiffDecoder:
             "this environment; inject a decoder (see FakeRampDecoder)"
         )
 
+    def georef(self, path: str, payload: bytes):
+        """EPSG:4326 affine of the file: (x0, y0, dx, dy) = top-left
+        lon/lat + positive cell sizes in degrees (rasterio: transform.c,
+        transform.f, transform.a, -transform.e)."""
+        raise NotImplementedError(
+            "georeferencing requires rasterio/GDAL; inject a decoder"
+        )
+
 
 class FakeRampDecoder(GeoTiffDecoder):
     """Deterministic fake: interprets the first 8 bytes of the payload
     as (width, height) uint32 little-endian and synthesizes a ramp
-    band — exercises the full plumbing without an image lib."""
+    band — exercises the full plumbing without an image lib.
+
+    For the georeferenced path, bytes 8..40 optionally carry the
+    affine (x0, y0, dx, dy) as little-endian float64s."""
 
     def decode(self, path: str, payload: bytes):
         w = int.from_bytes(payload[0:4], "little")
         h = int.from_bytes(payload[4:8], "little")
         band = (np.arange(h * w, dtype=np.float64)).reshape(h, w)
         return [band]  # list of 2-D arrays, one per band
+
+    def georef(self, path: str, payload: bytes):
+        if len(payload) >= 40:
+            x0, y0, dx, dy = np.frombuffer(payload[8:40], dtype="<f8")
+            return float(x0), float(y0), float(dx), float(dy)
+        return 0.0, 0.0, 1e-3, 1e-3
 
 
 def scan_geotiffs(spark: SparkSession, path: str) -> DataFrame:
@@ -89,6 +106,45 @@ def decode_to_pixels(
 
     return binaries.select("path", "content").mapInPandas(
         run, schema=DECODED_SCHEMA
+    )
+
+
+GEOREF_SCHEMA = DECODED_SCHEMA + ", x0 double, y0 double, dx double, dy double"
+
+
+def decode_to_pixels_georef(
+    binaries: DataFrame, decoder: GeoTiffDecoder
+) -> DataFrame:
+    """Like decode_to_pixels, plus the per-file EPSG:4326 affine
+    columns the WebMercator reprojection consumes
+    (operators.reproject)."""
+
+    def run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            for r in pdf.itertuples(index=False):
+                bands = decoder.decode(r.path, r.content)
+                x0, y0, dx, dy = decoder.georef(r.path, r.content)
+                for b, arr in enumerate(bands):
+                    h, w = arr.shape
+                    ys, xs = np.mgrid[0:h, 0:w]
+                    yield pd.DataFrame(
+                        {
+                            "path": r.path,
+                            "band": b,
+                            "py": ys.ravel(),
+                            "px": xs.ravel(),
+                            "value": arr.ravel(),
+                            "width": w,
+                            "height": h,
+                            "x0": x0,
+                            "y0": y0,
+                            "dx": dx,
+                            "dy": dy,
+                        }
+                    )
+
+    return binaries.select("path", "content").mapInPandas(
+        run, schema=GEOREF_SCHEMA
     )
 
 
