@@ -103,3 +103,61 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     decoded = MM.decode_media(_with_content(documents))
     return MM.media_features(decoded)
+
+
+_HEXD = "0123456789ABCDEF"
+
+
+def _byte_sql(hx: str, pos: str) -> str:
+    """DuckDB: integer value of byte at 0-based position ``pos`` of the
+    blob whose hex string is ``hx``."""
+    return (
+        f"((instr('{_HEXD}', substr({hx}, 2*({pos})+1, 1))-1)*16"
+        f" + instr('{_HEXD}', substr({hx}, 2*({pos})+2, 1))-1)"
+    )
+
+
+@register(
+    "media_pixel_stats",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    meta AS (
+      SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
+    ),
+    dims AS (
+      SELECT doc_id, hx, len,
+             1 + {_byte_sql("hx", "0")} % 4       AS w,
+             1 + {_byte_sql("hx", "len - 1")} % 4 AS h,
+             1 + len % 3                           AS c
+      FROM meta
+    ),
+    idx AS (SELECT doc_id, hx, len, unnest(range(w*h*c)) AS i FROM dims),
+    px AS (
+      SELECT doc_id, {_byte_sql("hx", "i % len")} / 255.0 AS v FROM idx
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(avg(v), 6)         AS mean_px,
+           round(avg(CASE WHEN v > 0.5 THEN 1.0 ELSE 0.0 END), 6) AS p_bright
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="""Decode (mapInPandas stub codec, real Arrow plumbing) → JVM-side
+    pixel statistics: explode the decoded pixel array and aggregate
+    with built-ins. The oracle re-derives the deterministic fake decode
+    byte-for-byte in SQL, so the whole Python-decode → JVM-aggregate
+    pipeline is hash-checked (upgrade over the rows-only
+    media_decode_features check).""",
+    tags=("multimodal",),
+)
+def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    decoded = MM.decode_media(_with_content(documents))
+    ex = decoded.select("doc_id", F.explode("pixels").alias("v"))
+    return ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("v"), 6).alias("mean_px"),
+        F.round(
+            F.avg((F.col("v") > 0.5).cast("double")), 6
+        ).alias("p_bright"),
+    )
