@@ -67,9 +67,17 @@ class LayerCatalog:
         keyed = tiles.withColumn("layer", F.lit(layer)).withColumn(
             "zoom", F.lit(zoom)
         )
+        # space-time layers (SpaceTimeKey analog, api/package.scala:
+        # 152-164 HilbertKeyIndexMethod(1)): time-major, Z-curve within
+        # each instant, so Parquet row-group min/max stats prune BOTH a
+        # time-range filter and a spatial-range filter. Spatial-only
+        # layers (ts all NULL) keep the pure Z-order.
+        sort_keys = (
+            ["ts", zorder_key()] if "ts" in keyed.columns else [zorder_key()]
+        )
         (
             keyed.repartition("layer", "zoom")
-            .sortWithinPartitions(zorder_key())
+            .sortWithinPartitions(*sort_keys)
             .write.mode("overwrite")
             .partitionBy("layer", "zoom")
             .option("partitionOverwriteMode", "dynamic")
@@ -198,16 +206,29 @@ class LayerCatalog:
         return row["z"]
 
     def read_layer(
-        self, layer: str, zoom: int | None = None, band: int | None = None
+        self,
+        layer: str,
+        zoom: int | None = None,
+        band: int | None = None,
+        time_range: tuple | None = None,
     ) -> DataFrame:
         """Partition-pruned read of one (layer, zoom); optional band
         selection (reference: readRddFromLayer band coercion,
-        api/package.scala:189-308)."""
+        api/package.scala:189-308) and, for space-time layers, a
+        ``time_range=(start, end)`` half-open filter — pushed to the
+        parquet scan, where the time-major write order makes it a
+        row-group-pruning range predicate (the Hilbert-index read path,
+        api/package.scala:225-245)."""
         if zoom is None:
             zoom = self.finest_zoom(layer)
         df = self.spark.read.parquet(self.tiles_path).where(
             (F.col("layer") == layer) & (F.col("zoom") == zoom)
         )
+        if time_range is not None:
+            start, end = time_range
+            df = df.where(
+                (F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end))
+            )
         if band is not None:
             from biggis_landuse_spark.operators.local import band_select
 

@@ -215,3 +215,35 @@ def test_catalog_write_read_delete_merge(spark, tmp_path, red, nir):
     assert cat.layer_ids() == [("b4_red", 3)]
     with pytest.raises(KeyError):
         cat.finest_zoom("b5_nir")
+
+
+def test_spacetime_layer_time_range_read(spark, tmp_path, red):
+    """SpaceTimeKey parity (api/package.scala:152-164): tiles carry a
+    timestamp; writes order time-major so a time_range read is a
+    scan-pruning range predicate; reads filter the requested instant
+    window only."""
+    import datetime as dt
+
+    cat = LayerCatalog(spark, str(tmp_path / "cat_st"))
+    t0 = dt.datetime(2024, 1, 1)
+    snapshots = [
+        red.withColumn("ts", F.lit(t0 + dt.timedelta(days=d)).cast("timestamp"))
+        for d in range(3)
+    ]
+    all_tiles = snapshots[0].unionByName(snapshots[1]).unionByName(snapshots[2])
+    cat.write_layer(all_tiles.drop("layer", "zoom"), "st", 0)
+
+    n_per_day = red.count()
+    full = cat.read_layer("st", 0)
+    assert full.count() == 3 * n_per_day
+
+    day2 = cat.read_layer(
+        "st", 0, time_range=(t0 + dt.timedelta(days=1), t0 + dt.timedelta(days=2))
+    )
+    assert day2.count() == n_per_day
+    assert day2.select("ts").distinct().count() == 1
+
+    # the time predicate must reach the parquet scan (row-group pruning
+    # against the time-major sort order)
+    plan = day2._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
