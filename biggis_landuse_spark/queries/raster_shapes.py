@@ -219,6 +219,7 @@ def zoom_resample_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesized lon/lat points: project, key onto the zoom-4 layout,
     aggregate per tile. Pure built-in trig, whole-stage codegen.""",
     tags=("REPROJECT", "W"),
+    bench=True,
 )
 def webmercator_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggis_landuse_spark.operators.reproject import (

@@ -279,6 +279,7 @@ _IVF_COS = (
     Candidates come from a cell-id equi-join; at 100 TB the corpus is
     written partitioned by cell so probes are partition-pruned scans.""",
     tags=("ANN",),
+    bench=True,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")

@@ -395,3 +395,67 @@ def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register(
+    "dedup_resolve",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    ),
+    dropped AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(count(*) FILTER (WHERE dropped.doc_id IS NULL) AS BIGINT)
+                                                    AS n_kept,
+           CAST(sum(n_chars)
+                FILTER (WHERE dropped.doc_id IS NULL) AS BIGINT)
+                                                    AS kept_chars
+    FROM documents LEFT JOIN dropped USING (doc_id)
+    GROUP BY source
+    """,
+    doc="""Dedup RESOLUTION (the step after candidate generation): a doc is
+    dropped when any lower-id doc shares an LSH band with it, keeping
+    the lowest-id representative per near-dup cluster — the actual
+    corpus-shrinking operation a training pipeline runs. Anti-join of
+    the corpus against the dropped-id set (broadcast at this
+    cardinality; at 100 TB the dropped set is written and the anti-join
+    shuffles on doc_id).""",
+    tags=("DEDUP",),
+    bench=True,
+)
+def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = spread(documents)
+    sig = D.minhash_signatures_from_text(docs, "doc_id", "text")
+    dropped = (
+        D.lsh_band_pairs(sig, "doc_id")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept_flag = documents.join(dropped, "doc_id", "left_anti").select(
+        "source", "n_chars"
+    )
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    kept = kept_flag.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+    return per_source.join(kept, "source").select(
+        "source", "n_docs", "n_kept", "kept_chars"
+    )
