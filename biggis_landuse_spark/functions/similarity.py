@@ -187,6 +187,21 @@ def ivf_assign(
             dot(F.col("_v"), F.col("_c")) / (F.col("_nv") * F.col("_ncv")), 6
         ).alias("_a"),
     )
+    if n_probe == 1:
+        # the corpus-sized case: max_by partial-aggregates map-side, so
+        # the shuffle carries one row per vector — never a full sort of
+        # the |corpus| × |centroids| affinity relation (which is what a
+        # ranking window would do). Tie-break: higher affinity, then
+        # lower centroid id (the negated id inside the ordering struct).
+        return (
+            aff.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    cid_col, F.struct(F.col("_a"), -F.col(cid_col))
+                ).alias(cid_col)
+            )
+            .select(id_col, cid_col, F.lit(1).cast("long").alias("probe_rank"))
+        )
     w = W.partitionBy(id_col).orderBy(F.desc("_a"), F.asc(cid_col))
     return (
         aff.withColumn("probe_rank", F.row_number().over(w).cast("long"))
