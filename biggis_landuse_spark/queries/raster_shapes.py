@@ -254,3 +254,71 @@ def webmercator_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("mx"), 2).alias("avg_mx"),
     )
+
+
+@register(
+    "rasterize_grid",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey AS fid,
+             (p_partkey % 13) + 0.25          AS x1,
+             (p_partkey % 11) + 0.25          AS y1,
+             (p_partkey % 13) + 0.25 + 1 + (p_partkey % 3) AS x2,
+             (p_partkey % 11) + 0.25 + 1 + (p_partkey % 4) AS y2,
+             CAST(p_partkey % 50 AS DOUBLE)   AS value
+      FROM part WHERE p_partkey < 300
+    ),
+    gx AS (SELECT unnest(range(24)) AS gx),
+    gy AS (SELECT unnest(range(24)) AS gy),
+    px AS (SELECT gx, gy FROM gx, gy),
+    hits AS (
+      SELECT px.gx, px.gy, max_by(f.value, f.fid) AS value
+      FROM px JOIN f
+        ON px.gx + 0.5 > f.x1 AND px.gx + 0.5 < f.x2
+       AND px.gy + 0.5 > f.y1 AND px.gy + 0.5 < f.y2
+      GROUP BY px.gx, px.gy
+    )
+    SELECT CAST(gx // 8 AS INT) AS tile_col,
+           CAST(gy // 8 AS INT) AS tile_row,
+           CAST(count(*) AS BIGINT) AS n_burned,
+           round(sum(value), 2)     AS sum_value
+    FROM hits
+    GROUP BY 1, 2
+    """,
+    doc="""Polygon rasterization (A5/S9, RasterizeFeaturesRDD.scala:24-74)
+    end-to-end through the REAL operator: WKT rectangles parse in
+    mapInPandas, explode to covered tiles, burn per tile with the
+    vectorized even-odd test (last feature wins), then the burned tiles
+    explode back to pixels for the aggregate. The oracle replays the
+    burn as a relational point-in-rect join — .25-offset boundaries
+    keep pixel centers off polygon edges, so even-odd and the SQL
+    predicate agree exactly.""",
+    tags=("A5", "S9"),
+)
+def rasterize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.rasterize import (
+        GridLayout,
+        rasterize_features,
+    )
+    from biggis_landuse_spark.pixeling import tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    feats = part.where(k < 300).select(
+        k.alias("feature_id"),
+        F.format_string(
+            "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+            (k % 13) + 0.25, (k % 11) + 0.25,
+            (k % 13) + 0.25 + 1 + (k % 3), (k % 11) + 0.25,
+            (k % 13) + 0.25 + 1 + (k % 3), (k % 11) + 0.25 + 1 + (k % 4),
+            (k % 13) + 0.25, (k % 11) + 0.25 + 1 + (k % 4),
+            (k % 13) + 0.25, (k % 11) + 0.25,
+        ).alias("geom"),
+        (k % 50).cast("double").alias("value"),
+    )
+    tiles = rasterize_features(feats, GridLayout(tile_size=8))
+    pixels = tiles_to_pixels(tiles).where(F.col("value").isNotNull())
+    return pixels.groupBy("tile_col", "tile_row").agg(
+        F.count(F.lit(1)).alias("n_burned"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
