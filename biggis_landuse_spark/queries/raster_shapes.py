@@ -322,3 +322,117 @@ def rasterize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_burned"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "pyramid_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 1024
+    ),
+    child AS (
+      SELECT ((k // 256) % 2) * 16 + ((k % 256) % 16)  AS gx,
+             (k // 512) * 16 + ((k % 256) // 16)       AS gy,
+             CASE WHEN k % 13 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 101 AS DOUBLE) END AS v
+      FROM k
+    )
+    SELECT CAST(gx // 2 AS INT) AS px,
+           CAST(gy // 2 AS INT) AS py,
+           round(avg(v), 6)    AS value
+    FROM child
+    WHERE v IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="""Pyramid build (A8, Pyramid.upLevels / LayerToPyramid.scala:59-65)
+    through the REAL operator: child pixels assembled into 2×2 tiles of
+    16², pyramid_up's NaN-aware 2×2 block mean produces the parent,
+    which is exploded back for comparison. Child values are integers,
+    so block means are exact in float64 on both engines regardless of
+    summation order. The oracle replays the downsample as a grouped
+    average over global child coordinates.""",
+    tags=("A8",),
+)
+def pyramid_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.pyramid import pyramid_up
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 1024).select(
+        F.lit("pyr").alias("layer"),
+        F.lit(1).alias("zoom"),
+        ((k / 256).cast("int") % 2).alias("tile_col"),
+        (k / 512).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 256) % 16).cast("int").alias("px"),
+        ((k % 256) / 16).cast("int").alias("py"),
+        F.when(k % 13 == 0, F.lit(None))
+        .otherwise((k * 7) % 101)
+        .cast("double")
+        .alias("value"),
+    )
+    children = pixels_to_tiles(pixels, cols=16, rows=16, n_bands=1)
+    parent = pyramid_up(children)
+    out = tiles_to_pixels(parent).where(F.col("value").isNotNull())
+    return out.select(
+        "px", "py", F.round("value", 6).alias("value")
+    )
+
+
+@register(
+    "zoom_resample_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    parent AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 101 AS DOUBLE) END AS v
+      FROM k
+    ),
+    dx AS (SELECT unnest([0, 1]) AS dx),
+    dy AS (SELECT unnest([0, 1]) AS dy)
+    SELECT CAST(parent.gx * 2 + dx AS INT) AS gx,
+           CAST(parent.gy * 2 + dy AS INT) AS gy,
+           v AS value
+    FROM parent, dx, dy
+    WHERE v IS NOT NULL
+    """,
+    doc="""Zoom upsample (W3, ZoomResampleTEST.scala:64-154) through the
+    REAL operator: parent pixels assembled into 2×2 tiles of 8², each
+    tile exploded into its 4 children with the codegen'd NN index
+    remap, exploded back to pixels. Nearest-neighbor replication is
+    exact integer indexing, so the oracle is the parent relation
+    cross-joined with the 2×2 child offsets — bit-identical values.""",
+    tags=("W3",),
+)
+def zoom_resample_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.resample import zoom_resample
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("zr").alias("layer"),
+        F.lit(1).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 101)
+        .cast("double")
+        .alias("value"),
+    )
+    parents = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    children = zoom_resample(parents, dz=1)
+    out = tiles_to_pixels(children).where(F.col("value").isNotNull())
+    return out.select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        "value",
+    )
