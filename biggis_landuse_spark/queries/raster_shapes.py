@@ -436,3 +436,68 @@ def zoom_resample_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
         "value",
     )
+
+
+@register(
+    "focal_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    child AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 101 AS DOUBLE) END AS v
+      FROM k
+    ),
+    gxs AS (SELECT unnest(range(16)) AS gx),
+    gys AS (SELECT unnest(range(16)) AS gy),
+    grid AS (SELECT gx, gy FROM gxs, gys),
+    hood AS (
+      SELECT grid.gx, grid.gy, b.v
+      FROM grid JOIN child b
+        ON abs(grid.gx - b.gx) + abs(grid.gy - b.gy) <= 1
+      WHERE b.v IS NOT NULL
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           round(avg(v), 6) AS value
+    FROM hood
+    GROUP BY 1, 2
+    """,
+    doc="""Focal mean (W1/J5, ConvolveLayerExample.scala:62-73) through the
+    REAL operator: tiles exchange margins via the 9-way neighborhood
+    join, the radius-1 circular kernel (cross shape) runs vectorized
+    per tile with data-cell normalization (targetArea edge semantics),
+    output exploded back to pixels. The oracle replays it as a
+    Manhattan-distance<=1 neighborhood join over global coordinates —
+    integer cell values keep the means exact on both engines.""",
+    tags=("W1", "J5"),
+)
+def focal_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.focal import focal_mean
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("fc").alias("layer"),
+        F.lit(0).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 101)
+        .cast("double")
+        .alias("value"),
+    )
+    tiles = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    meaned = focal_mean(tiles, radius=1)
+    out = tiles_to_pixels(meaned).where(F.col("value").isNotNull())
+    return out.select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        F.round("value", 6).alias("value"),
+    )
