@@ -501,3 +501,75 @@ def focal_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
         F.round("value", 6).alias("value"),
     )
+
+
+@register(
+    "getis_ord_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    child AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 101 AS DOUBLE) END AS v
+      FROM k
+    ),
+    stats AS (
+      SELECT avg(v) AS mu, stddev(v) AS sigma,
+             CAST(count(v) AS DOUBLE) AS n
+      FROM child WHERE v IS NOT NULL
+    ),
+    gxs AS (SELECT unnest(range(16)) AS gx),
+    gys AS (SELECT unnest(range(16)) AS gy),
+    grid AS (SELECT gx, gy FROM gxs, gys),
+    hood AS (
+      SELECT grid.gx, grid.gy,
+             sum(b.v)                  AS s,
+             CAST(count(b.v) AS DOUBLE) AS w
+      FROM grid JOIN child b
+        ON abs(grid.gx - b.gx) + abs(grid.gy - b.gy) <= 1
+      WHERE b.v IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           round((s - mu * w) / (sigma * sqrt((n * w - w * w) / (n - 1))), 4)
+             AS gstar
+    FROM hood, stats
+    """,
+    doc="""Getis-Ord G* (W2, SpatialGetisOrd.scala:66-83) through the REAL
+    operator: focal sum+count via margin exchange, standardized by
+    global layer stats broadcast into the per-cell expression. The
+    oracle replays focal sums as a neighborhood join and the same
+    z-score formula; 4dp rounding absorbs cross-engine stddev ulps
+    (same tolerance the shape twin uses).""",
+    tags=("W2", "A2"),
+)
+def getis_ord_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.focal import getis_ord_gstar
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("go").alias("layer"),
+        F.lit(0).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 101)
+        .cast("double")
+        .alias("value"),
+    )
+    tiles = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    z = getis_ord_gstar(tiles, radius=1)
+    out = tiles_to_pixels(z).where(F.col("value").isNotNull())
+    return out.select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        F.round("value", 4).alias("gstar"),
+    )
