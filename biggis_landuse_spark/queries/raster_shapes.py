@@ -573,3 +573,78 @@ def getis_ord_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
         F.round("value", 4).alias("gstar"),
     )
+
+
+@register(
+    "ndvi_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    px AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CAST((k * 7) % 101 AS DOUBLE)      AS nir,
+             CAST((k * 11) % 97 AS DOUBLE)      AS red,
+             CAST((k * 13) % 65536 AS BIGINT)   AS qa
+      FROM k
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           round((nir - red) / (nir + red), 6) AS ndvi
+    FROM px
+    WHERE (qa & 32768) = 0 AND (qa & 8192) = 0
+      AND nir + red <> 0
+    """,
+    doc="""The flagship NDVI-with-cloud-mask pipeline (GettingStarted.scala:
+    63, P1+P2+J2) through the REAL tile operators: NIR/Red/QA layers
+    join on the tile key, mask_bits NULLs cloud/cirrus cells via the
+    QA band's bits (0x8000/0x2000), the zip_with NDVI with try_divide
+    NODATA handling computes per cell, pixels exploded back. The
+    oracle replays the arithmetic relationally.""",
+    tags=("P1", "P2", "J2"),
+)
+def ndvi_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.local import mask_bits, ndvi
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def layer(name: str, value: F.Column):
+        px = part.where(k < 256).select(
+            F.lit(name).alias("layer"),
+            F.lit(0).alias("zoom"),
+            ((k / 64).cast("int") % 2).alias("tile_col"),
+            (k / 128).cast("int").alias("tile_row"),
+            F.lit(0).alias("band"),
+            ((k % 64) % 8).cast("int").alias("px"),
+            ((k % 64) / 8).cast("int").alias("py"),
+            value.cast("double").alias("value"),
+        )
+        return pixels_to_tiles(px, cols=8, rows=8, n_bands=1).select(
+            "tile_col", "tile_row", F.col("tile").alias(name)
+        )
+
+    nir = layer("nir", (k * 7) % 101)
+    red = layer("red", (k * 11) % 97)
+    qa = layer("qa", (k * 13) % 65536)
+    joined = nir.join(red, ["tile_col", "tile_row"]).join(
+        qa, ["tile_col", "tile_row"]
+    )
+    masked = joined.select(
+        F.lit("ndvi").alias("layer"),
+        F.lit(0).alias("zoom"),
+        "tile_col",
+        "tile_row",
+        F.lit(None).cast("timestamp").alias("ts"),
+        ndvi(
+            mask_bits(F.col("nir"), F.col("qa"), 0x8000 | 0x2000),
+            mask_bits(F.col("red"), F.col("qa"), 0x8000 | 0x2000),
+        ).alias("tile"),
+    )
+    out = tiles_to_pixels(masked).where(F.col("value").isNotNull())
+    return out.select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        F.round("value", 6).alias("ndvi"),
+    )
