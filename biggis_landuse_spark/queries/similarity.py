@@ -290,3 +290,74 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(
         queries, embeddings, centroids, k=K, n_probe=N_PROBE
     )
+
+
+N_CLASSES = 10
+
+
+def _weights(c: int, dim: int = DIM) -> list[float]:
+    """Deterministic per-class weight vector — the stand-in for trained
+    OvR coefficients (training itself runs through pyspark.ml
+    OneVsRest, tests/test_ml_codecs.py; scoring is engine-portable)."""
+    return [float(((c * 31 + d * 7) % 11) - 5) for d in range(dim)]
+
+
+def _weights_sql(c: int) -> str:
+    return "CAST([" + ", ".join(str(w) for w in _weights(c)) + "] AS DOUBLE[])"
+
+
+@register(
+    "linear_predict",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    scored AS (
+      SELECT label,
+             {", ".join(
+                 f"list_dot_product(vec, {_weights_sql(c)}) AS s{c}"
+                 for c in range(N_CLASSES)
+             )}
+      FROM v
+    ),
+    pred AS (
+      SELECT label,
+             CAST(list_position(
+               [{", ".join(f"s{c}" for c in range(N_CLASSES))}],
+               list_max([{", ".join(f"s{c}" for c in range(N_CLASSES))}])
+             ) - 1 AS INT) AS predicted
+      FROM scored
+    )
+    SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred
+    GROUP BY 1, 2
+    """,
+    doc="""One-vs-rest batch scoring (§2.10 model broadcast + mapPartitions
+    predict, SVMMultiClass.scala:25-32): per-class linear margins as
+    JVM dot products over the embedding column, argmax with
+    first-match tie-break, confusion-matrix counts. Weights are
+    deterministic stand-ins for trained coefficients; at scale they
+    broadcast exactly like the reference's model broadcast.""",
+    tags=("ML",),
+)
+def linear_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    vec = S.as_double("embedding")
+    scores = F.array(
+        *[
+            S.dot(vec, F.array(*[F.lit(w) for w in _weights(c)]))
+            for c in range(N_CLASSES)
+        ]
+    )
+    # argmax with first-match tie-break == DuckDB list_position(list_max)
+    predicted = (
+        F.expr(
+            "array_position(_scores, array_max(_scores))"
+        ).cast("int") - 1
+    )
+    return (
+        embeddings.select("label", scores.alias("_scores"))
+        .select("label", predicted.alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
