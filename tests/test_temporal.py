@@ -125,3 +125,34 @@ def test_ivf_topk_matches_brute_force_with_full_probes(spark):
     ivf = S.ivf_topk(queries, emb, cents, k=3, n_probe=2)
     bf = S.brute_force_topk(queries, emb, k=3)
     assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Property check against an independent oracle: pandas
+    merge_asof(direction='backward') implements the same inclusive
+    as-of semantics; random-ish deterministic event sets must agree."""
+    import pandas as pd
+
+    rng = [(k, s) for k in (1, 2, 3) for s in range(0, 600, 7)]
+    left_rows = [(k, _ts(s + (k * 13) % 5)) for (k, s) in rng if (s + k) % 3 == 0]
+    right_rows = [
+        (k, _ts(s + (k * 7) % 11), float(k * 1000 + s))
+        for (k, s) in rng
+        if (s + k) % 4 == 0
+    ]
+    left = _mk(spark, left_rows, ["k", "ts"])
+    right = _mk(spark, right_rows, ["k", "ts", "v"])
+    got = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in asof_join(left, right, on="k").collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="backward", suffixes=("", "_r")
+    )
+    want = {
+        (int(r.k), r.ts.to_pydatetime()): (None if pd.isna(r.v) else float(r.v))
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want
