@@ -648,3 +648,82 @@ def ndvi_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
         F.round("value", 6).alias("ndvi"),
     )
+
+
+@register(
+    "stack_normalize_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    px AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CAST((k * 7) % 101 AS DOUBLE)      AS b0,
+             CAST((k * 11) % 97 AS DOUBLE)      AS b1
+      FROM k
+    ),
+    stats AS (
+      SELECT min(b0) AS lo0, max(b0) AS hi0,
+             min(b1) AS lo1, max(b1) AS hi1
+      FROM px
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           round((b0 - lo0) / (hi0 - lo0), 6) AS v0,
+           round((b1 - lo1) / (hi1 - lo1), 6) AS v1
+    FROM px, stats
+    """,
+    doc="""Layer stacking + per-band min-max normalization (J3/J4 + P5/P6,
+    ManyLayersToMultibandLayer.scala:193-209 + UtilsSVM.scala:316-386)
+    through the REAL operators: two single-band layers join on the
+    tile key, band_concat assembles the 2-band stack, normalize_layer
+    runs the agg-broadcast rescale, bands exploded back per pixel.
+    Integer inputs keep the global min/max and rescale exact.""",
+    tags=("J3", "P5", "P6"),
+)
+def stack_normalize_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.ml.normalize import normalize_layer
+    from biggis_landuse_spark.operators.local import band_concat
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def layer(name: str, value: F.Column):
+        px = part.where(k < 256).select(
+            F.lit(name).alias("layer"),
+            F.lit(0).alias("zoom"),
+            ((k / 64).cast("int") % 2).alias("tile_col"),
+            (k / 128).cast("int").alias("tile_row"),
+            F.lit(0).alias("band"),
+            ((k % 64) % 8).cast("int").alias("px"),
+            ((k % 64) / 8).cast("int").alias("py"),
+            value.cast("double").alias("value"),
+        )
+        return pixels_to_tiles(px, cols=8, rows=8, n_bands=1).select(
+            "tile_col", "tile_row", F.col("tile").alias(name)
+        )
+
+    a = layer("b0", (k * 7) % 101)
+    b = layer("b1", (k * 11) % 97)
+    stacked = a.join(b, ["tile_col", "tile_row"]).select(
+        F.lit("stack").alias("layer"),
+        F.lit(0).alias("zoom"),
+        "tile_col",
+        "tile_row",
+        F.lit(None).cast("timestamp").alias("ts"),
+        band_concat(F.col("b0"), F.col("b1")).alias("tile"),
+    )
+    normed = normalize_layer(stacked)
+    px = tiles_to_pixels(normed).where(F.col("value").isNotNull())
+    return (
+        px.groupBy("tile_col", "tile_row", "px", "py")
+        .pivot("band", [0, 1])
+        .agg(F.first("value"))
+        .select(
+            (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+            (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+            F.round("0", 6).alias("v0"),
+            F.round("1", 6).alias("v1"),
+        )
+    )
