@@ -284,3 +284,51 @@ def test_stream_to_catalog_ingest_and_merge(spark, tmp_path):
         assert ("streamed", 0) in cat.layer_ids()
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """Late-data policy, streaming side: an event older than the
+    watermark horizon arrives after its window was finalized — the
+    engine must drop it (no recount, no duplicate window row)."""
+    path = str(tmp_path / "late_events")
+    _write = lambda rows, mode: spark.createDataFrame(  # noqa: E731
+        rows, EVENTS_DDL
+    ).coalesce(1).write.mode(mode).parquet(path)
+
+    # batch 1: two on-time events; the 00:30 event pushes the watermark
+    # (10 min) past the end of the [00:00, 00:05) window → it finalizes
+    _write(
+        [
+            (1, _ts("2024-01-01 00:00:01"), 1, "click", 1.0),
+            (2, _ts("2024-01-01 00:30:00"), 1, "click", 1.0),
+        ],
+        "overwrite",
+    )
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(path)
+    q = _run_stream(
+        tumbling_counts(stream, width="5 minutes", watermark="10 minutes"),
+        "late_out",
+        "append",
+    )
+    try:
+        first = spark.sql(
+            "SELECT * FROM late_out WHERE window_start = '2024-01-01 00:00:00'"
+        ).collect()
+        assert len(first) == 1 and first[0]["n"] == 1
+
+        # batch 2: a LATE event inside the finalized window + a fresh one
+        _write(
+            [
+                (3, _ts("2024-01-01 00:00:02"), 1, "click", 1.0),  # late
+                (4, _ts("2024-01-01 00:45:00"), 1, "click", 1.0),
+            ],
+            "append",
+        )
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM late_out WHERE window_start = '2024-01-01 00:00:00'"
+        ).collect()
+        # still exactly one emission with the on-time count only
+        assert len(rows) == 1 and rows[0]["n"] == 1
+    finally:
+        q.stop()

@@ -156,3 +156,37 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for r in want_df.itertuples(index=False)
     }
     assert got == want
+
+
+def test_range_join_matches_plain_inequality_join(spark):
+    """The bucketed-band formulation must equal the naive inequality
+    join row-for-row on a deterministic event set."""
+    rows = [
+        (k, _ts((k * 37 + i * 11) % 300))
+        for k in (1, 2, 3)
+        for i in range(40)
+    ]
+    e = _mk(spark, rows, ["k", "ts"]).dropDuplicates(["k", "ts"])
+    got = (
+        range_join(e, e, on="k", band_us=60_000_000)
+        .select("l_ts", "r_ts", F.col("l_k").alias("k"))
+        .collect()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    want = (
+        a.join(b, F.col("a.k") == F.col("b.k"))
+        .where(
+            (F.col("b.ts") > F.col("a.ts"))
+            & (
+                F.unix_micros(F.col("b.ts"))
+                <= F.unix_micros(F.col("a.ts")) + 60_000_000
+            )
+        )
+        .select(
+            F.col("a.ts").alias("l_ts"),
+            F.col("b.ts").alias("r_ts"),
+            F.col("a.k").alias("k"),
+        )
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
