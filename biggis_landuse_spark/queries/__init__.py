@@ -128,6 +128,7 @@ def _ensure_loaded() -> None:
         media,
         raster_shapes,
         relational,
+        relational_ext,
         similarity,
         textops,
     )

@@ -1,0 +1,451 @@
+"""Extended relational surface: the operator families a complete
+engine exposes beyond the reference's RDD joins/aggs (SURVEY.md §2.4
+note, §2.7) — semi/anti joins, scalar subqueries, pivot, grouping
+sets, exact grouped percentiles, ntile bucketing, calendar rollups,
+deterministic stratified sampling, statistical aggregates, regex
+predicates, and distinct-aggregation (exact + HLL sketch).
+
+The reference never needed these (its "queries" are raster
+pipelines), but a user replacing it with this engine gets them as
+first-class, oracle-checked operators on the same star schema. Each
+query keeps the repo's float discipline: identical aliases and
+identical rounding on the Spark and DuckDB sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from biggis_landuse_spark.queries import load_tables, register
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_urgent",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)  AS n_customers,
+           round(avg(c_acctbal), 2)  AS avg_bal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="""Left-semi join (EXISTS): customers with at least one urgent
+    order, summarized per market segment. At scale the filtered orders
+    side is reduced BEFORE the join and the semi join never duplicates
+    fact rows — no post-join distinct needed. Broadcast-able when the
+    filtered key set is small.""",
+    tags=("J",),
+)
+def semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "anti_join_never_bulk",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT)      AS n_parts,
+           round(avg(p_retailprice), 2)  AS avg_price
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+    )
+    GROUP BY p_brand
+    """,
+    doc="""Left-anti join (NOT EXISTS): parts never ordered in bulk
+    (quantity > 45), per brand. The anti join's filter is pushed to the
+    fact scan; the surviving key set shuffles, not the fact rows.""",
+    tags=("J",),
+)
+def anti_join_never_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
+    bulk = lineitem.where(F.col("l_quantity") > 45)
+    return (
+        part.join(bulk, part.p_partkey == bulk.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "above_avg_parts",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT)      AS n_parts,
+           round(avg(p_retailprice), 2)  AS avg_price
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+    doc="""Scalar-subquery filter: parts priced above the global mean.
+    Expressed as a 1-row aggregate broadcast-joined against the scan —
+    the two-pass global-stat-then-filter shape of the reference's
+    min/max normalization (UtilsSVM.scala:316-386) applied as a
+    predicate.""",
+    tags=("P5", "A2"),
+)
+def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    stats = part.agg(F.avg("p_retailprice").alias("_gavg"))
+    return (
+        part.join(F.broadcast(stats))
+        .where(F.col("p_retailprice") > F.col("_gavg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_status_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'F'
+                 THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_f,
+           round(sum(CASE WHEN l_linestatus = 'O'
+                 THEN l_extendedprice * (1 - l_discount) END), 2) AS rev_o,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="""Pivot (long→wide conditional aggregation): revenue per
+    return flag spread across line-status columns. Spark's pivot with
+    an explicit value list reads the fact table ONCE and runs two
+    partial-aggregated shuffles over group-cardinality data — no
+    value-discovery pass (which at 100 TB would be a full extra
+    scan). The CASE WHEN oracle is the equivalent wide conditional
+    aggregate.""",
+    tags=("A",),
+)
+def pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    wide = (
+        lineitem.withColumn("_net", net)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.round(F.sum("_net"), 2).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_rev").alias("rev_f"),
+        F.col("O_rev").alias("rev_o"),
+        (F.coalesce(F.col("F_cnt"), F.lit(0)) + F.coalesce(F.col("O_cnt"), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT)      AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    doc="""Explicit GROUPING SETS (asymmetric set list — not a rollup
+    or cube): detail, one single-column margin, and the grand total in
+    ONE shuffle with per-set partial aggregation.""",
+    tags=("A",),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(count(*) AS BIGINT)      AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles / ntile
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="""EXACT grouped percentiles (interpolated, SQL-standard
+    PERCENTILE_CONT semantics) — the exact counterpart of the serving
+    path's approxQuantile color breaks (A3). Exact percentile sorts
+    per group inside the aggregate; the approx variant
+    (quantile_breaks) is the 100 TB default, this is the
+    small-group/finishing-pass tool.""",
+    tags=("A3",),
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+    )
+
+
+@register(
+    "ntile_price_bands",
+    oracle="""
+    SELECT band,
+           CAST(count(*) AS BIGINT)     AS n_parts,
+           round(min(p_retailprice), 2) AS lo,
+           round(max(p_retailprice), 2) AS hi
+    FROM (
+      SELECT p_retailprice,
+             ntile(4) OVER (ORDER BY p_retailprice, p_partkey) AS band
+      FROM part
+    )
+    GROUP BY band
+    """,
+    doc="""ntile quartile banding over a deterministic total order
+    (price, key) — the ranking-window surface (SURVEY.md §2.5 note).
+    A global ntile implies a total sort; at 100 TB use the approx
+    quantile breaks (A3) to band instead — this is the exact
+    small-dimension form.""",
+    tags=("W",),
+)
+def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    w = W.orderBy("p_retailprice", "p_partkey")
+    return (
+        part.select(
+            "p_retailprice", F.ntile(4).over(w).alias("band")
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.min("p_retailprice"), 2).alias("lo"),
+            F.round(F.max("p_retailprice"), 2).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar rollup / sampling / stats / regex / distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monthly_revenue",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           CAST(count(*) AS BIGINT)         AS n_orders,
+           round(sum(o_totalprice), 2)      AS revenue
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+    doc="""Calendar rollup: date_trunc month buckets over the order
+    timeline (date/time scalar surface, SURVEY.md §2.8). Partial-agg
+    combines map-side; month cardinality is tiny so the shuffle is
+    negligible at any scale.""",
+    tags=("A",),
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE substr(md5(concat_ws('|', l_orderkey, l_linenumber)), 1, 1)
+          IN ('0', '1')
+    GROUP BY l_returnflag
+    """,
+    doc="""Deterministic ~12.5% stratified sample: rows whose md5 row
+    digest starts with hex 0/1 (2/16 of the hash space), summarized
+    per stratum. Content-hash sampling is reproducible across engines,
+    runs, AND partitionings — unlike rand()-based sampling — which is
+    what a training-data pipeline needs for auditable subset builds
+    (same family as deterministic_split).""",
+    tags=("P10",),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return (
+        lineitem.where(F.substring(digest, 1, 1).isin("0", "1"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "stats_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_covar,
+           round(stddev_samp(l_quantity), 4)                  AS qty_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="""Statistical aggregate surface: Pearson correlation, sample
+    covariance, and stddev per group — single-pass partial-aggregated
+    moments (no per-group sort). 4dp rounding on the sqrt-bearing
+    outputs per the cross-engine float discipline.""",
+    tags=("A2",),
+)
+def stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+    )
+
+
+@register(
+    "regex_digit_docs",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN regexp_matches(text, '[0-9]')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_digit
+    FROM documents
+    GROUP BY source
+    """,
+    doc="""Regex predicate surface over the documents corpus (string
+    family, SURVEY.md §2.8): digit-bearing docs per source. The rlike
+    predicate evaluates inside whole-stage codegen; only (source,
+    text) is read from the scan.""",
+    tags=("text",),
+)
+def regex_digit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("text").rlike("[0-9]"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_digit"),
+    )
+
+
+@register(
+    "distinct_agg_orders",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT l_partkey)  AS BIGINT) AS n_parts,
+           CAST(count(*) AS BIGINT)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="""Exact multi-column distinct aggregation (SURVEY.md §2.4
+    notes the reference has none): distinct orders and parts per
+    return flag. Spark expands multiple DISTINCTs via a grouping-sets
+    rewrite — one logical pass, no self-join.""",
+    tags=("A",),
+)
+def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "approx_distinct_orders",
+    oracle=None,  # HLL sketch estimates are engine-specific by design
+    doc="""HLL approx-distinct sketch per group — the 100 TB-scale
+    companion to distinct_agg_orders (estimate instead of exact
+    shuffle-heavy distinct). Rows-only driver check; the pytest twin
+    asserts the estimate lands within 5% of the exact count.""",
+    tags=("A",),
+)
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+            "n_orders_approx"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

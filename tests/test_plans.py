@@ -89,6 +89,51 @@ def test_range_join_is_hash_join(plan_of):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semi_anti_joins_stay_hash_joins(plan_of):
+    # EXISTS/NOT EXISTS must compile to (broadcast) hash semi/anti
+    # joins — never a nested-loop or cartesian fallback that would
+    # re-scan the fact side per probe row
+    for q in ("semi_join_urgent", "anti_join_never_bulk"):
+        plan = plan_of(q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "HashJoin" in plan, q
+    assert "LeftSemi" in plan_of("semi_join_urgent")
+    assert "LeftAnti" in plan_of("anti_join_never_bulk")
+
+
+def test_pivot_has_no_value_discovery_pass(plan_of):
+    # pivot with an explicit value list = two partial-aggregated
+    # shuffles (fine-key agg, then pivotfirst), both over
+    # group-cardinality data — and NO extra job to discover pivot
+    # values (which at 100 TB would be a full prior scan)
+    plan = plan_of("pivot_status_revenue")
+    assert "pivotfirst" in plan
+    assert plan.count("Exchange") == 2
+    assert plan.count("FileScan") == 1  # single pass over the fact table
+    assert "SortAggregate" not in plan
+
+
+def test_scalar_subquery_broadcasts_stat_row(plan_of):
+    # the 1-row global-average side must broadcast; the part scan must
+    # not shuffle for the comparison
+    plan = plan_of("above_avg_parts")
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row side, no key
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stratified_sample_filter_in_scan_stage(plan_of):
+    # the md5 sample predicate is deterministic row-local work: it must
+    # run in the scan stage (a Filter before any Exchange), so only
+    # sampled rows shuffle
+    plan = plan_of("stratified_sample")
+    # plan strings print root-first: an operator deeper in the string
+    # executes earlier; the Filter must sit below the shuffle Exchange
+    assert "Filter" in plan and "Exchange" in plan
+    assert plan.index("Filter") > plan.index("Exchange")
+
+
 def test_lsh_candidate_join_is_equi_join(plan_of):
     # near-dup candidates must come from a bucket equi-join, never the
     # all-pairs product

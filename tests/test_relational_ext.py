@@ -1,0 +1,73 @@
+"""Extended relational surface: semantics that the oracle comparator
+can't fully pin down — HLL sketch accuracy, sample determinism across
+partitionings, and ntile band sizing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+_ensure_loaded()
+
+
+def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r["n_orders_approx"]
+        for r in REGISTRY["approx_distinct_orders"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n_orders"]
+        for r in REGISTRY["distinct_agg_orders"].spark(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(1, 0.05 * n), (flag, approx[flag], n)
+
+
+def test_stratified_sample_invariant_to_partitioning(spark, sf_dir):
+    # content-hash sampling must select the SAME rows no matter how the
+    # input is partitioned — the property rand()-sampling lacks
+    spec = REGISTRY["stratified_sample"]
+    base = {tuple(r) for r in spec.spark(spark, sf_dir).collect()}
+
+    from biggis_landuse_spark.queries import load_tables
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    digest = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    reshuffled = {
+        tuple(r)
+        for r in (
+            lineitem.repartition(7, "l_partkey")
+            .where(F.substring(digest, 1, 1).isin("0", "1"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_sampled"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .collect()
+        )
+    }
+    assert base == reshuffled
+
+
+def test_ntile_bands_cover_all_rows_evenly(spark, sf_dir):
+    rows = REGISTRY["ntile_price_bands"].spark(spark, sf_dir).collect()
+    counts = {r["band"]: r["n_parts"] for r in rows}
+    assert set(counts) == {1, 2, 3, 4}
+    # ntile: band sizes differ by at most 1, bands are price-ordered
+    assert max(counts.values()) - min(counts.values()) <= 1
+    by_band = sorted(rows, key=lambda r: r["band"])
+    for a, b in zip(by_band, by_band[1:]):
+        assert a["hi"] <= b["lo"]
