@@ -347,3 +347,38 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
         F.round(F.max("gap_s"), 6).alias("max_gap_s"),
     )
+
+
+@register(
+    "stream_enrich_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(e.value), 2)   AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+    doc="""Stream-static enrichment join (streaming/windows.py::
+    enrich_with_dim): events pick up the customer dimension via a
+    broadcast join — the stream side never shuffles for the join; only
+    the tiny post-enrichment aggregate state shuffles. Batch twin of
+    the Structured Streaming stream⋈static path; parity with the live
+    readStream execution is asserted in tests/test_streaming.py.""",
+    tags=("STREAM", "J"),
+)
+def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.streaming.windows import enrich_with_dim
+
+    events, customer = load_tables(spark, sf_dir, "events", "customer")
+    enriched = enrich_with_dim(
+        events,
+        customer.select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        ),
+        on=["user_id"],
+    )
+    return enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -90,3 +90,25 @@ def dedup_within_watermark(
     passes)."""
     df = _with_watermark(events, ts_col, watermark)
     return df.dropDuplicates([*keys, ts_col])
+
+
+def enrich_with_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live event stream.
+
+    The static side is broadcast to every task and re-resolved per
+    micro-batch — no stream-side state, no shuffle of the stream. This
+    is the Structured Streaming form of the reference's broadcast
+    model/metadata pattern (SVMMultiClass.scala:25-32 broadcasts the
+    trained model to a mapPartitions predict). Works identically on a
+    batch DataFrame, which is what the oracle-checked batch twin
+    (queries/events.py::stream_enrich_segment) runs.
+    """
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, how)

@@ -332,3 +332,39 @@ def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
         assert len(rows) == 1 and rows[0]["n"] == 1
     finally:
         q.stop()
+
+
+def test_stream_static_enrich_parity(spark, sf_dir, events_dir):
+    from biggis_landuse_spark.queries import load_tables
+    from biggis_landuse_spark.streaming.windows import enrich_with_dim
+
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def pipeline(events):
+        return (
+            enrich_with_dim(events, dim, on=["user_id"])
+            .groupBy("c_mktsegment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    q = _run_stream(pipeline(stream), "enrich_parity", "complete")
+    try:
+        got = {
+            tuple(r) for r in spark.sql("SELECT * FROM enrich_parity").collect()
+        }
+    finally:
+        q.stop()
+    batch = spark.read.schema(EVENTS_DDL).parquet(events_dir)
+    expected = {tuple(r) for r in pipeline(batch).collect()}
+    assert got == expected
+    # the stream side must join via broadcast: no shuffle of the
+    # stream for the join itself
+    plan = pipeline(batch)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
