@@ -55,14 +55,29 @@ class LayerCatalog:
     # -- write -------------------------------------------------------------
 
     def write_layer(
-        self, tiles: DataFrame, layer: str, zoom: int, crs: str = "EPSG:3857"
+        self,
+        tiles: DataFrame,
+        layer: str,
+        zoom: int,
+        crs: str = "EPSG:3857",
+        target_files: int | None = None,
     ) -> None:
-        """Write a tile DataFrame as (layer, zoom), Z-ordered within
-        partitions, and upsert the inferred metadata row.
+        """Write a tile DataFrame as (layer, zoom), globally Z-ordered
+        across ``target_files`` files, and upsert the inferred
+        metadata row.
 
         Reference: writeRddToLayer (api/package.scala:130-180) = SFC
         index + Avro write + histogram attribute; here the SFC is a
         sort key and the histogram is a one-pass agg stored as JSON.
+
+        The write range-partitions on the SFC key (default
+        ``defaultParallelism`` output files): every task writes a
+        disjoint, sorted key range, so (a) the write parallelizes — a
+        plain repartition(layer, zoom) would funnel the whole layer
+        through ONE task at 100 TB — and (b) file- and row-group-level
+        min/max stats on the key stay non-overlapping, which is what
+        makes spatial-range reads prune files like the reference's
+        Z-curve index ranges (api/package.scala:143).
         """
         keyed = tiles.withColumn("layer", F.lit(layer)).withColumn(
             "zoom", F.lit(zoom)
@@ -72,12 +87,17 @@ class LayerCatalog:
         # each instant, so Parquet row-group min/max stats prune BOTH a
         # time-range filter and a spatial-range filter. Spatial-only
         # layers (ts all NULL) keep the pure Z-order.
-        sort_keys = (
-            ["ts", zorder_key()] if "ts" in keyed.columns else [zorder_key()]
+        keyed = keyed.withColumn("_zk", zorder_key())
+        sort_keys = ["ts", "_zk"] if "ts" in keyed.columns else ["_zk"]
+        n_files = (
+            target_files
+            if target_files is not None
+            else self.spark.sparkContext.defaultParallelism
         )
         (
-            keyed.repartition("layer", "zoom")
+            keyed.repartitionByRange(n_files, "layer", "zoom", *sort_keys)
             .sortWithinPartitions(*sort_keys)
+            .drop("_zk")
             .write.mode("overwrite")
             .partitionBy("layer", "zoom")
             .option("partitionOverwriteMode", "dynamic")
@@ -296,6 +316,39 @@ class LayerCatalog:
         merged.write.mode("overwrite").parquet(tmp)
         staged = self.spark.read.parquet(tmp)
         self.write_layer(staged, layer, zoom)
+        self._delete_dir(f"{self.base}/_staging")
+
+    def compact_layer(
+        self, layer: str, zoom: int, target_files: int = 1
+    ) -> None:
+        """Rewrite a layer partition into ``target_files`` globally
+        Z-ordered files.
+
+        Incremental ingest (streaming foreachBatch merges, repeated
+        merge_into_layer calls) accretes small files; at scale, scan
+        cost and open-file overhead grow with file count while min/max
+        pruning degrades as key ranges overlap. Compaction re-sorts
+        once and restores the write-time layout contract (disjoint
+        sorted key ranges per file). Same staging discipline as merge:
+        never read and overwrite a partition in one job.
+        """
+        meta = (
+            self.layers()
+            .where((F.col("layer") == layer) & (F.col("zoom") == zoom))
+            .select("crs")
+            .first()
+        )
+        current = self.read_layer(layer, zoom)
+        tmp = f"{self.base}/_staging/compact/{layer}/{zoom}"
+        current.write.mode("overwrite").parquet(tmp)
+        staged = self.spark.read.parquet(tmp)
+        self.write_layer(
+            staged,
+            layer,
+            zoom,
+            crs=meta["crs"] if meta else "EPSG:3857",
+            target_files=target_files,
+        )
         self._delete_dir(f"{self.base}/_staging")
 
     # -- attributes (S19) ---------------------------------------------------

@@ -449,3 +449,121 @@ def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic selective multi-join analytics (TPC-H Q3/Q5 shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="""TPC-H Q3 shape (shipping priority): selective 3-table join
+    — segment filter on the customer dim, date filters pushed to both
+    fact scans — then grouped revenue and a global top-10. Both dim
+    filters reach the parquet scans (PushedFilters); the customer and
+    orders sides broadcast; the LIMIT is a TakeOrderedAndProject, not
+    a full sort.""",
+    tags=("J2", "O1"),
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem"
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.where(F.col("l_shipdate") > "1996-01-01")
+        .join(
+            F.broadcast(
+                orders.where(F.col("o_orderdate") < "1996-01-01")
+            ),
+            lineitem.l_orderkey == orders.o_orderkey,
+        )
+        .join(
+            F.broadcast(
+                customer.where(F.col("c_mktsegment") == "BUILDING")
+            ),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(net), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey  = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="""TPC-H Q5 shape (local supplier volume): a 6-table star join
+    — region filter prunes nations, the customer/supplier same-nation
+    predicate rides the join, and every dimension broadcasts so the
+    lineitem fact never shuffles for any of the five joins; the only
+    exchange is the final tiny per-nation aggregate.""",
+    tags=("J2", "J3"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, lineitem, supplier, nation, region = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(
+            F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey
+        )
+        .join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .join(
+            F.broadcast(supplier),
+            (lineitem.l_suppkey == supplier.s_suppkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(
+            F.broadcast(
+                region.where(F.col("r_name") == "ASIA")
+            ),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(net), 2).alias("revenue"),
+        )
+    )

@@ -181,3 +181,105 @@ def lookup_tile(
     return catalog.read_layer(layer, zoom).where(
         (F.col("tile_col") == x) & (F.col("tile_row") == y)
     )
+
+
+class TileServer:
+    """HTTP tile server: ``GET /{zoom}/{x}/{y}`` → rendered PNG —
+    functional parity with the reference's spray/akka actor route
+    (ServeLayerAsMap.scala:97-124), stdlib-only.
+
+    Per SURVEY.md §1.3, Spark is the wrong engine for per-request
+    ms-latency reads, so the server renders the requested zoom ONCE in
+    bulk (one Spark job over the partition-pruned layer read, PNG
+    encoding executor-side via render_tiles_png) and serves from an
+    in-process dict — the 'small in-process cache over the same
+    Parquet' design. Unrendered zooms are rendered on first request.
+    A size guard refuses zooms whose tile count exceeds
+    ``max_cached_tiles`` (driver-OOM posture: the reference's stitch
+    paths crash there, LayerToGeotiff.scala:73-78).
+    """
+
+    def __init__(
+        self,
+        catalog,
+        layer: str,
+        breaks: Sequence[float],
+        palette: Sequence[int] = DEFAULT_PALETTE,
+        max_cached_tiles: int = 65536,
+    ):
+        self.catalog = catalog
+        self.layer = layer
+        self.breaks = list(breaks)
+        self.palette = list(palette)
+        self.max_cached_tiles = max_cached_tiles
+        self._cache: dict[tuple[int, int, int], bytes] = {}
+        self._zooms_loaded: set[int] = set()
+        self._httpd = None
+
+    def _ensure_zoom(self, zoom: int) -> None:
+        if zoom in self._zooms_loaded:
+            return
+        tiles = self.catalog.read_layer(self.layer, zoom)
+        n = tiles.count()
+        if n > self.max_cached_tiles:
+            raise MemoryError(
+                f"zoom {zoom} has {n} tiles > cache bound "
+                f"{self.max_cached_tiles}; raise the bound or serve "
+                "from a KV sink"
+            )
+        rendered = render_tiles_png(tiles, self.breaks, self.palette)
+        for r in rendered.select("tile_col", "tile_row", "png").collect():
+            self._cache[(zoom, r["tile_col"], r["tile_row"])] = bytes(
+                r["png"]
+            )
+        self._zooms_loaded.add(zoom)
+
+    def lookup(self, zoom: int, x: int, y: int) -> bytes | None:
+        self._ensure_zoom(zoom)
+        return self._cache.get((zoom, x, y))
+
+    def start(self, port: int = 0) -> int:
+        """Start serving on ``port`` (0 → ephemeral); returns the
+        bound port. Route: ``GET /{zoom}/{x}/{y}`` → image/png."""
+        import http.server
+        import re
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet test runs
+                pass
+
+            def do_GET(self):
+                m = re.fullmatch(r"/(\d+)/(\d+)/(\d+)", self.path)
+                if not m:
+                    self.send_error(400, "expected /{zoom}/{x}/{y}")
+                    return
+                try:
+                    png = server.lookup(*(int(g) for g in m.groups()))
+                except Exception as exc:  # noqa: BLE001 — surface as 500
+                    self.send_error(500, str(exc)[:100])
+                    return
+                if png is None:
+                    self.send_error(404, "no tile")
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "image/png")
+                self.send_header("Content-Length", str(len(png)))
+                self.end_headers()
+                self.wfile.write(png)
+
+        self._httpd = http.server.ThreadingHTTPServer(
+            ("127.0.0.1", port), Handler
+        )
+        threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        ).start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None

@@ -134,6 +134,23 @@ def test_stratified_sample_filter_in_scan_stage(plan_of):
     assert plan.index("Filter") > plan.index("Exchange")
 
 
+def test_star_join_fact_never_shuffles_for_joins(plan_of):
+    # Q5 shape: all five dims broadcast; the only Exchange is the
+    # final per-nation aggregate — the fact side joins map-side
+    plan = plan_of("local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_topk_is_take_ordered_not_full_sort(plan_of):
+    # Q3 shape: ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    # (per-partition top-k then driver merge), never a global Sort
+    plan = plan_of("shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [revenue" not in plan
+
+
 def test_lsh_candidate_join_is_equi_join(plan_of):
     # near-dup candidates must come from a bucket equi-join, never the
     # all-pairs product

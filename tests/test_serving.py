@@ -6,6 +6,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from biggis_landuse_spark import serving as SV
@@ -84,3 +86,52 @@ def test_lookup_tile_pruned(spark, tmp_path):
     # partition pruning: the scan must read only the zoom=0 partition
     plan = hit._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan
+
+
+def test_http_tile_server_end_to_end(spark, tmp_path):
+    """S18 parity: GET /{zoom}/{x}/{y} returns the same PNG bytes the
+    bulk render produces; missing tiles 404; bad routes 400."""
+    import urllib.error
+    import urllib.request
+
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.fixtures import fixture_layer
+    from biggis_landuse_spark.serving import TileServer, render_tiles_png
+
+    catalog = LayerCatalog(spark, str(tmp_path / "serve_cat"))
+    catalog.write_layer(fixture_layer(spark, "b4_red"), "srv", 2)
+    breaks = [float(b) for b in range(500, 5000, 500)]  # 9 → 10 classes
+
+    server = TileServer(catalog, "srv", breaks)
+    port = server.start()
+    try:
+        url = f"http://127.0.0.1:{port}/2/1/1"
+        body = urllib.request.urlopen(url).read()
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        expected = {
+            (r["tile_col"], r["tile_row"]): bytes(r["png"])
+            for r in render_tiles_png(
+                catalog.read_layer("srv", 2), breaks
+            ).collect()
+        }
+        assert body == expected[(1, 1)]
+        with pytest.raises(urllib.error.HTTPError) as e404:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/2/9/9")
+        assert e404.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e400:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+        assert e400.value.code == 400
+    finally:
+        server.stop()
+
+
+def test_tile_server_cache_bound_guard(spark, tmp_path):
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.fixtures import fixture_layer
+    from biggis_landuse_spark.serving import TileServer
+
+    catalog = LayerCatalog(spark, str(tmp_path / "serve_cat2"))
+    catalog.write_layer(fixture_layer(spark, "b4_red"), "srv2", 1)
+    server = TileServer(catalog, "srv2", [1.0], max_cached_tiles=2)
+    with pytest.raises(MemoryError):
+        server.lookup(1, 0, 0)
