@@ -64,6 +64,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     # defaults. Without it TIMESTAMP(NANOS) parquet fails with
     # PARQUET_TYPE_ILLEGAL.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_trunc / date-literal comparisons resolve in the SESSION
+    # timezone; DuckDB oracles are tz-naive. Pin UTC so results don't
+    # depend on the caller's system zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
     out = []
     for n in names:

@@ -382,3 +382,38 @@ def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(sum(last_value), 2) AS sum_last_value
+    FROM (
+      SELECT user_id,
+             arg_max(event_type, epoch_us(ts)) AS event_type,
+             arg_max(value, epoch_us(ts))      AS last_value
+      FROM events
+      GROUP BY user_id
+    )
+    GROUP BY event_type
+    """,
+    doc="""Argmax aggregation (max_by): each user's LATEST event,
+    summarized by its type — the "current state per key" pattern of a
+    CDC/state snapshot. One partial-aggregated shuffle (max_by
+    combines map-side); no ranking window, no self-join. (user_id, ts)
+    is unique in the data, so the epoch ordering is deterministic.""",
+    tags=("A", "W"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    order = F.unix_micros("ts")
+    latest = events.groupBy("user_id").agg(
+        F.max_by("event_type", order).alias("event_type"),
+        F.max_by("value", order).alias("last_value"),
+    )
+    return latest.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.sum("last_value"), 2).alias("sum_last_value"),
+    )

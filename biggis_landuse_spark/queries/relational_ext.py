@@ -479,6 +479,7 @@ def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders sides broadcast; the LIMIT is a TakeOrderedAndProject, not
     a full sort.""",
     tags=("J2", "O1"),
+    bench=True,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem = load_tables(
@@ -533,6 +534,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem fact never shuffles for any of the five joins; the only
     exchange is the final tiny per-nation aggregate.""",
     tags=("J2", "J3"),
+    bench=True,
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer, orders, lineitem, supplier, nation, region = load_tables(
