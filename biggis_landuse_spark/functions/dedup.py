@@ -128,6 +128,21 @@ def pairs_within_groups(keyed: DataFrame, id_col: str) -> DataFrame:
     ).select("p.doc_a", "p.doc_b")
 
 
+def banded_signatures(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(band_id, sig, id) rows: each doc's K min-hashes folded into
+    N_BANDS band signatures — the LSH bucketing relation."""
+    per_band = N_MINHASH // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        sig = F.concat(
+            *[F.col(f"h{b * per_band + j}") for j in range(per_band)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), sig.alias("sig")))
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select("band.band_id", "band.sig", id_col)
+
+
 def lsh_band_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     """Candidate near-dup pairs sharing ≥1 LSH band signature.
 
@@ -136,21 +151,34 @@ def lsh_band_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
     (see pairs_within_groups) — equivalent to the band equi-join but
     the signature pipeline runs once instead of once per join side.
     """
-    per_band = N_MINHASH // N_BANDS
-    band_cols = []
-    for b in range(N_BANDS):
-        sig = F.concat(
-            *[F.col(f"h{b * per_band + j}") for j in range(per_band)]
-        )
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), sig.alias("sig")))
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select("band.band_id", "band.sig", id_col)
+    banded = banded_signatures(signatures, id_col)
     return (
         pairs_within_groups(banded, id_col)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
     )
+
+
+def lsh_dropped_ids(signatures: DataFrame, id_col: str) -> DataFrame:
+    """Ids dropped by lowest-id-representative dedup resolution: every
+    id that shares an LSH band with a LOWER id.
+
+    Within a band group that is exactly "all ids except the group
+    minimum", so the fan-out is LINEAR in group size — for resolution
+    (unlike similarity scoring) the quadratic n(n-1)/2 pair explosion
+    of lsh_band_pairs is never needed, which is what keeps hot buckets
+    (boilerplate-heavy corpora) tractable at 100 TB. One shuffle on
+    the band signature, one distinct on the dropped set.
+    """
+    banded = banded_signatures(signatures, id_col)
+    grouped = (
+        banded.groupBy("band_id", "sig")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return grouped.select(
+        F.explode(F.expr("slice(ids, 2, size(ids) - 1)")).alias(id_col)
+    ).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -441,11 +441,7 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     docs = spread(documents)
     sig = D.minhash_signatures_from_text(docs, "doc_id", "text")
-    dropped = (
-        D.lsh_band_pairs(sig, "doc_id")
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    dropped = D.lsh_dropped_ids(sig, "doc_id")
     kept_flag = documents.join(dropped, "doc_id", "left_anti").select(
         "source", "n_chars"
     )
