@@ -602,6 +602,7 @@ def getis_ord_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     NODATA handling computes per cell, pixels exploded back. The
     oracle replays the arithmetic relationally.""",
     tags=("P1", "P2", "J2"),
+    bench=True,
 )
 def ndvi_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggis_landuse_spark.operators.local import mask_bits, ndvi

@@ -569,3 +569,44 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(net), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "trailing_7d_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+             sum(o_totalprice) AS rev
+      FROM orders
+      GROUP BY 1
+    )
+    SELECT day,
+           round(rev, 2) AS day_revenue,
+           round(sum(rev) OVER (
+             ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_7d
+    FROM daily
+    """,
+    doc="""RANGE-frame window: per-day revenue plus its trailing
+    7-day sum. The frame is a RANGE over the integer day key, so gaps
+    in the calendar are handled by value, not by row offset. Daily
+    pre-aggregation happens FIRST (one partial-agged shuffle shrinks
+    the fact table to |days| rows) — the window then sorts only the
+    tiny daily relation. An unpartitioned ORDER BY window is a
+    single-task sort: safe at |days| cardinality, and the pattern to
+    avoid over raw fact rows at 100 TB.""",
+    tags=("W", "A"),
+)
+def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        (F.unix_timestamp("o_orderdate") / F.lit(86400))
+        .cast("bigint")
+        .alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = W.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        F.round("rev", 2).alias("day_revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("trailing_7d"),
+    )

@@ -151,6 +151,22 @@ def test_topk_is_take_ordered_not_full_sort(plan_of):
     assert "Sort [revenue" not in plan
 
 
+def test_windowed_agg_is_single_shuffle(plan_of):
+    # tumbling window × type: window() is a row-local projection, so
+    # the whole aggregate is one partial+final pair around one shuffle
+    plan = plan_of("tumbling_window")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_argmax_snapshot_uses_partial_agg_not_window(plan_of):
+    # latest-event-per-key must be max_by aggregation (map-side
+    # combinable), never a ranking window (full per-key sort)
+    plan = plan_of("latest_event_per_user")
+    assert "Window" not in plan
+    assert "max_by" in plan
+
+
 def test_lsh_candidate_join_is_equi_join(plan_of):
     # near-dup candidates must come from a bucket equi-join, never the
     # all-pairs product
