@@ -167,6 +167,25 @@ def test_argmax_snapshot_uses_partial_agg_not_window(plan_of):
     assert "max_by" in plan
 
 
+def test_tile_operator_queries_never_go_cartesian(plan_of):
+    # the raster pipelines compose joins, explodes, and pandas UDFs;
+    # none may degenerate into a cartesian product, and key joins stay
+    # hash joins (the only nested-loop allowed is a 1-row global-stats
+    # broadcast, as in Getis-Ord standardization / P5 normalization)
+    for q in (
+        "focal_tile",
+        "pyramid_tile",
+        "zoom_resample_tile",
+        "getis_ord_tile",
+        "ndvi_tile",
+        "stack_normalize_tile",
+        "rasterize_grid",
+    ):
+        plan = plan_of(q)
+        assert "CartesianProduct" not in plan, q
+        assert "SortMergeJoin" not in plan, q  # all keyed joins broadcast
+
+
 def test_lsh_candidate_join_is_equi_join(plan_of):
     # near-dup candidates must come from a bucket equi-join, never the
     # all-pairs product
