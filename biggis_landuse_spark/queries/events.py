@@ -59,7 +59,7 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sliding_window",
     oracle="""
-    SELECT window_start, CAST(count(*) AS BIGINT) AS n, round(avg(value), 6) AS avg_value
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
     FROM (
       SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT)
                AS window_start, value FROM events
@@ -80,12 +80,12 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "n",
-            "avg_value",
+            "sum_value",
         )
     )
 
@@ -248,7 +248,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            CAST(count(*) AS BIGINT)   AS n_purchases,
            CAST(count(cts) AS BIGINT) AS n_matched,
-           round(avg((epoch_us(pts) - epoch_us(cts)) / 1e6), 6) AS avg_gap_s
+           CAST(sum(epoch_us(pts) - epoch_us(cts)) AS BIGINT) AS sum_gap_us
     FROM j
     GROUP BY user_id
     """,
@@ -273,9 +273,9 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("asof_ts_us").alias("n_matched"),
-        F.round(
-            F.avg((F.unix_micros("ts") - F.col("asof_ts_us")) / 1e6), 6
-        ).alias("avg_gap_s"),
+        F.sum(F.unix_micros("ts") - F.col("asof_ts_us"))
+        .cast("long")
+        .alias("sum_gap_us"),
     )
 
 

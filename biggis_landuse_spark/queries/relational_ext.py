@@ -66,7 +66,7 @@ def semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            CAST(count(*) AS BIGINT)      AS n_parts,
-           round(avg(p_retailprice), 2)  AS avg_price
+           round(sum(p_retailprice), 2)  AS sum_price
     FROM part p
     WHERE NOT EXISTS (
       SELECT 1 FROM lineitem l
@@ -87,7 +87,7 @@ def anti_join_never_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
         )
     )
 
