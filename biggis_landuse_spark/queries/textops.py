@@ -455,3 +455,85 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_source.join(kept, "source").select(
         "source", "n_docs", "n_kept", "kept_chars"
     )
+
+
+@register(
+    "dedup_cc_resolve",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    ),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(r) AS component
+      FROM reach GROUP BY node
+    ),
+    dropped AS (SELECT doc_id FROM comp WHERE doc_id <> component)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE dropped.doc_id IS NULL) AS BIGINT)
+                                    AS n_kept,
+           CAST(count(DISTINCT comp.component) AS BIGINT) AS n_clusters
+    FROM documents
+    LEFT JOIN dropped USING (doc_id)
+    LEFT JOIN comp USING (doc_id)
+    GROUP BY source
+    """,
+    doc="""TRANSITIVE dedup resolution: LSH candidate pairs form a
+    graph; connected components (functions/graph.py, iterative
+    min-label propagation with per-round localCheckpoint) give the
+    true near-dup clusters, and only each cluster's minimum id
+    survives. Band-level resolution (dedup_resolve) is not transitive
+    — a doc chained to a cluster through an intermediate survives it;
+    this query is the full-closure form a training pipeline runs.
+    Oracle: DuckDB recursive CTE reachability.""",
+    tags=("DEDUP", "ITER"),
+)
+def dedup_cc_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.functions.graph import connected_components
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = spread(documents)
+    sig = D.minhash_signatures_from_text(docs, "doc_id", "text")
+    edges = D.lsh_band_pairs(sig, "doc_id").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    labeled = documents.join(comp, "doc_id", "left")
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("component").isNull()
+                | (F.col("component") == F.col("doc_id")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_kept"),
+        F.count_distinct("component").alias("n_clusters"),
+    )
