@@ -41,7 +41,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector has no direction — similarity is NULL
+    # (NODATA), not a DIVIDE_BY_ZERO crash under default ANSI mode
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def hyperplane(plane: int, dim: int) -> list[float]:
@@ -96,7 +98,11 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")),
+                    F.col("nq") * F.col("nc"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -142,7 +148,11 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")),
+                    F.col("nq") * F.col("nc"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )
@@ -184,7 +194,11 @@ def ivf_assign(
         id_col,
         cid_col,
         F.round(
-            dot(F.col("_v"), F.col("_c")) / (F.col("_nv") * F.col("_ncv")), 6
+            F.try_divide(
+                dot(F.col("_v"), F.col("_c")),
+                F.col("_nv") * F.col("_ncv"),
+            ),
+            6,
         ).alias("_a"),
     )
     if n_probe == 1:
@@ -259,7 +273,11 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc")), 6
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")),
+                    F.col("nq") * F.col("nc"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
     )

@@ -224,12 +224,17 @@ def getis_ord_gstar(tiles: DataFrame, radius: int = 1) -> DataFrame:
     z = F.zip_with(
         t["bands"][0],
         t["bands"][1],
-        lambda s, w: (s - F.col("g_mean") * w)
-        / (
+        # try_divide: a constant layer (g_std = 0) or single-cell
+        # layer (g_n = 1) has no defined z-score — NULL, not an ANSI
+        # DIVIDE_BY_ZERO crash
+        lambda s, w: F.try_divide(
+            s - F.col("g_mean") * w,
             F.col("g_std")
             * F.sqrt(
-                (F.col("g_n") * w - w * w) / (F.col("g_n") - F.lit(1.0))
-            )
+                F.try_divide(
+                    F.col("g_n") * w - w * w, F.col("g_n") - F.lit(1.0)
+                )
+            ),
         ),
     )
     return fs.crossJoin(F.broadcast(stats)).select(
