@@ -130,6 +130,7 @@ def _ensure_loaded() -> None:
     from biggis_landuse_spark.queries import (  # noqa: F401
         events,
         media,
+        pipeline,
         raster_shapes,
         relational,
         relational_ext,

@@ -1,0 +1,291 @@
+"""Training-data-pipeline queries beyond the dedup/text basics:
+TF-IDF term weighting, eval-set decontamination, repetition-based
+quality filtering, and sequence packing.
+
+These are the corpus-preparation operators a pretraining pipeline runs
+after cleaning/dedup (driver brief: "the operations a large-scale
+training-data pipeline would need"). All Catalyst built-ins — the only
+shuffles are the aggregations stated per query — and every one has an
+exact DuckDB oracle (integer counts where possible; transcendental
+weights rounded at 6dp on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.functions import dedup as D
+from biggis_landuse_spark.functions.text import tokens
+from biggis_landuse_spark.queries import load_tables, register, spread
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE doc_id < 10 GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, df, round(w, 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY doc_id ORDER BY w DESC, term
+             ) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="""TF-IDF term weighting: tf(doc, term) x ln(N / df(term)), top-3
+    terms per doc for a bounded query set of docs. Scale shape: df is
+    ONE shuffle on term over the corpus (partial-agg combines
+    map-side; vocabulary is sublinear in corpus size), the bounded
+    query-side tf relation broadcasts into the df join (the corpus
+    never re-shuffles for it), and the ranking window runs on the
+    tiny joined result. Ties broken by term so the top-3 cut is
+    deterministic on both engines.""",
+    tags=("TEXT", "ML"),
+    bench=True,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = spread(documents).select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = (
+        toks.where(F.col("doc_id") < 10)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        df.join(F.broadcast(tf), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("term"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("w", 6).alias("tfidf"),
+            "rnk",
+        )
+    )
+
+
+# Overlap n-gram size. Real pipelines use 8-13-word windows; the
+# synthetic corpus's tiny vocabulary makes 4 the size that actually
+# exercises the probe (longer shingles almost never collide here).
+_DECON_K = 4
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i + 1 : i + {_DECON_K}], ' ') AS shingle
+      FROM (
+        SELECT doc_id, t, unnest(range(len(t) - {_DECON_K - 1})) AS i
+        FROM toks WHERE len(t) >= {_DECON_K}
+      )
+    ),
+    eval_sh AS (
+      SELECT doc_id AS eval_id, shingle FROM grams WHERE doc_id % 50 = 0
+    ),
+    corpus_sh AS (
+      SELECT doc_id, shingle FROM grams WHERE doc_id % 50 <> 0
+    )
+    SELECT doc_id,
+           CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_matched,
+           CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared
+    FROM corpus_sh JOIN eval_sh USING (shingle)
+    GROUP BY doc_id
+    """,
+    doc="""Train/eval decontamination: corpus docs sharing any n-gram
+    with a held-out eval set (doc_id % 50 = 0 stands in for the eval
+    split). Scale shape: the eval side is bounded and BROADCASTS into
+    the shingle equi-join, so the corpus-side shingle relation never
+    shuffles for the probe — one grouped count on the (small) hit set
+    afterwards. The n-gram inverted-index probe is how Gopher/Llama
+    style pipelines scrub benchmark contamination at corpus scale.""",
+    tags=("TEXT", "DEDUP"),
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tokd = spread(documents).select(
+        "doc_id", tokens("text").alias("_toks")
+    )
+    grams = tokd.select(
+        "doc_id",
+        F.explode(
+            D.shingles_from_tokens(F.col("_toks"), k=_DECON_K)
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+    eval_sh = grams.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    corpus_sh = grams.where(F.col("doc_id") % 50 != 0)
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("eval_id").alias("n_eval_matched"),
+            F.count_distinct("shingle").alias("n_shared"),
+        )
+    )
+
+
+@register(
+    "repetition_ratio",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             greatest(len(t) - 1, 0)           AS n2,
+             len(list_distinct(
+               list_transform(range(greatest(len(t) - 1, 0)),
+                              i -> t[i + 1] || ' ' || t[i + 2])
+             ))                                AS d2
+      FROM (SELECT source, {_TOKS} AS t FROM documents)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n2) AS BIGINT)   AS total_bigrams,
+           CAST(sum(d2) AS BIGINT)   AS distinct_bigrams,
+           round(1.0 - sum(d2) / CAST(sum(n2) AS DOUBLE), 6)
+                                     AS dup_fraction
+    FROM per_doc GROUP BY source
+    """,
+    doc="""Repetition-based quality scoring (the Gopher-style
+    duplicate-n-gram filter): per-document duplicate-bigram mass,
+    aggregated per source. All per-doc work is array expressions
+    inside the scan projection (no shuffle but the final tiny groupBy);
+    the counts are exact integers, the single ratio is one division of
+    exact sums rounded at 6dp on both engines.""",
+    tags=("TEXT",),
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tokd = spread(documents).select(
+        "source", tokens("text").alias("_toks")
+    )
+    grams = D.shingles_from_tokens(F.col("_toks"), k=2)
+    per_doc = tokd.select(
+        "source",
+        F.size(grams).alias("n2"),
+        F.size(F.array_distinct(grams)).alias("d2"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n2").cast("long").alias("total_bigrams"),
+        F.sum("d2").cast("long").alias("distinct_bigrams"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(F.sum("d2"), F.sum("n2").cast("double")),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+_PACK_SHARDS = 4  # parallel packing shards per language
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT lang,
+             doc_id % {_PACK_SHARDS} AS shard,
+             doc_id,
+             len({_TOKS}) AS ntok
+      FROM documents
+    ),
+    placed AS (
+      SELECT lang, shard, ntok,
+             coalesce(sum(ntok) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) // {_PACK_BUDGET} AS bin_id
+      FROM sized
+    )
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST(bin_id AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS bin_tokens
+    FROM placed GROUP BY lang, shard, bin_id
+    """,
+    doc="""Sequence packing: assign documents to fixed token-budget
+    bins (512 tokens) by exclusive running token count, in
+    deterministic doc_id order. Packing is inherently sequential per
+    stream, so the scale lever is SHARDING: each (lang, shard) packs
+    independently — shards = parallelism, and the window sort runs
+    within hash-partitioned shards, never as a global sort. The
+    bin id is integer division of an exact integer prefix sum, so
+    results are engine-exact (no float anywhere).""",
+    tags=("TEXT", "ML", "W"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    sized = documents.select(
+        "lang",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        "doc_id",
+        F.size(tokens("text")).alias("ntok"),
+    )
+    prefix = F.coalesce(
+        F.sum("ntok").over(
+            Window.partitionBy("lang", "shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    placed = sized.select(
+        "lang",
+        "shard",
+        "ntok",
+        F.floor(prefix / _PACK_BUDGET).alias("bin_id"),
+    )
+    return placed.groupBy("lang", "shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("bin_tokens"),
+    )
