@@ -728,3 +728,64 @@ def stack_normalize_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("1", 6).alias("v1"),
         )
     )
+
+
+@register(
+    "spatial_join_points_zones",
+    oracle="""
+    WITH points AS (
+      SELECT c_custkey, (c_custkey * 7) % 320 AS x,
+             (c_custkey * 13) % 160 AS y
+      FROM customer
+    ),
+    zones AS (
+      SELECT n_nationkey AS zone_id,
+             (n_nationkey * 29) % 280 AS xmin,
+             (n_nationkey * 17) % 130 AS ymin,
+             (n_nationkey * 29) % 280 + 40 AS xmax,
+             (n_nationkey * 17) % 130 + 30 AS ymax
+      FROM nation
+    )
+    SELECT zone_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(sum(x) AS BIGINT)   AS sum_x,
+           CAST(sum(y) AS BIGINT)   AS sum_y
+    FROM points JOIN zones
+      ON x >= xmin AND x < xmax AND y >= ymin AND y < ymax
+    GROUP BY zone_id
+    """,
+    doc="""Grid-bucketed spatial join (operators/spatial_join.py):
+    points snap to ONE grid cell, zone boxes explode to their covering
+    cells (bounded fan-out of the SMALL side), containment becomes a
+    hash equi-join on the cell key with an exact refine — never the
+    inequality nested-loop the oracle is allowed to run. The vector
+    companion of the tile grid: how events/samples get assigned to
+    polygon zones at 100 TB.""",
+    tags=("SPATIAL", "J"),
+    bench=True,
+)
+def spatial_join_points_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.spatial_join import points_in_zones
+
+    customer, nation = load_tables(spark, sf_dir, "customer", "nation")
+    points = customer.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 320).alias("x"),
+        ((F.col("c_custkey") * 13) % 160).alias("y"),
+    )
+    zones = nation.select(
+        F.col("n_nationkey").alias("zone_id"),
+        ((F.col("n_nationkey") * 29) % 280).alias("xmin"),
+        ((F.col("n_nationkey") * 17) % 130).alias("ymin"),
+        ((F.col("n_nationkey") * 29) % 280 + 40).alias("xmax"),
+        ((F.col("n_nationkey") * 17) % 130 + 30).alias("ymax"),
+    )
+    return (
+        points_in_zones(points, zones)
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("x").cast("long").alias("sum_x"),
+            F.sum("y").cast("long").alias("sum_y"),
+        )
+    )

@@ -158,3 +158,52 @@ def test_rasterize_with_hole(spark):
     assert band[1 * 8 + 1] == 5.0  # shell
     assert band[3 * 8 + 3] is None  # inside the hole
     assert band[6 * 8 + 6] == 5.0  # shell again
+
+
+def test_points_in_zones_matches_brute_force(spark):
+    from biggis_landuse_spark.operators.spatial_join import points_in_zones
+
+    # coordinates straddling cell boundaries and negative space
+    pts = [(i, (i * 37) % 97 - 20, (i * 53) % 71 - 10) for i in range(300)]
+    zones = [
+        (z, (z * 13) % 60 - 25, (z * 7) % 40 - 15, (z * 13) % 60 - 25 + 33, (z * 7) % 40 - 15 + 17)
+        for z in range(12)
+    ]
+    points = spark.createDataFrame(pts, "pid long, x long, y long")
+    zdf = spark.createDataFrame(zones, "zone_id long, xmin long, ymin long, xmax long, ymax long")
+    got = {
+        (r["pid"], r["zone_id"])
+        for r in points_in_zones(points, zdf, cell_size=16).collect()
+    }
+    want = {
+        (pid, z)
+        for pid, x, y in pts
+        for z, xmin, ymin, xmax, ymax in zones
+        if xmin <= x < xmax and ymin <= y < ymax
+    }
+    assert got == want and want  # non-trivial and exact
+
+
+def test_points_in_zones_pairs_are_unique(spark):
+    from biggis_landuse_spark.operators.spatial_join import points_in_zones
+
+    # one zone spanning many cells: each (point, zone) must appear once
+    points = spark.createDataFrame(
+        [(i, i, i) for i in range(100)], "pid long, x long, y long"
+    )
+    zones = spark.createDataFrame(
+        [(0, 0, 0, 100, 100)], "zone_id long, xmin long, ymin long, xmax long, ymax long"
+    )
+    rows = points_in_zones(points, zones, cell_size=8).collect()
+    assert len(rows) == 100 == len({(r["pid"], r["zone_id"]) for r in rows})
+
+
+def test_spatial_join_is_hash_equi_join(spark):
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["spatial_join_points_zones"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
