@@ -138,10 +138,14 @@ def focal_stats(
 ) -> DataFrame:
     """Run a circular-kernel focal pass; each requested stat becomes one
     band of the output tile (order = ``stats``): 'mean', 'sum',
-    'count' (count of data cells under the kernel).
+    'count' (count of data cells under the kernel), 'min', 'max',
+    'range' (max − min), 'median'.
 
     Reference: focalMean / focalSum over buffered tiles
-    (ConvolveLayerExample.scala:62-73, SpatialGetisOrd.scala:31-39).
+    (ConvolveLayerExample.scala:62-73, SpatialGetisOrd.scala:31-39);
+    min/max/median extend the same margin-exchange to GeoTrellis's
+    wider focal family (focalMin/focalMax/focalMedian) without new
+    shuffle structure — every stat shares the one neighborhood join.
     """
     from biggis_landuse_spark.shipping import ensure_package_shipped
 
@@ -156,6 +160,9 @@ def focal_stats(
                 big = _padded(r.neighbors, cols, rows_)
                 acc = np.zeros((rows_, cols))
                 cnt = np.zeros((rows_, cols))
+                vmin = np.full((rows_, cols), np.nan)
+                vmax = np.full((rows_, cols), np.nan)
+                wins = [] if "median" in stats else None
                 for dx, dy in offsets:
                     win = big[
                         rows_ + dy : 2 * rows_ + dy, cols + dx : 2 * cols + dx
@@ -163,11 +170,27 @@ def focal_stats(
                     valid = ~np.isnan(win)
                     acc += np.where(valid, win, 0.0)
                     cnt += valid
+                    vmin = np.fmin(vmin, win)  # fmin/fmax ignore NaN
+                    vmax = np.fmax(vmax, win)
+                    if wins is not None:
+                        wins.append(win)
                 results = {}
                 with np.errstate(invalid="ignore", divide="ignore"):
                     results["sum"] = np.where(cnt > 0, acc, np.nan)
                     results["mean"] = np.where(cnt > 0, acc / cnt, np.nan)
                     results["count"] = cnt.astype(np.float64)
+                    results["min"] = vmin
+                    results["max"] = vmax
+                    results["range"] = vmax - vmin
+                    if wins is not None:
+                        import warnings
+
+                        with warnings.catch_warnings():
+                            # all-NaN window → NaN median, silently
+                            warnings.simplefilter("ignore", RuntimeWarning)
+                            results["median"] = np.nanmedian(
+                                np.stack(wins), axis=0
+                            )
                 bands = [_to_nullable_list(results[s]) for s in stats]
                 rows_out.append(
                     {

@@ -789,3 +789,79 @@ def spatial_join_points_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("long").alias("sum_y"),
         )
     )
+
+
+@register(
+    "focal_extrema_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    child AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 101 AS DOUBLE) END AS v
+      FROM k
+    ),
+    gxs AS (SELECT unnest(range(16)) AS gx),
+    gys AS (SELECT unnest(range(16)) AS gy),
+    grid AS (SELECT gx, gy FROM gxs, gys),
+    hood AS (
+      SELECT grid.gx, grid.gy, b.v
+      FROM grid JOIN child b
+        ON abs(grid.gx - b.gx) + abs(grid.gy - b.gy) <= 1
+      WHERE b.v IS NOT NULL
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           CAST(min(v) AS BIGINT)          AS fmin,
+           CAST(max(v) AS BIGINT)          AS fmax,
+           CAST(max(v) - min(v) AS BIGINT) AS frange,
+           round(median(v), 6)             AS fmedian
+    FROM hood
+    GROUP BY 1, 2
+    """,
+    doc="""Focal min / max / range / median through the REAL operator —
+    the wider GeoTrellis focal family (focalMin/focalMax/focalMedian)
+    on the SAME single margin-exchange shuffle as focal_tile: all four
+    stats are bands of one focal_stats pass, so widening the stat
+    family costs zero extra exchanges. Integer cell values make
+    min/max/range engine-exact; the median of <=5 ints is a value or a
+    .5 midpoint, exact at 6dp on both engines.""",
+    tags=("W1", "J5"),
+)
+def focal_extrema_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.focal import focal_stats
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("fx").alias("layer"),
+        F.lit(0).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 101)
+        .cast("double")
+        .alias("value"),
+    )
+    tiles = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    stat = focal_stats(tiles, radius=1, stats=("min", "max", "range", "median"))
+    px = tiles_to_pixels(stat)
+    wide = (
+        px.groupBy("tile_col", "tile_row", "px", "py")
+        .pivot("band", [0, 1, 2, 3])
+        .agg(F.first("value"))
+    )
+    return wide.where(F.col("0").isNotNull()).select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        F.col("0").cast("long").alias("fmin"),
+        F.col("1").cast("long").alias("fmax"),
+        F.col("2").cast("long").alias("frange"),
+        F.round("3", 6).alias("fmedian"),
+    )

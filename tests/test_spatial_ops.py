@@ -207,3 +207,29 @@ def test_spatial_join_is_hash_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_focal_extrema_golden(spark):
+    from biggis_landuse_spark.operators.focal import focal_stats
+
+    red = FX.fixture_layer(spark, "b4_red")
+    out = focal_stats(red, radius=1, stats=("min", "max", "range", "median"))
+    world = world_grid()
+    px = tiles_to_pixels(out).collect()
+    by_cell: dict[tuple, dict[int, float]] = {}
+    for r in px:
+        gx = r["tile_col"] * FX.TS + r["px"]
+        gy = r["tile_row"] * FX.TS + r["py"]
+        by_cell.setdefault((gx, gy), {})[r["band"]] = r["value"]
+    for (gx, gy), bands in list(by_cell.items())[::11]:
+        vals = []
+        for dx, dy in [(0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)]:
+            x, y = gx + dx, gy + dy
+            if 0 <= x < world.shape[1] and 0 <= y < world.shape[0]:
+                v = world[y, x]
+                if not np.isnan(v):
+                    vals.append(v)
+        assert bands[0] == pytest.approx(min(vals)), (gx, gy)
+        assert bands[1] == pytest.approx(max(vals)), (gx, gy)
+        assert bands[2] == pytest.approx(max(vals) - min(vals)), (gx, gy)
+        assert bands[3] == pytest.approx(float(np.median(vals))), (gx, gy)
