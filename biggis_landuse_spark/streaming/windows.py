@@ -112,3 +112,40 @@ def enrich_with_dim(
     from pyspark.sql import functions as F
 
     return events.join(F.broadcast(dim), on, how)
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    within: str = "60 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    rows pair when they share ``key`` and ``right_ts`` lies within
+    [left_ts - within, left_ts + within].
+
+    Both sides carry watermarks, and the interval condition is what
+    lets the engine EXPIRE state: a buffered left row can only ever
+    match right rows inside its interval, so once the right watermark
+    passes ``left_ts + within`` the row is dropped from the state
+    store. Without the time bound the join would buffer both streams
+    forever — the unbounded-state trap the reference's sketched
+    Kafka pipeline never addressed (SURVEY.md §2.9). State size is
+    O(rate × (watermark + within)), independent of stream length.
+
+    The same call on two batch DataFrames gives the parity oracle
+    (an ordinary range join — operators/temporal.py territory).
+    """
+    lw = _with_watermark(left, left_ts, watermark)
+    rw = _with_watermark(right, right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
+        & (rw[right_ts] <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).select(
+        lw[key].alias(key), F.col(left_ts), F.col(right_ts)
+    )

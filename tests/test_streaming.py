@@ -368,3 +368,46 @@ def test_stream_static_enrich_parity(spark, sf_dir, events_dir):
     # stream for the join itself
     plan = pipeline(batch)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_stream_interval_join_parity(spark, events_dir, tmp_path):
+    from biggis_landuse_spark.streaming.windows import join_streams_within
+
+    batch = spark.read.schema(EVENTS_DDL).parquet(events_dir)
+    lb = batch.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    rb = batch.where("event_type = 'purchase'").select(
+        F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    ).withColumnRenamed("r_user", "user_id")
+
+    # stream twin: two file sources over the same rows
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    lb.coalesce(1).write.mode("overwrite").parquet(lp)
+    rb.coalesce(1).write.mode("overwrite").parquet(rp)
+    ls = spark.readStream.schema("user_id long, l_ts timestamp").parquet(lp)
+    rs = spark.readStream.schema("user_id long, r_ts timestamp").parquet(rp)
+
+    joined = join_streams_within(ls, rs, within="120 seconds")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["l_ts"], r["r_ts"])
+            for r in spark.sql("SELECT * FROM ssjoin_out").collect()
+        }
+        want = {
+            (r["user_id"], r["l_ts"], r["r_ts"])
+            for r in join_streams_within(lb, rb, within="120 seconds").collect()
+        }
+        # append-mode emits only pairs closed by the final watermark;
+        # with a bounded file source processAllAvailable advances the
+        # watermark past max(ts), so all pairs must be out
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
