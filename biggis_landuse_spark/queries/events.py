@@ -417,3 +417,51 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.round(F.sum("last_value"), 2).alias("sum_last_value"),
     )
+
+
+@register(
+    "scd2_state_history",
+    oracle="""
+    WITH hist AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS vf,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS vt
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE vt IS NOT NULL) AS BIGINT)
+             AS n_closed,
+           CAST(count(*) FILTER (WHERE vt IS NULL) AS BIGINT)
+             AS n_open,
+           CAST(coalesce(sum(vt - vf), 0) AS BIGINT) AS total_us
+    FROM hist
+    GROUP BY event_type
+    """,
+    doc="""SCD2 / state-history build: each event opens a validity
+    interval [ts, next event's ts) for its user — the change-data-
+    capture "history table" derived from an append-only event log with
+    ONE lead() window per user partition (no self-join). Durations
+    summed in exact integer microseconds; the still-open current state
+    is counted separately (its NULL end is the SCD2 open row). The
+    ordering tie-breaks on event_id so the history is deterministic
+    under concurrent timestamps.""",
+    tags=("W", "STREAM"),
+)
+def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    vf = F.unix_micros("ts")
+    vt = F.lead(vf).over(
+        W.partitionBy("user_id").orderBy(vf, F.col("event_id"))
+    )
+    hist = events.select(
+        "event_type", vf.alias("vf"), vt.alias("vt")
+    )
+    return hist.groupBy("event_type").agg(
+        F.count(F.when(F.col("vt").isNotNull(), 1)).alias("n_closed"),
+        F.count(F.when(F.col("vt").isNull(), 1)).alias("n_open"),
+        F.coalesce(F.sum(F.col("vt") - F.col("vf")), F.lit(0))
+        .cast("long")
+        .alias("total_us"),
+    )

@@ -58,3 +58,54 @@ def test_brute_force_topk_tolerates_zero_vectors(spark):
     out = brute_force_topk(df.where("vec_id = 1"), df, k=2).collect()
     assert len(out) == 2  # runs; zero-vector corpus row just can't rank
     assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_text_ops_total_on_degenerate_docs(spark):
+    """Empty docs, one-token docs, punctuation-only docs must flow
+    through tokenize/shingle/quality expressions without ANSI errors."""
+    from biggis_landuse_spark.functions import dedup as D
+    from biggis_landuse_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "word"), (3, "!!! ..."), (4, "   "), (5, "a b")],
+        "doc_id long, text string",
+    )
+    toks = TX.tokens("text")
+    out = df.select(
+        "doc_id",
+        F.size(toks).alias("ntok"),
+        F.size(D.shingles_from_tokens(toks, k=3)).alias("nsh"),
+        TX.punct_ratio("text").alias("pr"),
+        TX.stopword_ratio("text").alias("sr"),
+        TX.mean_word_len("text").alias("mwl"),
+        TX.fingerprint("text").alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["ntok"] == 0 and by_id[1]["nsh"] == 0
+    assert by_id[2]["ntok"] == 1 and by_id[2]["nsh"] == 0
+    assert by_id[4]["ntok"] == 0
+    assert all(r["fp"] is not None for r in out)
+
+
+def test_sequence_packing_zero_token_docs(spark, tmp_path):
+    """Docs with zero tokens land in a bin (contributing 0 mass) and
+    never crash the integer bin arithmetic."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["", "x " * 600, "", "y"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 1200, 0, 1],
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["sequence_packing"].spark(spark, str(tmp_path)).collect()
+    assert sum(r["n_docs"] for r in rows) == 4
+    assert sum(r["bin_tokens"] for r in rows) == 601
