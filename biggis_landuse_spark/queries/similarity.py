@@ -361,3 +361,48 @@ def linear_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label,
+           CAST(i AS INT)            AS dim,
+           CAST(count(*) AS BIGINT)  AS n_vecs,
+           round(sum(v) / count(*), 6) AS centroid
+    FROM (
+      SELECT label, unnest(range(len(embedding))) AS i,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    GROUP BY label, i
+    """,
+    doc="""Per-class embedding centroids: elementwise vector mean per
+    label — the k-means E-step / class-prototype computation of every
+    embedding pipeline. Scale shape: posexplode to (label, dim, value)
+    and hash-aggregate — ONE shuffle carrying only |labels| × dim
+    partial sums (map-side combine), never collect-and-average;
+    centroids this shape feed ivf_assign as trained codebooks. Sums
+    accumulate in double on both engines, so the 6dp rounding is
+    stable.""",
+    tags=("ML", "ANN"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    exploded = embeddings.select(
+        "label",
+        F.posexplode(S.as_double("embedding")).alias("dim", "v"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("v").alias("_s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            F.round(F.col("_s") / F.col("n_vecs"), 6).alias("centroid"),
+        )
+    )
