@@ -465,3 +465,116 @@ def scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_us"),
     )
+
+
+@register(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view,
+           CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_click_after,
+           CAST((SELECT count(*) FROM s3) AS BIGINT) AS n_purchase_after
+    """,
+    doc="""Ordered funnel (view → later click → later purchase): each
+    stage is a per-user min-timestamp aggregate conditioned on the
+    previous stage's time. Scale shape: every aggregate AND every join
+    keys on user_id, so the whole funnel is ONE hash-partitioning by
+    user reused across stages (co-partitioned joins, no re-shuffle of
+    the event log per stage) — never a per-user sort of all events or
+    a sequential scan. The behavioral-analytics companion of
+    sessionize/scd2 on the streaming surface.""",
+    tags=("STREAM", "J", "A"),
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    s1 = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH days AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(d) // 7 AS cohort_week FROM days GROUP BY user_id
+    ),
+    weekly AS (
+      SELECT DISTINCT user_id, d // 7 AS wk FROM days
+    )
+    SELECT CAST(cohort_week AS BIGINT)      AS cohort_week,
+           CAST(wk - cohort_week AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT)         AS n_active
+    FROM weekly JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="""Weekly cohort retention: users bucketed by first-activity
+    week, counted in each later activity week. All keys are integer
+    epoch-day arithmetic (no timezone-dependent truncation), the
+    cohort assignment and the activity dedup both hash-partition on
+    user_id (one exchange family, co-partitioned join), and the final
+    matrix is |cohorts| × |offsets| — tiny. The standard
+    growth-analytics rollup over an append-only event log.""",
+    tags=("STREAM", "A"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.unix_date(F.to_date("ts")).alias("d")
+    )
+    firsts = days.groupBy("user_id").agg(
+        F.expr("min(d) div 7").alias("cohort_week")
+    )
+    weekly = days.select(
+        "user_id", F.expr("d div 7").alias("wk")
+    ).distinct()
+    return (
+        weekly.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("wk") - F.col("cohort_week")).cast("long").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
