@@ -193,3 +193,35 @@ def test_lsh_candidate_join_is_equi_join(plan_of):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_scd2_window_is_per_user_not_global(plan_of):
+    # the lead() window must run inside user_id hash partitions —
+    # a SinglePartition window would serialize the whole event log
+    plan = plan_of("scd2_state_history")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_funnel_joins_are_hash_joins(plan_of):
+    # stage joins key on user_id (hash/broadcast); the only
+    # nested-loop is the deliberate 1-row×1-row summary cross join
+    plan = plan_of("funnel_stages")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_retention_cohort_join_no_nlj(plan_of):
+    plan = plan_of("retention_cohorts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_centroids_partial_agg(plan_of):
+    # posexplode fan-out must partial-aggregate before the exchange:
+    # the shuffle carries |labels|×dim partial sums, not every element
+    plan = plan_of("embedding_centroids")
+    assert "partial_count" in plan or "partial_sum" in plan or (
+        plan.count("HashAggregate") >= 2
+    )
+    assert plan.index("Generate") > plan.index("Exchange")
