@@ -1,0 +1,76 @@
+"""Property tests for the text/dedup function families: the algebraic
+invariants (normalization idempotence, duplicate-equality, bounds,
+partitioning invariance) that must hold for ANY corpus, not just the
+driver testdata."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+WORDS = st.sampled_from(
+    ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "über", "日本"]
+)
+DOC = st.lists(WORDS, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(doc=DOC, pad=st.integers(1, 4))
+def test_fingerprint_whitespace_invariant(spark, doc, pad):
+    from biggis_landuse_spark.functions.text import fingerprint
+
+    noisy = doc.replace(" ", " " * pad)
+    df = spark.createDataFrame(
+        [(doc,), (noisy,)], "text string"
+    ).select(fingerprint("text").alias("fp"))
+    fps = [r["fp"] for r in df.collect()]
+    assert fps[0] == fps[1]
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(DOC, min_size=2, max_size=8))
+def test_minhash_duplicate_docs_get_equal_signatures(spark, docs):
+    from biggis_landuse_spark.functions.dedup import (
+        minhash_signatures_from_text,
+    )
+
+    # every doc twice, under different ids and partitionings
+    rows = [(i, d) for i, d in enumerate(docs)] + [
+        (i + 1000, d) for i, d in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    sig = minhash_signatures_from_text(df, "doc_id", "text").collect()
+    by_id = {r["doc_id"]: tuple(r[f"h{i}"] for i in range(8)) for r in sig}
+    for i, d in enumerate(docs):
+        if len(d.split()) >= 3:  # shingle-able docs appear in both
+            assert by_id[i] == by_id[i + 1000], d
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(DOC, min_size=2, max_size=6))
+def test_ngram_jaccard_bounds_and_orientation(spark, docs):
+    from biggis_landuse_spark.functions.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]  # canonical orientation
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+@settings(max_examples=5, deadline=None)
+@given(doc=DOC)
+def test_simhash_is_deterministic_and_32bit(spark, doc):
+    from biggis_landuse_spark.functions.dedup import simhash32
+
+    df = spark.createDataFrame(
+        [(1, doc), (2, doc)], "doc_id long, text string"
+    ).repartition(3)
+    out = {r["doc_id"]: r["simhash"] for r in simhash32(df, "doc_id", "text").collect()}
+    if not doc.split():
+        assert out == {}  # token-less docs carry no signature
+    else:
+        assert out[1] == out[2]
+        assert 0 <= out[1] < 2**32
