@@ -441,19 +441,20 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     docs = spread(documents)
     sig = D.minhash_signatures_from_text(docs, "doc_id", "text")
-    dropped = D.lsh_dropped_ids(sig, "doc_id")
-    kept_flag = documents.join(dropped, "doc_id", "left_anti").select(
-        "source", "n_chars"
+    dropped = D.lsh_dropped_ids(sig, "doc_id").withColumn(
+        "_dropped", F.lit(1)
     )
-    per_source = documents.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    kept = kept_flag.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_chars").cast("long").alias("kept_chars"),
-    )
-    return per_source.join(kept, "source").select(
-        "source", "n_docs", "n_kept", "kept_chars"
+    # ONE corpus pass: left join the (small, broadcastable) dropped set
+    # and aggregate total + kept in the same groupBy — not two document
+    # scans stitched by a second source-keyed join
+    flagged = documents.join(dropped, "doc_id", "left")
+    keep = F.col("_dropped").isNull()
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_chars"))).cast("long").alias(
+            "kept_chars"
+        ),
     )
 
 
