@@ -161,3 +161,59 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg((F.col("v") > 0.5).cast("double")), 6
         ).alias("p_bright"),
     )
+
+
+@register(
+    "media_resize_stats",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    meta AS (
+      SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
+    ),
+    dims AS (
+      SELECT doc_id, hx, len,
+             1 + {_byte_sql("hx", "0")} % 4       AS w,
+             1 + {_byte_sql("hx", "len - 1")} % 4 AS h,
+             1 + len % 3                           AS c
+      FROM meta
+    ),
+    grid AS (
+      SELECT doc_id, hx, len, w, h, c,
+             unnest(range(2)) AS oy
+      FROM dims
+    ),
+    grid2 AS (SELECT *, unnest(range(2)) AS ox FROM grid),
+    grid3 AS (SELECT *, unnest(range(c)) AS ch FROM grid2),
+    src AS (
+      SELECT doc_id,
+             (least(oy * h // 2, h - 1) * w
+              + least(ox * w // 2, w - 1)) * c + ch AS i,
+             hx, len
+      FROM grid3
+    ),
+    px AS (
+      SELECT doc_id, {_byte_sql("hx", "i % len")} / 255.0 AS v FROM src
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(avg(v), 6)         AS mean_px
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="""Decode → nearest-neighbor resize to 2×2 (multimodal.py
+    resize_images: real numpy NN index math, stubbed byte codec) →
+    pixel statistics. The oracle replays the decoder AND the resize
+    index arithmetic (sy = oy*h//2 clamped, channel-interleaved
+    offsets) byte-for-byte in SQL, hash-checking the full
+    Python-resize pipeline the way media_pixel_stats checks decode.""",
+    tags=("multimodal",),
+)
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    decoded = MM.decode_media(_with_content(documents))
+    small = MM.resize_images(decoded, out_w=2, out_h=2)
+    ex = small.select("doc_id", F.explode("pixels").alias("v"))
+    return ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("v"), 6).alias("mean_px"),
+    )
