@@ -243,3 +243,83 @@ def stream_to_catalog(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def versioned_batch_writer(
+    store,
+    layer: str,
+    cols: int,
+    rows: int,
+    zoom: int = 0,
+    cell_type: str = "float64",
+    complete_only: bool = True,
+):
+    """The foreachBatch function behind :func:`stream_to_versioned`,
+    exposed so the crash/replay path is directly testable: calling it
+    twice with the same ``batch_id`` commits exactly once."""
+    from biggis_landuse_spark.pixeling import tile_col_expr
+
+    def committed_batch_ids() -> set:
+        out = set()
+        for v in store.versions(layer, zoom):
+            m = store._read_manifest(layer, zoom, v)
+            if "batch_id" in m:
+                out.add(m["batch_id"])
+        return out
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed_batch_ids():
+            return  # re-delivered after crash: already committed
+        tiles = batch_df
+        if complete_only:
+            tiles = tiles.where(F.col("complete"))
+        staged = tiles.select(
+            "tile_col",
+            "tile_row",
+            F.lit(None).cast("timestamp").alias("ts"),
+            tile_col_expr(cols, rows, cell_type, F.col("bands")).alias("tile"),
+        )
+        if not staged.take(1):
+            return
+        extra = {"batch_id": batch_id}
+        if store.versions(layer, zoom):
+            store.merge(staged, layer, zoom, extra=extra)
+        else:
+            store.write(staged, layer, zoom, extra=extra)
+
+    return write_batch
+
+
+def stream_to_versioned(
+    tile_stream: DataFrame,
+    store,
+    layer: str,
+    cols: int,
+    rows: int,
+    zoom: int = 0,
+    cell_type: str = "float64",
+    checkpoint: str | None = None,
+    complete_only: bool = True,
+):
+    """Exactly-once streaming ingest into a
+    :class:`~biggis_landuse_spark.versioning.VersionedLayerStore`.
+
+    foreachBatch is at-least-once: after a crash between "batch
+    written" and "offsets checkpointed", the SAME batch_id is
+    re-delivered. The unversioned path tolerates that because merge is
+    idempotent cell-wise; here we make it exact: every commit manifest
+    records its ``batch_id``, and a re-delivered batch whose id is
+    already committed is SKIPPED. Atomic-rename commits + transactional
+    batch-id dedup = end-to-end exactly-once from a replayable source,
+    the guarantee the reference's sketched Kafka pipeline (SURVEY.md
+    §2.9) had no story for.
+    """
+    write_batch = versioned_batch_writer(
+        store, layer, cols, rows, zoom, cell_type, complete_only
+    )
+    writer = tile_stream.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

@@ -114,6 +114,7 @@ class VersionedLayerStore:
         layer: str,
         zoom: int,
         target_files: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Write a new snapshot; returns its version number.
 
@@ -138,12 +139,9 @@ class VersionedLayerStore:
             .write.mode("overwrite")
             .parquet(data_dir)
         )
-        self._commit(
-            layer,
-            zoom,
-            version,
-            {"version": version, "data": data_dir, "kind": "write"},
-        )
+        manifest = {"version": version, "data": data_dir, "kind": "write"}
+        manifest.update(extra or {})
+        self._commit(layer, zoom, version, manifest)
         return version
 
     def read(
@@ -205,7 +203,13 @@ class VersionedLayerStore:
             fs.delete(mp, False)
         return deleted
 
-    def merge(self, update: DataFrame, layer: str, zoom: int) -> int:
+    def merge(
+        self,
+        update: DataFrame,
+        layer: str,
+        zoom: int,
+        extra: dict | None = None,
+    ) -> int:
         """Versioned layer merge: read latest, cell-coalesce the
         update in (catalog.merge_into_layer semantics), commit as a
         new snapshot — the read and the write never touch the same
@@ -232,4 +236,4 @@ class VersionedLayerStore:
             .otherwise(F.coalesce("t_old", "t_new"))
             .alias("tile"),
         )
-        return self.write(merged, layer, zoom)
+        return self.write(merged, layer, zoom, extra=extra)

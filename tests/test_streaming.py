@@ -411,3 +411,71 @@ def test_stream_stream_interval_join_parity(spark, events_dir, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_stream_to_versioned_exactly_once(spark, tmp_path):
+    """Versioned streaming ingest: each micro-batch commits a snapshot
+    whose manifest records the batch id; a re-delivered batch id is
+    skipped (exactly-once), and every pre-batch state stays readable."""
+    from biggis_landuse_spark.streaming.pixels import stream_to_versioned
+    from biggis_landuse_spark.versioning import VersionedLayerStore
+
+    path = str(tmp_path / "pixel_ingest_v")
+    store = VersionedLayerStore(spark, str(tmp_path / "vstore"))
+    _write_pixels(spark, path, _pixel_rows(0, 0, list(range(16))), mode="overwrite")
+
+    stream = spark.readStream.schema(PIXEL_DDL).parquet(path)
+    tiles = reassemble_tiles_stream(stream, cols=4, rows=4, n_bands=1)
+    q = stream_to_versioned(
+        tiles,
+        store,
+        layer="vstreamed",
+        cols=4,
+        rows=4,
+        checkpoint=str(tmp_path / "vckpt"),
+    ).start()
+    try:
+        q.processAllAvailable()
+        assert store.versions("vstreamed", 0) == [1]
+        _write_pixels(
+            spark, path, _pixel_rows(3, 2, list(range(16)), value_of=lambda i: i * 2)
+        )
+        q.processAllAvailable()
+        assert store.versions("vstreamed", 0) == [1, 2]
+        rows = {
+            (r["tile_col"], r["tile_row"])
+            for r in store.read("vstreamed", 0).collect()
+        }
+        assert rows == {(0, 0), (3, 2)}
+        # time travel to the pre-merge snapshot
+        assert {
+            (r["tile_col"], r["tile_row"])
+            for r in store.read("vstreamed", 0, version=1).collect()
+        } == {(0, 0)}
+        # batch ids rode in the commit manifests
+        ids = {
+            store._read_manifest("vstreamed", 0, v).get("batch_id")
+            for v in store.versions("vstreamed", 0)
+        }
+        assert ids == {0, 1}
+    finally:
+        q.stop()
+
+    # crash/replay simulation: re-deliver batch_id=1 (already
+    # committed) then a genuinely new batch_id=7 through the SAME
+    # foreachBatch function the stream used
+    from biggis_landuse_spark.streaming.pixels import versioned_batch_writer
+
+    write_batch = versioned_batch_writer(store, "vstreamed", cols=4, rows=4)
+    batch_df = spark.createDataFrame(
+        [(9, 9, [[float(i) for i in range(16)]], True)],
+        "tile_col int, tile_row int, bands array<array<double>>, complete boolean",
+    )
+    write_batch(batch_df, 1)  # replay → must be a no-op
+    assert store.versions("vstreamed", 0) == [1, 2]
+    write_batch(batch_df, 7)  # new batch → commits v3
+    assert store.versions("vstreamed", 0) == [1, 2, 3]
+    assert (9, 9) in {
+        (r["tile_col"], r["tile_row"])
+        for r in store.read("vstreamed", 0).collect()
+    }
