@@ -225,3 +225,25 @@ def test_embedding_centroids_partial_agg(plan_of):
         plan.count("HashAggregate") >= 2
     )
     assert plan.index("Generate") > plan.index("Exchange")
+
+
+def test_no_query_in_registry_goes_cartesian(plan_of):
+    # registry-wide lint: NO query may compile to a CartesianProduct,
+    # and a BroadcastNestedLoopJoin is legal ONLY for the deliberate
+    # bounded-side broadcasts (1-row global stats / bounded query sets)
+    BNLJ_OK = {
+        "knn_cosine",  # broadcast bounded query side, by design
+        "ann_ivf_topk",  # broadcast 16-centroid codebook
+        "above_avg_parts",  # 1-row scalar-subquery stat
+        "tfidf_top_terms",  # 1-row corpus size N
+        "funnel_stages",  # 1-row × 1-row × 1-row summary
+        "getis_ord_shape",  # 1-row global stats broadcast
+        "getis_ord_tile",
+        "stack_normalize_tile",  # 1-row per-band min/max broadcast
+        "late_data_policy",  # 1-row watermark horizon
+    }
+    for name in sorted(REGISTRY):
+        plan = plan_of(name)
+        assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
