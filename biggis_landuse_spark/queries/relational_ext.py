@@ -256,24 +256,27 @@ def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""ntile quartile banding over a deterministic total order
     (price, key) — the ranking-window surface (SURVEY.md §2.5 note).
-    A global ntile implies a total sort; at 100 TB use the approx
-    quantile breaks (A3) to band instead — this is the exact
-    small-dimension form.""",
+    Computed with the DISTRIBUTED two-phase rank
+    (operators/ranking.py): range-partition on the order key, rank
+    within partitions in parallel, add broadcast partition offsets —
+    bit-identical to ``ntile(4) OVER (ORDER BY ...)`` but no stage
+    ever moves all rows through one task (the WindowExec
+    single-partition cliff a naive global ntile hits at 100 TB).""",
     tags=("W",),
 )
 def ntile_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.ranking import global_ntile
+
     (part,) = load_tables(spark, sf_dir, "part")
-    w = W.orderBy("p_retailprice", "p_partkey")
-    return (
-        part.select(
-            "p_retailprice", F.ntile(4).over(w).alias("band")
-        )
-        .groupBy("band")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.min("p_retailprice"), 2).alias("lo"),
-            F.round(F.max("p_retailprice"), 2).alias("hi"),
-        )
+    banded = global_ntile(
+        part.select("p_retailprice", "p_partkey"),
+        ["p_retailprice", "p_partkey"],
+        n=4,
+    )
+    return banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.min("p_retailprice"), 2).alias("lo"),
+        F.round(F.max("p_retailprice"), 2).alias("hi"),
     )
 
 

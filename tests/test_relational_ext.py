@@ -71,3 +71,53 @@ def test_ntile_bands_cover_all_rows_evenly(spark, sf_dir):
     by_band = sorted(rows, key=lambda r: r["band"])
     for a, b in zip(by_band, by_band[1:]):
         assert a["hi"] <= b["lo"]
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from biggis_landuse_spark.operators.ranking import (
+        global_ntile,
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(157)], "k long, v long"
+    ).repartition(7)
+    got = {
+        r["k"]: r["rn"]
+        for r in global_row_number(df, ["v", "k"], num_partitions=5).collect()
+    }
+    want = {
+        r["k"]: r["rn"]
+        for r in df.select(
+            "k", F.row_number().over(Window.orderBy("v", "k")).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+    # NTILE parity incl. the uneven-remainder distribution (157 % 4 = 1)
+    got_b = {
+        r["k"]: r["band"]
+        for r in global_ntile(df, ["v", "k"], n=4, num_partitions=5).collect()
+    }
+    want_b = {
+        r["k"]: r["band"]
+        for r in df.select(
+            "k", F.ntile(4).over(Window.orderBy("v", "k")).alias("band")
+        ).collect()
+    }
+    assert got_b == want_b
+
+
+def test_ntile_query_has_no_single_partition_window(spark):
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    df = REGISTRY["ntile_price_bands"].spark(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the two-phase rank sorts within range partitions; no window may
+    # run on a SinglePartition exchange of the full relation
+    assert "Window" in plan
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Sort", plan)
