@@ -42,8 +42,22 @@ def salted_join(
     """Equi-join with the hot-key spread: big rows are salted by a hash
     of ``salt_cols`` (default: all non-key columns), small rows are
     replicated across every salt. Result equals
-    ``big.join(small, on, how)`` row-for-row.
+    ``big.join(small, on, how)`` row-for-row for the supported join
+    types: inner / left / left_semi / left_anti (every big row carries
+    exactly one salt, and each small row meets each big row exactly
+    once because salts are disjoint).
+
+    right / full outer are intentionally rejected: the small side is
+    replicated ``n_salt`` times, so an unmatched small row would emit
+    ``n_salt`` duplicate null-extended rows instead of one.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated small side would duplicate unmatched right rows"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt_cols = salt_cols or [c for c in big.columns if c not in keys]
     if not salt_cols:

@@ -43,18 +43,27 @@ def zones_to_cells(
     bounds=("xmin", "ymin", "xmax", "ymax"),
 ) -> DataFrame:
     """Explode each zone box to its covering grid cells (half-open
-    [min, max) boxes). Fan-out is ceil(w/cell) × ceil(h/cell) — the
-    bounded replication of the SMALL side only."""
+    [min, max) boxes, fractional bounds allowed). Fan-out is
+    ceil(w/cell)+1 × ceil(h/cell)+1 worst case — the bounded
+    replication of the SMALL side only.
+
+    The upper end of the sequence is `cell_of(xmax)`, not
+    `cell_of(xmax - 1)`: with fractional bounds (e.g. xmax=64.5,
+    cell=32) points in [64, 64.5) live in cell 2, which
+    `cell_of(xmax - 1)` would miss. When xmax lands exactly on a cell
+    boundary this admits one extra empty-candidate cell per axis; the
+    exact refine predicate in points_in_zones discards those
+    false candidates map-side, so correctness is unaffected."""
     xmin, ymin, xmax, ymax = (F.col(c) for c in bounds)
     return zones.select(
         "*",
         F.explode(
-            F.sequence(cell_of(xmin, cell_size), cell_of(xmax - 1, cell_size))
+            F.sequence(cell_of(xmin, cell_size), cell_of(xmax, cell_size))
         ).alias("cx"),
     ).select(
         "*",
         F.explode(
-            F.sequence(cell_of(ymin, cell_size), cell_of(ymax - 1, cell_size))
+            F.sequence(cell_of(ymin, cell_size), cell_of(ymax, cell_size))
         ).alias("cy"),
     )
 
