@@ -51,13 +51,21 @@ def register(
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Read driver testdata parquet tables (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark reads as a
-    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``); it is
-    normalized here to a microsecond TIMESTAMP — the same truncation
-    DuckDB applies when casting TIMESTAMP_NS to its native micros.
+    ``events.ts`` has shipped in two parquet physical types across
+    driver testdata generations; both are normalized to a plain
+    (tz-aware, session-UTC) microsecond TIMESTAMP so every downstream
+    call site can assume ``unix_micros(ts)`` resolves:
+
+    - TIMESTAMP(NANOS): Spark reads it as a nanosecond long under
+      ``spark.sql.legacy.parquet.nanosAsLong`` → ``timestamp_micros``
+      with the same micros truncation DuckDB applies.
+    - timestamp[us] (no tz): Spark reads TIMESTAMP_NTZ, which
+      ``unix_micros`` rejects → cast to TIMESTAMP. The session zone is
+      pinned UTC below, so the wall-clock is preserved exactly and
+      matches the tz-naive DuckDB oracle.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     # Runtime-settable; required because the caller (the driver harness)
     # may hand us a plain SparkSession without the session.get_spark()
@@ -72,8 +80,12 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame
     out = []
     for n in names:
         df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-        if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if "ts" in df.columns:
+            ts_type = df.schema["ts"].dataType
+            if isinstance(ts_type, LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif isinstance(ts_type, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         out.append(df)
     return out
 

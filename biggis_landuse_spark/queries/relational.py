@@ -184,7 +184,8 @@ def cloud_mask_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""Chained 3-way equi-join + grouped agg. Reference twin: NIR ⋈ Red ⋈
     QA on SpatialKey (NDVILayerWithCloudMaskExample.scala:73-86). Same-key
-    chains share one shuffle under Catalyst.""",
+    chains share one shuffle under Catalyst. No broadcast hint on customer:
+    it grows with SF (multi-TB at 100 TB), so AQE chooses the strategy.""",
     tags=("J2",),
     bench=True,
 )
@@ -194,7 +195,7 @@ def join3_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_items"),

@@ -477,10 +477,12 @@ def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""TPC-H Q3 shape (shipping priority): selective 3-table join
     — segment filter on the customer dim, date filters pushed to both
-    fact scans — then grouped revenue and a global top-10. Both dim
-    filters reach the parquet scans (PushedFilters); the customer and
-    orders sides broadcast; the LIMIT is a TakeOrderedAndProject, not
-    a full sort.""",
+    fact scans — then grouped revenue and a global top-10. All filters
+    reach the parquet scans (PushedFilters). No broadcast hints: the
+    date/segment predicates cut cardinality by a constant factor only,
+    so at 100 TB both sides are still multi-TB — AQE picks the join
+    strategy from observed sizes instead. The LIMIT is a
+    TakeOrderedAndProject, not a full sort.""",
     tags=("J2", "O1"),
     bench=True,
 )
@@ -492,15 +494,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.where(F.col("l_shipdate") > "1996-01-01")
         .join(
-            F.broadcast(
-                orders.where(F.col("o_orderdate") < "1996-01-01")
-            ),
+            orders.where(F.col("o_orderdate") < "1996-01-01"),
             lineitem.l_orderkey == orders.o_orderkey,
         )
         .join(
-            F.broadcast(
-                customer.where(F.col("c_mktsegment") == "BUILDING")
-            ),
+            customer.where(F.col("c_mktsegment") == "BUILDING"),
             orders.o_custkey == customer.c_custkey,
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -532,10 +530,12 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     doc="""TPC-H Q5 shape (local supplier volume): a 6-table star join
-    — region filter prunes nations, the customer/supplier same-nation
-    predicate rides the join, and every dimension broadcasts so the
-    lineitem fact never shuffles for any of the five joins; the only
-    exchange is the final tiny per-nation aggregate.""",
+    — region filter prunes nations; the bounded dimensions (supplier,
+    nation, region) broadcast, while lineitem⋈orders⋈customer — all
+    unbounded, SF-proportional tables — are left to AQE to pick
+    shuffle-hash vs sort-merge (forcing a broadcast of orders/customer
+    would OOM a 100 TB run). The customer/supplier same-nation
+    predicate rides the supplier join.""",
     tags=("J2", "J3"),
     bench=True,
 )
@@ -546,12 +546,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.join(
-            F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey
-        )
-        .join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
             F.broadcast(supplier),
             (lineitem.l_suppkey == supplier.s_suppkey)

@@ -134,13 +134,46 @@ def test_stratified_sample_filter_in_scan_stage(plan_of):
     assert plan.index("Filter") > plan.index("Exchange")
 
 
-def test_star_join_fact_never_shuffles_for_joins(plan_of):
-    # Q5 shape: all five dims broadcast; the only Exchange is the
-    # final per-nation aggregate — the fact side joins map-side
+def test_star_join_bounded_dims_broadcast(plan_of):
+    # Q5 shape: bounded dims (supplier/nation/region) broadcast; the
+    # unbounded orders/customer sides are left to Catalyst/AQE (at this
+    # SF they auto-broadcast from size stats — no cartesian fallback)
     plan = plan_of("local_supplier_volume")
-    assert plan.count("BroadcastHashJoin") == 5
-    assert "SortMergeJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def _hinted_tables(spark, name: str) -> list[str]:
+    """Tables wrapped in an explicit broadcast hint, from the analyzed
+    logical plan (ResolvedHint nodes survive analysis)."""
+    import re
+
+    df = REGISTRY[name].spark(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # each ResolvedHint is immediately followed by the hinted subtree;
+    # grab the first parquet relation path under it
+    out = []
+    for m in re.finditer(r"ResolvedHint \(strategy=broadcast\)", analyzed):
+        tail = analyzed[m.end():]
+        loc = re.search(r"/(\w+)\.parquet", tail)
+        out.append(loc.group(1) if loc else "?")
+    return out
+
+
+UNBOUNDED = {"lineitem", "orders", "customer", "events", "documents", "embeddings"}
+
+
+def test_no_broadcast_hint_on_unbounded_tables(spark):
+    # 100 TB guard: an explicit F.broadcast on an SF-proportional table
+    # is a driver/executor OOM at scale. Only bounded dims (nation,
+    # region, supplier, part) and derived 1-row/bounded frames may be
+    # hinted. Checked registry-wide on the analyzed logical plan.
+    _ensure_loaded()
+    for name in ("local_supplier_volume", "shipping_priority", "join3_chain",
+                 "stack_join", "ndvi_shape", "pricing_summary"):
+        hinted = _hinted_tables(spark, name)
+        bad = [t for t in hinted if t in UNBOUNDED]
+        assert not bad, f"{name} broadcast-hints unbounded table(s) {bad}"
 
 
 def test_topk_is_take_ordered_not_full_sort(plan_of):
@@ -241,6 +274,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "getis_ord_tile",
         "stack_normalize_tile",  # 1-row per-band min/max broadcast
         "late_data_policy",  # 1-row watermark horizon
+        "ntile_price_bands",  # 1-row global count broadcast (global_ntile)
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)
