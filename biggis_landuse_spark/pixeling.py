@@ -60,20 +60,28 @@ def pixels_to_tiles(
     map_from_entries semantics), mirroring the reference combiner's
     overwrite behavior (RasterizeFeaturesRDD.scala:56-64).
 
-    ``n_bands=None`` derives the band count per tile from the pixel
-    rows themselves (max(band)+1) — no extra pass over the data, and
-    multiband inputs keep every band.
+    ``n_bands=None`` derives the band count GLOBALLY (max(band)+1 over
+    the whole input, a 1-row broadcast) rather than per tile: a tile
+    whose top band lost all its pixels to masking must still emit the
+    same number of bands as its siblings, or downstream zip_with band
+    ops silently misalign — the reference's multiband invariant
+    (ManyLayersToMultibandLayer.scala:198-203).
 
-    One shuffle on the tile key with map-side partial collect_list.
+    One shuffle on the tile key with map-side partial collect_list
+    (plus, for n_bands=None, a tiny parallel max reduce).
     """
     per_tile = F.col("band") * (cols * rows) + F.col("py") * cols + F.col("px")
     entries = pixels.groupBy(*KEY_COLS).agg(
         F.map_from_entries(
             F.collect_list(F.struct(per_tile.alias("k"), F.col("value").alias("v")))
         ).alias("m"),
-        (F.max("band") + 1).alias("nb"),
     )
-    hi_band = f"{n_bands - 1}" if n_bands is not None else "nb - 1"
+    if n_bands is None:
+        gnb = pixels.agg((F.max("band") + 1).cast("int").alias("_gnb"))
+        entries = entries.crossJoin(F.broadcast(gnb))
+        hi_band = "_gnb - 1"
+    else:
+        hi_band = f"{n_bands - 1}"
     band_expr = (
         f"transform(sequence(0, {hi_band}), b -> "
         f"transform(sequence(0, {cols * rows - 1}), i -> "

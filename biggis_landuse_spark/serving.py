@@ -215,10 +215,22 @@ class TileServer:
         self._cache: dict[tuple[int, int, int], bytes] = {}
         self._zooms_loaded: set[int] = set()
         self._httpd = None
+        import threading
+
+        self._render_lock = threading.Lock()
 
     def _ensure_zoom(self, zoom: int) -> None:
+        # double-checked under a lock: concurrent first requests for a
+        # zoom must run the bulk Spark render exactly once, not once
+        # per request thread (ThreadingHTTPServer serves concurrently)
         if zoom in self._zooms_loaded:
             return
+        with self._render_lock:
+            if zoom in self._zooms_loaded:
+                return
+            self._render_zoom(zoom)
+
+    def _render_zoom(self, zoom: int) -> None:
         tiles = self.catalog.read_layer(self.layer, zoom)
         n = tiles.count()
         if n > self.max_cached_tiles:

@@ -28,6 +28,7 @@ non-atomic overwrite this replaces.
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -120,11 +121,19 @@ class VersionedLayerStore:
 
         Same physical layout contract as catalog.write_layer — range-
         partitioned on the Z-order key, sorted within files — but into
-        a fresh ``v{N}`` directory, committed by manifest rename.
+        a fresh uniquely-named ``v{N}-{uuid}`` directory, committed by
+        manifest rename. The uuid suffix means two concurrent writers
+        racing for the same version number write to DISJOINT dirs: the
+        rename loser cannot have clobbered any of the winner's data
+        files, and its orphan dir is removed on conflict. Readers
+        always resolve the data path through the manifest, never by
+        version-number convention.
         """
         vs = self.versions(layer, zoom)
         version = (vs[-1] + 1) if vs else 1
-        data_dir = f"{self._layer_base(layer, zoom)}/v{version}"
+        data_dir = (
+            f"{self._layer_base(layer, zoom)}/v{version}-{uuid.uuid4().hex[:8]}"
+        )
         keyed = tiles.withColumn("_zk", zorder_key())
         sort_keys = ["ts", "_zk"] if "ts" in keyed.columns else ["_zk"]
         n_files = (
@@ -141,7 +150,14 @@ class VersionedLayerStore:
         )
         manifest = {"version": version, "data": data_dir, "kind": "write"}
         manifest.update(extra or {})
-        self._commit(layer, zoom, version, manifest)
+        try:
+            self._commit(layer, zoom, version, manifest)
+        except RuntimeError:
+            # lost the commit race: our data dir is unreferenced by any
+            # manifest — remove it so it can't accumulate as an orphan
+            fs, p = self._fs(data_dir)
+            fs.delete(p, True)
+            raise
         return version
 
     def read(

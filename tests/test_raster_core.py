@@ -153,6 +153,34 @@ def test_pixels_to_tiles_fills_missing_with_null(spark, nir):
     assert band[1] == FX.nir_value(1, 2, 1, 0)
 
 
+def test_pixels_to_tiles_uniform_bands_when_top_band_masked(spark, red, nir):
+    # a tile whose TOP band lost every pixel to masking must still
+    # emit the same band count as its siblings (reference multiband
+    # invariant, ManyLayersToMultibandLayer.scala:198-203) — per-tile
+    # max(band)+1 would silently produce a ragged 1-band tile
+    stacked = _join_tiles(nir, red).select(
+        F.lit("stack").alias("layer"),
+        F.lit(0).alias("zoom"),
+        "tile_col",
+        "tile_row",
+        L.band_concat(F.col("t1"), F.col("t2")).alias("tile"),
+    )
+    pixels = tiles_to_pixels(stacked).where(
+        ~((F.col("band") == 1) & (F.col("tile_col") == 1) & (F.col("tile_row") == 2))
+    )
+    back = pixels_to_tiles(pixels, cols=FX.TS, rows=FX.TS)  # n_bands derived
+    counts = {
+        (r["tile_col"], r["tile_row"]): len(r["tile"]["bands"])
+        for r in back.collect()
+    }
+    assert set(counts.values()) == {2}
+    victim = back.where(
+        (F.col("tile_col") == 1) & (F.col("tile_row") == 2)
+    ).first()["tile"]["bands"]
+    assert all(v is None for v in victim[1])  # masked band → all NODATA
+    assert victim[0][0] is not None  # surviving band intact
+
+
 def test_labeled_pixel_samples(spark, red, nir):
     stacked = _join_tiles(nir, red).select(
         F.lit("stack").alias("layer"),

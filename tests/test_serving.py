@@ -125,6 +125,51 @@ def test_http_tile_server_end_to_end(spark, tmp_path):
         server.stop()
 
 
+def test_concurrent_first_requests_render_once(spark, tmp_path):
+    """Racing first lookups for an unrendered zoom must run the bulk
+    Spark render exactly once (the lock in _ensure_zoom), and every
+    thread must still get the tile."""
+    import threading
+
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.fixtures import fixture_layer
+    from biggis_landuse_spark.serving import TileServer
+
+    catalog = LayerCatalog(spark, str(tmp_path / "serve_cat3"))
+    catalog.write_layer(fixture_layer(spark, "b4_red"), "srv3", 2)
+    server = TileServer(catalog, "srv3", [1000.0, 2500.0], palette=PALETTE)
+
+    renders = []
+    orig = server._render_zoom
+
+    def counting_render(zoom):
+        renders.append(zoom)
+        orig(zoom)
+
+    server._render_zoom = counting_render
+
+    barrier = threading.Barrier(4)
+    results: list[bytes | None] = [None] * 4
+    errors: list[Exception] = []
+
+    def hit(i):
+        try:
+            barrier.wait()
+            results[i] = server.lookup(2, 1, 1)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors
+    assert renders == [2]  # exactly one render job
+    assert all(r is not None and bytes(r)[:8] == b"\x89PNG\r\n\x1a\n" for r in results)
+
+
 def test_tile_server_cache_bound_guard(spark, tmp_path):
     from biggis_landuse_spark.catalog import LayerCatalog
     from biggis_landuse_spark.fixtures import fixture_layer

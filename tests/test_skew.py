@@ -60,6 +60,15 @@ def test_salted_join_left_preserves_unmatched(spark, skewed):
     ).count()
 
 
+@pytest.mark.parametrize("how", ["right", "right_outer", "full", "full_outer"])
+def test_salted_join_rejects_right_and_full_outer(spark, skewed, how):
+    # the replicated small side would emit n_salt duplicate
+    # null-extended rows per unmatched right row — must be rejected
+    dim = spark.createDataFrame([(0, "hot")], "k long, name string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(skewed, dim, on="k", n_salt=4, how=how)
+
+
 def test_salted_distinct_count_exact(spark, skewed):
     want = {
         r["k"]: r["n"]

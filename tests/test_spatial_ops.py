@@ -184,6 +184,38 @@ def test_points_in_zones_matches_brute_force(spark):
     assert got == want and want  # non-trivial and exact
 
 
+def test_points_in_zones_fractional_bounds_brute_force(spark):
+    # regression for the cell_of(xmax) upper bound: with DOUBLE bounds
+    # (xmax=64.5, cell=32) a point at x=64.25 lives in cell 2, which
+    # the old cell_of(xmax - 1) sequence end would miss entirely
+    from biggis_landuse_spark.operators.spatial_join import points_in_zones
+
+    pts = [
+        (0, 64.25, 10.0),   # in cell 2 of the x axis, inside [0, 64.5)
+        (1, 64.75, 10.0),   # outside xmax=64.5
+        (2, 63.999, 10.0),  # cell 1, inside
+        (3, 0.0, 31.5),     # fractional y inside
+        (4, -0.25, 10.0),   # just left of xmin=0 → out
+        (5, 10.0, 33.25),   # above ymax=33.0 → out
+    ]
+    zones = [(0, 0.0, 0.0, 64.5, 33.0)]
+    points = spark.createDataFrame(pts, "pid long, x double, y double")
+    zdf = spark.createDataFrame(
+        zones, "zone_id long, xmin double, ymin double, xmax double, ymax double"
+    )
+    got = {
+        (r["pid"], r["zone_id"])
+        for r in points_in_zones(points, zdf, cell_size=32).collect()
+    }
+    want = {
+        (pid, z)
+        for pid, x, y in pts
+        for z, xmin, ymin, xmax, ymax in zones
+        if xmin <= x < xmax and ymin <= y < ymax
+    }
+    assert got == want == {(0, 0), (2, 0), (3, 0)}
+
+
 def test_points_in_zones_pairs_are_unique(spark):
     from biggis_landuse_spark.operators.spatial_join import points_in_zones
 

@@ -94,6 +94,68 @@ def test_commit_conflict_raises(spark, store):
         store._commit("L", 0, 1, {"version": 1, "data": "x", "kind": "write"})
 
 
+def test_concurrent_writers_never_tear_winner_data(spark, store, tmp_path):
+    # two writers race for the same version number: with uuid-suffixed
+    # data dirs they write to DISJOINT paths, so the rename loser
+    # cannot have clobbered any winner file. Simulate the interleaving
+    # deterministically: writer B computes its version (same as A's),
+    # A writes data + commits first, then B writes data and loses the
+    # manifest rename.
+    store.write(_tiles(spark, 10.0), "L", 0)  # v1
+
+    vs = store.versions("L", 0)
+    version_b = vs[-1] + 1  # B picks v2, same as A will
+
+    store.write(_tiles(spark, 20.0), "L", 0)  # A commits v2
+    winner_dir = store._read_manifest("L", 0, 2)["data"]
+    fs, wp = store._fs(winner_dir)
+    winner_files = {
+        (st.getPath().getName(), st.getLen())
+        for st in fs.listStatus(wp)
+        if st.getPath().getName().startswith("part-")
+    }
+
+    # B now writes its data dir and tries to commit v2 — must lose,
+    # and must not have touched any of A's bytes
+    import uuid as _uuid
+
+    b_dir = f"{store._layer_base('L', 0)}/v{version_b}-{_uuid.uuid4().hex[:8]}"
+    _tiles(spark, 99.0).write.parquet(b_dir)
+    with pytest.raises(RuntimeError, match="conflict"):
+        store._commit(
+            "L", 0, version_b,
+            {"version": version_b, "data": b_dir, "kind": "write"},
+        )
+
+    after = {
+        (st.getPath().getName(), st.getLen())
+        for st in fs.listStatus(wp)
+        if st.getPath().getName().startswith("part-")
+    }
+    assert after == winner_files  # winner's files byte-intact
+    assert _values(store.read("L", 0)) == _values(_tiles(spark, 20.0))
+
+
+def test_losing_writer_cleans_up_orphan_dir(spark, store, monkeypatch):
+    # a full write() that loses the commit race must remove its own
+    # (unreferenced) data dir instead of leaving an orphan
+    store.write(_tiles(spark, 10.0), "L", 0)
+    orig = store._commit
+
+    def steal_then_commit(layer, zoom, version, manifest):
+        # another writer sneaks in the same version first
+        orig(layer, zoom, version, {"version": version, "data": "other", "kind": "write"})
+        return orig(layer, zoom, version, manifest)
+
+    monkeypatch.setattr(store, "_commit", steal_then_commit)
+    with pytest.raises(RuntimeError, match="conflict"):
+        store.write(_tiles(spark, 20.0), "L", 0)
+    monkeypatch.undo()
+    fs, p = store._fs(store._layer_base("L", 0))
+    dirs = [st.getPath().getName() for st in fs.listStatus(p)]
+    assert not any(d.startswith("v2-") for d in dirs)  # orphan removed
+
+
 def test_versioned_merge_coalesces_cells(spark, store):
     base = _tiles(spark, 10.0)
     store.write(base, "L", 0)
