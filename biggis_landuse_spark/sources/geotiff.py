@@ -7,10 +7,12 @@ writeRddToLayer. Spark-native restatement:
 
 - scan: ``spark.read.format("binaryFile")`` — distributed, no driver
   I/O, predicate-prunable by path;
-- decode: rasterio inside ``mapInPandas`` (Arrow-batched). The decode
-  dependency is NOT in this container, so it is stubbed behind
-  ``GeoTiffDecoder`` — the Spark-side plumbing (schema, batching,
-  re-tile math) is real and tested with the deterministic fake;
+- decode: the pure-Python baseline TIFF codec (sources/tiff.py —
+  stripped/tiled, none/deflate, int/float samples, GeoTIFF affine
+  tags) runs inside ``mapInPandas`` (Arrow-batched) by default;
+  ``GeoTiffDecoder`` stays pluggable so a rasterio/GDAL-backed
+  decoder drops in where those libs exist (LZW/JPEG compression,
+  exotic CRS metadata);
 - re-tile: pixel-table groupBy onto the engine grid (pixels_to_tiles);
 - reproject: a per-tile warp kernel would slot in exactly like the
   decoder (numpy/rasterio pandas UDF, SURVEY.md §4.2.3) — out of v1
@@ -33,23 +35,25 @@ DECODED_SCHEMA = (
 
 
 class GeoTiffDecoder:
-    """Pluggable decode step. The real implementation would call
-    rasterio/GDAL; this container has neither, so ``decode`` raises
-    unless a fake is injected (tests use :class:`FakeRampDecoder`)."""
+    """Default decode step: the pure-Python baseline TIFF codec
+    (sources/tiff.py). Subclass to plug in rasterio/GDAL where those
+    libs exist — needed for LZW/JPEG compression or exotic metadata
+    the baseline codec deliberately refuses (TiffFormatError)."""
 
     def decode(self, path: str, payload: bytes):
-        raise NotImplementedError(
-            "GeoTiff decoding requires rasterio/GDAL, not present in "
-            "this environment; inject a decoder (see FakeRampDecoder)"
-        )
+        """→ list of (height, width) float64 arrays, one per band."""
+        from biggis_landuse_spark.sources.tiff import decode_tiff
+
+        return decode_tiff(payload)
 
     def georef(self, path: str, payload: bytes):
-        """EPSG:4326 affine of the file: (x0, y0, dx, dy) = top-left
-        lon/lat + positive cell sizes in degrees (rasterio: transform.c,
-        transform.f, transform.a, -transform.e)."""
-        raise NotImplementedError(
-            "georeferencing requires rasterio/GDAL; inject a decoder"
-        )
+        """Model-space affine of the file: (x0, y0, dx, dy) = top-left
+        coords + positive cell sizes (GeoTIFF ModelPixelScale/
+        ModelTiepoint; rasterio equivalent: transform.c, transform.f,
+        transform.a, -transform.e)."""
+        from biggis_landuse_spark.sources.tiff import georef_of
+
+        return georef_of(payload)
 
 
 class FakeRampDecoder(GeoTiffDecoder):
@@ -224,6 +228,23 @@ class GeoTiffEncoder:
             np.frombuffer(body[i * size : (i + 1) * size], dtype="<f8").reshape(h, w)
             for i in range(n)
         ]
+
+
+class TiffEncoder(GeoTiffEncoder):
+    """Real-.tif export encoder: per-tile payloads are valid deflate-
+    compressed float64 GeoTIFF files readable by any TIFF reader
+    (reference: per-tile executor-side writes,
+    LayerToGeotiff.scala:100-113)."""
+
+    def encode(self, bands: list[np.ndarray]) -> bytes:
+        from biggis_landuse_spark.sources.tiff import encode_tiff
+
+        return encode_tiff(bands, compression="deflate")
+
+    def decode(self, payload: bytes) -> list[np.ndarray]:
+        from biggis_landuse_spark.sources.tiff import decode_tiff
+
+        return decode_tiff(payload)
 
 
 MAX_STITCH_CELLS = 64_000_000  # 64M cells ≈ 512 MB float64 on the driver

@@ -1,0 +1,331 @@
+"""Pure-Python baseline TIFF / GeoTIFF codec (stdlib + numpy only).
+
+Closes the gap between "GeoTiff ingest plumbing tested with a fake
+decoder" and "reads an actual .tif" (reference front door:
+GeotiffTilingExample.scala:49, MultibandGeotiffTilingExample.scala:59)
+in a container without rasterio/GDAL. Implements the public TIFF 6.0
+baseline plus the GeoTIFF georeferencing tags:
+
+- classic TIFF, little- or big-endian (``II``/``MM``, magic 42);
+- stripped (RowsPerStrip) and tiled (TileWidth/TileLength) layouts;
+- compression: none (1) and zlib/deflate (8, 32946); LZW/JPEG raise;
+- horizontal-differencing predictor (2) for integer samples;
+- chunky (PlanarConfiguration=1) and planar (2) sample layout;
+- sample types: uint8/16/32, int8/16/32, float32/64 (BitsPerSample ×
+  SampleFormat);
+- georeferencing: ModelPixelScaleTag (33550) + ModelTiepointTag
+  (33922) → top-left affine.
+
+The symmetric :func:`encode_tiff` writes the same subset (used by the
+export path and by tests to generate real .tif inputs). Scale posture:
+the codec runs executor-side inside ``mapInPandas`` batches
+(sources/geotiff.py) — one file per row, never on the driver.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF field types → struct code / byte size
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+
+# tag codes (TIFF 6.0 + GeoTIFF)
+IMAGE_WIDTH = 256
+IMAGE_LENGTH = 257
+BITS_PER_SAMPLE = 258
+COMPRESSION = 259
+PHOTOMETRIC = 262
+STRIP_OFFSETS = 273
+SAMPLES_PER_PIXEL = 277
+ROWS_PER_STRIP = 278
+STRIP_BYTE_COUNTS = 279
+PLANAR_CONFIG = 284
+PREDICTOR = 317
+TILE_WIDTH = 322
+TILE_LENGTH = 323
+TILE_OFFSETS = 324
+TILE_BYTE_COUNTS = 325
+SAMPLE_FORMAT = 339
+MODEL_PIXEL_SCALE = 33550
+MODEL_TIEPOINT = 33922
+
+
+class TiffFormatError(ValueError):
+    pass
+
+
+def parse_ifd(data: bytes) -> tuple[str, dict[int, list]]:
+    """Parse the header + first IFD into ``(byteorder, {tag: values})``."""
+    if data[:2] == b"II":
+        order = "<"
+    elif data[:2] == b"MM":
+        order = ">"
+    else:
+        raise TiffFormatError(f"not a TIFF: byte order {data[:2]!r}")
+    (magic,) = struct.unpack(order + "H", data[2:4])
+    if magic == 43:
+        raise TiffFormatError("BigTIFF (magic 43) not supported by the baseline codec")
+    if magic != 42:
+        raise TiffFormatError(f"bad TIFF magic {magic}")
+    (off,) = struct.unpack(order + "I", data[4:8])
+    (n,) = struct.unpack(order + "H", data[off : off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n):
+        e = data[off + 2 + 12 * i : off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(order + "HHI", e[:8])
+        if typ not in _TYPE_SIZE:
+            continue  # unknown field type: skip per spec
+        size = _TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            raw = e[8 : 8 + size]
+        else:
+            (ptr,) = struct.unpack(order + "I", e[8:12])
+            raw = data[ptr : ptr + size]
+        if typ == 2:  # ASCII
+            tags[tag] = [raw.rstrip(b"\x00").decode("ascii", "replace")]
+        elif typ in (5, 10):  # RATIONAL: pairs of (num, den)
+            pairs = struct.unpack(order + ("Ii"[typ == 10] * 2) * cnt, raw)
+            tags[tag] = [
+                pairs[2 * j] / (pairs[2 * j + 1] or 1) for j in range(cnt)
+            ]
+        else:
+            tags[tag] = list(struct.unpack(order + _TYPE_FMT[typ] * cnt, raw))
+    return order, tags
+
+
+def _np_dtype(order: str, bits: int, fmt: int) -> np.dtype:
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt)
+    if kind is None:
+        raise TiffFormatError(f"SampleFormat {fmt} not supported")
+    if kind == "f" and bits not in (32, 64):
+        raise TiffFormatError(f"float{bits} not supported")
+    if kind != "f" and bits not in (8, 16, 32):
+        raise TiffFormatError(f"{bits}-bit integer samples not supported")
+    return np.dtype(f"{order}{kind}{bits // 8}")
+
+
+def _decompress(seg: bytes, comp: int) -> bytes:
+    if comp == 1:
+        return seg
+    if comp in (8, 32946):  # zlib / deflate (old code)
+        return zlib.decompress(seg)
+    raise TiffFormatError(
+        f"compression {comp} not supported (baseline codec handles none/deflate)"
+    )
+
+
+def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
+    """``arr`` is (rows, cols, samples) for one segment."""
+    if predictor == 1:
+        return arr
+    if predictor == 2:
+        if arr.dtype.kind not in "ui":
+            raise TiffFormatError("predictor 2 requires integer samples")
+        # horizontal differencing: cumulative sum along cols, modulo the
+        # sample width (int64 accumulate + truncating cast == mod 2^k)
+        return np.cumsum(arr, axis=1, dtype=np.int64).astype(arr.dtype)
+    raise TiffFormatError(f"predictor {predictor} not supported")
+
+
+def decode_tiff(data: bytes) -> list[np.ndarray]:
+    """Decode the first image to a list of (height, width) float64
+    arrays, one per band."""
+    order, tags = parse_ifd(data)
+    if IMAGE_WIDTH not in tags or IMAGE_LENGTH not in tags:
+        raise TiffFormatError("missing ImageWidth/ImageLength")
+    w, h = tags[IMAGE_WIDTH][0], tags[IMAGE_LENGTH][0]
+    spp = tags.get(SAMPLES_PER_PIXEL, [1])[0]
+    bits = tags.get(BITS_PER_SAMPLE, [8] * spp)
+    fmts = tags.get(SAMPLE_FORMAT, [1] * spp)
+    if len(set(bits)) > 1 or len(set(fmts)) > 1:
+        raise TiffFormatError("heterogeneous per-sample types not supported")
+    comp = tags.get(COMPRESSION, [1])[0]
+    planar = tags.get(PLANAR_CONFIG, [1])[0]
+    predictor = tags.get(PREDICTOR, [1])[0]
+    dt = _np_dtype(order, bits[0], fmts[0])
+
+    out = np.empty((spp, h, w), dtype=np.float64)
+
+    if TILE_WIDTH in tags:  # tiled layout
+        tw, th = tags[TILE_WIDTH][0], tags[TILE_LENGTH][0]
+        offs, cnts = tags[TILE_OFFSETS], tags[TILE_BYTE_COUNTS]
+        across, down = math.ceil(w / tw), math.ceil(h / th)
+        per_plane = across * down
+        chans = spp if planar == 1 else 1
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            raw = _decompress(data[o : o + c], comp)
+            seg = np.frombuffer(raw, dtype=dt, count=th * tw * chans).reshape(
+                th, tw, chans
+            )
+            seg = _undo_predictor(seg, predictor)
+            if planar == 1:
+                band0, idx = 0, i
+            else:
+                band0, idx = i // per_plane, i % per_plane
+            ty, tx = (idx // across) * th, (idx % across) * tw
+            ch, cw = min(th, h - ty), min(tw, w - tx)  # edge-tile crop
+            for s in range(chans):
+                out[band0 + s, ty : ty + ch, tx : tx + cw] = seg[:ch, :cw, s]
+    else:  # stripped layout
+        if STRIP_OFFSETS not in tags:
+            raise TiffFormatError("missing StripOffsets")
+        rps = tags.get(ROWS_PER_STRIP, [h])[0]
+        offs, cnts = tags[STRIP_OFFSETS], tags[STRIP_BYTE_COUNTS]
+        per_plane = math.ceil(h / rps)
+        chans = spp if planar == 1 else 1
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            if planar == 1:
+                band0, idx = 0, i
+            else:
+                band0, idx = i // per_plane, i % per_plane
+            y0 = idx * rps
+            rows = min(rps, h - y0)
+            raw = _decompress(data[o : o + c], comp)
+            seg = np.frombuffer(raw, dtype=dt, count=rows * w * chans).reshape(
+                rows, w, chans
+            )
+            seg = _undo_predictor(seg, predictor)
+            for s in range(chans):
+                out[band0 + s, y0 : y0 + rows, :] = seg[:, :, s]
+
+    return [out[b] for b in range(spp)]
+
+
+def georef_of(data: bytes) -> tuple[float, float, float, float]:
+    """(x0, y0, dx, dy): top-left model coordinates + positive cell
+    sizes, from ModelPixelScale + ModelTiepoint. Files without geo
+    tags get the identity grid (pixel == model space)."""
+    _, tags = parse_ifd(data)
+    if MODEL_PIXEL_SCALE not in tags or MODEL_TIEPOINT not in tags:
+        return 0.0, 0.0, 1.0, 1.0
+    sx, sy = tags[MODEL_PIXEL_SCALE][0], tags[MODEL_PIXEL_SCALE][1]
+    i, j, _k, x, y, _z = tags[MODEL_TIEPOINT][:6]
+    # tiepoint maps raster (i, j) → model (x, y); north-up: +y is up
+    return float(x - i * sx), float(y + j * sy), float(sx), float(sy)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (same subset)
+# ---------------------------------------------------------------------------
+
+_FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
+
+
+def encode_tiff(
+    bands: list[np.ndarray],
+    dtype: str | np.dtype | None = None,
+    tile_size: int | None = None,
+    compression: str = "none",
+    planar: bool = False,
+    rows_per_strip: int | None = None,
+    predictor: bool = False,
+    georef: tuple[float, float, float, float] | None = None,
+) -> bytes:
+    """Encode bands (equal-shape 2-D arrays) as a little-endian classic
+    TIFF. ``tile_size`` switches to the tiled layout; ``compression``
+    is ``"none"`` or ``"deflate"``; ``predictor`` applies horizontal
+    differencing (integer samples only); ``georef=(x0, y0, dx, dy)``
+    writes ModelPixelScale + a (0,0) ModelTiepoint."""
+    if not bands:
+        raise ValueError("need at least one band")
+    dt = np.dtype(dtype or bands[0].dtype).newbyteorder("<")
+    if dt.kind not in _FMT_OF_KIND:
+        raise ValueError(f"unsupported dtype {dt}")
+    if predictor and dt.kind not in "ui":
+        raise ValueError("predictor 2 requires integer samples")
+    h, w = bands[0].shape
+    spp = len(bands)
+    arrs = [np.ascontiguousarray(b, dtype=dt) for b in bands]
+    comp_code = {"none": 1, "deflate": 8}[compression]
+
+    def pack(seg: np.ndarray) -> bytes:
+        if predictor:
+            if seg.ndim == 2:
+                seg = seg[:, :, None]
+            diff = seg.copy()
+            diff[:, 1:] = seg[:, 1:] - seg[:, :-1]  # wraps mod 2^k
+            seg = diff
+        raw = seg.tobytes()
+        return zlib.compress(raw) if comp_code == 8 else raw
+
+    segments: list[bytes] = []
+    extra: dict[int, tuple[int, list]] = {}
+    if tile_size is not None:
+        tw = th = tile_size
+        across, down = math.ceil(w / tw), math.ceil(h / th)
+        planes = arrs if planar else [np.stack(arrs, axis=-1)]
+        for plane in planes:
+            padded = np.zeros(
+                (down * th, across * tw) + plane.shape[2:], dtype=dt
+            )
+            padded[:h, :w] = plane
+            for ty in range(down):
+                for tx in range(across):
+                    segments.append(
+                        pack(padded[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw])
+                    )
+        extra[TILE_WIDTH] = (3, [tw])
+        extra[TILE_LENGTH] = (3, [th])
+    else:
+        rps = rows_per_strip or h
+        planes = arrs if planar else [np.stack(arrs, axis=-1)]
+        for plane in planes:
+            for y0 in range(0, h, rps):
+                segments.append(pack(plane[y0 : y0 + rps]))
+        extra[ROWS_PER_STRIP] = (3, [rps])
+
+    # lay out: header | segment data | IFD | out-of-line tag values
+    body = bytearray(b"II*\x00\x00\x00\x00\x00")
+    seg_offsets = []
+    for seg in segments:
+        seg_offsets.append(len(body))
+        body += seg
+
+    entries: dict[int, tuple[int, list]] = {
+        IMAGE_WIDTH: (4, [w]),
+        IMAGE_LENGTH: (4, [h]),
+        BITS_PER_SAMPLE: (3, [dt.itemsize * 8] * spp),
+        COMPRESSION: (3, [comp_code]),
+        PHOTOMETRIC: (3, [1]),
+        SAMPLES_PER_PIXEL: (3, [spp]),
+        PLANAR_CONFIG: (3, [2 if planar else 1]),
+        SAMPLE_FORMAT: (3, [_FMT_OF_KIND[dt.kind]] * spp),
+    }
+    if predictor:
+        entries[PREDICTOR] = (3, [2])
+    entries.update(extra)
+    if tile_size is not None:
+        entries[TILE_OFFSETS] = (4, seg_offsets)
+        entries[TILE_BYTE_COUNTS] = (4, [len(s) for s in segments])
+    else:
+        entries[STRIP_OFFSETS] = (4, seg_offsets)
+        entries[STRIP_BYTE_COUNTS] = (4, [len(s) for s in segments])
+    if georef is not None:
+        x0, y0, dx, dy = georef
+        entries[MODEL_PIXEL_SCALE] = (12, [dx, dy, 0.0])
+        entries[MODEL_TIEPOINT] = (12, [0.0, 0.0, 0.0, x0, y0, 0.0])
+
+    ifd_off = len(body)
+    struct.pack_into("<I", body, 4, ifd_off)
+    tag_codes = sorted(entries)
+    body += struct.pack("<H", len(tag_codes))
+    overflow = bytearray()
+    overflow_base = ifd_off + 2 + 12 * len(tag_codes) + 4
+    for tag in tag_codes:
+        typ, vals = entries[tag]
+        fmt = _TYPE_FMT[typ]
+        raw = struct.pack("<" + fmt * len(vals), *vals)
+        if len(raw) <= 4:
+            raw_field = raw.ljust(4, b"\x00")
+        else:
+            raw_field = struct.pack("<I", overflow_base + len(overflow))
+            overflow += raw
+        body += struct.pack("<HHI", tag, typ, len(vals)) + raw_field
+    body += b"\x00\x00\x00\x00"  # next-IFD pointer: none
+    body += overflow
+    return bytes(body)
