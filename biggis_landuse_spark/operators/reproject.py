@@ -1,18 +1,26 @@
-"""EPSG:4326 → WebMercator (EPSG:3857) reprojection as a relational
+"""Source CRS → WebMercator (EPSG:3857) reprojection as a relational
 transform on the pixel table.
 
 Reference: ``.reproject(WebMercator, ZoomedLayoutScheme(WebMercator,
 256), NearestNeighbor)`` inside ingest (GeotiffTilingExample.scala:
-56-60) — a GeoTrellis per-tile warp. Spark-native restatement: the
-projection formulas are plain arithmetic, so the warp is a column
-expression over pixel rows (whole-stage codegen, no UDF, no proj
-library):
+56-60), including the CRS-mismatch branch of layer stacking
+(ManyLayersToMultibandLayer.scala:233-260) — a GeoTrellis per-tile
+warp. Spark-native restatement: the projection formulas are plain
+arithmetic, so the warp is a column expression over pixel rows
+(whole-stage codegen, no UDF, no proj library):
 
     mx = R * radians(lon)
     my = R * ln(tan(pi/4 + radians(lat)/2))
 
-followed by re-keying onto the zoomed layout (2^z × 2^z tiles of
-256²) and grouped reassembly (pixeling.pixels_to_tiles).
+Supported source CRSs: EPSG:4326 (affine already in lon/lat degrees)
+and the UTM zones EPSG:326xx / 327xx (the common Landsat case —
+affine in easting/northing meters). UTM → lon/lat uses the public
+inverse Transverse Mercator series (Snyder 1987, "Map Projections —
+A Working Manual", eqs. 8-17..8-25 on WGS84), also as column
+expressions — sub-centimeter inside a zone's validity extent.
+
+The warp is followed by re-keying onto the zoomed layout (2^z × 2^z
+tiles of 256²) and grouped reassembly (pixeling.pixels_to_tiles).
 
 Nearest-neighbor semantics: this is a FORWARD mapping — each source
 pixel lands in the target cell containing its projected center; when
@@ -51,6 +59,87 @@ def mercator_y(lat: Column) -> Column:
     )
 
 
+# -- WGS84 ellipsoid / UTM constants (public) -------------------------------
+
+_A = 6378137.0
+_F = 1 / 298.257223563
+_E2 = _F * (2 - _F)  # first eccentricity squared
+_EP2 = _E2 / (1 - _E2)  # second eccentricity squared
+_K0 = 0.9996
+_FALSE_EASTING = 500_000.0
+_FALSE_NORTHING_S = 10_000_000.0
+_E1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
+
+
+def utm_zone_lon0_deg(zone: int) -> float:
+    """Central meridian of a UTM zone (zone 1 → 177°W)."""
+    return zone * 6 - 183
+
+
+def utm_to_lonlat(
+    easting: Column, northing: Column, zone: int, north: bool = True
+) -> tuple[Column, Column]:
+    """Inverse Transverse Mercator on WGS84 (Snyder 1987 eqs.
+    8-17..8-25) as pure column expressions → (lon_deg, lat_deg)."""
+    y = northing if north else northing - F.lit(_FALSE_NORTHING_S)
+    m = y / F.lit(_K0)
+    mu = m / F.lit(_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    e1 = _E1
+    phi1 = (
+        mu
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + F.lit(151 * e1**3 / 96) * F.sin(6 * mu)
+        + F.lit(1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = F.lit(_EP2) * cos1 * cos1
+    t1 = tan1 * tan1
+    one_minus = 1 - F.lit(_E2) * sin1 * sin1
+    n1 = F.lit(_A) / F.sqrt(one_minus)
+    r1 = F.lit(_A * (1 - _E2)) / F.pow(one_minus, F.lit(1.5))
+    d = (easting - F.lit(_FALSE_EASTING)) / (n1 * F.lit(_K0))
+    d2, d3 = d * d, d * d * d
+    d4, d5, d6 = d2 * d2, d2 * d3, d3 * d3
+    lat_rad = phi1 - (n1 * tan1 / r1) * (
+        d2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - F.lit(9 * _EP2)) * d4 / 24
+        + (
+            61 + 90 * t1 + 298 * c1 + 45 * t1 * t1
+            - F.lit(252 * _EP2) - 3 * c1 * c1
+        ) * d6 / 720
+    )
+    lon_rad = (
+        d
+        - (1 + 2 * t1 + c1) * d3 / 6
+        + (
+            5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + F.lit(8 * _EP2)
+            + 24 * t1 * t1
+        ) * d5 / 120
+    ) / cos1
+    lon = F.degrees(lon_rad) + F.lit(utm_zone_lon0_deg(zone))
+    return lon, F.degrees(lat_rad)
+
+
+def parse_crs(crs: str) -> tuple[str, tuple[int, bool] | None]:
+    """``"EPSG:4326"`` → ("lonlat", None); ``"EPSG:326xx"/"327xx"``
+    → ("utm", (zone, north)). Anything else raises — an honest bound,
+    not a silent wrong-projection."""
+    code = crs.upper().removeprefix("EPSG:")
+    if code == "4326":
+        return "lonlat", None
+    if code.isdigit() and len(code) == 5:
+        num = int(code)
+        if 32601 <= num <= 32660:
+            return "utm", (num - 32600, True)
+        if 32701 <= num <= 32760:
+            return "utm", (num - 32700, False)
+    raise ValueError(
+        f"unsupported source CRS {crs!r}: EPSG:4326 and UTM "
+        "(EPSG:32601-32660 north, EPSG:32701-32760 south) are supported"
+    )
+
+
 def zoom_for_resolution(
     deg_per_pixel: float, tile_size: int = TILE_SIZE
 ) -> int:
@@ -59,8 +148,14 @@ def zoom_for_resolution(
     equator ≈ deg_per_pixel * R * pi/180; zoom z has resolution
     world / (2^z * tile_size)."""
     m_per_px = math.radians(deg_per_pixel) * R_EARTH
+    return zoom_for_resolution_m(m_per_px, tile_size)
+
+
+def zoom_for_resolution_m(m_per_pixel: float, tile_size: int = TILE_SIZE) -> int:
+    """Zoomed-layout level for a metric source resolution (UTM case:
+    the affine's dx is already meters/pixel)."""
     world = 2 * WEB_MERCATOR_MAX
-    z = math.log2(world / (m_per_px * tile_size))
+    z = math.log2(world / (m_per_pixel * tile_size))
     return max(0, round(z))
 
 
@@ -69,18 +164,26 @@ def reproject_pixels_to_webmercator(
     zoom: int,
     layer: str,
     tile_size: int = TILE_SIZE,
+    src_crs: str = "EPSG:4326",
 ) -> DataFrame:
-    """Pixel rows with EPSG:4326 georeferencing → WebMercator keyed
-    pixel rows on the zoomed layout, ready for pixels_to_tiles.
+    """Georeferenced pixel rows → WebMercator keyed pixel rows on the
+    zoomed layout, ready for pixels_to_tiles.
 
     Expects columns (band, px, py, value) plus the per-file affine
-    ``x0, y0, dx, dy`` (top-left lon/lat and positive cell sizes in
-    degrees). Cell centers project; off-world rows (|lat| beyond the
-    mercator limit) are dropped like the reference warp does.
+    ``x0, y0, dx, dy`` (top-left coords and positive cell sizes in the
+    source CRS's units: degrees for EPSG:4326, meters for UTM zones).
+    Cell centers project; off-world rows (|lat| beyond the mercator
+    limit) are dropped like the reference warp does.
     """
     res = 2 * WEB_MERCATOR_MAX / (2**zoom * tile_size)  # meters/cell
-    lon = F.col("x0") + (F.col("px") + 0.5) * F.col("dx")
-    lat = F.col("y0") - (F.col("py") + 0.5) * F.col("dy")
+    sx = F.col("x0") + (F.col("px") + 0.5) * F.col("dx")
+    sy = F.col("y0") - (F.col("py") + 0.5) * F.col("dy")
+    kind, utm = parse_crs(src_crs)
+    if kind == "lonlat":
+        lon, lat = sx, sy
+    else:
+        zone, north = utm
+        lon, lat = utm_to_lonlat(sx, sy, zone, north)
     mx = mercator_x(lon)
     my = mercator_y(lat)
     # global cell address on the zoom-z grid
@@ -134,11 +237,14 @@ def ingest_geotiff_webmercator(
     tile_size: int = TILE_SIZE,
     decoder=None,
     n_bands: int | None = None,
+    src_crs: str = "EPSG:4326",
 ) -> DataFrame:
     """Full reference ingest parity (GeotiffTilingExample.scala:44-66):
     scan → decode → reproject to the WebMercator zoomed layout →
     re-tile. The decoder must supply georeferencing columns
     (x0, y0, dx, dy) alongside pixels — see sources.geotiff.
+    ``src_crs`` accepts EPSG:4326 or a UTM zone (EPSG:326xx/327xx,
+    the Landsat delivery CRS).
 
     ``zoom=None`` infers the level from the first file's resolution
     (zoom_for_resolution), the ZoomedLayoutScheme behavior.
@@ -158,9 +264,14 @@ def ingest_geotiff_webmercator(
         first = pixels.select("dx").first()
         if first is None:
             raise ValueError(f"no decodable pixels under {path}")
-        zoom = zoom_for_resolution(first["dx"], tile_size)
+        kind, _ = parse_crs(src_crs)
+        zoom = (
+            zoom_for_resolution(first["dx"], tile_size)
+            if kind == "lonlat"
+            else zoom_for_resolution_m(first["dx"], tile_size)
+        )
     keyed = reproject_pixels_to_webmercator(
-        pixels, zoom=zoom, layer=layer, tile_size=tile_size
+        pixels, zoom=zoom, layer=layer, tile_size=tile_size, src_crs=src_crs
     )
     return pixels_to_tiles(
         keyed, cols=tile_size, rows=tile_size, n_bands=n_bands

@@ -98,6 +98,128 @@ def test_geojson_feeds_rasterizer(spark, tmp_path):
     assert tiles.count() > 0
 
 
-def test_shapefile_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        V.read_shapefile(spark, "/nonexistent.shp")
+# ---------------------------------------------------------------------------
+# Shapefile source: stdlib .shp/.dbf writers (test-side) + round-trip
+# against the GeoJSON twin of the same geometry
+# ---------------------------------------------------------------------------
+
+
+def _write_shp(path, shapes):
+    """Minimal ESRI .shp writer: shapes = list of ring-lists, each ring
+    a closed [(x, y), ...]."""
+    import struct as st
+
+    records = b""
+    for num, rings in enumerate(shapes, start=1):
+        n_points = sum(len(r) for r in rings)
+        parts, acc = [], 0
+        for r in rings:
+            parts.append(acc)
+            acc += len(r)
+        xs = [p[0] for r in rings for p in r]
+        ys = [p[1] for r in rings for p in r]
+        content = st.pack("<i", 5)
+        content += st.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        content += st.pack("<ii", len(rings), n_points)
+        content += st.pack(f"<{len(parts)}i", *parts)
+        for r in rings:
+            for x, y in r:
+                content += st.pack("<2d", x, y)
+        records += st.pack(">ii", num, len(content) // 2) + content
+
+    flen = (100 + len(records)) // 2
+    header = st.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, flen)
+    header += st.pack("<ii", 1000, 5)  # version, shape type
+    header += st.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)  # bbox + z/m ranges
+    path.write_bytes(header + records)
+
+
+def _write_dbf(path, names, rows):
+    """Minimal dBASE III writer with N (numeric) fields."""
+    import struct as st
+
+    fields = b""
+    for n in names:
+        fields += n.encode().ljust(11, b"\x00") + b"N" + b"\x00" * 4 + bytes([18, 6]) + b"\x00" * 14
+    rec_size = 1 + 18 * len(names)
+    hdr_size = 32 + len(fields) + 1
+    header = st.pack(
+        "<B3BIHH20x", 3, 24, 1, 1, len(rows), hdr_size, rec_size
+    )
+    body = b""
+    for row in rows:
+        body += b" " + b"".join(f"{v:18.6f}".encode() for v in row)
+    path.write_bytes(header + fields + b"\x0d" + body + b"\x1a")
+
+
+def test_read_shapefile_matches_geojson_twin(spark, tmp_path):
+    # same two squares, once as .shp+.dbf, once as GeoJSON
+    sq1 = [(2.0, 3.0), (2.0, 6.0), (10.0, 6.0), (10.0, 3.0), (2.0, 3.0)]  # CW
+    sq2 = [(1.0, 6.0), (1.0, 7.0), (2.0, 7.0), (2.0, 6.0), (1.0, 6.0)]  # CW
+    _write_shp(tmp_path / "zones.shp", [[sq1], [sq2]])
+    _write_dbf(tmp_path / "zones.dbf", ["VAL"], [[7.0], [3.0]])
+
+    twin = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"value": v},
+                "geometry": {"type": "Polygon", "coordinates": [[list(p) for p in ring]]},
+            }
+            for ring, v in [(sq1, 7.0), (sq2, 3.0)]
+        ],
+    }
+    (tmp_path / "zones.geojson").write_text(json.dumps(twin))
+
+    shp = V.read_shapefile(spark, str(tmp_path / "zones.shp")).collect()
+    gj = V.read_geojson(spark, str(tmp_path / "zones.geojson")).collect()
+    assert {(r["geom"], r["value"]) for r in shp} == {
+        (r["geom"], r["value"]) for r in gj
+    }
+    assert len(shp) == 2
+
+
+def test_read_shapefile_multipart_with_hole(spark, tmp_path):
+    # one record: outer CW ring + CCW hole + second CW outer (multi-part)
+    outer = [(0.0, 0.0), (0.0, 8.0), (8.0, 8.0), (8.0, 0.0), (0.0, 0.0)]  # CW
+    hole = [(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0), (2.0, 2.0)]  # CCW
+    island = [(10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0), (10.0, 0.0)]  # CW
+    _write_shp(tmp_path / "multi.shp", [[outer, hole, island]])
+    rows = V.read_shapefile(spark, str(tmp_path / "multi.shp")).collect()
+    # CW/CCW grouping: polygon-with-hole + island = 2 WKTs, ids unique
+    assert len(rows) == 2
+    with_hole = [r for r in rows if r["geom"].count("(") == 3]
+    assert len(with_hole) == 1
+    assert all(r["value"] == 1.0 for r in rows)  # no .dbf → default value
+
+
+def test_shapefile_feeds_rasterizer_like_geojson(spark, tmp_path):
+    from biggis_landuse_spark.operators.rasterize import (
+        GridLayout,
+        rasterize_features,
+    )
+
+    ring = [(2.0, 3.0), (2.0, 6.0), (10.0, 6.0), (10.0, 3.0), (2.0, 3.0)]
+    _write_shp(tmp_path / "r.shp", [[ring]])
+    _write_dbf(tmp_path / "r.dbf", ["VAL"], [[9.0]])
+    feats = V.read_shapefile(spark, str(tmp_path / "r.shp"))
+    tiles = rasterize_features(feats, GridLayout(tile_size=8))
+    got = {
+        (r["tile_col"], r["tile_row"]): r["tile"]["bands"][0]
+        for r in tiles.collect()
+    }
+    assert got[(0, 0)][3 * 8 + 2] == 9.0  # (x=2, y=3) inside
+    assert got[(0, 0)][3 * 8 + 1] is None  # (x=1, y=3) outside
+
+
+def test_shapefile_rejects_non_polygon_types(spark, tmp_path):
+    import struct as st
+
+    content = st.pack("<i", 3)  # PolyLine record type
+    records = st.pack(">ii", 1, len(content) // 2) + content
+    header = st.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, (100 + len(records)) // 2)
+    header += st.pack("<ii", 1000, 3) + st.pack("<8d", *([0.0] * 8))
+    (tmp_path / "line.shp").write_bytes(header + records)
+    with pytest.raises(ValueError, match="shape type 3"):
+        V.read_shapefile(spark, str(tmp_path / "line.shp"))

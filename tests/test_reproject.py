@@ -99,6 +99,165 @@ def test_reproject_plan_has_no_udf_and_one_shuffle(spark):
     assert plan.count("Exchange") == 1  # only the groupBy(band,gx,gy)
 
 
+# ---------------------------------------------------------------------------
+# UTM source CRS (inverse Transverse Mercator series)
+# ---------------------------------------------------------------------------
+
+
+def _utm_forward(lat_deg, lon_deg, zone, north=True):
+    """Independent check: FORWARD Transverse Mercator (Snyder 1987
+    eqs. 8-9..8-15, WGS84) in plain Python."""
+    a, f = 6378137.0, 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+    lat, lon = math.radians(lat_deg), math.radians(lon_deg)
+    lon0 = math.radians(zone * 6 - 183)
+    n = a / math.sqrt(1 - e2 * math.sin(lat) ** 2)
+    t = math.tan(lat) ** 2
+    c = ep2 * math.cos(lat) ** 2
+    A = (lon - lon0) * math.cos(lat)
+    m = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * lat
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * lat)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * lat)
+        - (35 * e2**3 / 3072) * math.sin(6 * lat)
+    )
+    x = k0 * n * (
+        A + (1 - t + c) * A**3 / 6
+        + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * A**5 / 120
+    ) + 500000.0
+    y = k0 * (
+        m + n * math.tan(lat) * (
+            A**2 / 2
+            + (5 - t + 9 * c + 4 * c**2) * A**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * A**6 / 720
+        )
+    )
+    if not north:
+        y += 10_000_000.0
+    return x, y
+
+
+def test_utm_inverse_exact_anchor_points(spark):
+    from biggis_landuse_spark.operators.reproject import utm_to_lonlat
+
+    # central meridian ∩ equator: E=500000, N=0 → (lon0, 0) EXACTLY
+    df = spark.createDataFrame([(500000.0, 0.0)], "e double, n double")
+    lon, lat = utm_to_lonlat(F.col("e"), F.col("n"), zone=32, north=True)
+    r = df.select(lon.alias("lon"), lat.alias("lat")).first()
+    assert r["lon"] == pytest.approx(9.0, abs=1e-9)
+    assert r["lat"] == pytest.approx(0.0, abs=1e-9)
+    # southern hemisphere: false northing 10^7 at the equator
+    lon_s, lat_s = utm_to_lonlat(F.col("e"), F.col("n"), zone=32, north=False)
+    df_s = spark.createDataFrame([(500000.0, 10_000_000.0)], "e double, n double")
+    r = df_s.select(lon_s.alias("lon"), lat_s.alias("lat")).first()
+    assert r["lon"] == pytest.approx(9.0, abs=1e-9)
+    assert r["lat"] == pytest.approx(0.0, abs=1e-7)
+
+
+@pytest.mark.parametrize(
+    "lat,lon,zone,north",
+    [
+        (49.0, 8.4, 32, True),    # Karlsruhe (reference's home turf)
+        (48.0, 11.0, 32, True),   # zone edge-ish
+        (0.5, 9.0, 32, True),     # near equator on the central meridian
+        (-33.9, 18.4, 34, False), # Cape Town, southern hemisphere
+        (60.0, -150.0, 6, True),  # high latitude, western zone
+    ],
+)
+def test_utm_inverse_roundtrips_forward(spark, lat, lon, zone, north):
+    # forward (independent Snyder implementation) then the engine's
+    # inverse must recover lat/lon to < 1e-6 deg (~0.1 m)
+    from biggis_landuse_spark.operators.reproject import utm_to_lonlat
+
+    e, n = _utm_forward(lat, lon, zone, north)
+    df = spark.createDataFrame([(e, n)], "e double, n double")
+    lon_c, lat_c = utm_to_lonlat(F.col("e"), F.col("n"), zone, north)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=1e-6)
+    assert r["lon"] == pytest.approx(lon, abs=1e-6)
+
+
+def test_parse_crs():
+    from biggis_landuse_spark.operators.reproject import parse_crs
+
+    assert parse_crs("EPSG:4326") == ("lonlat", None)
+    assert parse_crs("EPSG:32632") == ("utm", (32, True))
+    assert parse_crs("epsg:32734") == ("utm", (34, False))
+    with pytest.raises(ValueError, match="unsupported source CRS"):
+        parse_crs("EPSG:3035")  # LAEA Europe: honest refusal
+
+
+def test_reproject_utm_pixels_land_at_expected_lonlat(spark):
+    # a UTM-georeferenced pixel must land in the SAME target cell as
+    # the equivalent lon/lat-georeferenced pixel
+    z = 10
+    lat, lon, zone = 49.0, 8.4, 32
+    e, n = _utm_forward(lat, lon, zone)
+    # one 30m pixel whose center is exactly (e, n)
+    utm_rows = [(0, 0, 0, 5.0, e - 15.0, n + 15.0, 30.0, 30.0)]
+    utm_px = spark.createDataFrame(utm_rows, PIX_DDL)
+    out_utm = reproject_pixels_to_webmercator(
+        utm_px, zoom=z, layer="u", src_crs=f"EPSG:{32600 + zone}"
+    ).first()
+    # twin: 4326 pixel centered at (lon, lat)
+    deg = 0.0003
+    ll_rows = [(0, 0, 0, 5.0, lon - deg / 2, lat + deg / 2, deg, deg)]
+    ll_px = spark.createDataFrame(ll_rows, PIX_DDL)
+    out_ll = reproject_pixels_to_webmercator(ll_px, zoom=z, layer="u").first()
+    assert (out_utm["tile_col"], out_utm["tile_row"], out_utm["px"], out_utm["py"]) == (
+        out_ll["tile_col"], out_ll["tile_row"], out_ll["px"], out_ll["py"]
+    )
+    assert out_utm["value"] == 5.0
+
+
+def test_utm_reproject_plan_stays_jvm_side(spark):
+    rows = [(0, 0, 0, 1.0, 456000.0, 5430000.0, 30.0, 30.0)]
+    px = spark.createDataFrame(rows, PIX_DDL)
+    out = reproject_pixels_to_webmercator(
+        px, zoom=10, layer="t", src_crs="EPSG:32632"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_ingest_real_utm_geotiff_webmercator(spark, tmp_path):
+    """Full Landsat-shaped slice: a REAL .tif (default decoder) with a
+    UTM-meters affine, warped onto the WebMercator zoomed layout."""
+    import numpy as np
+
+    from biggis_landuse_spark.operators.reproject import (
+        ingest_geotiff_webmercator,
+        zoom_for_resolution_m,
+    )
+    from biggis_landuse_spark.sources.tiff import encode_tiff
+
+    h = w = 8
+    band = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    e, n = _utm_forward(49.0, 8.4, 32)
+    d = tmp_path / "utm_tiffs"
+    d.mkdir()
+    (d / "scene.tif").write_bytes(
+        encode_tiff([band], compression="deflate", georef=(e, n, 30.0, 30.0))
+    )
+    tiles = ingest_geotiff_webmercator(
+        spark, str(d), layer="utm", src_crs="EPSG:32632"
+    )
+    rows = tiles.collect()
+    assert rows
+    assert rows[0]["zoom"] == zoom_for_resolution_m(30.0)
+    vals = sorted(
+        v
+        for r in rows
+        for b in r["tile"]["bands"]
+        for v in b
+        if v is not None
+    )
+    assert vals == [float(i) for i in range(64)]  # every pixel survived
+
+
 def test_ingest_geotiff_webmercator_end_to_end(spark, tmp_path):
     import numpy as np
 
