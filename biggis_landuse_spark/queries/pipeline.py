@@ -289,3 +289,55 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("ntok").cast("long").alias("bin_tokens"),
     )
+
+
+_MIX_CAP = 10  # per-(lang, source) document cap
+
+
+@register(
+    "domain_mix_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT)      AS n_kept,
+           CAST(sum(n_chars) AS BIGINT)  AS kept_chars
+    FROM ranked WHERE rk <= {_MIX_CAP}
+    GROUP BY lang, source
+    """,
+    doc="""Domain-mix rebalancing (training-data mixture control): cap
+    each (lang, source) domain at N documents, chosen DETERMINISTICALLY
+    by md5(doc_id) order — an unbiased, seedless uniform sample per
+    domain that is stable across runs and engines (the same discipline
+    as stratified_sample / deterministic_split).
+
+    Scale: one hash shuffle on the domain key; the ranking window runs
+    inside each domain partition (never a global sort), and rows
+    beyond the cap are dropped before the final tiny per-domain
+    aggregate. Domain count is bounded (langs × sources), so no skew
+    pathology — a single huge domain still ranks in parallel via its
+    partition's sort spill.""",
+    tags=("TEXT", "ML", "P10"),
+)
+def domain_mix_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        Window.partitionBy("lang", "source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        documents.select("lang", "source", "n_chars", rk.alias("rk"))
+        .where(F.col("rk") <= _MIX_CAP)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biggis_landuse_spark.queries import load_tables, register
+from biggis_landuse_spark.queries import REGISTRY, load_tables, register
 
 GRID = 64
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -865,3 +865,106 @@ def focal_extrema_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("2").cast("long").alias("frange"),
         F.round("3", 6).alias("fmedian"),
     )
+
+
+@register(
+    "utm_grid",
+    # oracle is built below with the SAME WGS84 constants the engine
+    # uses (appended at import time, see _utm_grid_oracle)
+    oracle=None,
+    doc="""UTM→lat/lon inverse Transverse-Mercator warp
+    (operators.reproject.utm_to_lonlat — the reference's CRS-mismatch
+    reprojection branch, ManyLayersToMultibandLayer.scala:233-260)
+    over synthesized zone-32N easting/northing points, re-keyed onto
+    8°-lat × 1°-lon cells and aggregated. The whole series is built-in
+    trig column expressions — whole-stage codegen, one shuffle for the
+    final aggregate.""",
+    tags=("REPROJECT", "UTM"),
+)
+def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import utm_to_lonlat
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (300000.0 + (F.col("p_partkey") % 400) * 1000.0).alias("e"),
+        ((F.col("p_partkey") % 9000) * 1000.0).alias("n"),
+    )
+    lon, lat = utm_to_lonlat(F.col("e"), F.col("n"), zone=32, north=True)
+    keyed = src.select(
+        F.floor(lat / 8).cast("long").alias("lat_band"),
+        F.floor(lon).cast("long").alias("lon_cell"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+    return keyed.groupBy("lat_band", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
+def _utm_grid_oracle() -> str:
+    from biggis_landuse_spark.operators.reproject import (
+        _A,
+        _E1,
+        _E2,
+        _EP2,
+    )
+
+    m_den = _A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256)
+    c2 = 3 * _E1 / 2 - 27 * _E1**3 / 32
+    c4 = 21 * _E1**2 / 16 - 55 * _E1**4 / 32
+    c6 = 151 * _E1**3 / 96
+    c8 = 1097 * _E1**4 / 512
+    a14 = _A * (1 - _E2)
+    return f"""
+    WITH src AS (
+      SELECT 300000.0 + (p_partkey % 400) * 1000.0 AS e,
+             (p_partkey % 9000) * 1000.0           AS n
+      FROM part
+    ),
+    s1 AS (SELECT e, (n / 0.9996) / {m_den!r} AS mu FROM src),
+    s2 AS (
+      SELECT e,
+             mu + {c2!r} * sin(2 * mu) + {c4!r} * sin(4 * mu)
+                + {c6!r} * sin(6 * mu) + {c8!r} * sin(8 * mu) AS phi1
+      FROM s1
+    ),
+    s3 AS (
+      SELECT e, phi1, sin(phi1) AS sp, cos(phi1) AS cp, tan(phi1) AS tp
+      FROM s2
+    ),
+    s4 AS (
+      SELECT phi1, cp, tp,
+             {_EP2!r} * cp * cp                    AS c1,
+             tp * tp                               AS t1,
+             {_A!r} / sqrt(1 - {_E2!r} * sp * sp)  AS n1,
+             {a14!r} / pow(1 - {_E2!r} * sp * sp, 1.5) AS r1,
+             (e - 500000.0) / (({_A!r} / sqrt(1 - {_E2!r} * sp * sp)) * 0.9996) AS d
+      FROM s3
+    ),
+    s5 AS (
+      SELECT degrees(phi1 - (n1 * tp / r1) * (
+               d * d / 2
+               - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - {9 * _EP2!r})
+                 * ((d * d) * (d * d)) / 24
+               + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1
+                  - {252 * _EP2!r} - 3 * c1 * c1) * (((d * d) * d) * ((d * d) * d)) / 720
+             )) AS lat,
+             9.0 + degrees((
+               d - (1 + 2 * t1 + c1) * d * d * d / 6
+               + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + {8 * _EP2!r}
+                  + 24 * t1 * t1) * ((d * d) * ((d * d) * d)) / 120
+             ) / cp) AS lon
+      FROM s4
+    )
+    SELECT CAST(floor(lat / 8) AS BIGINT) AS lat_band,
+           CAST(floor(lon) AS BIGINT)     AS lon_cell,
+           CAST(count(*) AS BIGINT)       AS n_px,
+           round(avg(lat), 4)             AS avg_lat,
+           round(avg(lon), 4)             AS avg_lon
+    FROM s5 GROUP BY 1, 2
+    """
+
+
+REGISTRY["utm_grid"].oracle = _utm_grid_oracle()
