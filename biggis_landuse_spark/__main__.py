@@ -1,0 +1,366 @@
+"""Runnable job entry points: ``python -m biggis_landuse_spark <cmd>``.
+
+The reference ships each capability as a spark-submit main class
+(GeotiffTilingExample, NDVILayerWithCloudMaskExample, LayerToPyramid,
+LayerToGeotiff, ShapefilePolygonRasterizer, ZoomResampleLayer,
+ConvolveLayerExample, ServeLayerAsMap, DeleteLayer, WordCount — all
+under src/main/scala/biggis/landuse/spark/examples/). This CLI is the
+same surface over the engine's APIs, so a reference user's job
+invocations map 1:1 onto subcommands. Every subcommand is a thin
+argument adapter — all logic lives in the library modules it calls.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _spark(args):
+    from biggis_landuse_spark.session import get_spark
+
+    return get_spark(app_name=f"biggis-{args.cmd}")
+
+
+def _catalog(spark, args):
+    from biggis_landuse_spark.catalog import LayerCatalog
+
+    return LayerCatalog(spark, args.catalog)
+
+
+def cmd_ingest(args) -> int:
+    """GeotiffTilingExample / MultibandGeotiffTilingExample /
+    MultibandGeotiffToLayerNoReproj: scan → decode → (reproject) →
+    re-tile → layer write."""
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    if args.no_reproject:
+        from biggis_landuse_spark.sources.geotiff import ingest_geotiff
+
+        tiles = ingest_geotiff(spark, args.path, args.layer, args.tile_size)
+        zoom = args.zoom if args.zoom >= 0 else 0
+    else:
+        from biggis_landuse_spark.operators.reproject import (
+            ingest_geotiff_webmercator,
+        )
+
+        tiles = ingest_geotiff_webmercator(
+            spark, args.path, args.layer,
+            zoom=args.zoom if args.zoom >= 0 else None,
+            tile_size=args.tile_size, src_crs=args.crs,
+        )
+        zoom = tiles.first()["zoom"]
+    cat.write_layer(
+        tiles.select("tile_col", "tile_row", "ts", "tile"), args.layer, zoom
+    )
+    print(f"wrote layer {args.layer} zoom {zoom}")
+    return 0
+
+
+def cmd_ndvi(args) -> int:
+    """NDVILayerExample / NDVILayerWithCloudMaskExample: red ⋈ nir
+    (⋈ qa) → masked NDVI → layer write."""
+    from biggis_landuse_spark.operators.local import mask_bits, ndvi
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    nir = cat.read_layer(args.nir, args.zoom).select(
+        "tile_col", "tile_row", "ts", F.col("tile").alias("t_nir")
+    )
+    red = cat.read_layer(args.red, args.zoom).select(
+        "tile_col", "tile_row", F.col("tile").alias("t_red")
+    )
+    j = nir.join(red, ["tile_col", "tile_row"])
+    t_nir, t_red = F.col("t_nir"), F.col("t_red")
+    if args.qa:
+        qa = cat.read_layer(args.qa, args.zoom).select(
+            "tile_col", "tile_row", F.col("tile").alias("t_qa")
+        )
+        j = j.join(qa, ["tile_col", "tile_row"])
+        t_nir = mask_bits(t_nir, F.col("t_qa"), args.mask_bits)
+        t_red = mask_bits(t_red, F.col("t_qa"), args.mask_bits)
+    out = j.select(
+        "tile_col", "tile_row", "ts", ndvi(t_nir, t_red).alias("tile")
+    )
+    cat.write_layer(out, args.out, args.zoom)
+    print(f"wrote layer {args.out} zoom {args.zoom}")
+    return 0
+
+
+def cmd_convolve(args) -> int:
+    """ConvolveLayerExample: focal mean over a circular kernel."""
+    from biggis_landuse_spark.operators.focal import focal_mean
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    tiles = cat.read_layer(args.layer, args.zoom)
+    out = focal_mean(tiles, radius=args.radius)
+    cat.write_layer(
+        out.select("tile_col", "tile_row", "ts", "tile"), args.out, args.zoom
+    )
+    print(f"wrote layer {args.out} zoom {args.zoom}")
+    return 0
+
+
+def cmd_pyramid(args) -> int:
+    """LayerToPyramid / GeotiffToPyramid tail: build levels down to 0."""
+    from biggis_landuse_spark.operators.pyramid import build_pyramid
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    from_zoom = args.from_zoom if args.from_zoom >= 0 else cat.finest_zoom(args.layer)
+    build_pyramid(cat, args.layer, from_zoom=from_zoom, to_zoom=args.to_zoom)
+    print(f"pyramid {args.layer}: zoom {from_zoom} → {args.to_zoom}")
+    return 0
+
+
+def cmd_resample(args) -> int:
+    """ZoomResampleLayer: upsample a layer by dz zoom levels."""
+    from biggis_landuse_spark.operators.resample import zoom_resample
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    tiles = cat.read_layer(args.layer, args.zoom)
+    out = zoom_resample(
+        tiles.withColumn("zoom", F.lit(args.zoom)), dz=args.dz
+    )
+    cat.write_layer(
+        out.select("tile_col", "tile_row", "ts", "tile"),
+        args.out, args.zoom + args.dz,
+    )
+    print(f"wrote layer {args.out} zoom {args.zoom + args.dz}")
+    return 0
+
+
+def cmd_export(args) -> int:
+    """LayerToGeotiff / MultibandLayerToGeotiff: per-tile real .tif
+    payloads (distributed), or a driver-side stitched single .tif
+    (size-guarded, like the reference's useStitching branch)."""
+    import os
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    tiles = cat.read_layer(args.layer, args.zoom)
+    os.makedirs(args.out, exist_ok=True)
+    if args.stitch:
+        import numpy as np
+
+        from biggis_landuse_spark.sources.geotiff import stitch_layer
+        from biggis_landuse_spark.sources.tiff import encode_tiff
+
+        mosaic = stitch_layer(tiles, band=args.band)
+        path = os.path.join(args.out, f"{args.layer}_z{args.zoom}.tif")
+        with open(path, "wb") as fh:
+            fh.write(
+                encode_tiff([np.nan_to_num(mosaic)], compression="deflate")
+            )
+        print(f"stitched {mosaic.shape} → {path}")
+    else:
+        from biggis_landuse_spark.sources.geotiff import (
+            TiffEncoder,
+            export_tiles,
+        )
+
+        rows = export_tiles(tiles, encoder=TiffEncoder()).collect()
+        for r in rows:
+            path = os.path.join(
+                args.out, f"{args.layer}_{r['tile_col']}_{r['tile_row']}.tif"
+            )
+            with open(path, "wb") as fh:
+                fh.write(bytes(r["payload"]))
+        print(f"wrote {len(rows)} tiles → {args.out}")
+    return 0
+
+
+def cmd_rasterize(args) -> int:
+    """ShapefilePolygonRasterizer / ShapefileExample: vector source
+    (.shp or GeoJSON) → burned tile layer."""
+    from biggis_landuse_spark.operators.rasterize import (
+        GridLayout,
+        rasterize_features,
+    )
+    from biggis_landuse_spark.sources.vector import (
+        read_geojson,
+        read_geojsonl,
+        read_shapefile,
+    )
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    if args.path.endswith(".shp"):
+        feats = read_shapefile(spark, args.path, value_field=args.value_field)
+    elif args.path.endswith((".jsonl", ".geojsonl")):
+        feats = read_geojsonl(spark, args.path)
+    else:
+        feats = read_geojson(spark, args.path)
+    layout = GridLayout(
+        x0=args.x0, y0=args.y0, cell=args.cell, tile_size=args.tile_size
+    )
+    tiles = rasterize_features(feats, layout).select(
+        "tile_col", "tile_row",
+        F.lit(None).cast("timestamp").alias("ts"), "tile",
+    )
+    cat.write_layer(tiles, args.out, args.zoom)
+    print(f"wrote layer {args.out} zoom {args.zoom}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """ServeLayerAsMap: HTTP GET /{zoom}/{x}/{y} → PNG."""
+    from biggis_landuse_spark.serving import TileServer, approx_breaks
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    if args.breaks:
+        breaks = [float(b) for b in args.breaks.split(",")]
+    else:
+        from biggis_landuse_spark.pixeling import tiles_to_pixels
+
+        zoom = cat.finest_zoom(args.layer)
+        px = tiles_to_pixels(cat.read_layer(args.layer, zoom))
+        breaks = approx_breaks(px, "value", n_classes=args.classes)
+    palette = [
+        int(c, 16) for c in args.palette.split(",")
+    ] if args.palette else None
+    kwargs = {"palette": palette} if palette else {}
+    server = TileServer(cat, args.layer, breaks, **kwargs)
+    port = server.start(args.port)
+    print(f"serving {args.layer} on http://127.0.0.1:{port}/{{z}}/{{x}}/{{y}}")
+    if args.block:  # pragma: no cover — interactive mode
+        import time
+
+        while True:
+            time.sleep(60)
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """DeleteLayer: drop one zoom or the whole layer."""
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    cat.delete_layer(args.layer, args.zoom if args.zoom >= 0 else None)
+    print(f"deleted {args.layer}" + (f" zoom {args.zoom}" if args.zoom >= 0 else ""))
+    return 0
+
+
+def cmd_wordcount(args) -> int:
+    """WordCount: text lines → (word, count) parquet/csv."""
+    spark = _spark(args)
+    lines = spark.read.text(args.path)
+    counts = (
+        lines.select(F.explode(F.split(F.lower("value"), r"\W+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts.write.mode("overwrite").parquet(args.out)
+    print(f"wrote word counts → {args.out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="biggis_landuse_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, catalog=True):
+        if catalog:
+            sp.add_argument("--catalog", required=True, help="catalog base dir")
+
+    sp = sub.add_parser("ingest", help="GeoTiff → tiled layer")
+    sp.add_argument("path")
+    sp.add_argument("layer")
+    common(sp)
+    sp.add_argument("--tile-size", type=int, default=256)
+    sp.add_argument("--zoom", type=int, default=-1, help="-1 = infer")
+    sp.add_argument("--crs", default="EPSG:4326")
+    sp.add_argument("--no-reproject", action="store_true",
+                    help="keep source grid (MultibandGeotiffToLayerNoReproj)")
+    sp.set_defaults(fn=cmd_ingest)
+
+    sp = sub.add_parser("ndvi", help="red ⋈ nir (⋈ qa) → NDVI layer")
+    common(sp)
+    sp.add_argument("--red", required=True)
+    sp.add_argument("--nir", required=True)
+    sp.add_argument("--qa", default=None)
+    sp.add_argument("--mask-bits", type=int, default=0x10)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_ndvi)
+
+    sp = sub.add_parser("convolve", help="focal mean")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--radius", type=int, default=1)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_convolve)
+
+    sp = sub.add_parser("pyramid", help="build zoom pyramid")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--from-zoom", type=int, default=-1, help="-1 = finest")
+    sp.add_argument("--to-zoom", type=int, default=0)
+    sp.set_defaults(fn=cmd_pyramid)
+
+    sp = sub.add_parser("resample", help="zoom upsample")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--dz", type=int, default=1)
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_resample)
+
+    sp = sub.add_parser("export", help="layer → real .tif files")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--stitch", action="store_true")
+    sp.add_argument("--band", type=int, default=0)
+    sp.set_defaults(fn=cmd_export)
+
+    sp = sub.add_parser("rasterize", help="shapefile/GeoJSON → tile layer")
+    sp.add_argument("path")
+    common(sp)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--zoom", type=int, default=0)
+    sp.add_argument("--x0", type=float, default=0.0)
+    sp.add_argument("--y0", type=float, default=0.0)
+    sp.add_argument("--cell", type=float, default=1.0)
+    sp.add_argument("--tile-size", type=int, default=256)
+    sp.add_argument("--value-field", default=None)
+    sp.set_defaults(fn=cmd_rasterize)
+
+    sp = sub.add_parser("serve", help="HTTP tile server")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--port", type=int, default=18080)
+    sp.add_argument("--breaks", default=None, help="comma floats; default: quantiles")
+    sp.add_argument("--classes", type=int, default=10)
+    sp.add_argument("--palette", default=None, help="comma hex RGBA")
+    sp.add_argument("--block", action="store_true")
+    sp.set_defaults(fn=cmd_serve)
+
+    sp = sub.add_parser("delete", help="delete layer (zoom)")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--zoom", type=int, default=-1, help="-1 = all zooms")
+    sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("wordcount", help="text → word counts")
+    sp.add_argument("path")
+    sp.add_argument("--out", required=True)
+    sp.set_defaults(fn=cmd_wordcount)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

@@ -1,0 +1,142 @@
+"""CLI parity: each reference example main class maps onto a
+``python -m biggis_landuse_spark`` subcommand. The chain below runs
+ingest → ndvi → convolve → pyramid → resample → export → rasterize →
+delete → wordcount in-process (main(argv) — same SparkSession via
+getOrCreate) against real .tif / .shp inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from biggis_landuse_spark.__main__ import main
+from biggis_landuse_spark.sources.tiff import decode_tiff, encode_tiff
+
+W = H = 32
+TILE = 16
+
+
+@pytest.fixture(scope="module")
+def workspace(spark, tmp_path_factory):
+    """Ingest red+nir real GeoTIFFs once; downstream commands chain."""
+    root = tmp_path_factory.mktemp("cli")
+    cat = str(root / "cat")
+    red = np.full((H, W), 1000.0, dtype=np.float32)
+    nir = np.full((H, W), 3000.0, dtype=np.float32)
+    for name, band in (("red", red), ("nir", nir)):
+        d = root / name
+        d.mkdir()
+        (d / "scene.tif").write_bytes(encode_tiff([band], compression="deflate"))
+        rc = main([
+            "ingest", str(d), name, "--catalog", cat,
+            "--tile-size", str(TILE), "--no-reproject",
+        ])
+        assert rc == 0
+    return root, cat
+
+
+def test_cli_ingest_wrote_layers(spark, workspace):
+    from biggis_landuse_spark.catalog import LayerCatalog
+
+    _, cat = workspace
+    c = LayerCatalog(spark, cat)
+    assert {("red", 0), ("nir", 0)} <= set(c.layer_ids())
+    assert c.read_layer("red", 0).count() == (W // TILE) ** 2
+
+
+def test_cli_ndvi_and_pyramid(spark, workspace):
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.pixeling import tiles_to_pixels
+
+    root, cat = workspace
+    assert main([
+        "ndvi", "--catalog", cat, "--red", "red", "--nir", "nir",
+        "--zoom", "0", "--out", "ndvi0",
+    ]) == 0
+    c = LayerCatalog(spark, cat)
+    px = tiles_to_pixels(
+        c.read_layer("ndvi0", 0)
+    ).select("value").distinct().collect()
+    assert [r["value"] for r in px] == [pytest.approx(0.5)]  # (3k-1k)/(3k+1k)
+
+    assert main([
+        "pyramid", "--catalog", cat, "--layer", "ndvi0", "--from-zoom", "0",
+        "--to-zoom", "0",
+    ]) == 0  # degenerate range: no-op, still valid
+
+
+def test_cli_convolve_and_resample(spark, workspace):
+    from biggis_landuse_spark.catalog import LayerCatalog
+
+    root, cat = workspace
+    assert main([
+        "convolve", "--catalog", cat, "--layer", "red", "--zoom", "0",
+        "--radius", "1", "--out", "red_smooth",
+    ]) == 0
+    c = LayerCatalog(spark, cat)
+    # constant input → constant focal mean
+    t = c.read_layer("red_smooth", 0).first()["tile"]["bands"][0]
+    assert all(v == pytest.approx(1000.0) for v in t)
+
+    assert main([
+        "resample", "--catalog", cat, "--layer", "red", "--zoom", "0",
+        "--dz", "1", "--out", "red_z1",
+    ]) == 0
+    assert c.read_layer("red_z1", 1).count() == 4 * (W // TILE) ** 2
+
+
+def test_cli_export_per_tile_and_stitch(spark, workspace, tmp_path):
+    root, cat = workspace
+    out = tmp_path / "export"
+    assert main([
+        "export", "--catalog", cat, "--layer", "red", "--zoom", "0",
+        "--out", str(out),
+    ]) == 0
+    tifs = sorted(out.glob("red_*.tif"))
+    assert len(tifs) == (W // TILE) ** 2
+    band = decode_tiff(tifs[0].read_bytes())[0]
+    assert band.shape == (TILE, TILE) and band[0, 0] == 1000.0
+
+    assert main([
+        "export", "--catalog", cat, "--layer", "red", "--zoom", "0",
+        "--out", str(out), "--stitch",
+    ]) == 0
+    mosaic = decode_tiff((out / "red_z0.tif").read_bytes())[0]
+    assert mosaic.shape == (H, W)
+
+
+def test_cli_rasterize_shapefile(spark, workspace, tmp_path):
+    from biggis_landuse_spark.catalog import LayerCatalog
+
+    from test_export_vector import _write_dbf, _write_shp
+
+    _, cat = workspace
+    ring = [(2.0, 3.0), (2.0, 6.0), (10.0, 6.0), (10.0, 3.0), (2.0, 3.0)]
+    _write_shp(tmp_path / "z.shp", [[ring]])
+    _write_dbf(tmp_path / "z.dbf", ["VAL"], [[9.0]])
+    assert main([
+        "rasterize", str(tmp_path / "z.shp"), "--catalog", cat,
+        "--out", "burned", "--tile-size", "8",
+    ]) == 0
+    c = LayerCatalog(spark, cat)
+    burned = c.read_layer("burned", 0)
+    band = burned.where(burned.tile_col == 0).first()["tile"]["bands"][0]
+    assert band[3 * 8 + 2] == 9.0
+
+
+def test_cli_delete_and_wordcount(spark, workspace, tmp_path):
+    from biggis_landuse_spark.catalog import LayerCatalog
+
+    _, cat = workspace
+    assert main(["delete", "--catalog", cat, "--layer", "red_z1"]) == 0
+    c = LayerCatalog(spark, cat)
+    assert ("red_z1", 1) not in set(c.layer_ids())
+
+    (tmp_path / "in.txt").write_text("spark tile spark\ntile spark\n")
+    out = tmp_path / "wc"
+    assert main(["wordcount", str(tmp_path / "in.txt"), "--out", str(out)]) == 0
+    got = {
+        r["word"]: r["n"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {"spark": 3, "tile": 2}
