@@ -324,6 +324,7 @@ _MIX_CAP = 10  # per-(lang, source) document cap
     pathology — a single huge domain still ranks in parallel via its
     partition's sort spill.""",
     tags=("TEXT", "ML", "P10"),
+    bench=True,
 )
 def domain_mix_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")

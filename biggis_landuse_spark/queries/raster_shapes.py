@@ -880,6 +880,7 @@ def focal_extrema_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     trig column expressions — whole-stage codegen, one shuffle for the
     final aggregate.""",
     tags=("REPROJECT", "UTM"),
+    bench=True,
 )
 def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggis_landuse_spark.operators.reproject import utm_to_lonlat
