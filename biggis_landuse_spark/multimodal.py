@@ -10,14 +10,16 @@ bytes next to relational features. Two layers:
 2. **Python-side decode/transform** (`decode_media`, `resize_images`,
    `sample_frames`, `media_features`): Arrow-batched ``mapInPandas``
    generators, the production shape for per-item media kernels. The
-   actual image/audio codecs are NOT available in this container, so
-   the byte→pixel decode step is stubbed: ``codec="fake"`` (default)
-   derives a small deterministic pixel grid from the bytes themselves
-   (stable across partitions/retries — safe for tests and retried
-   stages); ``codec="pillow"``/``"ffmpeg"`` raise NotImplementedError
-   at plan-build time until real libraries are wired in. Everything
-   around the stub — schemas, batch iteration, partitioning, UDF
-   signatures — is the real production plumbing.
+   byte→pixel codecs: ``codec="png"`` is a REAL stdlib PNG decoder
+   (sources/png.py — 8-bit gray/RGB/RGBA, all five filters);
+   ``codec="fake"`` (default) derives a small deterministic pixel
+   grid from the bytes themselves (stable across partitions/retries —
+   safe for tests and retried stages over the synthetic media
+   column, which is not a valid image container);
+   ``codec="pillow"``/``"ffmpeg"`` raise NotImplementedError at
+   plan-build time until real libraries are wired in. Schemas, batch
+   iteration, partitioning, and UDF signatures are identical across
+   codecs — the production plumbing is the same object under test.
 
 Scale notes: decode is embarrassingly parallel; the mapInPandas
 generators stream Arrow batches (never materialize a partition);
@@ -101,12 +103,13 @@ def media_metadata_cols(content: Column | str) -> list[Column]:
 
 
 def _require_codec(codec: str) -> None:
-    if codec == "fake":
+    if codec in ("fake", "png"):
         return
     raise NotImplementedError(
-        f"codec={codec!r}: real media codecs (pillow/ffmpeg/librosa) are "
-        "not available in this environment; wire them in here. The "
-        "deterministic 'fake' codec exercises the full Spark plumbing."
+        f"codec={codec!r}: general media codecs (pillow/ffmpeg/librosa) are "
+        "not available in this environment; wire them in here. Available: "
+        "'png' (REAL stdlib decoder, sources/png.py) and the deterministic "
+        "'fake' codec that exercises the full Spark plumbing."
     )
 
 
@@ -140,6 +143,14 @@ def decode_media(
     ensure_package_shipped(df.sparkSession)
     _require_codec(codec)
 
+    def one(raw: bytes) -> tuple[int, int, int, list[float]]:
+        if codec == "png":
+            from biggis_landuse_spark.sources.png import decode_png
+
+            w, h, c, buf = decode_png(raw)
+            return w, h, c, [b / 255.0 for b in buf]
+        return _fake_decode(raw)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {
@@ -150,7 +161,7 @@ def decode_media(
                 "pixels": [],
             }
             for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
-                w, h, c, px = _fake_decode(bytes(raw) if raw is not None else b"")
+                w, h, c, px = one(bytes(raw) if raw is not None else b"")
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
                 out["height"].append(h)

@@ -1,0 +1,138 @@
+"""Stdlib PNG decoder: round-trip against the stdlib encoder
+(serving.encode_png_rgba), hand-filtered streams for filters 1-4,
+refusals, and the real decode_media(codec="png") Spark path."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from biggis_landuse_spark.serving import encode_png_rgba
+from biggis_landuse_spark.sources.png import PngFormatError, decode_png
+
+
+def test_roundtrip_encoder_rgba():
+    w, h = 5, 3
+    rng = np.random.default_rng(3)
+    rgba = rng.integers(0, 256, w * h * 4, dtype=np.uint8).tobytes()
+    png = encode_png_rgba(w, h, rgba)
+    gw, gh, gc, buf = decode_png(png)
+    assert (gw, gh, gc) == (w, h, 4)
+    assert buf == rgba
+
+
+def _png(width, height, ctype, rows_with_filters):
+    """Assemble a PNG from (filter_byte, row_bytes) pairs."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    raw = b"".join(bytes([f]) + r for f, r in rows_with_filters)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_all_filter_types_gray(ftype):
+    # 4×3 grayscale target image; apply the filter forward by the spec
+    # and check the decoder inverts it exactly
+    want = np.array(
+        [[10, 20, 30, 40], [15, 25, 35, 45], [90, 80, 70, 60]], dtype=np.uint8
+    )
+    rows = []
+    prev = np.zeros(4, dtype=np.int32)
+    for y in range(3):
+        cur = want[y].astype(np.int32)
+        filt = np.zeros(4, dtype=np.int32)
+        for i in range(4):
+            left = cur[i - 1] if i else 0
+            upleft = int(prev[i - 1]) if i else 0
+            up = int(prev[i])
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else upleft)
+            filt[i] = (cur[i] - pred) & 0xFF
+        rows.append((ftype, bytes(filt.astype(np.uint8))))
+        prev = cur
+    png = _png(4, 3, 0, rows)
+    w, h, c, buf = decode_png(png)
+    assert (w, h, c) == (4, 3, 1)
+    np.testing.assert_array_equal(
+        np.frombuffer(buf, np.uint8).reshape(3, 4), want
+    )
+
+
+def test_rgb_sub_filter_uses_channel_stride():
+    # Sub filter predicts from the pixel CHANNELS bytes back, not 1
+    want = np.array([[[100, 0, 50], [110, 5, 60]]], dtype=np.uint8)  # 2×1 RGB
+    cur = want[0].ravel().astype(np.int32)
+    filt = cur.copy()
+    filt[3:] = (cur[3:] - cur[:-3]) & 0xFF
+    png = _png(2, 1, 2, [(1, bytes(filt.astype(np.uint8)))])
+    w, h, c, buf = decode_png(png)
+    assert (w, h, c) == (2, 1, 3)
+    assert buf == want.tobytes()
+
+
+def test_refusals():
+    with pytest.raises(PngFormatError, match="signature"):
+        decode_png(b"JFIFnot-a-png")
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    png16 = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
+    with pytest.raises(PngFormatError, match="bit depth"):
+        decode_png(png16)
+
+
+def test_decode_media_png_codec_spark(spark):
+    from biggis_landuse_spark.multimodal import decode_media, media_features
+
+    rng = np.random.default_rng(9)
+    rows = []
+    truths = {}
+    for doc_id in range(4):
+        w, h = 3 + doc_id, 2 + doc_id
+        rgba = rng.integers(0, 256, w * h * 4, dtype=np.uint8)
+        rows.append((doc_id, bytearray(encode_png_rgba(w, h, rgba.tobytes()))))
+        truths[doc_id] = (w, h, rgba)
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in decode_media(df, codec="png").collect()}
+    for doc_id, (w, h, rgba) in truths.items():
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 4)
+        np.testing.assert_allclose(
+            np.array(r["pixels"]), rgba.astype(np.float64) / 255.0
+        )
+    # the downstream feature kernel runs unchanged on real pixels
+    feats = media_features(decode_media(df, codec="png")).collect()
+    assert len(feats) == 4
+    for f in feats:
+        w, h, rgba = truths[f["doc_id"]]
+        assert f["n_pixels"] == w * h * 4
+        assert f["mean"] == pytest.approx(float(rgba.mean()) / 255.0, rel=1e-9)
