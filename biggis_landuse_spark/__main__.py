@@ -163,14 +163,23 @@ def cmd_export(args) -> int:
             export_tiles,
         )
 
-        rows = export_tiles(tiles, encoder=TiffEncoder()).collect()
-        for r in rows:
-            path = os.path.join(
-                args.out, f"{args.layer}_{r['tile_col']}_{r['tile_row']}.tif"
-            )
-            with open(path, "wb") as fh:
-                fh.write(bytes(r["payload"]))
-        print(f"wrote {len(rows)} tiles → {args.out}")
+        payloads = export_tiles(tiles, encoder=TiffEncoder())
+        out_dir, layer = args.out, args.layer
+
+        # executor-side file writes (the reference wrote per-tile files
+        # from executors too, LayerToGeotiff.scala:100-113) — no
+        # payload ever crosses the driver, so the export scales with
+        # the layer; out_dir must be a shared FS on a real cluster
+        def write_partition(rows):
+            for r in rows:
+                path = os.path.join(
+                    out_dir, f"{layer}_{r['tile_col']}_{r['tile_row']}.tif"
+                )
+                with open(path, "wb") as fh:
+                    fh.write(bytes(r["payload"]))
+
+        payloads.foreachPartition(write_partition)
+        print(f"wrote {tiles.count()} tiles → {args.out}")
     return 0
 
 
