@@ -103,12 +103,13 @@ def media_metadata_cols(content: Column | str) -> list[Column]:
 
 
 def _require_codec(codec: str) -> None:
-    if codec in ("fake", "png"):
+    if codec in ("fake", "png", "wav"):
         return
     raise NotImplementedError(
         f"codec={codec!r}: general media codecs (pillow/ffmpeg/librosa) are "
         "not available in this environment; wire them in here. Available: "
-        "'png' (REAL stdlib decoder, sources/png.py) and the deterministic "
+        "'png' (REAL stdlib image decoder, sources/png.py), 'wav' (REAL "
+        "stdlib audio decoder, sources/wav.py), and the deterministic "
         "'fake' codec that exercises the full Spark plumbing."
     )
 
@@ -149,6 +150,13 @@ def decode_media(
 
             w, h, c, buf = decode_png(raw)
             return w, h, c, [b / 255.0 for b in buf]
+        if codec == "wav":
+            # audio lands in the same decoded schema: width=frames,
+            # height=1, channels, samples as the pixel buffer
+            from biggis_landuse_spark.sources.wav import decode_wav
+
+            _rate, c, n_frames, samples = decode_wav(raw)
+            return n_frames, 1, c, samples.tolist()
         return _fake_decode(raw)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
