@@ -342,3 +342,76 @@ def domain_mix_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("kept_chars"),
         )
     )
+
+
+@register(
+    "bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(t[1:len(t) - 1]) AS w1,
+             unnest(t[2:len(t)])     AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    c12 AS (
+      SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY w1
+    ),
+    model AS (
+      SELECT c12.w1, c12.w2, CAST(n12 AS DOUBLE) / n1 AS p
+      FROM c12 JOIN c1 ON c12.w1 = c1.w1
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT)          AS n_bigrams,
+           round(exp(avg(-ln(m.p))), 2)      AS ppl
+    FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+    GROUP BY b.doc_id
+    """,
+    doc="""Corpus-trained bigram-LM perplexity per document — the
+    in-container analog of CCNet/KenLM quality filtering: train MLE
+    bigram probabilities P(w2|w1) on the corpus itself (one
+    map-side-combined groupBy over exploded bigrams), score every
+    document by exp(mean negative log-likelihood), and rank docs by
+    how 'surprising' their word sequences are relative to the corpus.
+
+    Scale: the model build is two partial-aggregated shuffles over the
+    bigram vocabulary (sub-linear in corpus size); scoring is an
+    equi-join of corpus bigrams against the model — AQE broadcasts the
+    model when it fits, and its skew-join splitting absorbs hot-bigram
+    keys. No UDF anywhere; unsmoothed MLE is exact on both engines
+    because every scored bigram exists in the training counts by
+    construction.""",
+    tags=("TEXT", "ML", "DEDUP"),
+    bench=True,
+)
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", tokens("text").alias("t")
+    ).where(F.size("t") >= 2)
+    pair = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = toks.select("doc_id", F.explode(pair).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    model = c12.join(c1, "w1").select(
+        "w1", "w2", (F.col("n12").cast("double") / F.col("n1")).alias("p")
+    )
+    return (
+        big.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(F.avg(-F.log("p"))), 2).alias("ppl"),
+        )
+    )
