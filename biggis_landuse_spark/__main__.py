@@ -254,6 +254,28 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Rewrite a layer partition into few globally Z-ordered files
+    (restores the pruning contract after incremental merges)."""
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    cat.compact_layer(args.layer, args.zoom, target_files=args.target_files)
+    print(f"compacted {args.layer}/{args.zoom} → {args.target_files} files")
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    """Drop versioned-store snapshots older than the newest N
+    (data dirs shared with kept versions survive)."""
+    from biggis_landuse_spark.versioning import VersionedLayerStore
+
+    spark = _spark(args)
+    store = VersionedLayerStore(spark, args.catalog)
+    deleted = store.vacuum(args.layer, args.zoom, keep=args.keep)
+    print(f"vacuumed {len(deleted)} data dirs from {args.layer}/{args.zoom}")
+    return 0
+
+
 def cmd_wordcount(args) -> int:
     """WordCount: text lines → (word, count) parquet/csv."""
     spark = _spark(args)
@@ -357,6 +379,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--layer", required=True)
     sp.add_argument("--zoom", type=int, default=-1, help="-1 = all zooms")
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("compact", help="rewrite layer into few Z-ordered files")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--target-files", type=int, default=1)
+    sp.set_defaults(fn=cmd_compact)
+
+    sp = sub.add_parser("vacuum", help="drop old versioned snapshots")
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--keep", type=int, default=2)
+    sp.set_defaults(fn=cmd_vacuum)
 
     sp = sub.add_parser("wordcount", help="text → word counts")
     sp.add_argument("path")

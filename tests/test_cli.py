@@ -124,6 +124,35 @@ def test_cli_rasterize_shapefile(spark, workspace, tmp_path):
     assert band[3 * 8 + 2] == 9.0
 
 
+def test_cli_compact_and_vacuum(spark, workspace, tmp_path):
+    import glob
+
+    from biggis_landuse_spark.versioning import VersionedLayerStore
+
+    _, cat = workspace
+    assert main([
+        "compact", "--catalog", cat, "--layer", "red", "--zoom", "0",
+        "--target-files", "1",
+    ]) == 0
+    files = glob.glob(f"{cat}/tiles/layer=red/zoom=0/*.parquet")
+    assert len(files) == 1
+
+    store = VersionedLayerStore(spark, str(tmp_path / "vstore"))
+    from biggis_landuse_spark.catalog import LayerCatalog
+
+    tiles = LayerCatalog(spark, cat).read_layer("red", 0).select(
+        "tile_col", "tile_row", "ts", "tile"
+    )
+    store.write(tiles, "v", 0)
+    store.write(tiles, "v", 0)
+    store.write(tiles, "v", 0)
+    assert main([
+        "vacuum", "--catalog", str(tmp_path / "vstore"), "--layer", "v",
+        "--zoom", "0", "--keep", "1",
+    ]) == 0
+    assert store.versions("v", 0) == [3]
+
+
 def test_cli_delete_and_wordcount(spark, workspace, tmp_path):
     from biggis_landuse_spark.catalog import LayerCatalog
 
