@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from biggis_landuse_spark.queries import REGISTRY, load_tables, register
+from biggis_landuse_spark.queries import load_tables, register
 
 GRID = 64
 _OFFSETS = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
@@ -867,44 +867,10 @@ def focal_extrema_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "utm_grid",
-    # oracle is built below with the SAME WGS84 constants the engine
-    # uses (appended at import time, see _utm_grid_oracle)
-    oracle=None,
-    doc="""UTM→lat/lon inverse Transverse-Mercator warp
-    (operators.reproject.utm_to_lonlat — the reference's CRS-mismatch
-    reprojection branch, ManyLayersToMultibandLayer.scala:233-260)
-    over synthesized zone-32N easting/northing points, re-keyed onto
-    8°-lat × 1°-lon cells and aggregated. The whole series is built-in
-    trig column expressions — whole-stage codegen, one shuffle for the
-    final aggregate.""",
-    tags=("REPROJECT", "UTM"),
-    bench=True,
-)
-def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from biggis_landuse_spark.operators.reproject import utm_to_lonlat
-
-    (part,) = load_tables(spark, sf_dir, "part")
-    src = part.select(
-        (300000.0 + (F.col("p_partkey") % 400) * 1000.0).alias("e"),
-        ((F.col("p_partkey") % 9000) * 1000.0).alias("n"),
-    )
-    lon, lat = utm_to_lonlat(F.col("e"), F.col("n"), zone=32, north=True)
-    keyed = src.select(
-        F.floor(lat / 8).cast("long").alias("lat_band"),
-        F.floor(lon).cast("long").alias("lon_cell"),
-        lat.alias("lat"),
-        lon.alias("lon"),
-    )
-    return keyed.groupBy("lat_band", "lon_cell").agg(
-        F.count(F.lit(1)).alias("n_px"),
-        F.round(F.avg("lat"), 4).alias("avg_lat"),
-        F.round(F.avg("lon"), 4).alias("avg_lon"),
-    )
-
-
 def _utm_grid_oracle() -> str:
+    """DuckDB replay of utm_to_lonlat with the SAME WGS84 constants
+    and multiplication association the engine's column expressions
+    use (only libm trig ULPs differ; absorbed by round(avg, 4))."""
     from biggis_landuse_spark.operators.reproject import (
         _A,
         _E1,
@@ -968,4 +934,39 @@ def _utm_grid_oracle() -> str:
     """
 
 
-REGISTRY["utm_grid"].oracle = _utm_grid_oracle()
+@register(
+    "utm_grid",
+    oracle=_utm_grid_oracle(),
+    doc="""UTM→lat/lon inverse Transverse-Mercator warp
+    (operators.reproject.utm_to_lonlat — the reference's CRS-mismatch
+    reprojection branch, ManyLayersToMultibandLayer.scala:233-260)
+    over synthesized zone-32N easting/northing points, re-keyed onto
+    8°-lat × 1°-lon cells and aggregated. The whole series is built-in
+    trig column expressions — whole-stage codegen, one shuffle for the
+    final aggregate.""",
+    tags=("REPROJECT", "UTM"),
+    bench=True,
+)
+def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import utm_to_lonlat
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (300000.0 + (F.col("p_partkey") % 400) * 1000.0).alias("e"),
+        ((F.col("p_partkey") % 9000) * 1000.0).alias("n"),
+    )
+    lon, lat = utm_to_lonlat(F.col("e"), F.col("n"), zone=32, north=True)
+    keyed = src.select(
+        F.floor(lat / 8).cast("long").alias("lat_band"),
+        F.floor(lon).cast("long").alias("lon_cell"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+    return keyed.groupBy("lat_band", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
+
