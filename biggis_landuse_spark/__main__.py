@@ -254,6 +254,100 @@ def cmd_delete(args) -> int:
     return 0
 
 
+def _stacked_samples(spark, args):
+    """Stack label layer + feature layers and pixel them into labeled
+    samples (label band 0) — the data-prep step shared by the
+    samples/classify commands (TilePixelingExample / WorkflowExample)."""
+    from functools import reduce
+
+    from biggis_landuse_spark.operators.local import band_concat
+    from biggis_landuse_spark.pixeling import (
+        labeled_pixel_samples,
+        tiles_to_pixels,
+    )
+
+    cat = _catalog(spark, args)
+    layers = [args.labels] + args.features.split(",")
+    frames = [
+        cat.read_layer(name, args.zoom).select(
+            "tile_col", "tile_row", F.col("tile").alias(f"_t{i}")
+        )
+        for i, name in enumerate(layers)
+    ]
+    stacked = reduce(
+        lambda a, b: a.join(b, ["tile_col", "tile_row"]), frames
+    )
+    tile = reduce(
+        lambda acc, i: band_concat(acc, F.col(f"_t{i}")),
+        range(1, len(layers)),
+        F.col("_t0"),
+    )
+    full = stacked.select(
+        F.lit("stack").alias("layer"),
+        F.lit(args.zoom).alias("zoom"),
+        "tile_col",
+        "tile_row",
+        tile.alias("tile"),
+    )
+    return labeled_pixel_samples(tiles_to_pixels(full), label_band=0)
+
+
+def cmd_samples(args) -> int:
+    """TilePixelingToCSVExample / UtilsSVM export: stacked layers →
+    labeled pixel samples → CSV or LibSVM files."""
+    from biggis_landuse_spark.sources.codecs import (
+        save_samples_csv,
+        save_samples_libsvm,
+    )
+
+    spark = _spark(args)
+    samples = _stacked_samples(spark, args)
+    if args.format == "csv":
+        save_samples_csv(samples, args.out)
+    else:
+        save_samples_libsvm(samples, args.out)
+    print(f"wrote {args.format} samples → {args.out}")
+    return 0
+
+
+def cmd_classify(args) -> int:
+    """TestClassifierSVM + WorkflowExample tail: train OneVsRest
+    LinearSVC on the labeled stack, report held-out accuracy, classify
+    the full raster, and write the prediction layer."""
+    from biggis_landuse_spark.ml import classify as C
+    from biggis_landuse_spark.pixeling import pixels_to_tiles
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    samples = _stacked_samples(spark, args)
+    train, test = C.split_samples(samples)
+    model = C.train_ova(train, max_iter=args.max_iter)
+    acc = C.accuracy(C.predict(model, test))
+    print(f"held-out accuracy: {acc:.4f}")
+    scored = C.predict(model, samples)
+    result_px = scored.select(
+        F.lit(args.out).alias("layer"),
+        F.lit(args.zoom).alias("zoom"),
+        "tile_col",
+        "tile_row",
+        F.lit(0).alias("band"),
+        "px",
+        "py",
+        F.col("prediction").cast("double").alias("value"),
+    )
+    tiles = pixels_to_tiles(
+        result_px, cols=args.tile_size, rows=args.tile_size, n_bands=1
+    )
+    cat.write_layer(
+        tiles.select("tile_col", "tile_row", "ts", "tile"), args.out, args.zoom
+    )
+    if args.model_out:
+        C.save_model(model, args.model_out)
+        print(f"saved model → {args.model_out}")
+    print(f"wrote layer {args.out} zoom {args.zoom}")
+    return 0
+
+
 def cmd_compact(args) -> int:
     """Rewrite a layer partition into few globally Z-ordered files
     (restores the pruning contract after incremental merges)."""
@@ -379,6 +473,26 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--layer", required=True)
     sp.add_argument("--zoom", type=int, default=-1, help="-1 = all zooms")
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("samples", help="stacked layers → labeled pixel samples")
+    common(sp)
+    sp.add_argument("--labels", required=True, help="label layer (band 0)")
+    sp.add_argument("--features", required=True, help="comma feature layers")
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--format", choices=["csv", "libsvm"], default="csv")
+    sp.set_defaults(fn=cmd_samples)
+
+    sp = sub.add_parser("classify", help="train OvR SVM, write prediction layer")
+    common(sp)
+    sp.add_argument("--labels", required=True)
+    sp.add_argument("--features", required=True)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--tile-size", type=int, default=256)
+    sp.add_argument("--max-iter", type=int, default=20)
+    sp.add_argument("--model-out", default=None)
+    sp.set_defaults(fn=cmd_classify)
 
     sp = sub.add_parser("compact", help="rewrite layer into few Z-ordered files")
     common(sp)

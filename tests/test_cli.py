@@ -153,6 +153,63 @@ def test_cli_compact_and_vacuum(spark, workspace, tmp_path):
     assert store.versions("v", 0) == [3]
 
 
+def test_cli_samples_and_classify(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.operators.local import map_pixels
+    from biggis_landuse_spark.pixeling import tiles_to_pixels
+    from biggis_landuse_spark.sources.codecs import load_samples_csv
+
+    cat = str(tmp_path / "mlcat")
+    ramp = np.arange(W * H, dtype=np.float32).reshape(H, W)
+    d = tmp_path / "feat"
+    d.mkdir()
+    (d / "scene.tif").write_bytes(encode_tiff([ramp]))
+    assert main([
+        "ingest", str(d), "feat", "--catalog", cat,
+        "--tile-size", str(TILE), "--no-reproject",
+    ]) == 0
+
+    c = LayerCatalog(spark, cat)
+    feat = c.read_layer("feat", 0)
+    gt = feat.select(
+        "tile_col", "tile_row", "ts",
+        map_pixels(
+            F.col("tile"),
+            lambda v: F.when(v < W * H / 2, 1.0).otherwise(2.0),
+        ).alias("tile"),
+    )
+    c.write_layer(gt, "gt", 0)
+
+    out = tmp_path / "samples_csv"
+    assert main([
+        "samples", "--catalog", cat, "--labels", "gt", "--features", "feat",
+        "--zoom", "0", "--out", str(out),
+    ]) == 0
+    back = load_samples_csv(spark, str(out))
+    assert back.count() == W * H
+    assert back.select("label").distinct().count() == 2
+
+    assert main([
+        "classify", "--catalog", cat, "--labels", "gt", "--features", "feat",
+        "--zoom", "0", "--out", "pred", "--tile-size", str(TILE),
+    ]) == 0
+    px = tiles_to_pixels(
+        c.read_layer("pred", 0)
+        .withColumn("layer", F.lit("pred"))
+        .withColumn("zoom", F.lit(0))
+    ).collect()
+    assert len(px) == W * H
+    wrong = sum(
+        1
+        for r in px
+        if r["value"]
+        != (1.0 if ramp[r["tile_row"] * TILE + r["py"], r["tile_col"] * TILE + r["px"]] < W * H / 2 else 2.0)
+    )
+    assert wrong / len(px) <= 0.05  # separable by construction
+
+
 def test_cli_delete_and_wordcount(spark, workspace, tmp_path):
     from biggis_landuse_spark.catalog import LayerCatalog
 
