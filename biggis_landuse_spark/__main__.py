@@ -370,6 +370,21 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_layers(args) -> int:
+    """List catalog layers with metadata (the attribute-store read
+    path, DummyGeotrellisExample.scala:29-34)."""
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    for r in cat.layers().orderBy("layer", "zoom").collect():
+        print(
+            f"{r['layer']}\tzoom={r['zoom']}\tcrs={r['crs']}"
+            f"\tbands={r['n_bands']}\t{r['tile_cols']}x{r['tile_rows']}"
+            f"\tcols {r['key_col_min']}..{r['key_col_max']}"
+            f"\trows {r['key_row_min']}..{r['key_row_max']}"
+        )
+    return 0
+
+
 def cmd_wordcount(args) -> int:
     """WordCount: text lines → (word, count) parquet/csv."""
     spark = _spark(args)
@@ -507,6 +522,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--zoom", type=int, required=True)
     sp.add_argument("--keep", type=int, default=2)
     sp.set_defaults(fn=cmd_vacuum)
+
+    sp = sub.add_parser("layers", help="list catalog layers + metadata")
+    common(sp)
+    sp.set_defaults(fn=cmd_layers)
 
     sp = sub.add_parser("wordcount", help="text → word counts")
     sp.add_argument("path")

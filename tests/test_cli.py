@@ -124,6 +124,13 @@ def test_cli_rasterize_shapefile(spark, workspace, tmp_path):
     assert band[3 * 8 + 2] == 9.0
 
 
+def test_cli_layers_listing(spark, workspace, capsys):
+    _, cat = workspace
+    assert main(["layers", "--catalog", cat]) == 0
+    out = capsys.readouterr().out
+    assert "red" in out and "nir" in out and "crs=EPSG:3857" in out
+
+
 def test_cli_compact_and_vacuum(spark, workspace, tmp_path):
     import glob
 
