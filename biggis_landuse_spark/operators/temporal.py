@@ -39,43 +39,68 @@ def asof_join(
     ts_col: str = "ts",
     right_payload: list[str] | None = None,
     tolerance_us: int | None = None,
+    direction: str = "backward",
+    tiebreak: str | None = None,
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right.ts <= left.ts`` within the same ``on`` key (inclusive,
-    matching DuckDB/kdb ASOF semantics).
+    """For every left row, attach the as-of right row within the same
+    ``on`` key: ``direction="backward"`` takes the most recent right
+    row with ``right.ts <= left.ts`` (inclusive — DuckDB/kdb ASOF
+    semantics); ``"forward"`` takes the earliest right row with
+    ``right.ts >= left.ts`` (pandas merge_asof parity).
 
     Returns the left rows with ``asof_<payload>`` columns (NULL when
-    no prior right row exists, or when the match is older than
-    ``tolerance_us`` microseconds).
+    no matching right row exists, or when the match is further than
+    ``tolerance_us`` microseconds away).
 
-    Single shuffle: union both sides, window-sort per key by
-    (ts, side) — right rows order BEFORE left rows at equal ts, which
-    is what makes the join inclusive — then carry the latest non-null
-    right payload forward.
+    ``tiebreak`` names a right column that resolves several right rows
+    sharing one timestamp deterministically: backward keeps the
+    greatest tiebreak value (the "latest" by the secondary key),
+    forward the smallest (the "earliest next").
+
+    Single shuffle either direction: union both sides, window-sort per
+    key by (signed epoch, side) — right rows order BEFORE left rows at
+    equal ts, which is what makes the join inclusive — then carry the
+    latest non-null right payload forward. Forward is the same plan on
+    the negated epoch, not a second formulation.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, not {direction!r}")
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, ts_col)]
+    tagged_payload = list(right_payload)
+    if tiebreak is not None and tiebreak not in tagged_payload:
+        tagged_payload.append(tiebreak)
+    sign = 1 if direction == "backward" else -1
+
     l_tagged = left.select(
         F.col(on),
         F.col(ts_col),
+        (F.unix_micros(F.col(ts_col)) * sign).alias("_sort_us"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_payload],
+          for c in tagged_payload],
         F.lit(None).cast("long").alias("_r_ts_us"),
     )
     r_tagged = right.select(
         F.col(on),
         F.col(ts_col),
+        (F.unix_micros(F.col(ts_col)) * sign).alias("_sort_us"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        *[F.col(c).alias(f"_r_{c}") for c in tagged_payload],
         F.unix_micros(F.col(ts_col)).alias("_r_ts_us"),
     )
-    # deterministic total order: equal-ts right rows precede left rows
+    # deterministic total order: equal-ts right rows precede left rows;
+    # among equal-ts right rows the carried (last) one is the greatest
+    # tiebreak backward / smallest forward
+    order_cols = [F.col("_sort_us"), F.col("_side")]
+    if tiebreak is not None:
+        tb = F.col(f"_r_{tiebreak}")
+        order_cols.append(tb.asc_nulls_first() if sign == 1 else tb.desc_nulls_first())
     w = (
         W.partitionBy(on)
-        .orderBy(ts_col, "_side", "_r_ts_us")
+        .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = l_tagged.unionByName(r_tagged).select(
@@ -89,7 +114,7 @@ def asof_join(
     out = carried.where(F.col("_side") == 1)
     if tolerance_us is not None:
         in_tol = (
-            F.unix_micros(F.col(ts_col)) - F.col("_asof_ts_us")
+            F.abs(F.unix_micros(F.col(ts_col)) - F.col("_asof_ts_us"))
         ) <= tolerance_us
         out = out.select(
             "*",

@@ -578,3 +578,64 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "asof_next_purchase",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.user_id, c.ts AS cts, p.ts AS pts, p.value AS pv
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ),
+    tol AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(pts) - epoch_us(cts) <= 3600000000
+                  THEN pv END AS pv,
+             CASE WHEN epoch_us(pts) - epoch_us(cts) <= 3600000000
+                  THEN epoch_us(pts) - epoch_us(cts) END AS gap_us
+      FROM j
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)    AS n_clicks,
+           CAST(count(pv) AS BIGINT)   AS n_converted,
+           round(sum(pv), 2)           AS sum_next_value,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+    FROM tol GROUP BY user_id
+    """,
+    doc="""FORWARD as-of join (pandas merge_asof direction='forward'):
+    each click attaches the next purchase of the same user within one
+    hour — the click-to-conversion attribution shape. Same single-
+    shuffle union+window plan as the backward as-of, on the negated
+    epoch (operators.temporal.asof_join); per-user conversion stats.
+    Oracle: DuckDB's native ASOF JOIN with the <= direction.""",
+    tags=("ASOF", "W"),
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.temporal import asof_join
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_payload=["value"],
+        direction="forward",
+        tolerance_us=3_600_000_000,
+        tiebreak="event_id",
+    )
+    gap = F.col("asof_ts_us") - F.unix_micros(F.col("ts"))
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.count("asof_value").alias("n_converted"),
+        F.round(F.sum("asof_value"), 2).alias("sum_next_value"),
+        F.sum(gap).cast("long").alias("sum_gap_us"),
+    )

@@ -190,3 +190,58 @@ def test_range_join_matches_plain_inequality_join(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_asof_forward_picks_earliest_following_inclusive(spark):
+    left = _mk(spark, [(1, _ts(10)), (1, _ts(25))], ["k", "ts"])
+    right = _mk(
+        spark,
+        [(1, _ts(5), 50.0), (1, _ts(10), 100.0), (1, _ts(20), 200.0),
+         (1, _ts(40), 400.0)],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["ts"].second: r["asof_v"]
+        for r in asof_join(left, right, on="k", direction="forward").collect()
+    }
+    # equal-ts match is inclusive; next-following otherwise
+    assert out == {10: 100.0, 25: 400.0}
+
+
+def test_asof_forward_tolerance_and_no_following(spark):
+    left = _mk(spark, [(1, _ts(10)), (1, _ts(55))], ["k", "ts"])
+    right = _mk(spark, [(1, _ts(50), 7.0)], ["k", "ts", "v"])
+    rows = {
+        r["ts"].second: r
+        for r in asof_join(
+            left, right, on="k", direction="forward", tolerance_us=30_000_000
+        ).collect()
+    }
+    assert rows[10]["asof_v"] is None  # next is 40s away > 30s tolerance
+    assert rows[55]["asof_v"] is None  # nothing follows at all
+
+
+def test_asof_tiebreak_deterministic_both_directions(spark):
+    left = _mk(spark, [(1, _ts(10))], ["k", "ts"])
+    right = _mk(
+        spark,
+        [(1, _ts(10), 101, 1.0), (1, _ts(10), 103, 3.0), (1, _ts(10), 102, 2.0)],
+        ["k", "ts", "eid", "v"],
+    )
+    back = asof_join(
+        left, right, on="k", right_payload=["v"], tiebreak="eid"
+    ).first()
+    assert back["asof_v"] == 3.0  # greatest eid wins backward
+    fwd = asof_join(
+        left, right, on="k", right_payload=["v"],
+        direction="forward", tiebreak="eid",
+    ).first()
+    assert fwd["asof_v"] == 1.0  # smallest eid wins forward
+
+
+def test_asof_rejects_unknown_direction(spark):
+    import pytest
+
+    left = _mk(spark, [(1, _ts(1))], ["k", "ts"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, left, on="k", direction="nearest")
