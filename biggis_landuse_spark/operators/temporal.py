@@ -148,17 +148,24 @@ def range_join(
     ts_col: str = "ts",
     band_us: int = 60_000_000,
     strict_after: bool = True,
+    band_before_us: int = 0,
 ) -> DataFrame:
     """Pairs (l, r) with the same ``on`` key and ``r.ts`` in
-    ``(l.ts, l.ts + band_us]`` microseconds (``strict_after=False``
-    makes the lower bound inclusive).
+    ``(l.ts - band_before_us, l.ts + band_us]`` microseconds
+    (``strict_after=False`` makes the bounds inclusive on both ends;
+    ``band_before_us > 0`` gives the symmetric/backward-looking
+    interval, e.g. "events within ±1 minute").
 
-    Bucketed-band equi-join: each left row probes its own time bucket
-    and the next one, so the hash join key is (key, bucket) and the
-    band inequality is only a residual filter — never a
-    broadcast-nested-loop. Output columns are prefixed ``l_`` / ``r_``.
+    Bucketed-band equi-join: time is bucketed by the TOTAL window
+    width, so every left row's interval spans at most two adjacent
+    buckets — each left row probes those buckets, the hash join key is
+    (key, bucket), and the band inequality is only a residual filter —
+    never a broadcast-nested-loop. Output columns are prefixed
+    ``l_`` / ``r_``.
     """
-    bucket = lambda c: (F.unix_micros(c) / band_us).cast("long")  # noqa: E731
+    width = band_us + band_before_us
+    if width <= 0:
+        raise ValueError("band_us + band_before_us must be positive")
     l_pref = left.select(
         F.col(on).alias("_k"),
         F.unix_micros(F.col(ts_col)).alias("_l_us"),
@@ -167,25 +174,28 @@ def range_join(
     r_pref = right.select(
         F.col(on).alias("_k"),
         F.unix_micros(F.col(ts_col)).alias("_r_us"),
-        bucket(F.col(ts_col)).alias("_rb"),
+        (F.unix_micros(F.col(ts_col)) / width).cast("long").alias("_rb"),
         *[F.col(c).alias(f"r_{c}") for c in right.columns],
     )
     probes = l_pref.select(
         "*",
         F.explode(
-            F.array(
-                (F.col("_l_us") / band_us).cast("long"),
-                (F.col("_l_us") / band_us).cast("long") + 1,
+            F.array_distinct(
+                F.array(
+                    ((F.col("_l_us") - band_before_us) / width).cast("long"),
+                    ((F.col("_l_us") + band_us) / width).cast("long"),
+                )
             )
         ).alias("_rb"),
     )
-    lower = (
-        F.col("_r_us") > F.col("_l_us")
-        if strict_after
-        else F.col("_r_us") >= F.col("_l_us")
-    )
+    if strict_after:
+        lower = F.col("_r_us") > F.col("_l_us") - band_before_us
+        upper = F.col("_r_us") <= F.col("_l_us") + band_us
+    else:
+        lower = F.col("_r_us") >= F.col("_l_us") - band_before_us
+        upper = F.col("_r_us") <= F.col("_l_us") + band_us
     return (
         probes.join(r_pref, ["_k", "_rb"])
-        .where(lower & (F.col("_r_us") <= F.col("_l_us") + band_us))
+        .where(lower & upper)
         .drop("_k", "_rb", "_l_us", "_r_us")
     )

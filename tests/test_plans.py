@@ -77,10 +77,12 @@ def test_knn_broadcasts_query_side_only(plan_of):
 
 def test_asof_join_has_no_join_operator(plan_of):
     # the as-of union+window formulation replaces any join with a
-    # single partition-sort — no join operator may appear at all
-    plan = plan_of("asof_last_click")
-    assert "Join" not in plan
-    assert "Window" in plan
+    # single partition-sort — no join operator may appear at all,
+    # in either direction
+    for q in ("asof_last_click", "asof_next_purchase"):
+        plan = plan_of(q)
+        assert "Join" not in plan, q
+        assert "Window" in plan, q
 
 
 def test_range_join_is_hash_join(plan_of):

@@ -245,3 +245,27 @@ def test_asof_rejects_unknown_direction(spark):
     left = _mk(spark, [(1, _ts(1))], ["k", "ts"])
     with pytest.raises(ValueError, match="direction"):
         asof_join(left, left, on="k", direction="nearest")
+
+
+def test_range_join_symmetric_band_matches_brute_force(spark):
+    import itertools
+
+    rows = [(1, _ts(s), s) for s in (0, 5, 12, 19, 26, 33, 47)] + [
+        (2, _ts(s), 100 + s) for s in (3, 9, 40)
+    ]
+    df = _mk(spark, rows, ["k", "ts", "eid"])
+    before = after = 10_000_000  # ±10 s
+    got = {
+        (r["l_eid"], r["r_eid"])
+        for r in range_join(
+            df, df, on="k", band_us=after, band_before_us=before,
+            strict_after=False,
+        ).collect()
+    }
+    want = {
+        (l[2], r[2])
+        for l, r in itertools.product(rows, rows)
+        if l[0] == r[0]
+        and -10 <= (r[1] - l[1]).total_seconds() <= 10
+    }
+    assert got == want and len(want) > len(rows)  # non-trivial overlap
