@@ -46,7 +46,9 @@ def asof_join(
     ``on`` key: ``direction="backward"`` takes the most recent right
     row with ``right.ts <= left.ts`` (inclusive — DuckDB/kdb ASOF
     semantics); ``"forward"`` takes the earliest right row with
-    ``right.ts >= left.ts`` (pandas merge_asof parity).
+    ``right.ts >= left.ts``; ``"nearest"`` takes whichever of the two
+    is closer in time, preferring the prior row on exact-distance ties
+    (pandas merge_asof parity for all three).
 
     Returns the left rows with ``asof_<payload>`` columns (NULL when
     no matching right row exists, or when the match is further than
@@ -57,14 +59,22 @@ def asof_join(
     greatest tiebreak value (the "latest" by the secondary key),
     forward the smallest (the "earliest next").
 
-    Single shuffle either direction: union both sides, window-sort per
+    Single shuffle every direction: union both sides, window-sort per
     key by (signed epoch, side) — right rows order BEFORE left rows at
     equal ts, which is what makes the join inclusive — then carry the
     latest non-null right payload forward. Forward is the same plan on
-    the negated epoch, not a second formulation.
+    the negated epoch; nearest adds a second sort (the forward frame)
+    over the SAME exchange, then picks the closer side per row — still
+    one shuffle.
     """
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, ts_col, right_payload, tolerance_us, tiebreak
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, not {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, not {direction!r}"
+        )
     if right_payload is None:
         right_payload = [c for c in right.columns if c not in (on, ts_col)]
     tagged_payload = list(right_payload)
@@ -138,6 +148,97 @@ def asof_join(
             for c in right_payload
         ],
         F.col(f"{sel_prefix}ts_us").alias("asof_ts_us"),
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    right_payload: list[str] | None,
+    tolerance_us: int | None,
+    tiebreak: str | None,
+) -> DataFrame:
+    """nearest-direction as-of: both carries over ONE union/exchange —
+    a backward frame (right rows sort before left at equal ts, carry
+    last prior) and a forward frame (left before right, take first
+    following) share the partitionBy(on) exchange and differ only in
+    sort — then the closer side wins per left row (prior on ties)."""
+    if right_payload is None:
+        right_payload = [c for c in right.columns if c not in (on, ts_col)]
+    tagged_payload = list(right_payload)
+    if tiebreak is not None and tiebreak not in tagged_payload:
+        tagged_payload.append(tiebreak)
+
+    l_tagged = left.select(
+        F.col(on),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in tagged_payload],
+        F.lit(None).cast("long").alias("_r_ts_us"),
+    )
+    r_tagged = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in tagged_payload],
+        F.unix_micros(F.col(ts_col)).alias("_r_ts_us"),
+    )
+    tb_asc = (
+        [F.col(f"_r_{tiebreak}").asc_nulls_first()] if tiebreak is not None else []
+    )
+    wb = (
+        W.partitionBy(on)
+        .orderBy(F.col("_us"), F.col("_side"), *tb_asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy(on)
+        .orderBy(F.col("_us"), F.col("_side").desc(), *tb_asc)
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(wb).alias(f"_b_{c}")
+            for c in right_payload
+        ],
+        F.last("_r_ts_us", ignorenulls=True).over(wb).alias("_b_ts"),
+        *[
+            F.first(f"_r_{c}", ignorenulls=True).over(wf).alias(f"_f_{c}")
+            for c in right_payload
+        ],
+        F.first("_r_ts_us", ignorenulls=True).over(wf).alias("_f_ts"),
+    )
+    out = carried.where(F.col("_side") == 1)
+    l_us = F.unix_micros(F.col(ts_col))
+    b_gap = l_us - F.col("_b_ts")
+    f_gap = F.col("_f_ts") - l_us
+    use_b = F.col("_b_ts").isNotNull() & (
+        F.col("_f_ts").isNull() | (b_gap <= f_gap)
+    )
+    chosen_ts = F.when(use_b, F.col("_b_ts")).otherwise(F.col("_f_ts"))
+    in_tol = (
+        (F.abs(l_us - chosen_ts) <= tolerance_us)
+        if tolerance_us is not None
+        else F.lit(True)
+    )
+    return out.select(
+        F.col("_lrow.*"),
+        *[
+            F.when(
+                in_tol,
+                F.when(use_b, F.col(f"_b_{c}")).otherwise(F.col(f"_f_{c}")),
+            ).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+        F.when(in_tol, chosen_ts).alias("asof_ts_us"),
     )
 
 

@@ -244,7 +244,72 @@ def test_asof_rejects_unknown_direction(spark):
 
     left = _mk(spark, [(1, _ts(1))], ["k", "ts"])
     with pytest.raises(ValueError, match="direction"):
-        asof_join(left, left, on="k", direction="nearest")
+        asof_join(left, left, on="k", direction="sideways")
+
+
+def test_asof_nearest_prefers_closer_and_breaks_ties_backward(spark):
+    left = _mk(spark, [(1, _ts(10)), (1, _ts(30)), (1, _ts(41))], ["k", "ts"])
+    right = _mk(
+        spark,
+        [(1, _ts(7), 7.0), (1, _ts(12), 12.0), (1, _ts(40), 40.0)],
+        ["k", "ts", "v"],
+    )
+    out = {
+        r["ts"].second: r["asof_v"]
+        for r in asof_join(left, right, on="k", direction="nearest").collect()
+    }
+    # t=10: prior at 7 (gap 3) vs next at 12 (gap 2) → forward wins
+    # t=30: prior at 12 (gap 18) vs next at 40 (gap 10) → forward wins
+    # t=41: prior at 40 (gap 1) vs nothing after → backward
+    assert out == {10: 12.0, 30: 40.0, 41: 40.0}
+    # exact tie: t=10 between 7 and 13 → prior wins
+    right2 = _mk(spark, [(1, _ts(7), 7.0), (1, _ts(13), 13.0)], ["k", "ts", "v"])
+    tie = asof_join(left.where(F.col("ts") == _ts(10)), right2, on="k",
+                    direction="nearest").first()
+    assert tie["asof_v"] == 7.0
+
+
+def test_asof_nearest_tolerance_and_single_shuffle(spark):
+    left = _mk(spark, [(1, _ts(30))], ["k", "ts"])
+    right = _mk(spark, [(1, _ts(10), 1.0), (1, _ts(45), 2.0)], ["k", "ts", "v"])
+    out = asof_join(
+        left, right, on="k", direction="nearest", tolerance_us=10_000_000
+    ).first()
+    assert out["asof_v"] is None  # nearest (15s away) exceeds 10s tolerance
+    plan = (
+        asof_join(left, right, on="k", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # dual sort, ONE shuffle
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    rng = [(k, s) for k in (1, 2) for s in range(0, 400, 7)]
+    left_rows = [(k, _ts(s + (k * 13) % 5)) for (k, s) in rng if (s + k) % 3 == 0]
+    right_rows = [
+        (k, _ts(s + (k * 7) % 11), float(k * 1000 + s))
+        for (k, s) in rng
+        if (s + k) % 4 == 0
+    ]
+    left = _mk(spark, left_rows, ["k", "ts"])
+    right = _mk(spark, right_rows, ["k", "ts", "v"])
+    got = {
+        (r["k"], r["ts"]): r["asof_v"]
+        for r in asof_join(left, right, on="k", direction="nearest").collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="nearest", suffixes=("", "_r")
+    )
+    want = {
+        (int(r.k), r.ts.to_pydatetime()): (None if pd.isna(r.v) else float(r.v))
+        for r in want_df.itertuples(index=False)
+    }
+    assert got == want
 
 
 def test_range_join_symmetric_band_matches_brute_force(spark):
