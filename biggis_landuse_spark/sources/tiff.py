@@ -8,7 +8,8 @@ baseline plus the GeoTIFF georeferencing tags:
 
 - classic TIFF, little- or big-endian (``II``/``MM``, magic 42);
 - stripped (RowsPerStrip) and tiled (TileWidth/TileLength) layouts;
-- compression: none (1) and zlib/deflate (8, 32946); LZW/JPEG raise;
+- compression: none (1), zlib/deflate (8, 32946), LZW (5) and
+  PackBits (32773); JPEG raises;
 - horizontal-differencing predictor (2) for integer samples;
 - chunky (PlanarConfiguration=1) and planar (2) sample layout;
 - sample types: uint8/16/32, int8/16/32, float32/64 (BitsPerSample ×
@@ -109,13 +110,86 @@ def _np_dtype(order: str, bits: int, fmt: int) -> np.dtype:
     return np.dtype(f"{order}{kind}{bits // 8}")
 
 
+def _lzw_decode(seg: bytes) -> bytes:
+    """TIFF-variant LZW (MSB-first bit packing, 9→12-bit codes, early
+    code-width change per TIFF 6.0 §13)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    # dictionary as a list of bytes; entries 0-255 literal, 256/257 control
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    prev: bytes | None = None
+    acc = 0  # bit accumulator
+    nbits = 0
+    pos = 0
+    n = len(seg)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: emit what we have
+            acc = (acc << 8) | seg[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffFormatError(f"corrupt LZW stream: code {code}")
+        out += entry
+        prev = entry
+        # early change: the decoder table lags the encoder by one entry
+        # (the first code after CLEAR adds none), so bump when the table
+        # is two short of the width limit — TIFF 6.0 §13's "one code
+        # earlier" rule
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+
+
+def _packbits_decode(seg: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9)."""
+    out = bytearray()
+    i, n = 0, len(seg)
+    while i < n:
+        h = seg[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += seg[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if i < n:
+                out += bytes([seg[i]]) * (257 - h)
+                i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
 def _decompress(seg: bytes, comp: int) -> bytes:
     if comp == 1:
         return seg
     if comp in (8, 32946):  # zlib / deflate (old code)
         return zlib.decompress(seg)
+    if comp == 5:
+        return _lzw_decode(seg)
+    if comp == 32773:
+        return _packbits_decode(seg)
     raise TiffFormatError(
-        f"compression {comp} not supported (baseline codec handles none/deflate)"
+        f"compression {comp} not supported "
+        "(baseline codec handles none/deflate/lzw/packbits)"
     )
 
 
@@ -216,6 +290,79 @@ def georef_of(data: bytes) -> tuple[float, float, float, float]:
 _FMT_OF_KIND = {"u": 1, "i": 2, "f": 3}
 
 
+def _lzw_encode(raw: bytes) -> bytes:
+    """TIFF-variant LZW encoder (mirror of :func:`_lzw_decode`)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for i in range(len(raw)):
+        c = raw[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= 4093:  # table nearly full: reset (TIFF 6.0 §13)
+            emit(CLEAR, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+        # the decoder adds a table entry for every code after the first,
+        # including this final one — count it so the EOI width agrees
+        # when the final code lands exactly on a width boundary
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    emit(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(raw: bytes) -> bytes:
+    """Apple PackBits RLE encoder (mirror of :func:`_packbits_decode`)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        j = i
+        while j < n - 1 and raw[j] == raw[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of length 2..128
+            out += bytes([257 - (j - i + 1), raw[i]])
+            i = j + 1
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j < n - 2 and raw[j] == raw[j + 1] == raw[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + raw[i:j]
+        i = j
+    return bytes(out)
+
+
 def encode_tiff(
     bands: list[np.ndarray],
     dtype: str | np.dtype | None = None,
@@ -228,7 +375,8 @@ def encode_tiff(
 ) -> bytes:
     """Encode bands (equal-shape 2-D arrays) as a little-endian classic
     TIFF. ``tile_size`` switches to the tiled layout; ``compression``
-    is ``"none"`` or ``"deflate"``; ``predictor`` applies horizontal
+    is ``"none"``, ``"deflate"``, ``"lzw"`` or ``"packbits"``;
+    ``predictor`` applies horizontal
     differencing (integer samples only); ``georef=(x0, y0, dx, dy)``
     writes ModelPixelScale + a (0,0) ModelTiepoint."""
     if not bands:
@@ -241,7 +389,7 @@ def encode_tiff(
     h, w = bands[0].shape
     spp = len(bands)
     arrs = [np.ascontiguousarray(b, dtype=dt) for b in bands]
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[compression]
 
     def pack(seg: np.ndarray) -> bytes:
         if predictor:
@@ -251,7 +399,13 @@ def encode_tiff(
             diff[:, 1:] = seg[:, 1:] - seg[:, :-1]  # wraps mod 2^k
             seg = diff
         raw = seg.tobytes()
-        return zlib.compress(raw) if comp_code == 8 else raw
+        if comp_code == 8:
+            return zlib.compress(raw)
+        if comp_code == 5:
+            return _lzw_encode(raw)
+        if comp_code == 32773:
+            return _packbits_encode(raw)
+        return raw
 
     segments: list[bytes] = []
     extra: dict[int, tuple[int, list]] = {}

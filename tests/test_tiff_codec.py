@@ -38,7 +38,7 @@ def test_roundtrip_dtypes_stripped(dtype):
     np.testing.assert_array_equal(got[0], bands[0].astype(np.float64))
 
 
-@pytest.mark.parametrize("compression", ["none", "deflate"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw", "packbits"])
 @pytest.mark.parametrize("planar", [False, True])
 def test_roundtrip_multiband_multistrip(compression, planar):
     bands = _ramp(20, 9, "uint16", bands=3)
@@ -51,7 +51,7 @@ def test_roundtrip_multiband_multistrip(compression, planar):
         np.testing.assert_array_equal(g, b.astype(np.float64))
 
 
-@pytest.mark.parametrize("compression", ["none", "deflate"])
+@pytest.mark.parametrize("compression", ["none", "deflate", "lzw", "packbits"])
 @pytest.mark.parametrize("planar", [False, True])
 def test_roundtrip_tiled_edge_crop(compression, planar):
     # 21×13 image with 8×8 tiles: right/bottom edge tiles are padded
@@ -105,6 +105,49 @@ def test_big_endian_decode():
     )
 
 
+def test_lzw_known_vector_msb_first_early_change():
+    # independent re-derivation: pack the known TIFF-LZW code sequence
+    # for bytes 07 07 07 08 08 07 — CLEAR, 7, 258, 8, 8, 7, EOI at 9
+    # bits, MSB-first — without using the codec's own encoder
+    from biggis_landuse_spark.sources.tiff import _lzw_decode
+
+    codes = [256, 7, 258, 8, 8, 7, 257]
+    acc, nbits, out = 0, 0, bytearray()
+    for c in codes:
+        acc = (acc << 9) | c
+        nbits += 9
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert _lzw_decode(bytes(out)) == b"\x07\x07\x07\x08\x08\x07"
+
+
+def test_lzw_early_change_width_boundary():
+    # a stream long enough to cross the 9→10→11-bit width boundaries:
+    # incompressible random bytes add one table entry per code
+    from biggis_landuse_spark.sources.tiff import _lzw_decode, _lzw_encode
+
+    rng = np.random.default_rng(13)
+    raw = bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+    # and one that forces a table reset (> 4093 entries)
+    raw = bytes(rng.integers(0, 4, 120_000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(raw)) == raw
+
+
+def test_packbits_spec_vector():
+    # the worked example from the TIFF 6.0 spec PackBits section
+    from biggis_landuse_spark.sources.tiff import _packbits_decode
+
+    packed = bytes.fromhex("FEAA028000 2AFDAA03 80002A22 F7AA".replace(" ", ""))
+    expect = bytes.fromhex(
+        "AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10
+    )
+    assert _packbits_decode(packed) == expect
+
+
 def test_georef_tags_roundtrip():
     bands = _ramp(4, 4, "uint8")
     payload = encode_tiff(bands, georef=(8.4, 49.02, 0.001, 0.0005))
@@ -118,11 +161,11 @@ def test_honest_refusals():
         decode_tiff(b"PK\x03\x04junk")
     with pytest.raises(TiffFormatError, match="BigTIFF"):
         decode_tiff(b"II" + struct.pack("<HI", 43, 8))
-    # LZW-compressed file must refuse, not garble
+    # JPEG-compressed file must refuse, not garble
     payload = bytearray(encode_tiff(_ramp(4, 4, "uint8")))
     idx = payload.find(struct.pack("<HHI", 259, 3, 1))
-    payload[idx + 8 : idx + 10] = struct.pack("<H", 5)  # compression=LZW
-    with pytest.raises(TiffFormatError, match="compression 5"):
+    payload[idx + 8 : idx + 10] = struct.pack("<H", 7)  # compression=JPEG
+    with pytest.raises(TiffFormatError, match="compression 7"):
         decode_tiff(bytes(payload))
 
 

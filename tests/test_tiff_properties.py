@@ -43,7 +43,7 @@ def tiff_case(draw):
             st.tuples(st.just("tile"), st.sampled_from([8, 16])),
         )
     )
-    compression = draw(st.sampled_from(["none", "deflate"]))
+    compression = draw(st.sampled_from(["none", "deflate", "lzw", "packbits"]))
     planar = draw(st.booleans())
     predictor = (
         draw(st.booleans()) if np.dtype(dtype).kind in "ui" else False
