@@ -11,6 +11,7 @@ engine-portable (salted md5).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from biggis_landuse_spark.functions import dedup as D
@@ -231,6 +232,143 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     return D.exact_dedup_summary(documents, "doc_id", "text")
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    SELECT doc_id AS keeper_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY {_FP}
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*)     OVER (PARTITION BY {_FP}) AS cluster_size
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="""Quality-aware canonical selection: within each
+    exact-duplicate cluster (normalized-content digest) keep the
+    longest document, tie-broken by doc_id — the keep-best policy a
+    training pipeline applies instead of dedup_exact's keep-any.
+    Both window functions share ONE partition key, so Catalyst plans a
+    single hash-partition exchange + one sort; state per group is a
+    counter, not a buffered cluster.""",
+    tags=("DEDUP",),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    digest = TX.fingerprint("text")
+    rank_w = W.partitionBy(digest).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    size_w = W.partitionBy(digest)
+    return (
+        documents.select(
+            "doc_id",
+            F.row_number().over(rank_w).alias("rn"),
+            F.count(F.lit(1)).over(size_w).cast("long").alias("cluster_size"),
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("keeper_id"), "cluster_size")
+    )
+
+
+# BM25 constants (Robertson/Sparck Jones defaults) and a fixed query
+# term set; idf is the "+1" (non-negative) variant used by Lucene.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("spark", "join", "stream")
+
+
+@register(
+    "bm25_search",
+    oracle=f"""
+    WITH dl AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, dl, term,
+             len(list_filter(toks, x -> x = term)) AS tf
+      FROM dl, (SELECT unnest(['spark', 'join', 'stream']) AS term)
+      WHERE len(list_filter(toks, x -> x = term)) > 0
+    ),
+    df AS (SELECT term, count(*) AS df FROM posting GROUP BY term)
+    SELECT doc_id, round(score, 6) AS score
+    FROM (
+      SELECT p.doc_id,
+             sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                 * p.tf * ({_BM25_K1} + 1)
+                 / (p.tf + {_BM25_K1} * (1 - {_BM25_B}
+                    + {_BM25_B} * p.dl / s.avgdl))) AS score
+      FROM posting p
+      JOIN df d USING (term)
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    ORDER BY round(score, 6) DESC, doc_id
+    LIMIT 10
+    """,
+    doc="""BM25 keyword relevance over the documents corpus for a fixed
+    query-term set: top-10 docs by Okapi BM25 (k1=1.2, b=0.75, Lucene
+    +1 idf). Scale shape: the query terms are a compile-time constant,
+    so per-term tf becomes a scan-local higher-order array filter (no
+    corpus-wide term explode, no per-doc groupBy); pass 1 reduces the
+    corpus to ONE row (n_docs, avgdl, per-term df) that is broadcast
+    back; pass 2 scores as a pure projection and the top-10 is
+    TakeOrderedAndProject. Two scans, zero wide shuffles.""",
+    tags=("TEXT",),
+    bench=True,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+
+    def tf_of(term: str):
+        # NB: a one-arg lambda is required — PySpark passes (element,
+        # index) to two-arg lambdas, so a default-arg capture breaks
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = documents.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1
+        )
+        return (
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (
+                tf
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+
+    score = term_score(0)
+    for i in range(1, len(_BM25_TERMS)):
+        score = score + term_score(i)
+    return (
+        base.join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
 
 
 _SHINGLES_CTE = f"""
