@@ -114,6 +114,9 @@ def enrich_with_dim(
     return events.join(F.broadcast(dim), on, how)
 
 
+_STREAM_JOIN_HOW = ("inner", "left_outer", "right_outer", "full_outer")
+
+
 def join_streams_within(
     left: DataFrame,
     right: DataFrame,
@@ -122,6 +125,7 @@ def join_streams_within(
     right_ts: str = "r_ts",
     within: str = "60 seconds",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream equi-join bounded by an event-time interval:
     rows pair when they share ``key`` and ``right_ts`` lies within
@@ -136,16 +140,34 @@ def join_streams_within(
     Kafka pipeline never addressed (SURVEY.md §2.9). State size is
     O(rate × (watermark + within)), independent of stream length.
 
+    ``how`` extends the same state machine to the outer variants
+    (left_outer / right_outer / full_outer): an unmatched buffered row
+    is emitted null-padded at the moment the opposite watermark closes
+    its interval — so outer results are late by up to
+    ``watermark + within``, never wrong. Inner pairs still emit on
+    match.
+
     The same call on two batch DataFrames gives the parity oracle
     (an ordinary range join — operators/temporal.py territory).
     """
-    lw = _with_watermark(left, left_ts, watermark)
-    rw = _with_watermark(right, right_ts, watermark)
+    if how not in _STREAM_JOIN_HOW:
+        raise ValueError(
+            f"how={how!r} not supported; one of {_STREAM_JOIN_HOW}"
+        )
+    # qualified aliases keep the join unambiguous even when both
+    # sides derive from the same source DataFrame (self-join lineage)
+    lw = _with_watermark(left, left_ts, watermark).alias("_ssl")
+    rw = _with_watermark(right, right_ts, watermark).alias("_ssr")
+    lk, rk = F.col(f"_ssl.{key}"), F.col(f"_ssr.{key}")
+    lt, rt = F.col(f"_ssl.{left_ts}"), F.col(f"_ssr.{right_ts}")
     cond = (
-        (lw[key] == rw[key])
-        & (rw[right_ts] >= F.col(left_ts) - F.expr(f"INTERVAL {within}"))
-        & (rw[right_ts] <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+        (lk == rk)
+        & (rt >= lt - F.expr(f"INTERVAL {within}"))
+        & (rt <= lt + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond).select(
-        lw[key].alias(key), F.col(left_ts), F.col(right_ts)
+    # coalesce the key: outer rows carry it only on their own side
+    return lw.join(rw, cond, how).select(
+        F.coalesce(lk, rk).alias(key),
+        lt.alias(left_ts),
+        rt.alias(right_ts),
     )

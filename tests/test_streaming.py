@@ -413,6 +413,80 @@ def test_stream_stream_interval_join_parity(spark, events_dir, tmp_path):
         q.stop()
 
 
+def test_stream_stream_left_outer_join_parity(spark, events_dir, tmp_path):
+    """Left-outer interval join: unmatched left rows flush null-padded
+    once the right watermark closes their interval. A far-future
+    sentinel row on both sources advances the watermark so every
+    pending outer row is emitted before the comparison."""
+    from biggis_landuse_spark.streaming.windows import join_streams_within
+
+    batch = spark.read.schema(EVENTS_DDL).parquet(events_dir)
+    lb = batch.where("event_type = 'click'").select(
+        "user_id", F.col("ts").alias("l_ts")
+    )
+    rb = batch.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+
+    lp, rp = str(tmp_path / "lo_l"), str(tmp_path / "lo_r")
+    lb.coalesce(1).write.mode("overwrite").parquet(lp)
+    rb.coalesce(1).write.mode("overwrite").parquet(rp)
+    ls = spark.readStream.schema("user_id long, l_ts timestamp").parquet(lp)
+    rs = spark.readStream.schema("user_id long, r_ts timestamp").parquet(rp)
+
+    joined = join_streams_within(
+        ls, rs, within="120 seconds", how="left_outer"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_lo_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark sits at max(ts) - delay: pending outer rows are
+        # still buffered. Feed a sentinel a day ahead on both sides.
+        far = lb.agg(F.max("l_ts").alias("m")).collect()[0]["m"]
+        sentinel_ts = far + __import__("datetime").timedelta(days=1)
+        spark.createDataFrame(
+            [(999_999_999, sentinel_ts)], "user_id long, l_ts timestamp"
+        ).write.mode("append").parquet(lp)
+        spark.createDataFrame(
+            [(999_999_999, sentinel_ts)], "user_id long, r_ts timestamp"
+        ).write.mode("append").parquet(rp)
+        q.processAllAvailable()
+
+        got = {
+            (r["user_id"], r["l_ts"], r["r_ts"])
+            for r in spark.sql(
+                "SELECT * FROM ssjoin_lo_out WHERE user_id < 999999999"
+            ).collect()
+        }
+        want = {
+            (r["user_id"], r["l_ts"], r["r_ts"])
+            for r in join_streams_within(
+                lb, rb, within="120 seconds", how="left_outer"
+            ).collect()
+        }
+        n_outer = sum(1 for t in want if t[2] is None)
+        assert got == want and n_outer > 0
+    finally:
+        q.stop()
+
+
+def test_join_streams_within_rejects_unknown_how(spark, events_dir):
+    import pytest as _pytest
+
+    from biggis_landuse_spark.streaming.windows import join_streams_within
+
+    batch = spark.read.schema(EVENTS_DDL).parquet(events_dir)
+    lb = batch.select("user_id", F.col("ts").alias("l_ts"))
+    rb = batch.select("user_id", F.col("ts").alias("r_ts"))
+    with _pytest.raises(ValueError, match="not supported"):
+        join_streams_within(lb, rb, how="cross")
+
+
 def test_stream_to_versioned_exactly_once(spark, tmp_path):
     """Versioned streaming ingest: each micro-batch commits a snapshot
     whose manifest records the batch id; a re-delivered batch id is
