@@ -287,3 +287,174 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ncode: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks (s, c, cv) from the first ``ncode``
+    corpus vectors in id order — the deterministic stand-in for
+    per-subspace k-means (at scale each subspace codebook comes from
+    pyspark.ml KMeans over the subvectors; the plumbing downstream is
+    identical). ``m`` subspaces must divide the dimension evenly.
+    """
+    dsub = F.floor(F.size("_v") / m).cast("int")
+    return (
+        corpus.where(F.col(id_col) < ncode)
+        .select(
+            F.col(id_col).alias("c"),
+            as_double(vec_col).alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        )
+        .select(
+            "s",
+            "c",
+            F.slice(
+                "_v", F.col("s") * dsub + 1, dsub
+            ).alias("cv"),
+        )
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector → ``m`` small code ids (argmin squared
+    L2 to the subspace codebook, 6dp-rounded, ties to the lower code).
+
+    Returns (id, codes: array<int> ordered by subspace). Scale shape:
+    the codebook (m × ncode rows) broadcasts; the corpus streams
+    map-side through the broadcast join, the per-(vector, subspace)
+    argmin partial-aggregates via min_by (shuffle carries |corpus|×m
+    rows, not ×ncode), and the code-array assembly is a second
+    partial-agged groupBy. The output is the compressed corpus — m
+    bytes-ish per vector instead of the full float array, which is the
+    artifact a 100 TB ANN store persists.
+    """
+    dsub = F.floor(F.size("_v") / m).cast("int")
+    sub = vectors.select(
+        F.col(id_col),
+        as_double(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    ).select(
+        id_col,
+        "s",
+        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
+    )
+    dist = sub.join(F.broadcast(codebooks), "s").select(
+        id_col,
+        "s",
+        "c",
+        F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+    )
+    per_sub = dist.groupBy(id_col, "s").agg(
+        F.min_by("c", F.struct("d", "c")).alias("code")
+    )
+    return per_sub.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s", "code"))),
+            lambda x: x.getField("code"),
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (ADC): approximate squared-L2
+    nearest neighbors scored entirely in the compressed domain.
+
+    Each query precomputes a distance table dt[s][c] = ||q_s - cv||²
+    (m × ncode rounded doubles, one row per query — broadcast); the
+    corpus side carries only its PQ codes, and scoring is a
+    scan-local array lookup-sum. No full-vector math touches the
+    corpus at query time — that is the PQ contract at 100 TB: the
+    float corpus stays on disk, the code table (≪1% the size) is what
+    scans. Pair with IVF cell pruning (ivf_topk) for sub-linear
+    candidate sets; rank ties break on neighbor id.
+    """
+    codes = pq_encode(corpus, codebooks, m, id_col=id_col, vec_col=vec_col)
+    dsub = F.floor(F.size("_v") / m).cast("int")
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    ).select(
+        "query_id",
+        "s",
+        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
+    )
+    dt_entries = qsub.join(F.broadcast(codebooks), "s").select(
+        "query_id",
+        "s",
+        "c",
+        F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+    )
+    per_sub = dt_entries.groupBy("query_id", "s").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("c", "d"))),
+            lambda x: x.getField("d"),
+        ).alias("row")
+    )
+    dtable = per_sub.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s", "row"))),
+            lambda x: x.getField("row"),
+        ).alias("dt")
+    )
+    scored = (
+        codes.join(F.broadcast(dtable))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + F.element_at(
+                        F.element_at("dt", s + 1),
+                        (F.element_at("codes", s + 1) + 1).cast("int"),
+                    ),
+                ),
+                6,
+            ).alias("approx_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+    )

@@ -56,3 +56,48 @@ def train_codebook(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cid int, cv array<double>",
     )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    vec_col: str = "embedding",
+    ncode: int = 16,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks; returns (s, c, cv) rows in the
+    shape ``functions.similarity.pq_encode`` / ``pq_topk`` consume.
+
+    One seeded KMeans per subspace over that subspace's slice of the
+    (optionally hash-sampled) corpus — m is a small constant (4-16),
+    so the driver-side loop is m bounded Spark jobs, exactly how
+    OPQ/IVFPQ trainers run in production. Swapping these for the
+    deterministic first-N codebooks changes recall, not plumbing.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(as_double(vec_col).alias("_arr"))
+    if sample_fraction is not None:
+        n_buckets = max(1, int(round(1.0 / sample_fraction)))
+        vecs = vecs.where(
+            F.pmod(
+                F.abs(F.hash(F.col("_arr").cast("string"))), F.lit(n_buckets)
+            )
+            == 0
+        )
+    dsub = F.floor(F.size("_arr") / m).cast("int")
+    rows = []
+    for s in range(m):
+        sub = vecs.select(
+            F.slice("_arr", F.lit(s) * dsub + 1, dsub).alias("_sv")
+        )
+        train = sub.select(array_to_vector("_sv").alias("features"))
+        model = KMeans(k=ncode, seed=seed + s, maxIter=max_iter).fit(train)
+        for c, center in enumerate(model.clusterCenters()):
+            rows.append((s, c, [float(x) for x in center]))
+    return corpus.sparkSession.createDataFrame(
+        rows, "s int, c int, cv array<double>"
+    )

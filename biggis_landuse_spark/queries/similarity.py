@@ -469,3 +469,72 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(err * err), 9).alias("avg_mse"),
         F.round(F.max(F.abs(err)), 6).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (64-dim → 16-dim subvectors)
+PQ_NCODE = 16  # codes per subspace codebook
+PQ_DSUB = DIM // PQ_M
+PQ_NQ = 8
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s, list_slice(vec, s*{PQ_DSUB} + 1, s*{PQ_DSUB} + {PQ_DSUB}) AS sv
+      FROM v, (SELECT unnest(range({PQ_M})) AS s)
+    ),
+    cb AS (SELECT s, vec_id AS c, sv AS cv FROM sub WHERE vec_id < {PQ_NCODE}),
+    dist AS (
+      SELECT sub.vec_id, sub.s, cb.c,
+             round(list_sum(list_transform(range({PQ_DSUB}),
+                   i -> (sv[i+1] - cv[i+1]) * (sv[i+1] - cv[i+1]))), 6) AS d
+      FROM sub JOIN cb USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    score AS (
+      SELECT dt.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(sum(dt.d), 6) AS approx_dist
+      FROM codes x
+      JOIN dist dt ON dt.s = x.s AND dt.c = x.c
+      WHERE dt.vec_id < {PQ_NQ} AND x.vec_id <> dt.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rank
+      FROM score
+    )
+    WHERE rank <= {K}
+    """,
+    doc="""Product-quantization ANN (ADC): corpus vectors compress to
+    4 subspace code ids against deterministic per-subspace codebooks
+    (first-16 subvectors stand in for per-subspace k-means); each
+    query broadcasts an m×ncode distance table and scoring is a
+    scan-local lookup-sum over the CODE table — no full-vector math
+    touches the corpus at query time. The compressed-domain
+    counterpart of ann_ivf_topk: at 100 TB the float corpus stays on
+    disk, the ~1% code table is what scans; pair with IVF cells for
+    sub-linear candidates (functions.similarity.pq_topk).""",
+    tags=("ANN",),
+    bench=True,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    codebooks = S.pq_codebooks(embeddings, m=PQ_M, ncode=PQ_NCODE)
+    queries = embeddings.where(F.col("vec_id") < PQ_NQ)
+    return S.pq_topk(queries, embeddings, codebooks, m=PQ_M, k=K)
