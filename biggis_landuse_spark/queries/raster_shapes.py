@@ -731,6 +731,99 @@ def stack_normalize_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zonal_stats",
+    oracle="""
+    WITH vals AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CAST((p_partkey * 31) % 97 AS DOUBLE) AS v
+      FROM part WHERE p_partkey < 576
+    ),
+    zones AS (
+      SELECT n_nationkey AS zone_id,
+             (n_nationkey * 5) % 15 + 0.25 AS x1,
+             (n_nationkey * 3) % 13 + 0.25 AS y1,
+             (n_nationkey * 5) % 15 + 0.25 + 1 + (n_nationkey % 6) AS x2,
+             (n_nationkey * 3) % 13 + 0.25 + 1 + (n_nationkey % 5) AS y2
+      FROM nation
+    ),
+    burn AS (
+      SELECT vals.gx, vals.gy, max(zones.zone_id) AS zone_id
+      FROM vals JOIN zones
+        ON vals.gx + 0.5 > x1 AND vals.gx + 0.5 < x2
+       AND vals.gy + 0.5 > y1 AND vals.gy + 0.5 < y2
+      GROUP BY 1, 2
+    )
+    SELECT zone_id,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           round(sum(v), 2)         AS sum_val,
+           round(avg(v), 6)         AS avg_val,
+           round(min(v), 2)         AS min_val,
+           round(max(v), 2)         AS max_val
+    FROM burn JOIN vals USING (gx, gy)
+    GROUP BY zone_id
+    """,
+    doc="""Zonal statistics — the classic raster×vector analytic the
+    reference's rasterizer feeds (ShapefilePolygonRasterizer → per-zone
+    land-use accounting): polygon zones burn to a zone-id raster
+    through the REAL rasterize operator (last-feature-wins), the zone
+    raster equi-joins the value raster on pixel coordinates, and stats
+    aggregate per zone. The equi-join is the scale story: at 100 TB
+    both rasters are tile-partitioned on the same grid, so zone
+    assignment is a co-partitioned join + partial agg — never a
+    pixel×polygon inequality join (that is only the oracle's replay).""",
+    tags=("SPATIAL", "A5", "A"),
+)
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.rasterize import (
+        GridLayout,
+        rasterize_features,
+    )
+    from biggis_landuse_spark.pixeling import tiles_to_pixels
+
+    part, nation = load_tables(spark, sf_dir, "part", "nation")
+    k = F.col("p_partkey")
+    vals = part.where(k < 576).select(
+        (k % 24).cast("int").alias("gx"),
+        (k / 24).cast("int").alias("gy"),
+        ((k * 31) % 97).cast("double").alias("v"),
+    )
+    n = F.col("n_nationkey")
+    x1 = (n * 5) % 15 + 0.25
+    y1 = (n * 3) % 13 + 0.25
+    x2 = x1 + 1 + (n % 6)
+    y2 = y1 + 1 + (n % 5)
+    feats = nation.select(
+        n.alias("feature_id"),
+        F.format_string(
+            "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+            x1, y1, x2, y1, x2, y2, x1, y2, x1, y1,
+        ).alias("geom"),
+        n.cast("double").alias("value"),
+    )
+    ztiles = rasterize_features(feats, GridLayout(tile_size=8))
+    zpix = (
+        tiles_to_pixels(ztiles)
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+            (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+            F.col("value").cast("int").alias("zone_id"),
+        )
+    )
+    return (
+        zpix.join(vals, ["gx", "gy"])
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.round(F.sum("v"), 2).alias("sum_val"),
+            F.round(F.avg("v"), 6).alias("avg_val"),
+            F.round(F.min("v"), 2).alias("min_val"),
+            F.round(F.max("v"), 2).alias("max_val"),
+        )
+    )
+
+
+@register(
     "spatial_join_points_zones",
     oracle="""
     WITH points AS (
