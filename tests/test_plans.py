@@ -268,9 +268,11 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
     # bounded-side broadcasts (1-row global stats / bounded query sets)
     BNLJ_OK = {
         "knn_cosine",  # broadcast bounded query side, by design
+        "ann_pq_topk",  # broadcast bounded query-side PQ distance tables
         "ann_ivf_topk",  # broadcast 16-centroid codebook
         "above_avg_parts",  # 1-row scalar-subquery stat
         "tfidf_top_terms",  # 1-row corpus size N
+        "bm25_search",  # 1-row (n_docs, avgdl, per-term df) broadcast
         "funnel_stages",  # 1-row × 1-row × 1-row summary
         "getis_ord_shape",  # 1-row global stats broadcast
         "getis_ord_tile",
