@@ -69,6 +69,62 @@ def global_row_number(
     )
 
 
+def grouped_cumsum(
+    df: DataFrame,
+    group_cols: list,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Segmented running sum: ``sum(value) OVER (PARTITION BY group
+    ORDER BY order)`` without any group's rows collapsing into one
+    task.
+
+    A plain partitionBy window serializes each group — fatal when a
+    few hot groups hold most rows (the sweep-line / time-series
+    shape). Two-phase instead: range-partition on (group, order) so
+    each task holds a contiguous slice of one-or-more groups, running-
+    sum locally, then add the per-(partition, group) predecessor
+    totals — a |partitions|×|groups-crossing-boundaries| relation,
+    tiny, broadcast. Bit-identical to the single-window form because
+    range partitioning keeps equal keys together and the local window
+    uses the same RANGE-frame tie semantics SQL does.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [*group_cols, *order_cols]
+    ranged = df.repartitionByRange(n, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_local",
+        F.sum(value_col).over(
+            Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+        ),
+    )
+    offsets = (
+        local.groupBy("_pid", *group_cols)
+        .agg(F.sum(value_col).alias("_tot"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.partitionBy(*group_cols)
+                    .orderBy("_pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", *group_cols, "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, F.col("_local") + F.col("_offset"))
+        .drop("_pid", "_local", "_offset")
+    )
+
+
 def ntile_from_rank(rank: Column, total: Column, n: int) -> Column:
     """SQL NTILE(n) from a 1-based global rank and the total count:
     the first ``total % n`` buckets get ``total div n + 1`` rows, the

@@ -639,3 +639,58 @@ def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("asof_value"), 2).alias("sum_next_value"),
         F.sum(gap).cast("long").alias("sum_gap_us"),
     )
+
+
+@register(
+    "concurrent_events",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, epoch_us(ts)               AS t,  1 AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type, epoch_us(ts) + 300000000   AS t, -1 AS delta
+      FROM events
+    ), c AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta)
+               AS conc
+      FROM b
+    )
+    SELECT event_type,
+           CAST(max(conc) AS BIGINT) AS max_concurrent
+    FROM c GROUP BY event_type
+    """,
+    doc="""Sweep-line interval concurrency: every event opens a 5-min
+    activity interval [ts, ts+300s); per event_type, the peak number
+    of simultaneously-open intervals. Classic +1/-1 boundary explode
+    followed by a running sum — but routed through
+    operators.ranking.grouped_cumsum (range-partition on (type, t),
+    partition-local window, broadcast per-group predecessor offsets)
+    so a hot event_type never serializes into one task. The default
+    RANGE window frame makes ties (equal (t, delta)) collapse to the
+    same running value on both engines, so ends at t close before
+    starts at t open (half-open intervals, delta sorts -1 first).""",
+    tags=("STREAM", "W"),
+    bench=True,
+)
+def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.ranking import grouped_cumsum
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    starts = events.select(
+        "event_type", us.alias("t"), F.lit(1).alias("delta")
+    )
+    ends = events.select(
+        "event_type", (us + 300_000_000).alias("t"), F.lit(-1).alias("delta")
+    )
+    conc = grouped_cumsum(
+        starts.unionByName(ends),
+        group_cols=["event_type"],
+        order_cols=["t", "delta"],
+        value_col="delta",
+        out_col="conc",
+    )
+    return conc.groupBy("event_type").agg(
+        F.max("conc").cast("long").alias("max_concurrent")
+    )

@@ -121,3 +121,31 @@ def test_ntile_query_has_no_single_partition_window(spark):
     import re
 
     assert not re.search(r"Exchange SinglePartition[^\n]*\n[^\n]*Sort", plan)
+
+
+def test_grouped_cumsum_matches_single_window(spark):
+    from pyspark.sql import Window
+    from biggis_landuse_spark.operators.ranking import grouped_cumsum
+
+    # ties on (g, t) included: RANGE-frame peers must collapse identically
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", (i * 13) % 40, (-1) ** i) for i in range(211)],
+        "k long, g string, t long, delta long",
+    ).repartition(7)
+    got = sorted(
+        (r["g"], r["t"], r["cs"])
+        for r in grouped_cumsum(
+            df, ["g"], ["t"], "delta", out_col="cs", num_partitions=5
+        ).collect()
+    )
+    want = sorted(
+        (r["g"], r["t"], r["cs"])
+        for r in df.select(
+            "g",
+            "t",
+            F.sum("delta")
+            .over(Window.partitionBy("g").orderBy("t"))
+            .alias("cs"),
+        ).collect()
+    )
+    assert got == want
