@@ -694,3 +694,47 @@ def concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conc.groupBy("event_type").agg(
         F.max("conc").cast("long").alias("max_concurrent")
     )
+
+
+@register(
+    "trending_event_types",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+               AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY window_start ORDER BY n DESC, event_type) AS rank
+      FROM c
+    ) WHERE rank <= 3
+    """,
+    doc="""Windowed trending top-k: per tumbling hour, the 3 most
+    frequent event types (count desc, name tiebreak). The streaming
+    realization is the same groupBy(window(ts)) count with the rank
+    applied on the complete-mode sink; in batch the ranking window
+    partitions by window_start, so parallelism scales with the number
+    of hours, and the count aggregate partial-aggregates map-side —
+    two narrow-keyed shuffles, no global sort.""",
+    tags=("STREAM", "W"),
+)
+def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    counts = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    w = W.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+    )

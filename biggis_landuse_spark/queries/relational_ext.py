@@ -609,3 +609,117 @@ def trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("day_revenue"),
         F.round(F.sum("rev").over(w), 2).alias("trailing_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank (fixed iterations)
+# ---------------------------------------------------------------------------
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT nodes.id,
+             0.15 / (SELECT cnt FROM n) + {_PR_D} * coalesce(c.s, 0) AS r
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS id, sum({prev}.r / d.d) AS s
+        FROM edges e
+        JOIN {prev} ON e.src = {prev}.id
+        JOIN deg d  ON d.src = e.src
+        GROUP BY e.dst
+      ) c USING (id)
+    )"""
+
+
+@register(
+    "pagerank_suppliers",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT c * 2 AS src, s * 2 + 1 AS dst FROM e0
+      UNION ALL
+      SELECT s * 2 + 1 AS src, c * 2 AS dst FROM e0
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    n AS (SELECT count(*) AS cnt FROM nodes),
+    r0 AS (SELECT id, 1.0 / (SELECT cnt FROM n) AS r FROM nodes),
+    {",".join(_pagerank_iter_sql(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS))}
+    SELECT CAST(id // 2 AS BIGINT) AS node_key,
+           CASE WHEN id % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+           round(r, 6) AS score
+    FROM r{_PR_ITERS}
+    ORDER BY round(r, 6) DESC, id LIMIT 20
+    """,
+    doc="""Fixed-iteration PageRank (d=0.85, 3 rounds) over the
+    customer<->supplier bipartite graph induced by orders x lineitem
+    — the iterative-algorithm surface (label propagation's weighted
+    cousin; complements functions/graph.py connected_components).
+    Scale shape: the edge list is the big relation and is the ONLY
+    thing shuffled per iteration (join on src, groupBy dst — both
+    key-partitioned); the rank vector is |nodes| rows, orders of
+    magnitude smaller than edges; degrees are computed once. Every
+    node here has out-edges (the graph is symmetric), so no dangling
+    mass term. The loop is unrolled as DataFrame composition — no
+    driver-side collect between iterations; at 100 TB you checkpoint
+    the rank vector every few rounds to cut the growing lineage.
+    Oracle: the same three iterations as unrolled DuckDB CTEs.""",
+    tags=("GRAPH", "J"),
+    bench=True,
+)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    e0 = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = e0.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    )
+    edges = fwd.unionByName(
+        e0.select((F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    ranks = nodes.crossJoin(F.broadcast(n)).select(
+        "id", (F.lit(1.0) / F.col("cnt")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "id",
+                (
+                    F.lit(0.15) / F.col("cnt")
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select(
+            (F.col("id") / 2).cast("long").alias("node_key"),
+            F.when(F.col("id") % 2 == 0, F.lit("cust"))
+            .otherwise(F.lit("supp"))
+            .alias("node_type"),
+            F.round("r", 6).alias("score"),
+            "id",
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(20)
+        .drop("id")
+    )

@@ -538,3 +538,81 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks = S.pq_codebooks(embeddings, m=PQ_M, ncode=PQ_NCODE)
     queries = embeddings.where(F.col("vec_id") < PQ_NQ)
     return S.pq_topk(queries, embeddings, codebooks, m=PQ_M, k=K)
+
+
+SEMDEDUP_TAU = 0.3  # within-cell cosine threshold
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    aff AS (
+      SELECT v.vec_id, cid,
+             {_IVF_COS.format(a="vec", b="cv")} AS a
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS pr
+      FROM aff
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+    pairs AS (
+      SELECT b.vec_id AS dropped_id, a.vec_id AS ka,
+             {_IVF_COS.format(a="va.vec", b="vb.vec")} AS cos
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    )
+    SELECT dropped_id, min(ka) AS kept_id, max(cos) AS max_sim
+    FROM pairs WHERE cos >= {SEMDEDUP_TAU}
+    GROUP BY dropped_id
+    """,
+    doc="""SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the embedding space with an IVF coarse quantizer, then
+    within each cell drop every vector that has a lower-id neighbor
+    with cosine >= tau; report (dropped_id, kept_id=lowest such
+    partner, max_sim). Scale shape: the centroid table broadcasts and
+    cell assignment is a map-side max_by (no corpus shuffle); the
+    candidate product is confined to same-cell pairs — with k cells
+    sized ~|corpus|/k the per-cell quadratic is bounded, the 100 TB
+    layout writes the corpus partitioned by cell, and the pair join
+    is an equi-shuffle on cid, never all-pairs. The LSH twin is
+    embedding_near_dup; this is the centroid-cluster variant the
+    SemDeDup paper uses.""",
+    tags=("DEDUP", "ANN"),
+    bench=True,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", S.as_double("embedding").alias("vec"))
+    centroids = v.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+    )
+    assign = S.ivf_assign(v, centroids, vec_col="vec").select("vec_id", "cid")
+    sided = assign.join(v, "vec_id")
+    a = sided.select("cid", F.col("vec_id").alias("ka"), F.col("vec").alias("va"))
+    b = sided.select("cid", F.col("vec_id").alias("kb"), F.col("vec").alias("vb"))
+    cos = F.round(
+        F.try_divide(
+            S.dot(F.col("va"), F.col("vb")),
+            S.norm(F.col("va")) * S.norm(F.col("vb")),
+        ),
+        6,
+    )
+    dup = (
+        a.join(b, "cid")
+        .where(F.col("ka") < F.col("kb"))
+        .select(F.col("kb").alias("dropped_id"), "ka", cos.alias("cos"))
+        .where(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    return dup.groupBy("dropped_id").agg(
+        F.min("ka").alias("kept_id"), F.max("cos").alias("max_sim")
+    )

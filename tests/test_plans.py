@@ -270,6 +270,8 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "knn_cosine",  # broadcast bounded query side, by design
         "ann_pq_topk",  # broadcast bounded query-side PQ distance tables
         "ann_ivf_topk",  # broadcast 16-centroid codebook
+        "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
+        "pagerank_suppliers",  # 1-row node-count broadcast per iteration
         "above_avg_parts",  # 1-row scalar-subquery stat
         "tfidf_top_terms",  # 1-row corpus size N
         "bm25_search",  # 1-row (n_docs, avgdl, per-term df) broadcast
