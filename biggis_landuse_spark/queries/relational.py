@@ -59,7 +59,9 @@ def ndvi_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(
-            F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner"
+            # no broadcast hint: part is SF-proportional (multi-TB at
+            # 100 TB lineitem) — AQE picks broadcast when it fits
+            part, lineitem.l_partkey == part.p_partkey, "inner"
         )
         .where(F.col("p_retailprice") > 0)
         .select(
