@@ -415,3 +415,96 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(F.avg(-F.log("p"))), 2).alias("ppl"),
         )
     )
+
+
+_FUNNEL_MIN_TOK = 30
+_FUNNEL_MAX_DUP = 0.05
+_FUNNEL_MAX_MWL = 4.8
+
+
+@register(
+    "quality_funnel",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang = 'en'                                    AS p_lang,
+             len(t) >= {_FUNNEL_MIN_TOK}                    AS p_len,
+             1.0 - len(list_distinct(
+                     list_transform(range(greatest(len(t) - 1, 0)),
+                                    i -> t[i + 1] || ' ' || t[i + 2])))
+                   / CAST(greatest(len(t) - 1, 1) AS DOUBLE)
+               <= {_FUNNEL_MAX_DUP}                         AS p_rep,
+             list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                   / CAST(greatest(len(t), 1) AS DOUBLE)
+               <= {_FUNNEL_MAX_MWL}                         AS p_mwl
+      FROM (SELECT lang, {_TOKS} AS t FROM documents)
+    ),
+    agg AS (
+      SELECT count(*) AS s0,
+             count(*) FILTER (p_lang)                         AS s1,
+             count(*) FILTER (p_lang AND p_len)               AS s2,
+             count(*) FILTER (p_lang AND p_len AND p_rep)     AS s3,
+             count(*) FILTER (p_lang AND p_len AND p_rep AND p_mwl) AS s4
+      FROM d
+    )
+    SELECT 0 AS stage, 'all' AS filter_name, CAST(s0 AS BIGINT) AS n_surviving FROM agg
+    UNION ALL SELECT 1, 'lang_en',        CAST(s1 AS BIGINT) FROM agg
+    UNION ALL SELECT 2, 'min_length',     CAST(s2 AS BIGINT) FROM agg
+    UNION ALL SELECT 3, 'low_repetition', CAST(s3 AS BIGINT) FROM agg
+    UNION ALL SELECT 4, 'word_shape',     CAST(s4 AS BIGINT) FROM agg
+    """,
+    doc="""Corpus quality-filter funnel: survivor counts through the
+    cascaded pretraining filters (language -> min length -> Gopher
+    duplicate-bigram repetition -> mean-word-length shape), computed
+    in ONE corpus scan via conditional aggregation — never one pass
+    per stage. All per-doc predicates are scan-local array
+    expressions over a single materialized token array; the aggregate
+    partial-reduces map-side to one row, then unpivots to the 5-row
+    funnel. The per-doc ratios are single IEEE divisions of exact
+    integers, bit-identical across engines, so threshold comparisons
+    never straddle.""",
+    tags=("TEXT", "A"),
+    bench=True,
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tokd = spread(documents).select("lang", tokens("text").alias("_toks"))
+    n = F.size("_toks")
+    n2 = F.greatest(n - 1, F.lit(0))
+    grams = D.shingles_from_tokens(F.col("_toks"), k=2)
+    dupfrac = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.greatest(
+        n2, F.lit(1)
+    ).cast("double")
+    mwl = F.aggregate(
+        F.col("_toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n, F.lit(1)).cast("double")
+    flags = tokd.select(
+        (F.col("lang") == "en").alias("p_lang"),
+        (n >= _FUNNEL_MIN_TOK).alias("p_len"),
+        (dupfrac <= _FUNNEL_MAX_DUP).alias("p_rep"),
+        (mwl <= _FUNNEL_MAX_MWL).alias("p_mwl"),
+    )
+    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("s0"),
+        c(F.col("p_lang")).alias("s1"),
+        c(F.col("p_lang") & F.col("p_len")).alias("s2"),
+        c(F.col("p_lang") & F.col("p_len") & F.col("p_rep")).alias("s3"),
+        c(
+            F.col("p_lang") & F.col("p_len") & F.col("p_rep") & F.col("p_mwl")
+        ).alias("s4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(nm).alias("filter_name"),
+                F.col(f"s{i}").alias("n_surviving"),
+            )
+            for i, nm in enumerate(
+                ["all", "lang_en", "min_length", "low_repetition", "word_shape"]
+            )
+        ]
+    )
+    return agg.select(F.explode(stages).alias("x")).select(
+        "x.stage", "x.filter_name", "x.n_surviving"
+    )

@@ -676,3 +676,82 @@ def dedup_cc_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
         F.count_distinct("component").alias("n_clusters"),
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    ),
+    exact AS (
+      SELECT DISTINCT doc_id FROM documents
+      WHERE doc_id % 2 = 1 AND md5(text) IN (
+        SELECT md5(text) FROM documents WHERE doc_id % 2 = 0)
+    ),
+    near AS (
+      SELECT DISTINCT i.doc_id
+      FROM bands i JOIN bands s
+        ON i.band_id = s.band_id AND i.sig = s.sig
+      WHERE i.doc_id % 2 = 1 AND s.doc_id % 2 = 0
+    )
+    SELECT doc_id, 'exact' AS reason FROM exact
+    UNION ALL
+    SELECT doc_id, 'near' AS reason FROM near
+    WHERE doc_id NOT IN (SELECT doc_id FROM exact)
+    """,
+    doc="""Incremental (cross-snapshot) dedup — the shape every rolling
+    crawl pipeline needs: dedup the NEW batch against the EXISTING
+    corpus without re-pairing the existing corpus with itself. Even
+    doc_ids stand in for the already-ingested snapshot, odd for the
+    incoming batch. Exact matches probe a content-digest semi-join;
+    survivors probe the snapshot's MinHash LSH band signatures with a
+    second semi-join. Scale shape: both probes are equi-shuffles keyed
+    on digest/band signature and the snapshot side ships only its
+    (band_id, sig) distinct relation — at 100 TB that signature index
+    is the persisted artifact (written bucketed by sig), so each new
+    batch joins against it without touching snapshot text, and
+    snapshot-internal pairs are never generated.""",
+    tags=("DEDUP",),
+    bench=True,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    snap = documents.where(F.col("doc_id") % 2 == 0)
+    inc = documents.where(F.col("doc_id") % 2 == 1)
+
+    snap_digests = snap.select(F.md5("text").alias("digest")).distinct()
+    exact = (
+        inc.select("doc_id", F.md5("text").alias("digest"))
+        .join(snap_digests, "digest", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    snap_bands = D.banded_signatures(
+        D.minhash_signatures_from_text(snap, "doc_id", "text"), "doc_id"
+    ).select("band_id", "sig").distinct()
+    inc_bands = D.banded_signatures(
+        D.minhash_signatures_from_text(inc, "doc_id", "text"), "doc_id"
+    )
+    near = (
+        inc_bands.join(snap_bands, ["band_id", "sig"], "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+
+    return exact.select("doc_id", F.lit("exact").alias("reason")).unionByName(
+        near.join(exact, "doc_id", "left_anti").select(
+            "doc_id", F.lit("near").alias("reason")
+        )
+    )
