@@ -812,3 +812,42 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "rollup_calendar",
+    oracle="""
+    SELECT COALESCE(CAST(year(o_orderdate) AS BIGINT), -1)  AS yr,
+           COALESCE(CAST(month(o_orderdate) AS BIGINT), -1) AS mo,
+           CAST(count(*) AS BIGINT)                         AS n_orders,
+           round(sum(o_totalprice), 2)                      AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+    doc="""ROLLUP over the calendar hierarchy (year > month > grand
+    total) — the hierarchical cousin of cube_revenue: month rows,
+    year subtotals, and the grand total from ONE shuffle with
+    per-grouping-set partial aggregation (Expand + hash agg), never
+    three scans. Margin keys surface as -1 (dates never yield it).""",
+    tags=("A",),
+)
+def rollup_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("_yr"),
+            F.month("o_orderdate").alias("_mo"),
+            "o_totalprice",
+        )
+        .rollup("_yr", "_mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce(F.col("_yr").cast("long"), F.lit(-1)).alias("yr"),
+            F.coalesce(F.col("_mo").cast("long"), F.lit(-1)).alias("mo"),
+            "n_orders",
+            "revenue",
+        )
+    )

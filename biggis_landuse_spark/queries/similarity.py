@@ -616,3 +616,76 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup.groupBy("dropped_id").agg(
         F.min("ka").alias("kept_id"), F.max("cos").alias("max_sim")
     )
+
+
+@register(
+    "knn_label_predict",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    sim AS (
+      SELECT query_id, neighbor_id, {_COS} AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    ),
+    top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM sim
+      ) WHERE rank <= {K}
+    ),
+    votes AS (
+      SELECT query_id, e.label, count(*) AS cnt
+      FROM top JOIN embeddings e ON top.neighbor_id = e.vec_id
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, label AS predicted FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cnt DESC, label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT query_id, predicted, e.label AS actual,
+           predicted = e.label AS correct
+    FROM pred JOIN embeddings e ON pred.query_id = e.vec_id
+    """,
+    doc="""k-NN classification over the embedding column: each query's
+    label is the majority vote of its 5 exact cosine neighbors (ties:
+    smallest label). Same broadcast-query / corpus-streams-map-side
+    contract as knn_cosine, then a per-query vote aggregate (max_by
+    over (count, -label) — partial-aggregates map-side, no ranking
+    window over the vote relation) and a label lookup joined back for
+    the correctness bit. The non-parametric twin of linear_predict.""",
+    tags=("ANN", "ML"),
+)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    top = S.brute_force_topk(queries, embeddings, k=K)
+    labels = embeddings.select("vec_id", "label")
+    votes = (
+        top.join(labels, top.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max_by("label", F.struct(F.col("cnt"), -F.col("label"))).alias(
+            "predicted"
+        )
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("actual")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "predicted",
+        "actual",
+        (F.col("predicted") == F.col("actual")).alias("correct"),
+    )

@@ -268,6 +268,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
     # bounded-side broadcasts (1-row global stats / bounded query sets)
     BNLJ_OK = {
         "knn_cosine",  # broadcast bounded query side, by design
+        "knn_label_predict",  # same bounded query-side broadcast as knn_cosine
         "ann_pq_topk",  # broadcast bounded query-side PQ distance tables
         "ann_ivf_topk",  # broadcast 16-centroid codebook
         "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
