@@ -738,3 +738,45 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
     )
+
+
+@register(
+    "value_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (abs(e.value - s.mu) > 3 * s.sd)
+                AS BIGINT)          AS n_outliers,
+           round(max(abs(e.value - s.mu) / s.sd), 4) AS max_abs_z
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="""Per-group z-score outlier detection on the event stream: the
+    two-pass grouped-stats shape (pass 1 reduces each event_type to
+    (mu, sd) — a tiny relation broadcast back; pass 2 flags |z| > 3
+    scan-locally and re-aggregates). The fact table is scanned twice
+    but shuffled only for the two partial-aggregated groupBys; the
+    stats join is a broadcast, so at 100 TB nothing wide moves. The
+    sqrt-bearing max_abs_z rounds at 4dp per the float discipline;
+    outlier COUNTS are exact integers on both engines.""",
+    tags=("A2", "STREAM"),
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = F.abs(F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((z > 3).cast("long")).alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_abs_z"),
+        )
+    )
