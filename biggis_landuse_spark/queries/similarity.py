@@ -597,13 +597,29 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
     )
     assign = S.ivf_assign(v, centroids, vec_col="vec").select("vec_id", "cid")
-    sided = assign.join(v, "vec_id")
-    a = sided.select("cid", F.col("vec_id").alias("ka"), F.col("vec").alias("va"))
-    b = sided.select("cid", F.col("vec_id").alias("kb"), F.col("vec").alias("vb"))
+    # norms materialize ONCE per vector before the pair fan-out — each
+    # pair then does one dot product, not one dot + two 64-term norm
+    # re-aggregations (same IEEE ops as the oracle's sqrt(dot()) form,
+    # just not recomputed per pair)
+    sided = assign.join(v, "vec_id").select(
+        "cid", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
+    )
+    a = sided.select(
+        "cid",
+        F.col("vec_id").alias("ka"),
+        F.col("vec").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = sided.select(
+        "cid",
+        F.col("vec_id").alias("kb"),
+        F.col("vec").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
     cos = F.round(
         F.try_divide(
             S.dot(F.col("va"), F.col("vb")),
-            S.norm(F.col("va")) * S.norm(F.col("vb")),
+            F.col("na") * F.col("nb"),
         ),
         6,
     )
