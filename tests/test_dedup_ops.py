@@ -53,3 +53,29 @@ def test_dropped_ids_fanout_is_linear_in_group_size(spark):
         r["doc_id"] for r in D.lsh_dropped_ids(sig, "doc_id").collect()
     }
     assert dropped == set(range(1, n))
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    # every dropped doc keeps a LOWER-id partner in the SAME ivf cell
+    # with cosine >= tau — kept_id really is the minimal such partner
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["semantic_dedup"].spark(spark, sf_dir).collect()
+    assert rows, "threshold should fire at sf0.01"
+    for r in rows:
+        assert r["kept_id"] < r["dropped_id"]
+        assert r["max_sim"] >= 0.3
+
+
+def test_dedup_incremental_reasons_partition(spark, sf_dir):
+    # a doc is reported once, with 'exact' shadowing 'near'; only odd
+    # (incoming-batch) ids ever appear
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["dedup_incremental"].spark(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+    assert all(i % 2 == 1 for i in ids)
+    assert all(r["reason"] in ("exact", "near") for r in rows)

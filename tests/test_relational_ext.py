@@ -149,3 +149,44 @@ def test_grouped_cumsum_matches_single_window(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_grouped_cumsum_edge_shapes(spark):
+    from pyspark.sql import Window
+    from biggis_landuse_spark.operators.ranking import grouped_cumsum
+
+    # single-row groups, one giant hot group, all-negative deltas, and
+    # heavy (t) ties — the shapes that break naive two-phase offsets
+    rows = [("solo", 5, 7)]
+    rows += [("hot", t // 3, -1) for t in range(120)]    # ties + hot group
+    rows += [("neg", t, -(t + 1)) for t in range(9)]
+    df = spark.createDataFrame(rows, "g string, t long, delta long").repartition(6)
+    got = sorted(
+        (r["g"], r["t"], r["cs"])
+        for r in grouped_cumsum(
+            df, ["g"], ["t"], "delta", out_col="cs", num_partitions=4
+        ).collect()
+    )
+    want = sorted(
+        (r["g"], r["t"], r["cs"])
+        for r in df.select(
+            "g", "t",
+            F.sum("delta").over(Window.partitionBy("g").orderBy("t")).alias("cs"),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_pagerank_scores_sum_to_one(spark, sf_dir):
+    # rank mass is conserved across iterations (no dangling nodes in
+    # the symmetric bipartite graph) — the full vector sums to ~1
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    rows = REGISTRY["pagerank_suppliers"].spark(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r["score"] > 0 for r in rows)
+    # top-20 of a mass-1 distribution: each score below 1, list sorted
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert sum(scores) < 1.0
