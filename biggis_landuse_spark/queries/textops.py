@@ -755,3 +755,156 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.lit("near").alias("reason")
         )
     )
+
+
+_VOCAB_K = 100  # top-K vocabulary size
+
+
+@register(
+    "vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest({_TOKS}) AS term FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+    vocab AS (
+      SELECT term FROM counts
+      ORDER BY n DESC, term LIMIT {_VOCAB_K}
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (term IN (SELECT term FROM vocab))
+                AS BIGINT)          AS n_covered,
+           round(count(*) FILTER (term IN (SELECT term FROM vocab))
+                 / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM tok GROUP BY lang
+    """,
+    doc="""Vocabulary coverage / OOV-rate audit: the fraction of corpus
+    token occurrences covered by the top-K most frequent terms,
+    per language — the fixed-vocab tokenizer sizing question. Pass 1
+    reduces the corpus to term counts (one partial-aggregated shuffle
+    on term, vocab is sublinear in corpus) and takes the top-K with
+    TakeOrderedAndProject; the K-term vocab broadcasts back and
+    membership is a scan-local semi-join on the second pass. The
+    (n desc, term) ordering makes the vocab cut deterministic across
+    engines.""",
+    tags=("TEXT",),
+    bench=True,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tok = spread(documents).select(
+        "lang", F.explode(TX.tokens("text")).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(_VOCAB_K)
+        .select("term")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("_inv", F.lit(1))), "term", "left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("_inv").alias("n_covered"),
+        F.round(
+            F.count("_inv") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("coverage"),
+    )
+
+
+_SIG_EQ = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(D.N_MINHASH)
+)
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT cand.doc_a, cand.doc_b,
+           round(({_SIG_EQ}) / {D.N_MINHASH}.0, 6) AS est_jaccard,
+           round(COALESCE(c, 0)
+                 / CAST(sa.n + sb.n - COALESCE(c, 0) AS DOUBLE), 6)
+             AS exact_jaccard
+    FROM cand
+    JOIN sig a  ON cand.doc_a = a.doc_id
+    JOIN sig b  ON cand.doc_b = b.doc_id
+    JOIN sizes sa ON cand.doc_a = sa.doc_id
+    JOIN sizes sb ON cand.doc_b = sb.doc_id
+    LEFT JOIN common ON cand.doc_a = common.doc_a
+                    AND cand.doc_b = common.doc_b
+    """,
+    doc="""MinHash estimator calibration: for every LSH candidate pair,
+    the signature-agreement Jaccard estimate (matching minhashes / 8)
+    next to the exact shingle-set Jaccard — the audit that tells you
+    whether 8 hashes / 4 bands is enough before trusting the dedup
+    threshold at scale. All joins are key equi-joins (band signature,
+    doc id, shingle inverted index); the exact side is computed only
+    for candidates, never all pairs.""",
+    tags=("DEDUP",),
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    sig = D.minhash_signatures_from_text(documents, "doc_id", "text")
+    cand = D.lsh_band_pairs(sig, "doc_id").select("doc_a", "doc_b")
+
+    est = sum(
+        (F.col(f"a.h{i}") == F.col(f"b.h{i}")).cast("int")
+        for i in range(D.N_MINHASH)
+    ) / float(D.N_MINHASH)
+
+    # exact Jaccard is over shingle SETS: dedupe (minhash itself
+    # never needs the distinct, so _shingle_rows keeps duplicates)
+    sh = D._shingle_rows(documents, "doc_id", "text").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a_sh.join(b_sh, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cand.join(sig.alias("a"), cand.doc_a == F.col("a.doc_id"))
+        .join(sig.alias("b"), cand.doc_b == F.col("b.doc_id"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .join(common, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(
+                F.coalesce(F.col("c"), F.lit(0))
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("c"), F.lit(0))).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
