@@ -273,3 +273,83 @@ def getis_ord_gstar(tiles: DataFrame, radius: int = 1) -> DataFrame:
             F.array(z).alias("bands"),
         ).alias("tile"),
     )
+
+
+def terrain(
+    tiles: DataFrame,
+    cell_size: float = 1.0,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+) -> DataFrame:
+    """Horn-method terrain analysis (Horn 1981; the GDAL/GeoTrellis
+    focal Slope/Hillshade pair) over the SAME single margin-exchange
+    shuffle as focal_stats — output band 0 = slope in degrees, band 1
+    = hillshade in [0, 255].
+
+    Gradients from the 3×3 window (a b c / d e f / g h i, x east,
+    y south):  p = dz/dx = ((c+2f+i) − (a+2d+g)) / (8·cell)
+               q = dz/dy = ((g+2h+i) − (a+2b+c)) / (8·cell)
+    slope = atan(sqrt(p²+q²)); aspect = atan2(q, −p);
+    hillshade = 255·max(0, cos(zen)cos(slope)
+                          + sin(zen)sin(slope)cos(az − aspect)),
+    zen = 90° − altitude. A cell with ANY missing 3×3 neighbor is
+    NODATA (deterministic edge semantics; the reference's GeoTrellis
+    dependency exposes the same family via focal.Slope/Hillshade).
+    sqrt(p²+q²) is used verbatim (not hypot) so the SQL oracle's
+    arithmetic is reproduced operation-for-operation.
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(tiles.sparkSession)
+    zen = np.radians(90.0 - altitude_deg)
+    az = np.radians(azimuth_deg)
+
+    def kernel(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batch_iter:
+            rows_out = []
+            for r in pdf.itertuples(index=False):
+                cols, rows_ = int(r.cols), int(r.rows)
+                big = _padded(r.neighbors, cols, rows_)
+
+                def win(dx: int, dy: int) -> np.ndarray:
+                    return big[
+                        rows_ + dy : 2 * rows_ + dy, cols + dx : 2 * cols + dx
+                    ]
+
+                a, b, c = win(-1, -1), win(0, -1), win(1, -1)
+                d, e, f_ = win(-1, 0), win(0, 0), win(1, 0)
+                g, h, i_ = win(-1, 1), win(0, 1), win(1, 1)
+                p = ((c + 2 * f_ + i_) - (a + 2 * d + g)) / (8.0 * cell_size)
+                q = ((g + 2 * h + i_) - (a + 2 * b + c)) / (8.0 * cell_size)
+                slope = np.arctan(np.sqrt(p * p + q * q))
+                aspect = np.arctan2(q, -p)
+                hs = 255.0 * np.maximum(
+                    0.0,
+                    np.cos(zen) * np.cos(slope)
+                    + np.sin(zen) * np.sin(slope) * np.cos(az - aspect),
+                )
+                # any-NaN in the 3×3 window (incl. center) → NODATA
+                nan9 = np.isnan(a + b + c + d + e + f_ + g + h + i_)
+                slope_deg = np.where(nan9, np.nan, np.degrees(slope))
+                hs = np.where(nan9, np.nan, hs)
+                rows_out.append(
+                    {
+                        "layer": r.layer,
+                        "zoom": r.zoom,
+                        "tile_col": r.tile_col,
+                        "tile_row": r.tile_row,
+                        "ts": None,
+                        "tile": {
+                            "cols": cols,
+                            "rows": rows_,
+                            "cell_type": "float64",
+                            "bands": [
+                                _to_nullable_list(slope_deg),
+                                _to_nullable_list(hs),
+                            ],
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows_out)
+
+    return with_neighbors(tiles).mapInPandas(kernel, schema=_TILE_OUT_SCHEMA)

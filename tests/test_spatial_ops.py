@@ -265,3 +265,57 @@ def test_focal_extrema_golden(spark):
         assert bands[1] == pytest.approx(max(vals)), (gx, gy)
         assert bands[2] == pytest.approx(max(vals) - min(vals)), (gx, gy)
         assert bands[3] == pytest.approx(float(np.median(vals))), (gx, gy)
+
+
+def test_terrain_inclined_plane_golden(spark):
+    # z = x plane: p = 1, q = 0 everywhere interior → slope 45°,
+    # aspect = atan2(0, -1) = π; hillshade closed-form
+    from biggis_landuse_spark.operators.focal import terrain
+    from biggis_landuse_spark.pixeling import pixels_to_tiles
+
+    ts = 4
+    rows = [
+        (tc, tr, px, py, float(tc * ts + px))
+        for tc in range(2)
+        for tr in range(2)
+        for px in range(ts)
+        for py in range(ts)
+    ]
+    pixels = spark.createDataFrame(
+        rows, "tile_col int, tile_row int, px int, py int, value double"
+    ).select(
+        F.lit("plane").alias("layer"),
+        F.lit(0).alias("zoom"),
+        "tile_col",
+        "tile_row",
+        F.lit(0).alias("band"),
+        "px",
+        "py",
+        "value",
+    )
+    tiles = pixels_to_tiles(pixels, cols=ts, rows=ts, n_bands=1)
+    out = tiles_to_pixels(terrain(tiles))
+    zen = az = math.radians(45.0)  # altitude 45 → zenith 45; az 315
+    aspect = math.atan2(0.0, -1.0)
+    hs_want = 255.0 * max(
+        0.0,
+        math.cos(zen) * math.cos(math.radians(45.0))
+        + math.sin(zen)
+        * math.sin(math.radians(45.0))
+        * math.cos(math.radians(315.0) - aspect),
+    )
+    got = {
+        (r["tile_col"] * ts + r["px"], r["tile_row"] * ts + r["py"], r["band"]):
+        r["value"]
+        for r in out.collect()
+    }
+    n = 2 * ts
+    for gx in range(n):
+        for gy in range(n):
+            on_edge = gx in (0, n - 1) or gy in (0, n - 1)
+            s, h = got[(gx, gy, 0)], got[(gx, gy, 1)]
+            if on_edge:
+                assert s is None and h is None, (gx, gy)
+            else:
+                assert s == pytest.approx(45.0, abs=1e-9), (gx, gy)
+                assert h == pytest.approx(hs_want, abs=1e-9), (gx, gy)
