@@ -770,7 +770,9 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = events.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
     )
-    z = F.abs(F.col("value") - F.col("mu")) / F.col("sd")
+    # try_divide: a constant-valued event_type (sd = 0) yields NULL
+    # z-scores (no outliers), not an ANSI DIVIDE_BY_ZERO job kill
+    z = F.try_divide(F.abs(F.col("value") - F.col("mu")), F.col("sd"))
     return (
         events.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
