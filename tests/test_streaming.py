@@ -553,3 +553,47 @@ def test_stream_to_versioned_exactly_once(spark, tmp_path):
         (r["tile_col"], r["tile_row"])
         for r in store.read("vstreamed", 0).collect()
     }
+
+
+def test_streaming_trending_topk_parity(spark, events_dir):
+    # trending_event_types streaming realization: the windowed counts
+    # run as a streaming aggregate (complete mode); the top-3 rank is
+    # applied on the sink table — parity with the one-shot batch rank
+    from pyspark.sql import Window as W
+
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(events_dir)
+    batch = spark.read.schema(EVENTS_DDL).parquet(events_dir)
+
+    def counts(df):
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_timestamp("w.start").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+
+    def top3(df):
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("n"), F.asc("event_type")
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+        )
+
+    q = _run_stream(counts(stream), "trend_out", "complete")
+    try:
+        got = {
+            (r["window_start"], r["rank"]): (r["event_type"], r["n"])
+            for r in top3(spark.table("trend_out")).collect()
+        }
+        want = {
+            (r["window_start"], r["rank"]): (r["event_type"], r["n"])
+            for r in top3(counts(batch)).collect()
+        }
+        assert got == want and len(got) > 3
+    finally:
+        q.stop()
