@@ -288,3 +288,29 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         assert "CartesianProduct" not in plan, name
         if name not in BNLJ_OK:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_concurrent_events_two_phase_cumsum(plan_of):
+    # the sweep-line cumsum must range-partition, never serialize into
+    # one task: a SinglePartition window over the boundary relation is
+    # the 100 TB cliff grouped_cumsum exists to avoid
+    plan = plan_of("concurrent_events")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_vocab_coverage_broadcasts_vocab(plan_of):
+    # pass 2 membership must be a broadcast join of the K-term vocab
+    # (never a shuffle of the token relation against it) and the vocab
+    # cut itself a TakeOrderedAndProject, not a global sort
+    plan = plan_of("vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_terrain_single_margin_exchange(plan_of):
+    # terrain shares the focal family's ONE neighborhood shuffle: the
+    # 9-way explode feeds exactly one hash aggregate over the tile key
+    plan = plan_of("terrain_tile")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") >= 1
