@@ -1150,3 +1150,80 @@ def terrain_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope_deg", 4).alias("slope_deg"),
         F.round("hillshade", 4).alias("hillshade"),
     )
+
+
+@register(
+    "vector_geometry_stats",
+    oracle="""
+    WITH f AS (
+      SELECT p_partkey AS k,
+             CAST(p_partkey % 13 AS DOUBLE) AS x0,
+             CAST(p_partkey % 11 AS DOUBLE) AS y0,
+             CAST(p_partkey % 13 + 2 + p_partkey % 3 AS DOUBLE) AS x1,
+             CAST(p_partkey % 11 + p_partkey % 5 AS DOUBLE)     AS y1,
+             CAST(p_partkey % 13 + p_partkey % 4 AS DOUBLE)     AS x2,
+             CAST(p_partkey % 11 + 3 + p_partkey % 2 AS DOUBLE) AS y2
+      FROM part WHERE p_partkey < 300
+    ),
+    g AS (
+      SELECT k % 7 AS region,
+             (x0*y1 - x1*y0) + (x1*y2 - x2*y1) + (x2*y0 - x0*y2) AS s,
+             (x0 + x1) * (x0*y1 - x1*y0)
+               + (x1 + x2) * (x1*y2 - x2*y1)
+               + (x2 + x0) * (x2*y0 - x0*y2) AS sx,
+             (y0 + y1) * (x0*y1 - x1*y0)
+               + (y1 + y2) * (x1*y2 - x2*y1)
+               + (y2 + y0) * (x2*y0 - x0*y2) AS sy
+      FROM f
+    )
+    SELECT CAST(region AS BIGINT)      AS region,
+           CAST(count(*) AS BIGINT)    AS n_polys,
+           round(sum(abs(s) / 2), 2)   AS sum_area,
+           round(avg(sx / (3 * s)), 6) AS avg_cx,
+           round(avg(sy / (3 * s)), 6) AS avg_cy
+    FROM g WHERE s <> 0
+    GROUP BY region
+    """,
+    doc="""Vector geometry analytics entirely in Catalyst expressions
+    (functions/geometry.py): WKT triangles parse via regexp + split +
+    transform (no UDF, no JTS), shoelace signed area and the
+    area-weighted centroid evaluate scan-local over the coordinate
+    array, then a per-region aggregate. Degenerate zero-area rings are
+    dropped symmetrically on both sides. Coordinates are integers so
+    every cross term is exact; only the final centroid division and
+    the 6dp round are floating. The oracle recomputes the closed-form
+    shoelace directly from the synthesized coordinates — if the WKT
+    round-trip mangled anything, the hash breaks.""",
+    tags=("S9", "A5"),
+)
+def vector_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.functions import geometry as G
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    wkt = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s))",
+        (k % 13).cast("int"),
+        (k % 11).cast("int"),
+        (k % 13 + 2 + k % 3).cast("int"),
+        (k % 11 + k % 5).cast("int"),
+        (k % 13 + k % 4).cast("int"),
+        (k % 11 + 3 + k % 2).cast("int"),
+        (k % 13).cast("int"),
+        (k % 11).cast("int"),
+    )
+    feats = part.where(k < 300).select(
+        (k % 7).cast("long").alias("region"), wkt.alias("wkt")
+    )
+    coords = G.wkt_polygon_coords("wkt")
+    per = feats.select(
+        "region",
+        G.area(coords).alias("area"),
+        G.centroid(coords).alias("c"),
+    ).where(F.col("area") > 0)
+    return per.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_polys"),
+        F.round(F.sum("area"), 2).alias("sum_area"),
+        F.round(F.avg(F.col("c")["x"]), 6).alias("avg_cx"),
+        F.round(F.avg(F.col("c")["y"]), 6).alias("avg_cy"),
+    )

@@ -223,3 +223,27 @@ def test_shapefile_rejects_non_polygon_types(spark, tmp_path):
     (tmp_path / "line.shp").write_bytes(header + records)
     with pytest.raises(ValueError, match="shape type 3"):
         V.read_shapefile(spark, str(tmp_path / "line.shp"))
+
+
+def test_geometry_shoelace_golden(spark):
+    # unit square (ccw) and a cw triangle: area/centroid closed-form
+    from biggis_landuse_spark.functions import geometry as G
+
+    df = spark.createDataFrame(
+        [
+            ("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",),  # ccw unit square
+            ("POLYGON ((0 0, 0 2, 4 0, 0 0))",),       # cw right triangle
+        ],
+        "wkt string",
+    )
+    coords = G.wkt_polygon_coords("wkt")
+    rows = df.select(
+        G.signed_area(coords).alias("s"),
+        G.area(coords).alias("a"),
+        G.centroid(coords).alias("c"),
+    ).collect()
+    assert rows[0]["s"] == 1.0 and rows[0]["a"] == 1.0
+    assert rows[0]["c"]["x"] == 0.5 and rows[0]["c"]["y"] == 0.5
+    assert rows[1]["s"] == -4.0 and rows[1]["a"] == 4.0
+    assert abs(rows[1]["c"]["x"] - 4 / 3) < 1e-12
+    assert abs(rows[1]["c"]["y"] - 2 / 3) < 1e-12
