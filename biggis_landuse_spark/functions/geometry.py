@@ -88,3 +88,28 @@ def centroid(coords: Column) -> Column:
     return F.struct(
         F.try_divide(sx, sa6).alias("x"), F.try_divide(sy, sa6).alias("y")
     )
+
+
+def point_in_polygon(px: Column, py: Column, coords: Column) -> Column:
+    """Even-odd ray cast: true iff the half-line x→+∞ from (px, py)
+    crosses an odd number of ring edges. Pure column expression; the
+    horizontal-edge case short-circuits on the y-straddle test before
+    the slope division (try_divide → NULL → false, same outcome). The
+    SQL oracle replays this formula verbatim so on-edge points —
+    however IEEE resolves them — resolve identically on both engines.
+    """
+    idx = F.sequence(F.lit(1), F.size(coords) - 1)
+
+    def edge_cross(i: Column) -> Column:
+        x1 = F.element_at(coords, i)["x"]
+        y1 = F.element_at(coords, i)["y"]
+        x2 = F.element_at(coords, i + 1)["x"]
+        y2 = F.element_at(coords, i + 1)["y"]
+        straddles = (y1 > py) != (y2 > py)
+        xcross = (x2 - x1) * F.try_divide(py - y1, y2 - y1) + x1
+        return F.when(straddles & (px < xcross), F.lit(1)).otherwise(F.lit(0))
+
+    n = F.aggregate(
+        F.transform(idx, edge_cross), F.lit(0), lambda acc, c: acc + c
+    )
+    return n % 2 == 1

@@ -90,3 +90,41 @@ def points_in_zones(
     return keyed.join(cells, ["cx", "cy"]).where(
         (px >= xmin) & (px < xmax) & (py >= ymin) & (py < ymax)
     )
+
+
+def points_in_polygons(
+    points: DataFrame,
+    polygons: DataFrame,
+    cell_size: int = DEFAULT_CELL,
+    point_cols=("x", "y"),
+    coords_col: str = "coords",
+) -> DataFrame:
+    """Point-in-POLYGON join with the same grid-bucket shape as
+    points_in_zones: the polygon side derives its bbox from the
+    coordinate array, explodes to covering cells (bounded small-side
+    fan-out), the hash equi-join on (cx, cy) pairs candidates, and
+    the exact even-odd ray cast (functions.geometry.point_in_polygon,
+    a pure column expression) refines map-side in the join stage —
+    arbitrary rings, still zero UDF and zero inequality joins.
+    """
+    from biggis_landuse_spark.functions.geometry import point_in_polygon
+
+    px, py = (F.col(c) for c in point_cols)
+    c = F.col(coords_col)
+    boxed = polygons.withColumns(
+        {
+            "xmin": F.array_min(F.transform(c, lambda p: p["x"])),
+            "ymin": F.array_min(F.transform(c, lambda p: p["y"])),
+            "xmax": F.array_max(F.transform(c, lambda p: p["x"])),
+            "ymax": F.array_max(F.transform(c, lambda p: p["y"])),
+        }
+    )
+    keyed = points.withColumns(
+        {"cx": cell_of(px, cell_size), "cy": cell_of(py, cell_size)}
+    )
+    cells = zones_to_cells(boxed, cell_size)
+    return (
+        keyed.join(cells, ["cx", "cy"])
+        .where(point_in_polygon(px, py, F.col(coords_col)))
+        .drop("cx", "cy", "xmin", "ymin", "xmax", "ymax")
+    )

@@ -1227,3 +1227,86 @@ def vector_geometry_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("c")["x"]), 6).alias("avg_cx"),
         F.round(F.avg(F.col("c")["y"]), 6).alias("avg_cy"),
     )
+
+
+@register(
+    "spatial_join_points_polygons",
+    oracle="""
+    WITH z AS (
+      SELECT p_partkey AS zone_id,
+             CAST(p_partkey % 13 * 8 AS DOUBLE)                    AS x0,
+             CAST(p_partkey % 11 * 8 AS DOUBLE)                    AS y0,
+             CAST((p_partkey % 13 + 2 + p_partkey % 3) * 8 AS DOUBLE) AS x1,
+             CAST((p_partkey % 11 + p_partkey % 5) * 8 AS DOUBLE)     AS y1,
+             CAST((p_partkey % 13 + p_partkey % 4) * 8 AS DOUBLE)     AS x2,
+             CAST((p_partkey % 11 + 3 + p_partkey % 2) * 8 AS DOUBLE) AS y2
+      FROM part WHERE p_partkey < 40
+    ),
+    p AS (
+      SELECT o_orderkey AS pid,
+             CAST(o_orderkey % 97 AS DOUBLE) + 0.5        AS px,
+             CAST((o_orderkey * 7) % 89 AS DOUBLE) + 0.5  AS py
+      FROM orders WHERE o_orderkey < 2000
+    ),
+    hits AS (
+      SELECT p.pid, z.zone_id
+      FROM p, z
+      WHERE ((CASE WHEN (y0 > py) <> (y1 > py)
+                    AND px < (x1 - x0) * (py - y0) / (y1 - y0) + x0
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (y1 > py) <> (y2 > py)
+                    AND px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+                   THEN 1 ELSE 0 END)
+           + (CASE WHEN (y2 > py) <> (y0 > py)
+                    AND px < (x0 - x2) * (py - y2) / (y0 - y2) + x2
+                   THEN 1 ELSE 0 END)) % 2 = 1
+    )
+    SELECT zone_id,
+           CAST(count(*) AS BIGINT)  AS n_points,
+           CAST(sum(pid) AS BIGINT)  AS sum_pid
+    FROM hits GROUP BY zone_id
+    """,
+    doc="""Point-in-POLYGON spatial join through the real operator
+    (operators/spatial_join.py points_in_polygons): triangle zones
+    parse from WKT, bbox-derived grid cells turn containment into a
+    hash equi-join, and the even-odd ray cast — a pure Catalyst
+    expression (functions/geometry.py) — refines candidates in the
+    join stage. The big point side keys to ONE cell and never
+    replicates; only the small polygon side fans out to its covering
+    cells. The oracle brute-forces the identical crossing formula over
+    the full cross product, so the bucketing must lose or invent
+    nothing.""",
+    tags=("S9", "J"),
+    bench=True,
+)
+def spatial_join_points_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.functions import geometry as G
+    from biggis_landuse_spark.operators.spatial_join import points_in_polygons
+
+    part, orders = load_tables(spark, sf_dir, "part", "orders")
+    k = F.col("p_partkey")
+    wkt = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s))",
+        (k % 13 * 8).cast("int"),
+        (k % 11 * 8).cast("int"),
+        ((k % 13 + 2 + k % 3) * 8).cast("int"),
+        ((k % 11 + k % 5) * 8).cast("int"),
+        ((k % 13 + k % 4) * 8).cast("int"),
+        ((k % 11 + 3 + k % 2) * 8).cast("int"),
+        (k % 13 * 8).cast("int"),
+        (k % 11 * 8).cast("int"),
+    )
+    polys = part.where(k < 40).select(
+        k.alias("zone_id"), G.wkt_polygon_coords(wkt).alias("coords")
+    )
+    o = F.col("o_orderkey")
+    pts = orders.where(o < 2000).select(
+        o.alias("pid"),
+        ((o % 97).cast("double") + 0.5).alias("x"),
+        (((o * 7) % 89).cast("double") + 0.5).alias("y"),
+    )
+    hits = points_in_polygons(pts, polys)
+    return hits.groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("pid").cast("long").alias("sum_pid"),
+    )

@@ -319,3 +319,45 @@ def test_terrain_inclined_plane_golden(spark):
             else:
                 assert s == pytest.approx(45.0, abs=1e-9), (gx, gy)
                 assert h == pytest.approx(hs_want, abs=1e-9), (gx, gy)
+
+
+def test_points_in_polygons_matches_brute_force(spark):
+    from biggis_landuse_spark.functions import geometry as G
+    from biggis_landuse_spark.operators.spatial_join import points_in_polygons
+
+    def inside(px, py, ring):
+        n = 0
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+            if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+                n += 1
+        return n % 2 == 1
+
+    rings = {
+        0: [(0.0, 0.0), (40.0, 0.0), (20.0, 50.0), (0.0, 0.0)],
+        1: [(30.0, 10.0), (90.0, 10.0), (90.0, 70.0), (30.0, 70.0), (30.0, 10.0)],
+        2: [(10.0, 60.0), (70.0, 80.0), (15.0, 95.0), (10.0, 60.0)],  # crosses cells
+    }
+    pts = [(i, (i * 13) % 100 + 0.5, (i * 29) % 100 + 0.5) for i in range(300)]
+    polys = spark.createDataFrame(
+        [
+            (
+                zid,
+                "POLYGON ((" + ", ".join(f"{int(x)} {int(y)}" for x, y in ring) + "))",
+            )
+            for zid, ring in rings.items()
+        ],
+        "zone_id long, wkt string",
+    ).select("zone_id", G.wkt_polygon_coords("wkt").alias("coords"))
+    points = spark.createDataFrame(pts, "pid long, x double, y double")
+
+    got = {
+        (r["pid"], r["zone_id"])
+        for r in points_in_polygons(points, polys).collect()
+    }
+    want = {
+        (pid, zid)
+        for pid, x, y in pts
+        for zid, ring in rings.items()
+        if inside(x, y, ring)
+    }
+    assert got == want and len(want) > 50
