@@ -782,3 +782,62 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )
+
+
+@register(
+    "events_resample_dense",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS h,
+             count(*) AS n, sum(value) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT min(h) AS h0, max(h) AS h1 FROM b),
+    types AS (SELECT DISTINCT event_type FROM b),
+    grid AS (
+      SELECT event_type, unnest(range(h0, h1 + 3600, 3600)) AS h
+      FROM types, span
+    )
+    SELECT g.event_type, g.h AS bucket_start,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n,
+           round(COALESCE(b.sv, 0), 2)      AS sum_value
+    FROM grid g LEFT JOIN b USING (event_type, h)
+    """,
+    doc="""Dense time-series resample (gap filling): hourly buckets per
+    event_type with EXPLICIT zero rows for silent hours — the shape
+    every downstream forecasting/charting consumer needs. The sparse
+    aggregate reduces the fact table first (partial-aggregated, tiny
+    result); the dense grid is synthesized from a 1-row global span ×
+    the distinct type list (|types| × |hours| rows — metadata-sized,
+    never fact-sized) and left-joins the sparse counts. At 100 TB the
+    only fact-side cost is the one groupBy; densification never
+    touches the raw events.""",
+    tags=("STREAM", "A"),
+)
+def events_resample_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    b = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    span = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = b.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))
+            ).alias("h"),
+        )
+    )
+    return grid.join(b, ["event_type", "h"], "left").select(
+        "event_type",
+        F.col("h").alias("bucket_start"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.round(F.coalesce("sv", F.lit(0)), 2).alias("sum_value"),
+    )

@@ -253,3 +253,40 @@ class VersionedLayerStore:
             .alias("tile"),
         )
         return self.write(merged, layer, zoom, extra=extra)
+
+    def diff(
+        self, layer: str, zoom: int, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Row-level snapshot diff: one row per tile key whose content
+        changed between two committed versions, with change ∈
+        {'added', 'removed', 'changed'}.
+
+        Both snapshots reduce to (key, content-digest) projections
+        before the FULL OUTER equi-join on the tile key — tile
+        payloads never join, only 32-byte digests shuffle, so a diff
+        of two 100 TB snapshots moves ~|tiles| × digest bytes.
+        Unchanged keys are filtered in the join stage.
+        """
+        from pyspark.sql import functions as F
+
+        key = ["tile_col", "tile_row"]
+
+        def digested(version: int, out: str) -> DataFrame:
+            df = self.read(layer, zoom, version)
+            return df.select(
+                *key, F.md5(F.to_json(F.struct("tile"))).alias(out)
+            )
+
+        j = digested(v_from, "h_from").join(
+            digested(v_to, "h_to"), key, "full_outer"
+        )
+        change = (
+            F.when(F.col("h_from").isNull(), F.lit("added"))
+            .when(F.col("h_to").isNull(), F.lit("removed"))
+            .when(F.col("h_from") != F.col("h_to"), F.lit("changed"))
+        )
+        return (
+            j.withColumn("change", change)
+            .where(F.col("change").isNotNull())
+            .select(*key, "change")
+        )

@@ -178,3 +178,39 @@ def test_versioned_merge_coalesces_cells(spark, store):
     assert len(got) == 7
     # and the pre-merge snapshot is still readable
     assert _values(store.read("L", 0, version=1)) == _values(base)
+
+
+def test_diff_reports_added_removed_changed(spark, store):
+    store.write(_tiles(spark, 10.0), "L", 0)  # v1: keys (0..2, 0..1)
+    # v2: drop tile (2, 1), change (0, 0), add (5, 5)
+    base = _tiles(spark, 10.0).where(
+        ~((F.col("tile_col") == 2) & (F.col("tile_row") == 1))
+    )
+    changed = base.withColumn(
+        "tile",
+        F.when(
+            (F.col("tile_col") == 0) & (F.col("tile_row") == 0),
+            F.named_struct(
+                F.lit("cols"), F.col("tile.cols"),
+                F.lit("rows"), F.col("tile.rows"),
+                F.lit("cell_type"), F.col("tile.cell_type"),
+                F.lit("bands"), F.array(F.array(
+                    F.lit(99.0), F.lit(99.0), F.lit(None).cast("double"), F.lit(4.0)
+                )),
+            ),
+        ).otherwise(F.col("tile")),
+    )
+    from biggis_landuse_spark.model import TILE_SCHEMA
+    extra = spark.createDataFrame(
+        [("v", 0, 5, 5, None, (2, 2, "float64", [[1.0, 2.0, 3.0, 4.0]]))],
+        schema=TILE_SCHEMA,
+    )
+    store.write(changed.unionByName(extra), "L", 0)
+
+    got = {
+        (r["tile_col"], r["tile_row"]): r["change"]
+        for r in store.diff("L", 0, 1, 2).collect()
+    }
+    assert got == {(2, 1): "removed", (0, 0): "changed", (5, 5): "added"}
+    # reflexive diff is empty
+    assert store.diff("L", 0, 1, 1).count() == 0
