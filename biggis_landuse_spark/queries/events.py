@@ -841,3 +841,27 @@ def events_resample_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n"),
         F.round(F.coalesce("sv", F.lit(0)), 2).alias("sum_value"),
     )
+
+
+@register(
+    "skew_safe_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="""Exact per-type distinct-user count through the skew-safe
+    two-phase operator (operators/skew.py salted_distinct_count):
+    phase 1 counts distinct within (key, hash(value) % 32) so a hot
+    event_type fans across 32 reducers instead of one; the value-hash
+    salt guarantees no user spans two salts, so phase-2 sums are
+    exact — same answer as a naive COUNT(DISTINCT), which is exactly
+    what the oracle runs. This is the query shape where a single
+    viral key melts an unsalted reducer at 100 TB.""",
+    tags=("A", "SKEW"),
+)
+def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.skew import salted_distinct_count
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    return salted_distinct_count(events, "event_type", "user_id")

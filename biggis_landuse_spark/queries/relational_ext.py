@@ -729,3 +729,62 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistical tests: chi-square independence on a contingency table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi2_status_priority",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT s, sum(o) AS rt FROM obs GROUP BY s),
+    cols_ AS (SELECT p, sum(o) AS ct FROM obs GROUP BY p),
+    n AS (SELECT sum(o) AS total FROM obs),
+    grid AS (
+      SELECT rows_.s, cols_.p, rt, ct, COALESCE(obs.o, 0) AS o, total
+      FROM rows_ CROSS JOIN cols_ CROSS JOIN n
+      LEFT JOIN obs USING (s, p)
+    )
+    SELECT round(sum(pow(o - rt * ct / CAST(total AS DOUBLE), 2)
+                     / (rt * ct / CAST(total AS DOUBLE))), 4) AS chi2,
+           CAST((count(DISTINCT s) - 1) * (count(DISTINCT p) - 1)
+                AS BIGINT) AS dof
+    FROM grid
+    """,
+    doc="""Chi-square independence test on the order-status ×
+    order-priority contingency table — the statistical-test surface
+    (scipy.stats.chi2_contingency's statistic, computed distributed).
+    One partial-aggregated fact shuffle produces the observed counts;
+    marginals and N derive from that tiny relation; the full grid
+    (including zero cells, which the test requires) is a bounded
+    dims-only cross join. Integer counts keep everything exact until
+    the final expected-value divisions, rounded at 4dp.""",
+    tags=("A2",),
+)
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = obs.groupBy("s").agg(F.sum("o").alias("rt"))
+    cols_ = obs.groupBy("p").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("total"))
+    grid = (
+        rows_.crossJoin(cols_)
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["s", "p"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    e = F.col("rt") * F.col("ct") / F.col("total").cast("double")
+    return grid.agg(
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 4).alias("chi2"),
+        (
+            (F.count_distinct("s") - 1) * (F.count_distinct("p") - 1)
+        ).cast("long").alias("dof"),
+    )

@@ -282,6 +282,8 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "stack_normalize_tile",  # 1-row per-band min/max broadcast
         "late_data_policy",  # 1-row watermark horizon
         "ntile_price_bands",  # 1-row global count broadcast (global_ntile)
+        "chi2_status_priority",  # bounded marginal grids (statuses × priorities) + 1-row N
+        "events_resample_dense",  # 1-row global span broadcast for grid synthesis
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)
