@@ -113,3 +113,21 @@ def point_in_polygon(px: Column, py: Column, coords: Column) -> Column:
         F.transform(idx, edge_cross), F.lit(0), lambda acc, c: acc + c
     )
     return n % 2 == 1
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km (haversine, R = 6371.0088 — the
+    IUGG mean Earth radius). Pure column expression; the SQL oracle
+    replays the identical operation order so both engines round the
+    same way."""
+    r = 6371.0088
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dphi) * F.sin(dphi)
+        + F.cos(p1) * F.cos(p2) * F.sin(dlmb) * F.sin(dlmb)
+    )
+    return 2 * r * F.asin(F.sqrt(a))

@@ -65,7 +65,7 @@ def global_row_number(
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_local_rn") + F.col("_offset")).cast("long"))
-        .drop("_pid", "_local_rn")
+        .drop("_pid", "_local_rn", "_offset")
     )
 
 

@@ -1310,3 +1310,92 @@ def spatial_join_points_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.sum("pid").cast("long").alias("sum_pid"),
     )
+
+
+_HAV_SQL = (
+    "2 * 6371.0088 * asin(sqrt("
+    "sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)))"
+)
+
+
+@register(
+    "nearest_station",
+    oracle=f"""
+    WITH s AS (
+      SELECT p_partkey AS station_id,
+             CAST(p_partkey % 170 AS DOUBLE) - 85.0  AS slat,
+             CAST(p_partkey * 11 % 360 AS DOUBLE) - 180.0 AS slon
+      FROM part WHERE p_partkey < 24
+    ),
+    pt AS (
+      SELECT o_orderkey AS pid,
+             CAST(o_orderkey % 160 AS DOUBLE) - 80.0 + 0.25 AS lat,
+             CAST((o_orderkey * 13) % 350 AS DOUBLE) - 175.0 + 0.25 AS lon
+      FROM orders WHERE o_orderkey < 3000
+    ),
+    d AS (
+      SELECT pid, station_id,
+             round({_HAV_SQL.format(lat1="lat", lon1="lon", lat2="slat", lon2="slon")}, 6) AS km
+      FROM pt CROSS JOIN s
+    ),
+    best AS (
+      SELECT pid, station_id, km FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY pid ORDER BY km, station_id) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT station_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(km), 6)        AS avg_km
+    FROM best GROUP BY station_id
+    """,
+    doc="""Nearest-facility geo assignment: every point picks its
+    closest of K stations by great-circle (haversine) distance —
+    the K-bounded nearest-neighbor join every geo enrichment runs.
+    The station table broadcasts (K rows by contract); the big point
+    side streams map-side through the broadcast product and reduces
+    with a map-side-partial min_by — no point ever shuffles with its
+    K candidate rows. Ties break deterministically on station id.
+    Distances round at 6dp before the argmin so both engines compare
+    identical values.""",
+    tags=("J", "S9"),
+)
+def nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.functions.geometry import haversine_km
+
+    part, orders = load_tables(spark, sf_dir, "part", "orders")
+    k = F.col("p_partkey")
+    stations = part.where(k < 24).select(
+        k.alias("station_id"),
+        ((k % 170).cast("double") - 85.0).alias("slat"),
+        ((k * 11 % 360).cast("double") - 180.0).alias("slon"),
+    )
+    o = F.col("o_orderkey")
+    pts = orders.where(o < 3000).select(
+        o.alias("pid"),
+        ((o % 160).cast("double") - 80.0 + 0.25).alias("lat"),
+        (((o * 13) % 350).cast("double") - 175.0 + 0.25).alias("lon"),
+    )
+    d = pts.crossJoin(F.broadcast(stations)).select(
+        "pid",
+        "station_id",
+        F.round(
+            haversine_km(
+                F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+            ),
+            6,
+        ).alias("km"),
+    )
+    best = d.groupBy("pid").agg(
+        F.min_by(
+            "station_id", F.struct(F.col("km"), F.col("station_id").cast("double"))
+        ).alias("station_id"),
+        F.min("km").alias("km"),
+    )
+    return best.groupBy("station_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg("km"), 6).alias("avg_km"),
+    )

@@ -788,3 +788,54 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("s") - 1) * (F.count_distinct("p") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(max(epoch(o_orderdate)) AS BIGINT) AS ld,
+             count(*)                                AS fq,
+             round(sum(o_totalprice), 2)             AS mo
+      FROM orders GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT ntile(4) OVER (ORDER BY ld, o_custkey) AS rb,
+             ntile(4) OVER (ORDER BY fq, o_custkey) AS fb,
+             ntile(4) OVER (ORDER BY mo, o_custkey) AS mb
+      FROM per
+    )
+    SELECT CAST(rb AS BIGINT) AS rb, CAST(fb AS BIGINT) AS fb,
+           CAST(mb AS BIGINT) AS mb,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM b GROUP BY 1, 2, 3
+    """,
+    doc="""RFM customer segmentation (recency / frequency / monetary
+    quartiles): per-customer metrics from one partial-aggregated
+    orders shuffle, then THREE exact global NTILE(4) bucketings
+    through operators/ranking.py global_ntile — each a range shuffle
+    + parallel local rank + broadcast offsets, bit-identical to the
+    single-window ntile the oracle runs but with no single-task sort
+    of the customer universe. Monetary sums land exactly on 2dp
+    decimal multiples, so the rounded ordering key can never straddle
+    across engines; all three orderings tie-break on custkey.""",
+    tags=("A", "W"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.ranking import global_ntile
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.max(F.unix_timestamp("o_orderdate")).alias("ld"),
+        F.count(F.lit(1)).alias("fq"),
+        F.round(F.sum("o_totalprice"), 2).alias("mo"),
+    )
+    per = global_ntile(per, ["ld", "o_custkey"], 4, out_col="rb")
+    per = global_ntile(per, ["fq", "o_custkey"], 4, out_col="fb")
+    per = global_ntile(per, ["mo", "o_custkey"], 4, out_col="mb")
+    return per.groupBy(
+        F.col("rb").cast("long").alias("rb"),
+        F.col("fb").cast("long").alias("fb"),
+        F.col("mb").cast("long").alias("mb"),
+    ).agg(F.count(F.lit(1)).alias("n_customers"))

@@ -269,6 +269,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
     BNLJ_OK = {
         "knn_cosine",  # broadcast bounded query side, by design
         "knn_label_predict",  # same bounded query-side broadcast as knn_cosine
+        "nearest_station",  # broadcast K-station table (bounded by contract)
         "ann_pq_topk",  # broadcast bounded query-side PQ distance tables
         "ann_ivf_topk",  # broadcast 16-centroid codebook
         "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
@@ -282,6 +283,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "stack_normalize_tile",  # 1-row per-band min/max broadcast
         "late_data_policy",  # 1-row watermark horizon
         "ntile_price_bands",  # 1-row global count broadcast (global_ntile)
+        "rfm_segments",  # 3× 1-row global count broadcast (global_ntile)
         "chi2_status_priority",  # bounded marginal grids (statuses × priorities) + 1-row N
         "events_resample_dense",  # 1-row global span broadcast for grid synthesis
     }
