@@ -865,3 +865,49 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = load_tables(spark, sf_dir, "events")
     return salted_distinct_count(events, "event_type", "user_id")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    cnt AS (
+      SELECT src, dst, count(*) AS c FROM seq
+      WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT src, sum(c) AS t FROM cnt GROUP BY src)
+    SELECT cnt.src, cnt.dst,
+           CAST(c AS BIGINT)                      AS n,
+           round(c / CAST(t AS DOUBLE), 6)        AS p
+    FROM cnt JOIN tot USING (src)
+    """,
+    doc="""First-order Markov transition matrix over per-user event
+    sequences: P(next = dst | current = src) with exact counts — the
+    behavioral-model shape behind next-event prediction and anomaly
+    scoring. One window (partitioned by user_id, co-partitioned with
+    every other per-user analytic) pairs consecutive events; the
+    count and row-normalization aggregates run over the tiny
+    |types|² relation. Ordering ties break on event_id so the
+    sequence is identical on both engines.""",
+    tags=("STREAM", "W"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    cnt = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    return cnt.join(tot, "src").select(
+        "src",
+        "dst",
+        F.col("c").cast("long").alias("n"),
+        F.round(F.col("c") / F.col("t").cast("double"), 6).alias("p"),
+    )

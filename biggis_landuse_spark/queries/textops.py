@@ -908,3 +908,87 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+_PMI_MIN_PAIR = 25  # min bigram occurrences to score
+
+
+@register(
+    "collocations_pmi",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    n1 AS (SELECT sum(c) AS n FROM ucnt),
+    bi AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks WHERE len(t) >= 2
+    ),
+    bcnt AS (SELECT b, count(*) AS c FROM bi GROUP BY b),
+    n2 AS (SELECT sum(c) AS n FROM bcnt),
+    scored AS (
+      SELECT b AS bigram, bcnt.c AS pair_count,
+             round(ln(
+               (bcnt.c / CAST(n2.n AS DOUBLE))
+               / ((a.c / CAST(n1.n AS DOUBLE))
+                  * (w2.c / CAST(n1.n AS DOUBLE)))), 6) AS pmi
+      FROM bcnt
+      JOIN ucnt a  ON a.w = string_split(b, ' ')[1]
+      JOIN ucnt w2 ON w2.w = string_split(b, ' ')[2]
+      CROSS JOIN n1 CROSS JOIN n2
+      WHERE bcnt.c >= {_PMI_MIN_PAIR}
+    )
+    SELECT bigram, CAST(pair_count AS BIGINT) AS pair_count, pmi
+    FROM scored
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    doc="""Collocation mining by pointwise mutual information:
+    PMI(a,b) = ln(p(ab) / (p(a)p(b))) over corpus bigrams, top-20
+    above a support floor — the phrase-detection pass (word2vec-style
+    phrase joining) a tokenizer pipeline runs before vocab induction.
+    Unigram and bigram counts are two partial-aggregated shuffles;
+    the probability join hits the (vocab-sized, sublinear) count
+    relations, never the corpus; the final cut is
+    TakeOrderedAndProject. The support floor keeps rare-pair noise
+    (PMI's known failure mode) out of the ranking.""",
+    tags=("TEXT",),
+)
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = spread(documents).select(TX.tokens("text").alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n1 = ucnt.agg(F.sum("c").alias("n1"))
+    bi = toks.where(F.size("t") >= 2).select(
+        F.explode(D.shingles_from_tokens(F.col("t"), k=2)).alias("b")
+    )
+    bcnt = bi.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    n2 = bcnt.agg(F.sum("c").alias("n2"))
+    w1 = F.split(F.col("b"), " ")[0]
+    w2 = F.split(F.col("b"), " ")[1]
+    scored = (
+        bcnt.where(F.col("c") >= _PMI_MIN_PAIR)
+        .withColumns({"w1": w1, "w2": w2})
+        .join(ucnt.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+        .join(ucnt.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("n2").cast("double"))
+                    / (
+                        (F.col("ca") / F.col("n1").cast("double"))
+                        * (F.col("cb") / F.col("n1").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
