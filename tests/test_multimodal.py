@@ -74,3 +74,24 @@ def test_media_features(spark, media_df):
         assert r["n_pixels"] >= 1
         assert 0.0 <= r["mean"] <= 1.0
         assert 0.0 <= r["p_bright"] <= 1.0
+
+
+def test_decode_media_bmp_real_codec(spark):
+    from biggis_landuse_spark.multimodal import decode_media
+    from biggis_landuse_spark.sources.bmp import encode_bmp
+
+    w, h = 4, 2
+    rgb0 = bytes((i * 7) % 256 for i in range(w * h * 3))
+    rgb1 = bytes((i * 13 + 5) % 256 for i in range(w * h * 3))
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_bmp(w, h, rgb0))),
+            (1, bytearray(encode_bmp(w, h, rgb1, top_down=True))),
+        ],
+        "doc_id long, content binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_media(df, codec="bmp").collect()}
+    for i, rgb in ((0, rgb0), (1, rgb1)):
+        r = rows[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert r["pixels"] == [b / 255.0 for b in rgb]
