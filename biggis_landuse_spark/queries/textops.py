@@ -738,12 +738,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    snap_bands = D.banded_signatures(
-        D.minhash_signatures_from_text(snap, "doc_id", "text"), "doc_id"
-    ).select("band_id", "sig").distinct()
-    inc_bands = D.banded_signatures(
-        D.minhash_signatures_from_text(inc, "doc_id", "text"), "doc_id"
+    # ONE signature pipeline over the whole corpus, split by parity
+    # afterwards: the |docs|x8 signature relation persists so the
+    # shingle+hash pass runs once, not once per side. (At scale the
+    # snapshot side is a precomputed signature index on disk; this is
+    # the fresh-build twin.)
+    sig = D.minhash_signatures_from_text(
+        documents, "doc_id", "text"
+    ).persist()
+    bands = D.banded_signatures(sig, "doc_id")
+    snap_bands = (
+        bands.where(F.col("doc_id") % 2 == 0)
+        .select("band_id", "sig")
+        .distinct()
     )
+    inc_bands = bands.where(F.col("doc_id") % 2 == 1)
     near = (
         inc_bands.join(snap_bands, ["band_id", "sig"], "leftsemi")
         .select("doc_id")
