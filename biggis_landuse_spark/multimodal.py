@@ -10,7 +10,7 @@ bytes next to relational features. Two layers:
 2. **Python-side decode/transform** (`decode_media`, `resize_images`,
    `sample_frames`, `media_features`): Arrow-batched ``mapInPandas``
    generators, the production shape for per-item media kernels. The
-   byte→pixel codecs: ``codec="png"``/``"bmp"`` are REAL stdlib decoders
+   byte→pixel codecs: ``codec="png"``/``"bmp"``/``"gif"`` are REAL stdlib decoders
    (sources/png.py — 8-bit gray/RGB/RGBA, all five filters);
    ``codec="fake"`` (default) derives a small deterministic pixel
    grid from the bytes themselves (stable across partitions/retries —
@@ -103,7 +103,7 @@ def media_metadata_cols(content: Column | str) -> list[Column]:
 
 
 def _require_codec(codec: str) -> None:
-    if codec in ("fake", "png", "wav", "bmp"):
+    if codec in ("fake", "png", "wav", "bmp", "gif"):
         return
     raise NotImplementedError(
         f"codec={codec!r}: general media codecs (pillow/ffmpeg/librosa) are "
@@ -154,6 +154,11 @@ def decode_media(
             from biggis_landuse_spark.sources.bmp import decode_bmp
 
             w, h, c, buf = decode_bmp(raw)
+            return w, h, c, [b / 255.0 for b in buf]
+        if codec == "gif":
+            from biggis_landuse_spark.sources.gif import decode_gif
+
+            w, h, c, buf = decode_gif(raw)
             return w, h, c, [b / 255.0 for b in buf]
         if codec == "wav":
             # audio lands in the same decoded schema: width=frames,

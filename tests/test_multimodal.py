@@ -95,3 +95,74 @@ def test_decode_media_bmp_real_codec(spark):
         r = rows[i]
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         assert r["pixels"] == [b / 255.0 for b in rgb]
+
+
+def test_decode_media_gif_real_codec(spark):
+    from biggis_landuse_spark.multimodal import decode_media
+    from biggis_landuse_spark.sources.gif import encode_gif
+
+    w, h = 9, 4
+    rgb = bytes(((i * 5) % 11) * 20 for i in range(w * h * 3))
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_gif(w, h, rgb)))], "doc_id long, content binary"
+    )
+    r = decode_media(df, codec="gif").collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["pixels"] == [b / 255.0 for b in rgb]
+
+
+def test_gif_codec_interlaced_and_errors(spark):
+    import pytest as _pytest
+    from biggis_landuse_spark.sources.gif import (
+        GifFormatError,
+        decode_gif,
+        encode_gif,
+    )
+
+    # interlace: reorder rows of an encoded image by hand-building the
+    # descriptor with the interlace flag and pass-ordered row data
+    import struct
+
+    w, h = 4, 8
+    rows = [bytes([r]) * w for r in range(h)]
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(start, h, step)]
+    flat = b"".join(rows[y] for y in order)
+    # 256-entry palette: index i → (i, i, i)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    min_code = 8
+    clear, eoi = 256, 257
+    stream = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for b in flat:
+        put(b)
+        put(clear)  # keep table minimal; valid stream
+    put(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+    gif = bytearray(b"GIF89a") + struct.pack("<HHBBB", w, h, 0x87, 0, 0) + pal
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40) + bytes([min_code])
+    i = 0
+    while i < len(stream):
+        chunk = stream[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+        i += 255
+    gif += b"\x00\x3b"
+    w2, h2, c, out = decode_gif(bytes(gif))
+    assert (w2, h2, c) == (w, h, 3)
+    assert out == b"".join(bytes([r]) * (w * 3) for r in range(h))
+
+    with _pytest.raises(GifFormatError):
+        decode_gif(b"NOTAGIF")
+    with _pytest.raises(GifFormatError):
+        encode_gif(1, 1, b"\x00\x00")  # wrong buffer size
