@@ -329,9 +329,11 @@ def terrain(
                     + np.sin(zen) * np.sin(slope) * np.cos(az - aspect),
                 )
                 # any-NaN in the 3×3 window (incl. center) → NODATA
+                aspect_deg = (np.degrees(aspect) + 360.0) % 360.0
                 nan9 = np.isnan(a + b + c + d + e + f_ + g + h + i_)
                 slope_deg = np.where(nan9, np.nan, np.degrees(slope))
                 hs = np.where(nan9, np.nan, hs)
+                aspect_deg = np.where(nan9, np.nan, aspect_deg)
                 rows_out.append(
                     {
                         "layer": r.layer,
@@ -346,6 +348,7 @@ def terrain(
                             "bands": [
                                 _to_nullable_list(slope_deg),
                                 _to_nullable_list(hs),
+                                _to_nullable_list(aspect_deg),
                             ],
                         },
                     }

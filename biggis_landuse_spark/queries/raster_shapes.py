@@ -1098,11 +1098,12 @@ def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(255.0 * greatest(0.0,
              cos(radians(45.0)) * cos(atan(sqrt(p * p + q * q)))
              + sin(radians(45.0)) * sin(atan(sqrt(p * p + q * q)))
-               * cos(radians(315.0) - atan2(q, -p))), 4) AS hillshade
+               * cos(radians(315.0) - atan2(q, -p))), 4) AS hillshade,
+           round((degrees(atan2(q, -p)) + 360) % 360, 4) AS aspect_deg
     FROM hood
     """,
-    doc="""Horn-method terrain analysis (slope degrees + 315°/45°
-    hillshade) through the REAL operator: the same 9-way margin
+    doc="""Horn-method terrain analysis (slope degrees, 315°/45°
+    hillshade, compass aspect) through the REAL operator: the same 9-way margin
     exchange as focal_tile feeds a vectorized Horn gradient kernel
     (operators/focal.py terrain), cells with any missing 3×3 neighbor
     are NODATA, output exploded back to pixels. The oracle replays
@@ -1141,14 +1142,20 @@ def terrain_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hs = px.where(F.col("band") == 1).select(
         "tile_col", "tile_row", "px", "py", F.col("value").alias("hillshade")
     )
-    joined = slope.join(hs, ["tile_col", "tile_row", "px", "py"]).where(
-        F.col("slope_deg").isNotNull()
+    asp = px.where(F.col("band") == 2).select(
+        "tile_col", "tile_row", "px", "py", F.col("value").alias("aspect_deg")
+    )
+    joined = (
+        slope.join(hs, ["tile_col", "tile_row", "px", "py"])
+        .join(asp, ["tile_col", "tile_row", "px", "py"])
+        .where(F.col("slope_deg").isNotNull())
     )
     return joined.select(
         (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
         (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
         F.round("slope_deg", 4).alias("slope_deg"),
         F.round("hillshade", 4).alias("hillshade"),
+        F.round("aspect_deg", 4).alias("aspect_deg"),
     )
 
 

@@ -166,3 +166,35 @@ def test_gif_codec_interlaced_and_errors(spark):
         decode_gif(b"NOTAGIF")
     with _pytest.raises(GifFormatError):
         encode_gif(1, 1, b"\x00\x00")  # wrong buffer size
+
+
+def test_media_codecs_reject_garbage_quickly():
+    # random bytes must raise a typed error (never hang or return junk)
+    import random
+
+    from biggis_landuse_spark.sources.bmp import decode_bmp
+    from biggis_landuse_spark.sources.gif import GifFormatError, decode_gif
+    from biggis_landuse_spark.sources.png import decode_png
+
+    random.seed(3)
+    for n in (0, 1, 13, 54, 200, 4096):
+        blob = bytes(random.randrange(256) for _ in range(n))
+        for dec, errs in (
+            (decode_bmp, (ValueError,)),
+            (decode_gif, (GifFormatError,)),
+            (decode_png, (ValueError, Exception)),
+        ):
+            try:
+                dec(blob)
+            except Exception:
+                continue
+            raise AssertionError(f"{dec.__name__} accepted {n} garbage bytes")
+    # header-prefixed truncations: magic right, body garbage
+    for prefix, dec in ((b"BM", decode_bmp), (b"GIF89a", decode_gif)):
+        blob = prefix + bytes(random.randrange(256) for _ in range(80))
+        try:
+            dec(blob)
+        except Exception:
+            pass
+        else:
+            raise AssertionError(f"{dec.__name__} accepted truncated header blob")

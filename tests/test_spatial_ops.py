@@ -314,11 +314,14 @@ def test_terrain_inclined_plane_golden(spark):
         for gy in range(n):
             on_edge = gx in (0, n - 1) or gy in (0, n - 1)
             s, h = got[(gx, gy, 0)], got[(gx, gy, 1)]
+            a = got[(gx, gy, 2)]
             if on_edge:
-                assert s is None and h is None, (gx, gy)
+                assert s is None and h is None and a is None, (gx, gy)
             else:
                 assert s == pytest.approx(45.0, abs=1e-9), (gx, gy)
                 assert h == pytest.approx(hs_want, abs=1e-9), (gx, gy)
+                # z = x plane slopes due east-down: aspect π → 180°
+                assert a == pytest.approx(180.0, abs=1e-9), (gx, gy)
 
 
 def test_points_in_polygons_matches_brute_force(spark):
