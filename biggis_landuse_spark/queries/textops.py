@@ -1001,3 +1001,52 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                    i -> substr(w, i, 1) || substr(w, i + 1, 1))) AS pair
+      FROM words WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="""First BPE training iteration: corpus-wide adjacent-symbol
+    pair counts over character sequences, top-20 merge candidates —
+    the step a byte-pair-encoding tokenizer repeats to build its merge
+    table (Sennrich et al. 2016). Character explosion and pair
+    assembly are scan-local array expressions; the count is one
+    partial-aggregated shuffle on the pair (vocab-sized, sublinear in
+    corpus) and the cut is TakeOrderedAndProject. Subsequent
+    iterations re-run the same plan over re-paired symbols — same
+    shape, no new machinery.""",
+    tags=("TEXT", "ML"),
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    words = spread(documents).select(
+        F.explode(TX.tokens("text")).alias("w")
+    ).where(F.length("w") >= 2)
+    # dynamic-position substring needs the expr form (the Python
+    # F.substring API takes literal positions); same codegen either way
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 1) || substring(w, i + 1, 1))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
