@@ -101,3 +101,52 @@ def test_spool_feeds_reference_sample_codec(spark, spool_dir, tmp_path):
         assert rows[2]["tile_col"] is None  # poison pill decoded to NULLs
     finally:
         q.stop()
+
+
+def test_spool_windowed_aggregate_pipeline(spark, spool_dir, tmp_path):
+    # full pipeline through the custom source: spool → event parse →
+    # tumbling window aggregate — equal to the batch run on the same
+    # messages (the S15 plan end-to-end, no Kafka jar)
+    from pyspark.sql import functions as F
+
+    msgs = [
+        f"2024-01-01 00:{m:02d}:00;t{m % 2};{m * 1.5}" for m in range(20)
+    ]
+    append_messages(spool_dir, 0, msgs[:12])
+    append_messages(spool_dir, 1, msgs[12:])
+    _register(spark)
+
+    def parse(df):
+        p = F.split("value", ";")
+        return df.select(
+            p[0].cast("timestamp").alias("ts"),
+            p[1].alias("etype"),
+            p[2].cast("double").alias("v"),
+        )
+
+    def windowed(df):
+        return (
+            df.groupBy(F.window("ts", "5 minutes").alias("w"), "etype")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sv"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "etype", "n", "sv")
+        )
+
+    stream = spark.readStream.format("spool").option("path", spool_dir).load()
+    q = (
+        windowed(parse(stream))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("spool_win")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM spool_win").collect()
+        )
+        batch = spark.read.format("spool").option("path", spool_dir).load()
+        want = sorted(tuple(r) for r in windowed(parse(batch)).collect())
+        assert got == want and len(got) == 8
+    finally:
+        q.stop()
