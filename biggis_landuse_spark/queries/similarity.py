@@ -705,3 +705,98 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "actual",
         (F.col("predicted") == F.col("actual")).alias("correct"),
     )
+
+
+KNN_GRAPH_K = 3
+
+
+@register(
+    "knn_graph",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    aff AS (
+      SELECT v.vec_id, cid,
+             {_IVF_COS.format(a="vec", b="cv")} AS a
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS pr
+      FROM aff
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_IVF_COS.format(a="va.vec", b="vb.vec")} AS cos
+      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    ),
+    topk AS (
+      SELECT src, dst, cos, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cos DESC, dst) AS rank
+        FROM pairs
+      ) WHERE rank <= {KNN_GRAPH_K}
+    )
+    SELECT src, dst, CAST(rank AS BIGINT) AS rank, cos AS cos_sim
+    FROM topk
+    """,
+    doc="""Full-corpus k-NN graph construction: EVERY vector finds its
+    {k} nearest same-cell neighbors — the all-to-all shape behind
+    dedup clustering, label propagation, and graph-based retrieval
+    indexes (HNSW layer seeds). Unlike knn_cosine (bounded query set,
+    broadcast), here both sides are the corpus, so the candidate
+    product is confined to IVF cells (equi-shuffle on cid, per-cell
+    quadratic bounded by |corpus|/k-cells) and the per-source top-k
+    ranks inside the cell partition. At 100 TB the cell count scales
+    with the corpus so cells stay constant-sized; multi-probe raises
+    recall without changing the plan.""",
+    tags=("ANN", "GRAPH"),
+    bench=True,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", S.as_double("embedding").alias("vec"))
+    centroids = v.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+    )
+    assign = S.ivf_assign(v, centroids, vec_col="vec").select("vec_id", "cid")
+    sided = assign.join(v, "vec_id").select(
+        "cid", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
+    )
+    a = sided.select(
+        "cid",
+        F.col("vec_id").alias("src"),
+        F.col("vec").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    b = sided.select(
+        "cid",
+        F.col("vec_id").alias("dst"),
+        F.col("vec").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    cos = F.round(
+        F.try_divide(S.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        6,
+    )
+    pairs = (
+        a.join(b, "cid")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= KNN_GRAPH_K)
+        .select("src", "dst", "rank", "cos_sim")
+    )
