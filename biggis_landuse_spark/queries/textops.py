@@ -1050,3 +1050,56 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+_WS_K = 20  # weighted-sample size
+
+
+@register(
+    "weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             pow(
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 8))
+                    AS BIGINT) / 4294967296.0,
+               1.0 / n_chars
+             ) AS k
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(k, 6) AS sort_key
+    FROM keyed
+    ORDER BY k DESC, doc_id LIMIT {_WS_K}
+    """,
+    doc="""Distributed weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): each doc draws key = u^(1/w) from a
+    content-hash uniform u (md5 → [0,1)) with weight w = n_chars, and
+    the sample is the global top-K keys — one TakeOrderedAndProject,
+    no per-partition reservoir state, deterministic across runs and
+    partitionings. This is the quality-weighted corpus selection step
+    of a data-mixing pipeline (sample documents proportional to a
+    quality/length weight) in its scale-correct form: at 100 TB the
+    per-partition heads are K-sized and only K rows reach the driver
+    merge.""",
+    tags=("TEXT", "A"),
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|ws"))), 1, 8),
+        16,
+        10,
+    ).cast("double") / F.lit(4294967296.0)
+    k = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        documents.where(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            F.round(k, 6).alias("sort_key"),
+            k.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(_WS_K)
+        .drop("_k")
+    )
