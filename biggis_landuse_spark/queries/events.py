@@ -911,3 +911,60 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n"),
         F.round(F.col("c") / F.col("t").cast("double"), 6).alias("p"),
     )
+
+
+@register(
+    "value_outliers_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS m
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m, median(abs(e.value - m)) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, m
+    )
+    SELECT e.event_type,
+           round(m, 6)   AS med,
+           round(mad, 6) AS mad,
+           CAST(count(*) FILTER (abs(e.value - m) > 3 * 1.4826 * mad)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, m, mad
+    """,
+    doc="""Robust outlier detection via median absolute deviation:
+    |x − median| > 3·1.4826·MAD per event_type — the heavy-tail-safe
+    companion to the z-score pass (value_outliers), immune to the
+    outliers it hunts. Two grouped exact medians (each one
+    partial-pass percentile shuffle over the fact) reduce to a
+    per-type stats row that broadcasts back for the scan-local flag
+    pass; the 1.4826 factor rescales MAD to σ under normality.""",
+    tags=("A2", "STREAM"),
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(F.median("value").alias("m"))
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.median(F.abs(F.col("value") - F.col("m"))).alias("mad"))
+    )
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "m", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("m"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("m", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -839,3 +839,45 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fb").cast("long").alias("fb"),
         F.col("mb").cast("long").alias("mb"),
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "percent_rank_parts",
+    oracle="""
+    WITH pr AS (
+      SELECT p_brand,
+             percent_rank() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice, p_partkey) AS pr,
+             cume_dist() OVER (
+               PARTITION BY p_brand
+               ORDER BY p_retailprice, p_partkey) AS cd
+      FROM part
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT)                   AS n_parts,
+           CAST(count(*) FILTER (pr >= 0.9) AS BIGINT) AS n_top_decile,
+           round(avg(cd), 6)                           AS avg_cume_dist
+    FROM pr GROUP BY p_brand
+    """,
+    doc="""Relative-rank window surface (percent_rank + cume_dist):
+    per-brand price position of every part, aggregated to the
+    top-decile count — the grade-on-a-curve shape. Both window
+    functions run inside brand partitions (parallelism scales with
+    brands, no global sort); the (price, partkey) ordering is total
+    so ranks are engine-identical.""",
+    tags=("W",),
+)
+def percent_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    pr = part.select(
+        "p_brand",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return pr.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum((F.col("pr") >= 0.9).cast("long")).alias("n_top_decile"),
+        F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
+    )
