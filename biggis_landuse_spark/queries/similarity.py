@@ -800,3 +800,111 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= KNN_GRAPH_K)
         .select("src", "dst", "rank", "cos_sim")
     )
+
+
+_KM_ITERS = 2
+_KM_DIM = 64
+
+
+def _km_iter_sql(prev_arr: str, assign: str, cent_long: str, out_arr: str) -> str:
+    """One unrolled Lloyd iteration: assign by rounded squared L2
+    (ties to the lower cid), recompute per-dim means rounded at 6dp —
+    the rounding is the cross-engine synchronization point: both
+    engines feed iteration N+1 bit-identical centroids."""
+    return f"""
+    {assign} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_sum(list_transform(range(64), i -> (v.vec[i+1] - c.cv[i+1]) * (v.vec[i+1] - c.cv[i+1]))), 6), c.cid
+               ) AS rn
+        FROM v CROSS JOIN {prev_arr} c
+      ) WHERE rn = 1
+    ),
+    {cent_long} AS (
+      SELECT a.cid, d.i AS dim, round(avg(v.vec[d.i + 1]), 6) AS val
+      FROM {assign} a
+      JOIN v USING (vec_id)
+      CROSS JOIN (SELECT unnest(range({_KM_DIM})) AS i) d
+      GROUP BY a.cid, d.i
+    ),
+    {out_arr} AS (
+      SELECT cid, list(val ORDER BY dim) AS cv
+      FROM {cent_long} GROUP BY cid
+    )"""
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    {",".join(_km_iter_sql(f"c{i}", f"a{i + 1}", f"cl{i + 1}", f"c{i + 1}") for i in range(_KM_ITERS))}
+    ,
+    sizes AS (SELECT cid, count(*) AS n FROM a{_KM_ITERS} GROUP BY cid)
+    SELECT cl.cid, CAST(cl.dim AS BIGINT) AS dim, cl.val,
+           CAST(sizes.n AS BIGINT) AS cluster_size
+    FROM cl{_KM_ITERS} cl JOIN sizes USING (cid)
+    """,
+    doc="""K-means training (Lloyd's algorithm, {iters} unrolled
+    iterations from the first-16 seed): assignment is an argmin over
+    a BROADCAST centroid table (map-side min_by — the corpus never
+    shuffles for assignment), the update is one posexplode +
+    partial-aggregated (cid, dim) mean per round, and per-dim means
+    round at 6dp at each iteration boundary so both engines feed the
+    next round bit-identical centroids. The full training loop as
+    DataFrame composition — no driver-side data movement beyond the
+    16x64 centroid table itself, which is the k-means scale contract
+    (corpus streams, model broadcasts). Oracle: the same iterations
+    as unrolled DuckDB CTEs.""",
+    tags=("ML", "ANN"),
+    bench=True,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", S.as_double("embedding").alias("vec"))
+    cent = v.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+    )
+    assign = None
+    for _ in range(_KM_ITERS):
+        dist = F.round(S.l2sq(F.col("vec"), F.col("cv")), 6)
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "vec",
+                F.struct(dist.alias("d"), F.col("cid")).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("dc", "dc").getField("cid").alias("cid"),
+                F.first("vec").alias("vec"),
+            )
+        )
+        long = (
+            assign.select("cid", F.posexplode("vec").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+        )
+        cent = long.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("cv")
+        )
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("cluster_size"))
+    final_long = (
+        assign.select("cid", F.posexplode("vec").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("val"))
+    )
+    return final_long.join(sizes, "cid").select(
+        "cid", F.col("dim").cast("long").alias("dim"), "val", "cluster_size"
+    )

@@ -274,6 +274,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "ann_ivf_topk",  # broadcast 16-centroid codebook
         "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
         "knn_graph",  # same 16-centroid codebook broadcast (ivf_assign)
+        "kmeans_lloyd",  # broadcast 16-centroid model per Lloyd iteration
         "pagerank_suppliers",  # 1-row node-count broadcast per iteration
         "above_avg_parts",  # 1-row scalar-subquery stat
         "tfidf_top_terms",  # 1-row corpus size N
