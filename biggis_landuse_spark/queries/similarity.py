@@ -908,3 +908,91 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final_long.join(sizes, "cid").select(
         "cid", F.col("dim").cast("long").alias("dim"), "val", "cluster_size"
     )
+
+
+_LR_ITERS = 3
+
+
+def _lr_dot_sql(warr: str) -> str:
+    return (
+        f"list_sum(list_transform(range({_KM_DIM}), "
+        f"i -> vec[i+1] * {warr}[i+1]))"
+    )
+
+
+def _lr_grad_sql(prev_w: str, grad: str) -> str:
+    """One gradient CTE: g_j = round(avg((sigmoid(w·x) − y)·x_j), 6).
+    The 6dp round is the cross-engine sync point (sum order differs)."""
+    return f"""
+    {grad} AS (
+      SELECT d.i AS dim,
+             round(avg(
+               (1.0 / (1.0 + exp(-({_lr_dot_sql(prev_w + ".w")}))) - y)
+               * vec[d.i + 1]), 6) AS g
+      FROM lv CROSS JOIN {prev_w}
+      CROSS JOIN (SELECT unnest(range({_KM_DIM})) AS i) d
+      GROUP BY d.i
+    )"""
+
+
+@register(
+    "logreg_gd",
+    oracle=f"""
+    WITH lv AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS vec,
+             CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+      FROM embeddings
+    ),
+    w0 AS (SELECT list_transform(range({_KM_DIM}), i -> 0.0) AS w),
+    {_lr_grad_sql("w0", "g1")},
+    w1 AS (
+      SELECT list(0.0 - g ORDER BY dim) AS w FROM g1
+    ),
+    {_lr_grad_sql("w1", "g2")},
+    w2 AS (
+      SELECT list(w1.w[g2.dim + 1] - g2.g ORDER BY g2.dim) AS w
+      FROM g2 CROSS JOIN w1
+    ),
+    {_lr_grad_sql("w2", "g3")},
+    w3 AS (
+      SELECT g3.dim, w2.w[g3.dim + 1] - g3.g AS wj
+      FROM g3 CROSS JOIN w2
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, round(wj, 6) AS weight
+    FROM w3
+    """,
+    doc="""Logistic-regression training by full-batch gradient descent
+    ({iters} unrolled iterations, lr=1.0, one-vs-rest on label=0):
+    the GLM training-loop shape the reference's SVMMultiClass runs
+    per class (SVMWithSGD, SVMMultiClass.scala:97-107), expressed as
+    DataFrame composition. Per iteration the 64-float model
+    broadcasts into the scan, the gradient reduces via posexplode +
+    partial-aggregated per-dim mean (model-sized driver traffic only
+    — the treeAggregate contract of pyspark.ml itself), and each
+    gradient component rounds at 6dp so both engines enter the next
+    iteration with bit-identical weights. The weight update w−g then
+    stays exact IEEE on identical inputs — no re-rounding drift.""",
+    tags=("ML",),
+)
+def logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    lv = embeddings.select(
+        S.as_double("embedding").alias("vec"),
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    w = [0.0] * _KM_DIM
+    for _ in range(_LR_ITERS):
+        warr = F.array(*[F.lit(x) for x in w])
+        p = 1.0 / (1.0 + F.exp(-S.dot(F.col("vec"), warr)))
+        g_rows = (
+            lv.select((p - F.col("y")).alias("r"), F.posexplode("vec").alias("dim", "x"))
+            .groupBy("dim")
+            .agg(F.round(F.avg(F.col("r") * F.col("x")), 6).alias("g"))
+            .collect()
+        )
+        g = {r["dim"]: r["g"] for r in g_rows}
+        w = [w[j] - g[j] for j in range(_KM_DIM)]
+    out = [(j, w[j]) for j in range(_KM_DIM)]
+    return spark.createDataFrame(out, "dim long, weight double").select(
+        "dim", F.round("weight", 6).alias("weight")
+    )
