@@ -881,3 +881,69 @@ def percent_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("pr") >= 0.9).cast("long")).alias("n_top_decile"),
         F.round(F.avg("cd"), 6).alias("avg_cume_dist"),
     )
+
+
+@register(
+    "table_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(count(*) AS BIGINT)                 AS n_rows,
+           CAST(count(l_quantity) AS BIGINT)        AS n_nonnull,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           round(min(l_quantity), 2)                AS min_v,
+           round(max(l_quantity), 2)                AS max_v,
+           round(avg(l_quantity), 6)                AS avg_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(count(*) AS BIGINT),
+           CAST(count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           round(min(l_discount), 2),
+           round(max(l_discount), 2),
+           round(avg(l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           round(min(l_extendedprice), 2),
+           round(max(l_extendedprice), 2),
+           round(avg(l_extendedprice), 6)
+    FROM lineitem
+    """,
+    doc="""ANALYZE-style column statistics (row count, null count,
+    exact NDV, min/max, mean) for three lineitem columns in ONE scan:
+    Spark's multi-DISTINCT aggregate expands to a single Expand +
+    two-level hash aggregate, so the fact table is read once, not
+    once per column — the stats-collection pass a cost-based
+    optimizer (and this engine's own broadcast decisions) feeds on.
+    The oracle's 3-scan UNION is the semantic spec; the engine's
+    single-pass plan is the point.""",
+    tags=("A2",),
+)
+def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    # one scan, one multi-distinct aggregate: melt the three columns
+    # first, then aggregate per column name
+    melted = lineitem.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), F.col(c).cast("double").alias("v")
+                    )
+                    for c in ("l_quantity", "l_discount", "l_extendedprice")
+                ]
+            )
+        ).alias("m")
+    ).select("m.col", "m.v")
+    return melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.count_distinct(F.col("v")).alias("ndv"),
+        F.round(F.min("v"), 2).alias("min_v"),
+        F.round(F.max("v"), 2).alias("max_v"),
+        F.round(F.avg("v"), 6).alias("avg_v"),
+    )
