@@ -1103,3 +1103,98 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .drop("_k")
     )
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
+    ),
+    cnt AS (SELECT lang, term, count(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT term) AS v FROM toks),
+    prior AS (
+      SELECT lang, count(*) AS nd FROM documents GROUP BY lang
+    ),
+    ndocs AS (SELECT count(*) AS n FROM documents),
+    dt AS (
+      SELECT doc_id, term, count(*) AS nt FROM toks GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT dt.doc_id, tot.lang,
+             round(
+               sum(dt.nt * ln((COALESCE(cnt.c, 0) + 1.0)
+                              / (tot.t + vocab.v)))
+               + any_value(ln(prior.nd / CAST(ndocs.n AS DOUBLE))), 6) AS s
+      FROM dt
+      CROSS JOIN tot CROSS JOIN vocab CROSS JOIN ndocs
+      JOIN prior ON prior.lang = tot.lang
+      LEFT JOIN cnt ON cnt.lang = tot.lang AND cnt.term = dt.term
+      GROUP BY dt.doc_id, tot.lang
+    ),
+    pred AS (
+      SELECT doc_id, lang AS predicted FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT d.lang AS actual, p.predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="""Multinomial Naive Bayes language classifier trained and
+    evaluated on the corpus (Laplace smoothing, log-space scoring):
+    token likelihood and prior tables come from two partial-aggregated
+    shuffles and stay vocab-sized; scoring joins each document's
+    distinct-term counts against the per-language likelihoods (an
+    equi-join on term — documents never collide with each other), and
+    the per-doc argmax uses the 6dp-rounded score with a language
+    tie-break. Output is the 5×5 confusion matrix against the ground-
+    truth lang column — the trainable-classifier counterpart of the
+    stopword-heuristic lang_id.""",
+    tags=("TEXT", "ML"),
+)
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = spread(documents).select(
+        "doc_id", "lang", F.explode(TX.tokens("text")).alias("term")
+    )
+    cnt = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = toks.agg(F.count_distinct("term").alias("v"))
+    prior = documents.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    ndocs = documents.agg(F.count(F.lit(1)).alias("n"))
+    dt = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("nt"))
+
+    cand = (
+        dt.crossJoin(F.broadcast(tot.join(prior, "lang")))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndocs))
+        .join(cnt, ["lang", "term"], "left")
+    )
+    term_ll = F.col("nt") * F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("t") + F.col("v"))
+    )
+    scored = cand.groupBy("doc_id", "lang").agg(
+        F.round(
+            F.sum(term_ll)
+            + F.first(F.log(F.col("nd") / F.col("n").cast("double"))),
+            6,
+        ).alias("s")
+    )
+    w = W2.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("lang"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted"))
+    )
+    return (
+        pred.join(documents.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("actual"), "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -280,6 +280,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "tfidf_top_terms",  # 1-row corpus size N
         "bm25_search",  # 1-row (n_docs, avgdl, per-term df) broadcast
         "collocations_pmi",  # two 1-row token/bigram total broadcasts
+        "nb_lang_confusion",  # 5-row lang-stats + 1-row vocab/ndocs broadcasts
         "funnel_stages",  # 1-row × 1-row × 1-row summary
         "getis_ord_shape",  # 1-row global stats broadcast
         "getis_ord_tile",
