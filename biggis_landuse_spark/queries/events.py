@@ -968,3 +968,114 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.event_id, p.value, c.ts AS cts,
+             count(*) OVER (PARTITION BY p.event_id) AS nc
+      FROM p JOIN c ON p.user_id = c.user_id
+        AND epoch_us(c.ts) >  epoch_us(p.ts) - 3600000000
+        AND epoch_us(c.ts) <= epoch_us(p.ts)
+    )
+    SELECT CAST(hour(cts) AS BIGINT)   AS click_hour,
+           CAST(count(*) AS BIGINT)    AS n_touches,
+           round(sum(value / nc), 2)   AS credit
+    FROM m GROUP BY 1
+    """,
+    doc="""Linear multi-touch attribution: every click in the hour
+    before a purchase splits that purchase's value equally
+    (value / n_touches), reported by click hour-of-day — the
+    marketing-credit shape. Candidate (purchase, click) pairs come
+    from operators.temporal.range_join's bucketed-band equi-join
+    (backward 1-hour band — never an inequality nested loop); the
+    per-purchase touch count is a window over the purchase id
+    (co-partitioned with the join output), and the credit rollup is
+    one tiny groupBy. The oracle brute-forces the same band with a
+    DuckDB inequality join.""",
+    tags=("ASOF", "W"),
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.temporal import range_join
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    pairs = range_join(
+        purchases,
+        clicks,
+        on="user_id",
+        band_us=0,
+        band_before_us=3_600_000_000,
+    )
+    w = W.partitionBy("l_event_id")
+    m = pairs.select(
+        "l_event_id",
+        "l_value",
+        F.col("r_ts").alias("cts"),
+        F.count(F.lit(1)).over(w).alias("nc"),
+    )
+    return m.groupBy(F.hour("cts").cast("long").alias("click_hour")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum(F.col("l_value") / F.col("nc")), 2).alias("credit"),
+    )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(n AS BIGINT) AS n
+    FROM (
+      SELECT a, b, c, count(*) AS n,
+             row_number() OVER (
+               ORDER BY count(*) DESC, a || '>' || b || '>' || c) AS rn
+      FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+      GROUP BY a, b, c
+    ) WHERE rn <= 10
+    """,
+    doc="""Behavioral path mining: the 10 most frequent 3-step
+    event-type sequences across all user journeys — the "common
+    paths" report behind funnel design. One user-partitioned window
+    produces the trigrams (two leads over the same sort — a single
+    exchange, co-partitioned with every per-user analytic), the count
+    is a partial-aggregated shuffle over the tiny |types|³ keyspace,
+    and the top-10 cut ranks that keyspace-sized relation, not the
+    event log.""",
+    tags=("STREAM", "W"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("b").isNotNull() & F.col("c").isNotNull())
+    path = F.concat_ws(">", "a", "b", "c")
+    counts = seq.groupBy("a", "b", "c").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.select(path.alias("path"), "n")
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
