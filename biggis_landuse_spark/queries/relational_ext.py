@@ -996,3 +996,67 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(dist).cast("long").alias("min_dist"),
         )
     )
+
+
+@register(
+    "pareto_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS pk,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    cum AS (
+      SELECT pk, r,
+             sum(r) OVER (ORDER BY r DESC, pk) / t AS share
+      FROM rev CROSS JOIN tot
+    )
+    SELECT CASE WHEN share <= 0.8 THEN 'A'
+                WHEN share <= 0.95 THEN 'B'
+                ELSE 'C' END                    AS class,
+           CAST(count(*) AS BIGINT)             AS n_parts,
+           round(sum(r), 2)                     AS revenue
+    FROM cum GROUP BY 1
+    """,
+    doc="""Pareto / ABC inventory classification: parts ranked by
+    revenue, classes cut at 80% / 95% cumulative share. The running
+    total over the revenue-descending order runs through
+    operators/ranking.py grouped_cumsum (range-partitioned prefix
+    sum — a global ORDER BY window with NO single-task sort), the
+    per-part revenues are 2dp-exact so the prefix sums are decimal-
+    exact on both engines, and the total is a 1-row broadcast. The
+    classic long-tail analysis at fact-table scale.""",
+    tags=("A", "W"),
+)
+def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.ranking import grouped_cumsum
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    rev = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    # descending order via negated key (grouped_cumsum sorts ascending)
+    cum = grouped_cumsum(
+        rev.withColumn("_g", F.lit(1)).withColumn("_neg_r", -F.col("r")),
+        group_cols=["_g"],
+        order_cols=["_neg_r", "pk"],
+        value_col="r",
+        out_col="cumr",
+    )
+    share = F.col("cumr") / F.col("t")
+    cls = (
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(cls.alias("class"), "r")
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("r"), 2).alias("revenue"),
+        )
+    )

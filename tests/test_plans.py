@@ -288,6 +288,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "late_data_policy",  # 1-row watermark horizon
         "ntile_price_bands",  # 1-row global count broadcast (global_ntile)
         "rfm_segments",  # 3× 1-row global count broadcast (global_ntile)
+        "pareto_parts",  # 1-row revenue-total broadcast
         "chi2_status_priority",  # bounded marginal grids (statuses × priorities) + 1-row N
         "events_resample_dense",  # 1-row global span broadcast for grid synthesis
     }
