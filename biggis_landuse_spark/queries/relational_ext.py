@@ -1003,29 +1003,33 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l_partkey AS pk,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS r
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS cents
       FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT sum(r) AS t FROM rev),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
     cum AS (
-      SELECT pk, r,
-             sum(r) OVER (ORDER BY r DESC, pk) / t AS share
-      FROM rev CROSS JOIN tot
+      SELECT pk, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, pk) AS BIGINT) AS c
+      FROM rev
     )
-    SELECT CASE WHEN share <= 0.8 THEN 'A'
-                WHEN share <= 0.95 THEN 'B'
+    SELECT CASE WHEN c * 100 <= 80 * t THEN 'A'
+                WHEN c * 100 <= 95 * t THEN 'B'
                 ELSE 'C' END                    AS class,
            CAST(count(*) AS BIGINT)             AS n_parts,
-           round(sum(r), 2)                     AS revenue
-    FROM cum GROUP BY 1
+           round(sum(cents) / 10000.0, 2)       AS revenue
+    FROM cum CROSS JOIN tot GROUP BY 1
     """,
     doc="""Pareto / ABC inventory classification: parts ranked by
     revenue, classes cut at 80% / 95% cumulative share. The running
     total over the revenue-descending order runs through
     operators/ranking.py grouped_cumsum (range-partitioned prefix
     sum — a global ORDER BY window with NO single-task sort), the
-    per-part revenues are 2dp-exact so the prefix sums are decimal-
-    exact on both engines, and the total is a 1-row broadcast. The
+    per-part revenues convert to integer ten-thousandths (2dp price
+    × 2dp discount) so every sum in the pipeline
+    are exact whole numbers — invariant to partition count and sum
+    order on both engines, and the total is a 1-row broadcast. The
     classic long-tail analysis at fact-table scale.""",
     tags=("A", "W"),
 )
@@ -1033,30 +1037,39 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggis_landuse_spark.operators.ranking import grouped_cumsum
 
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    rev = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("r")
+    # integer cents: the prefix sums are exact whole numbers, so the
+    # class cuts are invariant to partition count and sum order —
+    # double prefix sums flip boundary parts between runs (caught by
+    # the cross-session driver-sim check)
+    # price is a 2dp decimal and discount a 2dp fraction, so
+    # price_cents * (100 - disc_pct) is an EXACT integer in
+    # ten-thousandths — no float sum anywhere in the ranking key
+    cents_term = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100).cast("long")
     )
-    tot = rev.agg(F.sum("r").alias("t"))
+    rev = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents_term).cast("long").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
     # descending order via negated key (grouped_cumsum sorts ascending)
     cum = grouped_cumsum(
-        rev.withColumn("_g", F.lit(1)).withColumn("_neg_r", -F.col("r")),
+        rev.withColumn("_g", F.lit(1)).withColumn("_neg", -F.col("cents")),
         group_cols=["_g"],
-        order_cols=["_neg_r", "pk"],
-        value_col="r",
-        out_col="cumr",
+        order_cols=["_neg", "pk"],
+        value_col="cents",
+        out_col="c",
     )
-    share = F.col("cumr") / F.col("t")
     cls = (
-        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+        F.when(F.col("c") * 100 <= 80 * F.col("t"), "A")
+        .when(F.col("c") * 100 <= 95 * F.col("t"), "B")
+        .otherwise("C")
     )
     return (
         cum.crossJoin(F.broadcast(tot))
-        .select(cls.alias("class"), "r")
+        .select(cls.alias("class"), "cents")
         .groupBy("class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.sum("r"), 2).alias("revenue"),
+            F.round(F.sum("cents") / 10000.0, 2).alias("revenue"),
         )
     )
