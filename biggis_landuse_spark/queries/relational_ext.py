@@ -892,7 +892,7 @@ def percent_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
            round(min(l_quantity), 2)                AS min_v,
            round(max(l_quantity), 2)                AS max_v,
-           round(avg(l_quantity), 6)                AS avg_v
+           round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0 / count(l_quantity), 6) AS avg_v
     FROM lineitem
     UNION ALL
     SELECT 'l_discount',
@@ -901,7 +901,7 @@ def percent_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT l_discount) AS BIGINT),
            round(min(l_discount), 2),
            round(max(l_discount), 2),
-           round(avg(l_discount), 6)
+           round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(l_discount), 6)
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice',
@@ -910,7 +910,7 @@ def percent_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(DISTINCT l_extendedprice) AS BIGINT),
            round(min(l_extendedprice), 2),
            round(max(l_extendedprice), 2),
-           round(avg(l_extendedprice), 6)
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(l_extendedprice), 6)
     FROM lineitem
     """,
     doc="""ANALYZE-style column statistics (row count, null count,
@@ -945,7 +945,13 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.col("v")).alias("ndv"),
         F.round(F.min("v"), 2).alias("min_v"),
         F.round(F.max("v"), 2).alias("max_v"),
-        F.round(F.avg("v"), 6).alias("avg_v"),
+        # mean from exact integer cents: a 6dp-rounded float avg over
+        # 60k values is order-unstable across sessions (driver-sim flake)
+        F.round(
+            F.sum(F.round(F.col("v") * 100).cast("long")) / 100.0
+            / F.count("v"),
+            6,
+        ).alias("avg_v"),
     )
 
 
