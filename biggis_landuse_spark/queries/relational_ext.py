@@ -1079,3 +1079,80 @@ def pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("cents") / 10000.0, 2).alias("revenue"),
         )
     )
+
+
+_MB_MIN_SUPPORT = 3  # orders containing the pair
+
+
+@register(
+    "market_basket_lift",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+    single AS (SELECT pk, count(*) AS c FROM items GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS pa, b.pk AS pb, count(*) AS cab
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+    )
+    SELECT pa, pb,
+           CAST(cab AS BIGINT) AS n_together,
+           round(cab * CAST(n.n_orders AS DOUBLE) / (sa.c * sb.c), 4)
+             AS lift
+    FROM pairs
+    JOIN single sa ON pairs.pa = sa.pk
+    JOIN single sb ON pairs.pb = sb.pk
+    CROSS JOIN n
+    WHERE cab >= {_MB_MIN_SUPPORT}
+    ORDER BY round(cab * CAST(n.n_orders AS DOUBLE) / (sa.c * sb.c), 4)
+             DESC, pa, pb
+    LIMIT 15
+    """,
+    doc="""Market-basket association mining: part pairs co-purchased in
+    the same order, ranked by lift = P(ab)/(P(a)P(b)) above a support
+    floor. In-basket pairs come from the same groupBy +
+    in-group pair explosion the LSH dedup uses
+    (functions.dedup.pairs_within_groups — baskets are small, the
+    quadratic is per-basket bounded, and the upstream distinct runs
+    once, not per join side); item frequencies are vocab-sized; the
+    lift join touches only the pair relation; the cut is
+    TakeOrderedAndProject. Exact integer counts everywhere — the
+    only float is the final lift display.""",
+    tags=("A", "J"),
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.functions.dedup import pairs_within_groups
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = items.agg(F.count_distinct("ok").alias("n_orders"))
+    single = items.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        pairs_within_groups(items.select("ok", "pk"), "pk")
+        .groupBy(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= _MB_MIN_SUPPORT)
+    )
+    lift = F.round(
+        F.col("cab")
+        * F.col("n_orders").cast("double")
+        / (F.col("ca") * F.col("cb")),
+        4,
+    )
+    return (
+        pairs.join(single.select(F.col("pk").alias("pa"), F.col("c").alias("ca")), "pa")
+        .join(single.select(F.col("pk").alias("pb"), F.col("c").alias("cb")), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.col("cab").cast("long").alias("n_together"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb"))
+        .limit(15)
+    )
