@@ -1079,3 +1079,52 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "longest_event_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS island
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, count(*) AS run_len
+      FROM seq GROUP BY user_id, event_type, island
+    )
+    SELECT event_type,
+           CAST(max(run_len) AS BIGINT)              AS longest_run,
+           CAST(count(*) FILTER (run_len >= 3) AS BIGINT) AS n_runs_3plus
+    FROM runs GROUP BY event_type
+    """,
+    doc="""Gaps-and-islands: the longest run of consecutive same-type
+    events per user, aggregated per type — the streak/retention-run
+    shape (also the classic interview pattern, done distributed). The
+    two row_numbers share ONE user-partitioned exchange (same
+    partition key, Spark reuses it), the island difference is
+    scan-local, and run lengths reduce with exact integer counts.
+    Ordering tie-broken by event_id so islands are engine-identical.""",
+    tags=("STREAM", "W"),
+)
+def longest_event_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias(
+            "island"
+        ),
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("event_type").agg(
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.sum((F.col("run_len") >= 3).cast("long")).alias("n_runs_3plus"),
+    )
