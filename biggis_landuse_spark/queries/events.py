@@ -1128,3 +1128,65 @@ def longest_event_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("long").alias("longest_run"),
         F.sum((F.col("run_len") >= 3).cast("long")).alias("n_runs_3plus"),
     )
+
+
+@register(
+    "cusum_drift",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             CAST(round(median(value) * 100) AS BIGINT) AS med_c
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.ts, e.event_id,
+             CAST(round(e.value * 100) AS BIGINT) - med_c AS d
+      FROM events e JOIN med USING (event_type)
+    ),
+    cs AS (
+      SELECT event_type,
+             sum(d) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id) AS c
+      FROM dev
+    )
+    SELECT event_type,
+           CAST(max(c) AS BIGINT) AS max_cusum_cents,
+           CAST(min(c) AS BIGINT) AS min_cusum_cents
+    FROM cs GROUP BY event_type
+    """,
+    doc="""CUSUM drift detection: per event_type, the running sum of
+    deviations from the type median, whose max/min excursions locate
+    upward/downward level shifts (Page 1954). Values are 2dp, so
+    cents-vs-median-cents deviations are exact integers and the
+    prefix sums — routed through operators/ranking.py grouped_cumsum
+    (range-partitioned, hot types never serialize) — are whole-number
+    arithmetic, invariant to partitioning. The (ts, event_id) order
+    ties the sequence down on both engines.""",
+    tags=("STREAM", "W"),
+)
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.ranking import grouped_cumsum
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.round(F.median("value") * 100).cast("long").alias("med_c")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") - F.col("med_c")).alias(
+            "d"
+        ),
+    )
+    cs = grouped_cumsum(
+        dev,
+        group_cols=["event_type"],
+        order_cols=["ts", "event_id"],
+        value_col="d",
+        out_col="c",
+    )
+    return cs.groupBy("event_type").agg(
+        F.max("c").cast("long").alias("max_cusum_cents"),
+        F.min("c").cast("long").alias("min_cusum_cents"),
+    )
