@@ -532,7 +532,35 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out", required=True)
     sp.set_defaults(fn=cmd_wordcount)
 
+    sp = sub.add_parser(
+        "query", help="run a registry query ('query list' to enumerate)"
+    )
+    sp.add_argument("name")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--out", help="write parquet instead of printing")
+    sp.add_argument("-n", type=int, default=20, help="rows to print")
+    sp.set_defaults(fn=cmd_query)
+
     return p
+
+
+def cmd_query(args) -> int:
+    """Run any registry query against a testdata scale-factor dir."""
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    if args.name == "list" or args.name not in REGISTRY:
+        for name in sorted(REGISTRY):
+            print(name)
+        return 0 if args.name == "list" else 2
+    spark = _spark(args)
+    df = REGISTRY[args.name].spark(spark, args.sf_dir)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.name} → {args.out}")
+    else:
+        df.show(args.n, truncate=False)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:

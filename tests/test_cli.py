@@ -233,3 +233,25 @@ def test_cli_delete_and_wordcount(spark, workspace, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     }
     assert got == {"spark": 3, "tile": 2}
+
+
+def test_cli_query_runs_registry_entry(tmp_path, capsys):
+    from biggis_landuse_spark.__main__ import main
+
+    out = str(tmp_path / "q_out")
+    rc = main(
+        [
+            "query",
+            "distinct_keys",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    assert glob.glob(out + "/*.parquet")
+    # unknown name lists the registry and fails
+    assert main(["query", "no_such_query"]) == 2
