@@ -89,22 +89,6 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "media_decode_features",
-    oracle=None,  # byte-level fake decode is not SQL-expressible;
-    # rows-only check (the decode math itself is covered by
-    # tests/test_multimodal.py determinism + shape assertions)
-    doc="""Decode (stubbed codec, real Arrow plumbing) → per-item pixel
-    feature extraction; the mapInPandas pipeline a training-data prep
-    job runs per media item.""",
-    tags=("multimodal",),
-)
-def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (documents,) = load_tables(spark, sf_dir, "documents")
-    decoded = MM.decode_media(_with_content(documents))
-    return MM.media_features(decoded)
-
-
 _HEXD = "0123456789ABCDEF"
 
 
@@ -114,6 +98,57 @@ def _byte_sql(hx: str, pos: str) -> str:
     return (
         f"((instr('{_HEXD}', substr({hx}, 2*({pos})+1, 1))-1)*16"
         f" + instr('{_HEXD}', substr({hx}, 2*({pos})+2, 1))-1)"
+    )
+
+
+@register(
+    "media_decode_features",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    meta AS (
+      SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
+    ),
+    dims AS (
+      SELECT doc_id, hx, len,
+             1 + {_byte_sql("hx", "0")} % 4       AS w,
+             1 + {_byte_sql("hx", "len - 1")} % 4 AS h,
+             1 + len % 3                           AS c
+      FROM meta
+    ),
+    idx AS (SELECT doc_id, hx, len, unnest(range(w*h*c)) AS i FROM dims),
+    px AS (
+      SELECT doc_id, {_byte_sql("hx", "i % len")} / 255.0 AS v FROM idx
+    ),
+    mu AS (SELECT doc_id, avg(v) AS mean FROM px GROUP BY doc_id)
+    SELECT p.doc_id,
+           CAST(count(*) AS INT) AS n_pixels,
+           round(any_value(u.mean), 6) AS mean_px,
+           round(sqrt(avg((p.v - u.mean) * (p.v - u.mean))), 6) AS std_px,
+           round(avg(CASE WHEN p.v > 0.5 THEN 1.0 ELSE 0.0 END), 6)
+             AS p_bright
+    FROM px p JOIN mu u ON p.doc_id = u.doc_id
+    GROUP BY p.doc_id
+    """,
+    doc="""Decode (stubbed codec, real Arrow plumbing) → per-item pixel
+    feature extraction; the mapInPandas pipeline a training-data prep
+    job runs per media item. The oracle replays the deterministic fake
+    decode byte-for-byte in SQL (same _byte_sql machinery as
+    media_pixel_stats) and mirrors numpy's two-pass population std
+    (mean first, then mean of squared deviations, then sqrt) so both
+    engines evaluate the same operations; all floats 6dp-rounded at
+    the output sync point per SCALING.md.""",
+    tags=("multimodal",),
+)
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    decoded = MM.decode_media(_with_content(documents))
+    feats = MM.media_features(decoded)
+    return feats.select(
+        "doc_id",
+        "n_pixels",
+        F.round("mean", 6).alias("mean_px"),
+        F.round("std", 6).alias("std_px"),
+        F.round("p_bright", 6).alias("p_bright"),
     )
 
 
