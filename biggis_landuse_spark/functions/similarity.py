@@ -164,6 +164,65 @@ def lsh_topk(
     )
 
 
+def ivf_cell_count(n: int, min_k: int = 16) -> int:
+    """Corpus-derived IVF cell count: ``k = max(min_k, ceil(sqrt(n)))``.
+
+    sqrt-scaling keeps BOTH halves of the IVF contract bounded as the
+    corpus grows: the centroid table stays broadcastable (k ~ sqrt(n):
+    ~1e5 centroids = ~50 MB of 64-dim doubles at 1e10 vectors) AND the
+    expected cell size shrinks relative to n (n/k ~ sqrt(n)), so the
+    within-cell pair product grows like n*sqrt(n), not n^2 — and
+    :func:`subsplit_cells` hard-caps each pair block on top of that.
+    Computed with float ``ceil(sqrt())`` to mirror the oracle's SQL
+    expression op-for-op.
+    """
+    import math
+
+    if n <= 0:
+        return min_k
+    return max(min_k, int(math.ceil(math.sqrt(float(n)))))
+
+
+def subsplit_cells(
+    assigned: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    cell_col: str = "cid",
+    sub_col: str = "sub",
+) -> DataFrame:
+    """Hard per-cell size guard: split any IVF cell whose population
+    exceeds ``cap`` into ``ceil(pop/cap)`` deterministic sub-buckets
+    (``sub = id % nsub``), so a same-(cell, sub) pair join does at
+    most ``cap^2``-ish work per block regardless of assignment skew —
+    total pair volume <= n*cap, linear in the corpus.
+
+    Populations come from a partial-aggregated groupBy (k rows out)
+    joined back with a broadcast — the corpus itself is NOT shuffled
+    here; the only corpus shuffle stays the downstream pair join on
+    (cell, sub). The sub-bucket is ``md5_prefix(id) % nsub`` rather
+    than a plain ``id % nsub``: ids inside one cell often share
+    arithmetic structure (strides, ranges) that a linear modulo maps
+    onto few residues, re-concentrating the block; the md5 mix
+    decorrelates regardless of id layout, and is expressible
+    identically in DuckDB
+    (``CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 6) AS BIGINT)``)
+    so oracle checks cover the split path. Tradeoff (documented,
+    deterministic): pairs that straddle sub-buckets of an oversized
+    cell are not compared — the standard bounded-block recall
+    tradeoff for dedup/kNN-graph at scale.
+    """
+    pops = assigned.groupBy(cell_col).agg(F.count(F.lit(1)).alias("_pop"))
+    nsub = F.ceil(F.col("_pop") / F.lit(float(cap))).cast("long")
+    mix = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        assigned.join(F.broadcast(pops), cell_col)
+        .withColumn(sub_col, F.pmod(mix, nsub).cast("long"))
+        .drop("_pop")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

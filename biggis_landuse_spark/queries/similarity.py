@@ -541,6 +541,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMDEDUP_TAU = 0.3  # within-cell cosine threshold
+CELL_CAP = 64  # hard per-cell pair-block cap (see S.subsplit_cells)
+
+# corpus-derived IVF sizing shared by semantic_dedup / knn_graph oracles:
+# k = max(16, ceil(sqrt(n))) — mirrors S.ivf_cell_count op-for-op
+_K_SQL = (
+    "(SELECT greatest(16, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))"
+    " FROM embeddings)"
+)
+# deterministic sub-bucket of an oversized cell — mirrors S.subsplit_cells
+# (md5-prefix mix decorrelates id structure from the modulo)
+_SUBSPLIT_SQL = f"""
+    pop AS (
+      SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS pop
+      FROM assign
+    ),
+    sp AS (
+      SELECT vec_id, cid,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+               % CAST(ceil(pop / {CELL_CAP}.0) AS BIGINT) AS sub
+      FROM pop
+    )
+"""
 
 
 @register(
@@ -551,7 +573,7 @@ SEMDEDUP_TAU = 0.3  # within-cell cosine threshold
     ),
     cent AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+      FROM embeddings WHERE vec_id < {_K_SQL}
     ),
     aff AS (
       SELECT v.vec_id, cid,
@@ -564,10 +586,12 @@ SEMDEDUP_TAU = 0.3  # within-cell cosine threshold
       FROM aff
     ),
     assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+    {_SUBSPLIT_SQL},
     pairs AS (
       SELECT b.vec_id AS dropped_id, a.vec_id AS ka,
              {_IVF_COS.format(a="va.vec", b="vb.vec")} AS cos
-      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      FROM sp a JOIN sp b
+        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
       JOIN v va ON va.vec_id = a.vec_id
       JOIN v vb ON vb.vec_id = b.vec_id
     )
@@ -579,39 +603,46 @@ SEMDEDUP_TAU = 0.3  # within-cell cosine threshold
     cluster the embedding space with an IVF coarse quantizer, then
     within each cell drop every vector that has a lower-id neighbor
     with cosine >= tau; report (dropped_id, kept_id=lowest such
-    partner, max_sim). Scale shape: the centroid table broadcasts and
-    cell assignment is a map-side max_by (no corpus shuffle); the
-    candidate product is confined to same-cell pairs — with k cells
-    sized ~|corpus|/k the per-cell quadratic is bounded, the 100 TB
-    layout writes the corpus partitioned by cell, and the pair join
-    is an equi-shuffle on cid, never all-pairs. The LSH twin is
-    embedding_near_dup; this is the centroid-cluster variant the
-    SemDeDup paper uses.""",
+    partner, max_sim). Scale shape: the cell count is DERIVED from the
+    corpus (k = max(16, ceil(sqrt(n))), S.ivf_cell_count) so the
+    centroid table stays broadcastable while cells shrink relative to
+    n; cell assignment is a map-side max_by (no corpus shuffle); the
+    candidate product is confined to same-(cell, sub) pairs where
+    S.subsplit_cells hard-caps each pair block at ~CELL_CAP rows —
+    pair volume <= n*CELL_CAP, linear in the corpus, never all-pairs
+    and never an unbounded per-cell quadratic. The 100 TB layout
+    writes the corpus partitioned by cell so probes are pruned scans.
+    The LSH twin is embedding_near_dup; this is the centroid-cluster
+    variant the SemDeDup paper uses.""",
     tags=("DEDUP", "ANN"),
     bench=True,
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     v = embeddings.select("vec_id", S.as_double("embedding").alias("vec"))
-    centroids = v.where(F.col("vec_id") < N_CENTROIDS).select(
+    k = S.ivf_cell_count(embeddings.count())
+    centroids = v.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
     )
     assign = S.ivf_assign(v, centroids, vec_col="vec").select("vec_id", "cid")
+    assign = S.subsplit_cells(assign, CELL_CAP)
     # norms materialize ONCE per vector before the pair fan-out — each
     # pair then does one dot product, not one dot + two 64-term norm
     # re-aggregations (same IEEE ops as the oracle's sqrt(dot()) form,
     # just not recomputed per pair)
     sided = assign.join(v, "vec_id").select(
-        "cid", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
+        "cid", "sub", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
     )
     a = sided.select(
         "cid",
+        "sub",
         F.col("vec_id").alias("ka"),
         F.col("vec").alias("va"),
         F.col("nv").alias("na"),
     )
     b = sided.select(
         "cid",
+        "sub",
         F.col("vec_id").alias("kb"),
         F.col("vec").alias("vb"),
         F.col("nv").alias("nb"),
@@ -624,7 +655,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     dup = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "sub"])
         .where(F.col("ka") < F.col("kb"))
         .select(F.col("kb").alias("dropped_id"), "ka", cos.alias("cos"))
         .where(F.col("cos") >= SEMDEDUP_TAU)
@@ -718,7 +749,7 @@ KNN_GRAPH_K = 3
     ),
     cent AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+      FROM embeddings WHERE vec_id < {_K_SQL}
     ),
     aff AS (
       SELECT v.vec_id, cid,
@@ -731,10 +762,12 @@ KNN_GRAPH_K = 3
       FROM aff
     ),
     assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+    {_SUBSPLIT_SQL},
     pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              {_IVF_COS.format(a="va.vec", b="vb.vec")} AS cos
-      FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+      FROM sp a JOIN sp b
+        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id <> b.vec_id
       JOIN v va ON va.vec_id = a.vec_id
       JOIN v vb ON vb.vec_id = b.vec_id
     ),
@@ -753,11 +786,13 @@ KNN_GRAPH_K = 3
     dedup clustering, label propagation, and graph-based retrieval
     indexes (HNSW layer seeds). Unlike knn_cosine (bounded query set,
     broadcast), here both sides are the corpus, so the candidate
-    product is confined to IVF cells (equi-shuffle on cid, per-cell
-    quadratic bounded by |corpus|/k-cells) and the per-source top-k
-    ranks inside the cell partition. At 100 TB the cell count scales
-    with the corpus so cells stay constant-sized; multi-probe raises
-    recall without changing the plan.""",
+    product is confined to IVF cells — with k DERIVED from the corpus
+    (S.ivf_cell_count, sqrt-scaling keeps the centroid broadcast
+    bounded) and S.subsplit_cells hard-capping each (cell, sub) pair
+    block at ~CELL_CAP rows, total pair volume is <= n*CELL_CAP,
+    linear in the corpus regardless of assignment skew — and the
+    per-source top-k ranks inside the block partition. Multi-probe
+    raises recall without changing the plan.""",
     tags=("ANN", "GRAPH"),
     bench=True,
 )
@@ -766,21 +801,25 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     v = embeddings.select("vec_id", S.as_double("embedding").alias("vec"))
-    centroids = v.where(F.col("vec_id") < N_CENTROIDS).select(
+    k = S.ivf_cell_count(embeddings.count())
+    centroids = v.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
     )
     assign = S.ivf_assign(v, centroids, vec_col="vec").select("vec_id", "cid")
+    assign = S.subsplit_cells(assign, CELL_CAP)
     sided = assign.join(v, "vec_id").select(
-        "cid", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
+        "cid", "sub", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
     )
     a = sided.select(
         "cid",
+        "sub",
         F.col("vec_id").alias("src"),
         F.col("vec").alias("va"),
         F.col("nv").alias("na"),
     )
     b = sided.select(
         "cid",
+        "sub",
         F.col("vec_id").alias("dst"),
         F.col("vec").alias("vb"),
         F.col("nv").alias("nb"),
@@ -790,7 +829,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     pairs = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "sub"])
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst", cos.alias("cos_sim"))
     )

@@ -1,0 +1,81 @@
+"""Scale guards for the IVF pair-block machinery.
+
+semantic_dedup / knn_graph confine their quadratic candidate product
+to (cell, sub) blocks. These tests pin the two invariants that make
+that linear in the corpus: the cell count grows with the corpus
+(ivf_cell_count) and no pair block ever exceeds the hard cap
+(subsplit_cells), even under total assignment skew.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.functions.similarity import (
+    ivf_cell_count,
+    subsplit_cells,
+)
+
+CAP = 8
+
+
+def test_ivf_cell_count_bounds_expected_cell_size():
+    # k(n) >= sqrt(n) => expected cell size n/k <= sqrt(n) + 1; and the
+    # floor keeps tiny corpora at the legacy 16 cells.
+    assert ivf_cell_count(0) == 16
+    assert ivf_cell_count(100) == 16
+    assert ivf_cell_count(500) == 23  # matches the sf0.01 fixture
+    for n in (1_000, 50_000, 2_000_000, 10**10):
+        k = ivf_cell_count(n)
+        assert k >= math.sqrt(n) - 1e-6
+        assert n / k <= math.sqrt(n) + 1
+    # monotone non-decreasing: more data never means fewer cells
+    ks = [ivf_cell_count(n) for n in range(1, 5000, 97)]
+    assert ks == sorted(ks)
+
+
+def test_subsplit_caps_block_size_under_total_skew(spark):
+    # worst case: every vector lands in ONE cell (max assignment skew).
+    n = 1000
+    assigned = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.lit(7).alias("cid")
+    )
+    split = subsplit_cells(assigned, CAP)
+    sizes = (
+        split.groupBy("cid", "sub")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("nblocks"))
+        .collect()[0]
+    )
+    # md5-mixed buckets are multinomial, not exact — allow a small
+    # constant factor over the cap, which is all the linearity needs
+    assert sizes["mx"] <= 4 * CAP
+    assert sizes["nblocks"] <= math.ceil(n / CAP)
+
+
+def test_subsplit_noop_below_cap(spark):
+    assigned = spark.range(CAP).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 2).alias("cid")
+    )
+    split = subsplit_cells(assigned, CAP)
+    assert split.where(F.col("sub") != 0).count() == 0
+    assert split.count() == CAP
+
+
+def test_subsplit_pair_volume_linear_even_with_strided_ids(spark):
+    # ids within a cell share a stride (cid = id % 3) — the layout that
+    # defeats a plain `id % nsub` (it hits only gcd-many residues,
+    # re-concentrating the block). The md5 mix must keep the total
+    # same-(cid, sub) pair volume ~n*cap as n doubles — the property
+    # that kills the n^2 blow-up.
+    for n in (600, 1200):
+        assigned = spark.range(n).select(
+            F.col("id").alias("vec_id"), (F.col("id") % 3).alias("cid")
+        )
+        split = subsplit_cells(assigned, CAP).groupBy("cid", "sub").count()
+        pair_volume = split.agg(
+            F.sum(F.col("count") * F.col("count")).alias("pv")
+        ).collect()[0]["pv"]
+        assert pair_volume <= 2 * n * CAP
