@@ -964,37 +964,48 @@ def table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer a JOIN customer b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_mktsegment = b.c_mktsegment
+     AND substring(a.c_name, 1, greatest(length(a.c_name) - 3, 0))
+         = substring(b.c_name, 1, greatest(length(b.c_name) - 3, 0))
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 2
     GROUP BY 1
     """,
     doc="""Blocked fuzzy record linkage: candidate pairs come from an
-    equi-join on the blocking key (nation × segment) — never the
-    all-pairs product — and the Levenshtein edit-distance predicate
-    refines inside the join stage (JVM built-in, exact integers, no
-    float discipline needed). The dedupe-by-name shape of entity
-    resolution: at 100 TB the blocking key bounds per-block pair
-    counts and a second-level block (name prefix / phonetic code)
-    caps hot blocks the same way the LSH bands cap hot shingles.""",
+    equi-join on a TWO-level blocking key — (nation × segment) plus a
+    name-prefix block (all but the last 3 characters) — never the
+    all-pairs product; the Levenshtein edit-distance predicate refines
+    inside the join stage (JVM built-in, exact integers, no float
+    discipline needed). The first level alone has constant cardinality
+    (125 blocks), so block size would grow linearly with the customer
+    table; the prefix level's cardinality grows WITH the data (names
+    embed the key), capping each block at the suffix alphabet
+    (<= 10^3 for digit suffixes) regardless of scale. Recall contract
+    (standard prefix blocking, same shape as LSH bands capping hot
+    shingles): a pair is guaranteed found iff its edits are confined
+    to the last 3 characters; cross-prefix matches are traded for
+    bounded blocks — the tradeoff tests/test_fuzzy_blocking.py pins.""",
     tags=("DEDUP", "J"),
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer,) = load_tables(spark, sf_dir, "customer")
+    pfx = F.expr("substring(c_name, 1, greatest(length(c_name) - 3, 0))")
     a = customer.select(
         F.col("c_custkey").alias("ka"),
         F.col("c_name").alias("na"),
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_mktsegment").alias("seg"),
+        pfx.alias("pfx"),
     )
     b = customer.select(
         F.col("c_custkey").alias("kb"),
         F.col("c_name").alias("nb"),
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_mktsegment").alias("seg"),
+        pfx.alias("pfx"),
     )
     dist = F.levenshtein(F.col("na"), F.col("nb"))
     return (
-        a.join(b, ["nationkey", "seg"])
+        a.join(b, ["nationkey", "seg", "pfx"])
         .where((F.col("ka") < F.col("kb")) & (dist <= 2))
         .groupBy("nationkey")
         .agg(
