@@ -284,7 +284,8 @@ def terrain(
     """Horn-method terrain analysis (Horn 1981; the GDAL/GeoTrellis
     focal Slope/Hillshade pair) over the SAME single margin-exchange
     shuffle as focal_stats — output band 0 = slope in degrees, band 1
-    = hillshade in [0, 255].
+    = hillshade in [0, 255], band 2 = aspect in degrees (atan2(q, −p),
+    consumed by e.g. terrain_tile).
 
     Gradients from the 3×3 window (a b c / d e f / g h i, x east,
     y south):  p = dz/dx = ((c+2f+i) − (a+2d+g)) / (8·cell)

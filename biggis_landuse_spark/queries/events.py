@@ -744,7 +744,8 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     "value_outliers",
     oracle="""
     WITH stats AS (
-      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+      SELECT event_type, round(avg(value), 6) AS mu,
+             round(stddev_samp(value), 6) AS sd
       FROM events GROUP BY event_type
     )
     SELECT e.event_type,
@@ -757,28 +758,35 @@ def trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="""Per-group z-score outlier detection on the event stream: the
     two-pass grouped-stats shape (pass 1 reduces each event_type to
-    (mu, sd) — a tiny relation broadcast back; pass 2 flags |z| > 3
+    (mu, sd) — a tiny relation broadcast back; pass 2 flags outliers
     scan-locally and re-aggregates). The fact table is scanned twice
     but shuffled only for the two partial-aggregated groupBys; the
-    stats join is a broadcast, so at 100 TB nothing wide moves. The
-    sqrt-bearing max_abs_z rounds at 4dp per the float discipline;
-    outlier COUNTS are exact integers on both engines.""",
+    stats join is a broadcast, so at 100 TB nothing wide moves.
+    Determinism: mu and sd are 6dp-rounded at the broadcast sync point
+    (a boundary value must not flip the exact-integer n_outliers
+    across engines or partition orders), and the outlier test is the
+    SAME IEEE expression the oracle evaluates —
+    abs(v - mu) > 3*sd, not a division-form rearrangement. The
+    sqrt-bearing max_abs_z rounds at 4dp per the float discipline.""",
     tags=("A2", "STREAM"),
 )
 def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
     stats = events.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
     )
-    # try_divide: a constant-valued event_type (sd = 0) yields NULL
-    # z-scores (no outliers), not an ANSI DIVIDE_BY_ZERO job kill
-    z = F.try_divide(F.abs(F.col("value") - F.col("mu")), F.col("sd"))
+    dev = F.abs(F.col("value") - F.col("mu"))
+    # try_divide only in the reported z (a constant-valued event_type,
+    # sd = 0, yields NULL instead of an ANSI DIVIDE_BY_ZERO job kill);
+    # the count compares multiplication-form exactly like the oracle
+    z = F.try_divide(dev, F.col("sd"))
     return (
         events.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((z > 3).cast("long")).alias("n_outliers"),
+            F.sum((dev > 3 * F.col("sd")).cast("long")).alias("n_outliers"),
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )

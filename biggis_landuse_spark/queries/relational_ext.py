@@ -716,7 +716,7 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("r"),
         )
-    return (
+    final = (
         ranks.select(
             (F.col("id") / 2).cast("long").alias("node_key"),
             F.when(F.col("id") % 2 == 0, F.lit("cust"))
@@ -729,6 +729,13 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("id")
     )
+    # the result is exactly 20 rows — materialize it so the
+    # loop-invariant caches can be released instead of accumulating
+    # across a 138-query harness session (driver traffic: 20 rows)
+    rows = final.collect()
+    edges_w.unpersist()
+    nodes.unpersist()
+    return spark.createDataFrame(rows, final.schema)
 
 
 # ---------------------------------------------------------------------------

@@ -759,11 +759,19 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    return exact.select("doc_id", F.lit("exact").alias("reason")).unionByName(
+    result = exact.select(
+        "doc_id", F.lit("exact").alias("reason")
+    ).unionByName(
         near.join(exact, "doc_id", "left_anti").select(
             "doc_id", F.lit("near").alias("reason")
         )
     )
+    # truncate lineage so the |docs|x8 signature cache can be released
+    # instead of accumulating across a 138-query harness session; the
+    # checkpointed relation is duplicate-id-sized, far below sig
+    result = result.localCheckpoint()
+    sig.unpersist()
+    return result
 
 
 _VOCAB_K = 100  # top-K vocabulary size

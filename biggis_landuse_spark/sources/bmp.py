@@ -32,6 +32,13 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
         )
     top_down = raw_h < 0
     height = -raw_h if top_down else raw_h
+    if width <= 0 or height == 0:
+        raise ValueError(f"not a BMP: invalid dimensions {width}x{raw_h}")
+    if pixel_off < 14 + hdr_size:
+        raise ValueError(
+            f"not a BMP: pixel offset {pixel_off} points into the header "
+            f"(headers end at {14 + hdr_size})"
+        )
     nbytes = bpp // 8
     stride = (width * nbytes + 3) & ~3  # rows pad to 4 bytes
     out = bytearray(width * height * 3)

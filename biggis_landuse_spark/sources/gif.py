@@ -96,6 +96,16 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
         elif block == 0x2C:  # image descriptor
             _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
+            # full-frame-only contract: optimized GIFs whose first
+            # frame is a sub-rectangle of the logical screen would
+            # silently decode to sub-frame dims inconsistent with the
+            # header — reject instead of compositing
+            if _ix != 0 or _iy != 0 or (iw, ih) != (width, height):
+                raise GifFormatError(
+                    f"sub-frame GIF not supported: frame {iw}x{ih} at "
+                    f"({_ix},{_iy}) vs logical screen {width}x{height} "
+                    "(full-frame first frames only)"
+                )
             pal = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)

@@ -198,3 +198,53 @@ def test_media_codecs_reject_garbage_quickly():
             pass
         else:
             raise AssertionError(f"{dec.__name__} accepted truncated header blob")
+
+
+def test_gif_rejects_subframe_first_frame():
+    import struct
+
+    import pytest as _pytest
+
+    from biggis_landuse_spark.sources.gif import GifFormatError, decode_gif, encode_gif
+
+    data = bytearray(encode_gif(4, 4, bytes(4 * 4 * 3)))
+    flags = data[10]
+    desc = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
+    assert data[desc] == 0x2C
+    # frame offset (1, 0): optimized sub-frame layout → typed error
+    struct.pack_into("<H", data, desc + 1, 1)
+    with _pytest.raises(GifFormatError, match="sub-frame"):
+        decode_gif(bytes(data))
+    # frame smaller than the logical screen → typed error
+    struct.pack_into("<H", data, desc + 1, 0)
+    struct.pack_into("<H", data, desc + 5, 3)
+    with _pytest.raises(GifFormatError, match="sub-frame"):
+        decode_gif(bytes(data))
+
+
+def test_bmp_rejects_crafted_headers():
+    import struct
+
+    import pytest as _pytest
+
+    from biggis_landuse_spark.sources.bmp import decode_bmp, encode_bmp
+
+    good = encode_bmp(3, 2, bytes(3 * 2 * 3))
+    assert decode_bmp(good)[0] == 3
+
+    neg_w = bytearray(good)
+    struct.pack_into("<i", neg_w, 18, -3)
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(bytes(neg_w))
+
+    zero_h = bytearray(good)
+    struct.pack_into("<i", zero_h, 22, 0)
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(bytes(zero_h))
+
+    # pixel offset pointing INTO the header: header bytes must never
+    # be silently read as pixels
+    hdr_px = bytearray(good)
+    struct.pack_into("<I", hdr_px, 10, 14)
+    with _pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(bytes(hdr_px))
