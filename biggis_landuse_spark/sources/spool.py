@@ -20,22 +20,48 @@ downstream of ``value`` is IDENTICAL whether the bytes arrive from
 this spool, a real Kafka topic, or a memory source — which is the
 portability contract the streaming surface is built on.
 
-Register per session and read::
+The WRITE half (the Kafka *sink* analog, UtilsKafka.scala:18-34) is a
+DataSourceWriter/DataSourceStreamWriter pair realizing the producer
+contract over the same files:
+
+- executors stage their rows into ``.staging/`` files (one per task ×
+  spool partition — data never moves through the driver; commit
+  messages carry file paths and counts only);
+- the driver-side commit appends staged files into the partition logs
+  in deterministic (task, partition) order;
+- the streaming commit is keyed by ``batchId``: a ``.commits/<id>``
+  marker makes replays of an already-committed epoch no-ops, so a
+  restart from the checkpoint re-running the last microbatch does not
+  duplicate messages — the idempotent-producer half of exactly-once
+  (the read half is the offset contract above).
+
+Routing mirrors the Kafka producer: an explicit ``partition`` column
+wins; otherwise a deterministic hash of ``value`` modulo
+``num_partitions`` (option, default 1).
+
+Register per session, read, and write::
 
     spark.dataSource.register(SpoolDataSource)
     df = spark.readStream.format("spool").option("path", d).load()
+    q = out.writeStream.format("spool").option("path", d2) \
+           .option("checkpointLocation", ck).start()
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _LOG_RE = re.compile(r"^p(\d+)\.log$")
@@ -135,6 +161,124 @@ class _SpoolStreamReader(DataSourceStreamReader):
         pass
 
 
+class _StagedFiles(WriterCommitMessage):
+    """Paths of the files one task staged, keyed by spool partition."""
+
+    def __init__(self, files: dict[int, str], n_rows: int):
+        self.files = files
+        self.n_rows = n_rows
+
+
+def _route(row, n_parts: int) -> int:
+    """Producer routing: explicit partition wins; else a deterministic
+    content hash (md5, stable across processes — never builtin hash())
+    modulo num_partitions."""
+    try:
+        p = row["partition"]
+    except (KeyError, ValueError, IndexError):
+        p = None
+    if p is not None:
+        return int(p)
+    v = row["value"] or ""
+    return int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % n_parts
+
+
+def _stage(path: str, iterator, n_parts: int) -> _StagedFiles:
+    """Executor side: spill this task's rows into one staging file per
+    spool partition. Streams row-by-row — never materializes the task
+    partition in memory."""
+    staging = os.path.join(path, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    tid = uuid.uuid4().hex
+    handles: dict[int, object] = {}
+    files: dict[int, str] = {}
+    n = 0
+    try:
+        for row in iterator:
+            pid = _route(row, n_parts)
+            if pid not in handles:
+                files[pid] = os.path.join(staging, f"{tid}-p{pid}.part")
+                handles[pid] = open(files[pid], "w")
+            v = row["value"]
+            handles[pid].write(("" if v is None else str(v)) + "\n")
+            n += 1
+    finally:
+        for h in handles.values():
+            h.close()
+    return _StagedFiles(files, n)
+
+
+def _append_staged(path: str, messages) -> None:
+    """Driver side: fold staged files into the partition logs in
+    deterministic (task-order, partition) order, then drop the stage."""
+    for msg in messages:
+        if msg is None:
+            continue
+        for pid in sorted(msg.files):
+            fp = msg.files[pid]
+            with open(fp) as src, open(
+                os.path.join(path, f"p{pid}.log"), "a"
+            ) as dst:
+                dst.write(src.read())
+            os.remove(fp)
+
+
+def _drop_staged(messages) -> None:
+    for msg in messages or []:
+        if msg is None:
+            continue
+        for fp in msg.files.values():
+            try:
+                os.remove(fp)
+            except FileNotFoundError:
+                pass
+
+
+class _SpoolBatchWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_parts = int(options.get("num_partitions", "1"))
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _StagedFiles:
+        return _stage(self.path, iterator, self.n_parts)
+
+    def commit(self, messages) -> None:
+        _append_staged(self.path, messages)
+
+    def abort(self, messages) -> None:
+        _drop_staged(messages)
+
+
+class _SpoolStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.n_parts = int(options.get("num_partitions", "1"))
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator) -> _StagedFiles:
+        return _stage(self.path, iterator, self.n_parts)
+
+    def commit(self, messages, batchId: int) -> None:
+        # epoch-idempotent commit: a checkpoint-replayed microbatch
+        # finds its marker and becomes a no-op instead of appending
+        # twice — the producer half of the exactly-once contract
+        commits = os.path.join(self.path, ".commits")
+        os.makedirs(commits, exist_ok=True)
+        marker = os.path.join(commits, str(batchId))
+        if os.path.exists(marker):
+            _drop_staged(messages)
+            return
+        _append_staged(self.path, messages)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed\n")
+        os.replace(tmp, marker)
+
+    def abort(self, messages, batchId: int) -> None:
+        _drop_staged(messages)
+
+
 class SpoolDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -148,3 +292,9 @@ class SpoolDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _SpoolStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return _SpoolBatchWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return _SpoolStreamWriter(self.options)

@@ -150,3 +150,104 @@ def test_spool_windowed_aggregate_pipeline(spark, spool_dir, tmp_path):
         assert got == want and len(got) == 8
     finally:
         q.stop()
+
+
+def test_batch_write_round_trip(spark, spool_dir):
+    _register(spark)
+    df = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c")], "partition int, value string"
+    )
+    df.write.format("spool").option("path", spool_dir).mode("append").save()
+    rows = sorted(
+        (r["partition"], r["offset"], r["value"])
+        for r in spark.read.format("spool").option("path", spool_dir).load().collect()
+    )
+    assert rows == [(0, 0, "a"), (0, 1, "b"), (1, 0, "c")]
+
+
+def test_batch_write_hash_routing_is_deterministic(spark, spool_dir):
+    _register(spark)
+    df = spark.createDataFrame(
+        [(f"msg{i}",) for i in range(40)], "value string"
+    )
+    (
+        df.write.format("spool")
+        .option("path", spool_dir)
+        .option("num_partitions", "4")
+        .mode("append")
+        .save()
+    )
+    out = spark.read.format("spool").option("path", spool_dir).load().collect()
+    assert sorted(r["value"] for r in out) == sorted(f"msg{i}" for i in range(40))
+    parts = {r["partition"] for r in out}
+    assert parts <= {0, 1, 2, 3} and len(parts) > 1
+    # re-writing the same values lands each on the same partition
+    first = {r["value"]: r["partition"] for r in out}
+    df.write.format("spool").option("path", spool_dir).mode("append").save()
+    # (single-partition default now; just assert determinism of hash fn)
+    from biggis_landuse_spark.sources.spool import _route
+    from pyspark.sql import Row
+
+    for v, p in first.items():
+        assert _route(Row(value=v), 4) == p
+
+
+def test_stream_write_round_trip_and_replay_idempotence(spark, spool_dir, tmp_path):
+    _register(spark)
+    src = str(tmp_path / "src")
+    append_messages(src, 0, ["x0", "x1"])
+    append_messages(src, 1, ["y0"])
+
+    def run(ck):
+        q = (
+            spark.readStream.format("spool")
+            .option("path", src)
+            .load()
+            .selectExpr("partition", "value")
+            .writeStream.format("spool")
+            .option("path", spool_dir)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    ck = str(tmp_path / "ck")
+    run(ck)
+    # restart from the SAME checkpoint with new input: only the new
+    # messages append — the committed epoch replays as a no-op
+    append_messages(src, 0, ["x2"])
+    run(ck)
+    rows = sorted(
+        (r["partition"], r["offset"], r["value"])
+        for r in spark.read.format("spool").option("path", spool_dir).load().collect()
+    )
+    assert rows == [(0, 0, "x0"), (0, 1, "x1"), (0, 2, "x2"), (1, 0, "y0")]
+
+
+def test_stream_commit_marker_makes_replay_noop(spool_dir):
+    # direct replay simulation: the same epoch committed twice appends
+    # once — the idempotent-producer half of exactly-once
+    import os
+
+    from biggis_landuse_spark.sources.spool import (
+        _SpoolStreamWriter,
+        _StagedFiles,
+    )
+
+    w = _SpoolStreamWriter({"path": spool_dir})
+
+    def staged(content):
+        os.makedirs(os.path.join(spool_dir, ".staging"), exist_ok=True)
+        fp = os.path.join(spool_dir, ".staging", "t1-p0.part")
+        with open(fp, "w") as f:
+            f.write(content)
+        return [_StagedFiles({0: fp}, 1)]
+
+    w.commit(staged("m0\n"), batchId=7)
+    # replay of epoch 7 (post-crash restart re-runs the batch)
+    w.commit(staged("m0\n"), batchId=7)
+    with open(os.path.join(spool_dir, "p0.log")) as f:
+        assert f.read() == "m0\n"
+    # and no staged garbage left behind
+    assert os.listdir(os.path.join(spool_dir, ".staging")) == []
