@@ -439,6 +439,92 @@ def zoom_resample_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zoom_resample_bilinear_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    parent AS (
+      SELECT ((k // 64) % 2) AS tc, (k // 128) AS tr,
+             (k % 64) % 8 AS px, (k % 64) // 8 AS py,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 101 AS DOUBLE) END AS v
+      FROM k
+    ),
+    grid AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(range(32)) AS gx) a,
+           (SELECT unnest(range(32)) AS gy) b
+    ),
+    geom AS (
+      SELECT gx, gy, gx // 16 AS tc, gy // 16 AS tr,
+             greatest(0.0, least(((gx % 16) + 0.5) / 2.0 - 0.5, 7.0)) AS sx,
+             greatest(0.0, least(((gy % 16) + 0.5) / 2.0 - 0.5, 7.0)) AS sy
+      FROM grid
+    ),
+    w AS (
+      SELECT gx, gy, tc, tr,
+             CAST(floor(sx) AS INT) AS x0, CAST(floor(sy) AS INT) AS y0,
+             least(CAST(floor(sx) AS INT) + 1, 7) AS x1,
+             least(CAST(floor(sy) AS INT) + 1, 7) AS y1,
+             sx - floor(sx) AS fx, sy - floor(sy) AS fy
+      FROM geom
+    )
+    SELECT CAST(w.gx AS INT) AS gx, CAST(w.gy AS INT) AS gy,
+           round((1 - fy) * ((1 - fx) * p00.v + fx * p10.v)
+                 + fy * ((1 - fx) * p01.v + fx * p11.v), 6) AS value
+    FROM w
+    JOIN parent p00 ON p00.tc = w.tc AND p00.tr = w.tr
+                   AND p00.px = w.x0 AND p00.py = w.y0
+    JOIN parent p10 ON p10.tc = w.tc AND p10.tr = w.tr
+                   AND p10.px = w.x1 AND p10.py = w.y0
+    JOIN parent p01 ON p01.tc = w.tc AND p01.tr = w.tr
+                   AND p01.px = w.x0 AND p01.py = w.y1
+    JOIN parent p11 ON p11.tc = w.tc AND p11.tr = w.tr
+                   AND p11.px = w.x1 AND p11.py = w.y1
+    WHERE p00.v IS NOT NULL AND p10.v IS NOT NULL
+      AND p01.v IS NOT NULL AND p11.v IS NOT NULL
+    """,
+    doc="""Bilinear zoom upsample (W3; Utils.scala:23 documents Bilinear
+    as the alternative to NearestNeighbor) through the REAL operator:
+    center-aligned source coords (g+0.5)/2-0.5 clamped at the parent
+    tile border, 2×2 support, any-NODATA-in-support → NODATA. Parent
+    values are integers and the s=2 weights are exact quarters, so
+    every product and sum is exact in float64 on both engines — the
+    oracle replays the full index+weight arithmetic with four
+    positional self-joins on the parent relation.""",
+    tags=("W3",),
+)
+def zoom_resample_bilinear_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.resample import zoom_resample
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("zrb").alias("layer"),
+        F.lit(1).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 101)
+        .cast("double")
+        .alias("value"),
+    )
+    parents = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    children = zoom_resample(parents, dz=1, method="bilinear")
+    out = tiles_to_pixels(children).where(F.col("value").isNotNull())
+    return out.select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+@register(
     "focal_tile",
     oracle="""
     WITH k AS (

@@ -364,3 +364,87 @@ def test_points_in_polygons_matches_brute_force(spark):
         if inside(x, y, ring)
     }
     assert got == want and len(want) > 50
+
+
+def test_zoom_resample_bilinear_golden_2x2(spark):
+    # hand-computed: parent tile [[0, 10], [20, 30]], s=2, center-aligned
+    # source coords (g+0.5)/2-0.5 clamped at the tile border
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    vals = {(0, 0): 0.0, (1, 0): 10.0, (0, 1): 20.0, (1, 1): 30.0}
+    pixels = spark.createDataFrame(
+        [("bl", 0, 0, 0, 0, x, y, v) for (x, y), v in vals.items()],
+        "layer string, zoom int, tile_col int, tile_row int, band int, "
+        "px int, py int, value double",
+    )
+    parents = pixels_to_tiles(pixels, cols=2, rows=2, n_bands=1)
+    children = zoom_resample(parents, dz=1, method="bilinear")
+    got = {}
+    for r in tiles_to_pixels(children).collect():
+        got[(r["tile_col"] * 2 + r["px"], r["tile_row"] * 2 + r["py"])] = r["value"]
+    expected = {
+        (0, 0): 0.0, (1, 0): 2.5, (2, 0): 7.5, (3, 0): 10.0,
+        (0, 1): 5.0, (1, 1): 7.5, (2, 1): 12.5, (3, 1): 15.0,
+        (0, 2): 15.0, (1, 2): 17.5, (2, 2): 22.5, (3, 2): 25.0,
+        (0, 3): 20.0, (1, 3): 22.5, (2, 3): 27.5, (3, 3): 30.0,
+    }
+    assert got == expected  # quarters x integers: exact in float64
+
+
+def test_zoom_resample_bilinear_null_support_and_method_guard(spark):
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    rows = [
+        ("bl", 0, 0, 0, 0, 0, 0, None),
+        ("bl", 0, 0, 0, 0, 1, 0, 10.0),
+        ("bl", 0, 0, 0, 0, 0, 1, 20.0),
+        ("bl", 0, 0, 0, 0, 1, 1, 30.0),
+    ]
+    pixels = spark.createDataFrame(
+        rows,
+        "layer string, zoom int, tile_col int, tile_row int, band int, "
+        "px int, py int, value double",
+    )
+    parents = pixels_to_tiles(pixels, cols=2, rows=2, n_bands=1)
+    children = zoom_resample(parents, dz=1, method="bilinear")
+    got = {}
+    for r in tiles_to_pixels(children).collect():
+        got[(r["tile_col"] * 2 + r["px"], r["tile_row"] * 2 + r["py"])] = r["value"]
+    # any NULL in the 2x2 support -> NULL (deterministic NODATA contract);
+    # children whose clamped support avoids the NULL corner keep values
+    assert got[(0, 0)] is None
+    assert got[(1, 1)] is None  # interior child touches all 4 parents
+    assert got[(3, 3)] == 30.0
+    assert got[(3, 0)] == 10.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown resampling method"):
+        zoom_resample(parents, dz=1, method="cubic")
+
+
+def test_zoom_resample_bilinear_matches_numpy(spark):
+    # independent numpy implementation over the fixture layer
+    import numpy as np
+
+    red = FX.fixture_layer(spark, "b4_red", zoom=0)
+    children = zoom_resample(red, dz=1, method="bilinear")
+    world = world_grid()
+    ts = FX.TS
+    px = tiles_to_pixels(children).collect()
+    checked = 0
+    for r in px[::37]:
+        pc, pr = r["tile_col"] // 2, r["tile_row"] // 2
+        tile = world[pr * ts : (pr + 1) * ts, pc * ts : (pc + 1) * ts]
+        gx = (r["tile_col"] % 2) * ts + r["px"]
+        gy = (r["tile_row"] % 2) * ts + r["py"]
+        sx = min(max((gx + 0.5) / 2 - 0.5, 0.0), ts - 1)
+        sy = min(max((gy + 0.5) / 2 - 0.5, 0.0), ts - 1)
+        x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+        x1, y1 = min(x0 + 1, ts - 1), min(y0 + 1, ts - 1)
+        fx, fy = sx - x0, sy - y0
+        expect = (1 - fy) * ((1 - fx) * tile[y0, x0] + fx * tile[y0, x1]) + fy * (
+            (1 - fx) * tile[y1, x0] + fx * tile[y1, x1]
+        )
+        assert r["value"] == pytest.approx(expect, rel=1e-12), (gx, gy)
+        checked += 1
+    assert checked > 50
