@@ -12,12 +12,17 @@ arithmetic, so the warp is a column expression over pixel rows
     mx = R * radians(lon)
     my = R * ln(tan(pi/4 + radians(lat)/2))
 
-Supported source CRSs: EPSG:4326 (affine already in lon/lat degrees)
-and the UTM zones EPSG:326xx / 327xx (the common Landsat case —
-affine in easting/northing meters). UTM → lon/lat uses the public
-inverse Transverse Mercator series (Snyder 1987, "Map Projections —
-A Working Manual", eqs. 8-17..8-25 on WGS84), also as column
-expressions — sub-centimeter inside a zone's validity extent.
+Supported source CRSs: EPSG:4326 (affine already in lon/lat degrees),
+the UTM zones EPSG:326xx / 327xx (the common Landsat case — affine in
+easting/northing meters), and 2SP Lambert conformal conic national
+grids (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93). UTM → lon/lat
+uses the public inverse Transverse Mercator series (Snyder 1987, "Map
+Projections — A Working Manual", eqs. 8-17..8-25 on WGS84); LCC →
+lon/lat uses Snyder eqs. 15-1..15-11 with the closed-form
+conformal-latitude series (eq. 3-5) — both pure column expressions,
+sub-centimeter inside each CRS's validity extent. This closes the
+CRS-mismatch stacking branch (ManyLayersToMultibandLayer.scala:
+233-260) beyond the UTM family.
 
 The warp is followed by re-keying onto the zoomed layout (2^z × 2^z
 tiles of 256²) and grouped reassembly (pixeling.pixels_to_tiles).
@@ -121,13 +126,93 @@ def utm_to_lonlat(
     return lon, F.degrees(lat_rad)
 
 
-def parse_crs(crs: str) -> tuple[str, tuple[int, bool] | None]:
+# -- Lambert conformal conic (2SP) ------------------------------------------
+# Public EPSG registry parameters; the inverse is Snyder 1987 eqs.
+# 15-1..15-11 with the closed-form conformal-latitude series (eq. 3-5)
+# instead of iteration, so the whole warp stays a column expression.
+
+
+class LccParams:
+    """2SP Lambert conformal conic definition (angles in degrees)."""
+
+    def __init__(self, a, f_inv, lat0, lon0, lat1, lat2, fe, fn):
+        self.a, self.f_inv = a, f_inv
+        self.lat0, self.lon0 = lat0, lon0
+        self.lat1, self.lat2 = lat1, lat2
+        self.fe, self.fn = fe, fn
+
+
+# GRS80 ellipsoid for both (ETRS89 / RGF93 datums)
+_LCC_CRS = {
+    # ETRS89-extended / LCC Europe
+    3034: LccParams(6378137.0, 298.257222101, 52.0, 10.0, 35.0, 65.0,
+                    4_000_000.0, 2_800_000.0),
+    # RGF93 / Lambert-93 (the French national grid)
+    2154: LccParams(6378137.0, 298.257222101, 46.5, 3.0, 44.0, 49.0,
+                    700_000.0, 6_600_000.0),
+}
+
+
+def _lcc_consts(p: LccParams) -> tuple[float, float, float, float]:
+    """Driver-side projection constants (e, n, a*F, rho0)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def m(phi: float) -> float:
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def t(phi: float) -> float:
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (
+            e / 2
+        )
+
+    p0, p1, p2 = (math.radians(v) for v in (p.lat0, p.lat1, p.lat2))
+    n = (math.log(m(p1)) - math.log(m(p2))) / (
+        math.log(t(p1)) - math.log(t(p2))
+    )
+    af = p.a * m(p1) / (n * t(p1) ** n)
+    rho0 = af * t(p0) ** n
+    return e, n, af, rho0
+
+
+def lcc_to_lonlat(
+    easting: Column, northing: Column, p: LccParams
+) -> tuple[Column, Column]:
+    """Inverse 2SP Lambert conformal conic as pure column expressions
+    → (lon_deg, lat_deg). Sub-millimeter inside the CRS's domain
+    (closed-form series, no iteration, no UDF)."""
+    e, n, af, rho0 = _lcc_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    ep = easting - F.lit(p.fe)
+    npr = F.lit(rho0) - (northing - F.lit(p.fn))
+    rho = F.sqrt(ep * ep + npr * npr)  # n > 0 for northern parallels
+    tp = F.pow(rho / F.lit(af), F.lit(1.0 / n))
+    theta = F.atan2(ep, npr)
+    lon = F.degrees(theta / F.lit(n)) + F.lit(p.lon0)
+    chi = F.lit(math.pi / 2) - 2 * F.atan(tp)
+    lat_rad = (
+        chi
+        + F.lit(e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * F.sin(2 * chi)
+        + F.lit(7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * F.sin(4 * chi)
+        + F.lit(7 * e6 / 120 + 81 * e8 / 1120) * F.sin(6 * chi)
+        + F.lit(4279 * e8 / 161280) * F.sin(8 * chi)
+    )
+    return lon, F.degrees(lat_rad)
+
+
+def parse_crs(crs: str) -> tuple[str, tuple[int, bool] | LccParams | None]:
     """``"EPSG:4326"`` → ("lonlat", None); ``"EPSG:326xx"/"327xx"``
-    → ("utm", (zone, north)). Anything else raises — an honest bound,
-    not a silent wrong-projection."""
+    → ("utm", (zone, north)); ``"EPSG:3034"/"EPSG:2154"`` → ("lcc",
+    LccParams). Anything else raises — an honest bound, not a silent
+    wrong-projection."""
     code = crs.upper().removeprefix("EPSG:")
     if code == "4326":
         return "lonlat", None
+    if code.isdigit() and int(code) in _LCC_CRS:
+        return "lcc", _LCC_CRS[int(code)]
     if code.isdigit() and len(code) == 5:
         num = int(code)
         if 32601 <= num <= 32660:
@@ -135,8 +220,10 @@ def parse_crs(crs: str) -> tuple[str, tuple[int, bool] | None]:
         if 32701 <= num <= 32760:
             return "utm", (num - 32700, False)
     raise ValueError(
-        f"unsupported source CRS {crs!r}: EPSG:4326 and UTM "
-        "(EPSG:32601-32660 north, EPSG:32701-32760 south) are supported"
+        f"unsupported source CRS {crs!r}: EPSG:4326, UTM "
+        "(EPSG:32601-32660 north, EPSG:32701-32760 south), and Lambert "
+        "conformal conic (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93) "
+        "are supported"
     )
 
 
@@ -178,11 +265,13 @@ def reproject_pixels_to_webmercator(
     res = 2 * WEB_MERCATOR_MAX / (2**zoom * tile_size)  # meters/cell
     sx = F.col("x0") + (F.col("px") + 0.5) * F.col("dx")
     sy = F.col("y0") - (F.col("py") + 0.5) * F.col("dy")
-    kind, utm = parse_crs(src_crs)
+    kind, crs_info = parse_crs(src_crs)
     if kind == "lonlat":
         lon, lat = sx, sy
+    elif kind == "lcc":
+        lon, lat = lcc_to_lonlat(sx, sy, crs_info)
     else:
-        zone, north = utm
+        zone, north = crs_info
         lon, lat = utm_to_lonlat(sx, sy, zone, north)
     mx = mercator_x(lon)
     my = mercator_y(lat)

@@ -1151,6 +1151,97 @@ def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _lcc_grid_oracle() -> str:
+    """DuckDB replay of lcc_to_lonlat (Lambert-93) with the SAME GRS80
+    constants and operation association as the engine's column
+    expressions (libm trig ULPs absorbed by round(avg, 4))."""
+    import math as _m
+
+    from biggis_landuse_spark.operators.reproject import (
+        _LCC_CRS,
+        _lcc_consts,
+    )
+
+    p = _LCC_CRS[2154]
+    e, n, af, rho0 = _lcc_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    c2 = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    c4 = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    c6 = 7 * e6 / 120 + 81 * e8 / 1120
+    c8 = 4279 * e8 / 161280
+    return f"""
+    WITH src AS (
+      SELECT 150000.0 + (p_partkey % 500) * 2000.0   AS ee,
+             6100000.0 + (p_partkey % 451) * 2000.0  AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT ee - {p.fe!r} AS ep, {rho0!r} - (nn - {p.fn!r}) AS npr
+      FROM src
+    ),
+    s2 AS (
+      SELECT ep, npr, sqrt(ep * ep + npr * npr) AS rho FROM s1
+    ),
+    s3 AS (
+      SELECT degrees(atan2(ep, npr) / {n!r}) + {p.lon0!r} AS lon,
+             {_m.pi / 2!r} - 2 * atan(pow(rho / {af!r}, {1.0 / n!r})) AS chi
+      FROM s2
+    ),
+    s4 AS (
+      SELECT lon,
+             degrees(chi + {c2!r} * sin(2 * chi) + {c4!r} * sin(4 * chi)
+                         + {c6!r} * sin(6 * chi) + {c8!r} * sin(8 * chi))
+               AS lat
+      FROM s3
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s4 GROUP BY 1, 2
+    """
+
+
+@register(
+    "lcc_grid",
+    oracle=_lcc_grid_oracle(),
+    doc="""Lambert-93 (EPSG:2154) → lat/lon inverse conformal-conic
+    warp (operators.reproject.lcc_to_lonlat — the national-grid half
+    of the CRS-mismatch reprojection branch) over synthesized
+    easting/northing points spanning France, re-keyed onto 1°×1°
+    cells and aggregated. Pure trig column expressions — whole-stage
+    codegen, one shuffle for the final aggregate; same plan shape as
+    utm_grid.""",
+    tags=("REPROJECT", "LCC"),
+    bench=True,
+)
+def lcc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _LCC_CRS,
+        lcc_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (150000.0 + (F.col("p_partkey") % 500) * 2000.0).alias("ee"),
+        (6100000.0 + (F.col("p_partkey") % 451) * 2000.0).alias("nn"),
+    )
+    lon, lat = lcc_to_lonlat(F.col("ee"), F.col("nn"), _LCC_CRS[2154])
+    keyed = src.select(
+        F.floor(lat).cast("long").alias("lat_cell"),
+        F.floor(lon).cast("long").alias("lon_cell"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
 @register(
     "terrain_tile",
     oracle="""

@@ -295,3 +295,107 @@ def test_ingest_geotiff_webmercator_end_to_end(spark, tmp_path):
         if v is not None
     ]
     assert sorted(vals) == [float(i) for i in range(64)]
+
+
+def _lcc_forward(lat, lon, p):
+    # independent numpy-free forward 2SP LCC (Snyder eqs. 15-1..15-11)
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    def t(phi):
+        es = e * math.sin(phi)
+        return math.tan(math.pi / 4 - phi / 2) / ((1 - es) / (1 + es)) ** (e / 2)
+
+    p0, p1, p2 = (math.radians(v) for v in (p.lat0, p.lat1, p.lat2))
+    n = (math.log(m(p1)) - math.log(m(p2))) / (math.log(t(p1)) - math.log(t(p2)))
+    af = p.a * m(p1) / (n * t(p1) ** n)
+    rho0 = af * t(p0) ** n
+    rho = af * t(math.radians(lat)) ** n
+    theta = n * math.radians(lon - p.lon0)
+    return p.fe + rho * math.sin(theta), p.fn + rho0 - rho * math.cos(theta)
+
+
+def test_lcc_inverse_false_origin_anchor(spark):
+    # the false origin maps to (lon0, lat0) EXACTLY by definition:
+    # EPSG:3034 → (10E, 52N); EPSG:2154 → (3E, 46.5N)
+    from biggis_landuse_spark.operators.reproject import _LCC_CRS, lcc_to_lonlat
+
+    for code, (exp_lon, exp_lat) in ((3034, (10.0, 52.0)), (2154, (3.0, 46.5))):
+        p = _LCC_CRS[code]
+        df = spark.createDataFrame([(p.fe, p.fn)], "e double, n double")
+        lon, lat = lcc_to_lonlat(F.col("e"), F.col("n"), p)
+        r = df.select(lon.alias("lon"), lat.alias("lat")).first()
+        assert r["lon"] == pytest.approx(exp_lon, abs=1e-9), code
+        assert r["lat"] == pytest.approx(exp_lat, abs=1e-9), code
+
+
+@pytest.mark.parametrize(
+    "lat,lon,code",
+    [
+        (48.8566, 2.3522, 2154),   # Paris in Lambert-93
+        (43.6045, 1.4440, 2154),   # Toulouse
+        (49.0, 8.4, 3034),         # Karlsruhe in LCC Europe
+        (37.98, 23.72, 3034),      # Athens (near the 35N parallel)
+        (64.15, -21.94, 3034),     # Reykjavik (near the 65N parallel)
+    ],
+)
+def test_lcc_inverse_roundtrips_forward(spark, lat, lon, code):
+    from biggis_landuse_spark.operators.reproject import _LCC_CRS, lcc_to_lonlat
+
+    p = _LCC_CRS[code]
+    e, n = _lcc_forward(lat, lon, p)
+    df = spark.createDataFrame([(e, n)], "e double, n double")
+    lon_c, lat_c = lcc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=1e-7)
+    assert r["lon"] == pytest.approx(lon, abs=1e-7)
+
+
+def test_lcc_known_point_lambert93(spark):
+    # published check point: the IGN Lambert-93 worked example places
+    # (lon 3E, lat 46.5N) at the false origin (700000, 6600000); a
+    # point one degree east along lat0 must move ~76.6 km east and
+    # slightly north (conic curvature) — assert the geometry holds
+    from biggis_landuse_spark.operators.reproject import _LCC_CRS, lcc_to_lonlat
+
+    p = _LCC_CRS[2154]
+    e, n = _lcc_forward(46.5, 4.0, p)
+    assert 70_000 < e - p.fe < 80_000
+    assert 0 < n - p.fn < 1_500
+    df = spark.createDataFrame([(e, n)], "e double, n double")
+    lon_c, lat_c = lcc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(4.0, abs=1e-8)
+    assert r["lat"] == pytest.approx(46.5, abs=1e-8)
+
+
+def test_parse_crs_lcc_and_pipeline(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        parse_crs,
+        reproject_pixels_to_webmercator,
+    )
+
+    kind, p = parse_crs("EPSG:2154")
+    assert kind == "lcc" and p.lon0 == 3.0
+    kind, p = parse_crs("epsg:3034")
+    assert kind == "lcc" and p.lat1 == 35.0
+    # full pixel path: a Lambert-93 georeferenced pixel lands in the
+    # same target cell as its lon/lat twin
+    from biggis_landuse_spark.operators.reproject import _LCC_CRS
+
+    z = 10
+    lat, lon = 48.8566, 2.3522
+    e, n = _lcc_forward(lat, lon, _LCC_CRS[2154])
+    mk = "band int, px int, py int, value double, x0 double, y0 double, dx double, dy double"
+    lcc_px = spark.createDataFrame([(0, 0, 0, 5.0, e - 5.0, n + 5.0, 10.0, 10.0)], mk)
+    ll_px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lon - 0.0001, lat + 0.0001, 0.0002, 0.0002)], mk
+    )
+    a = reproject_pixels_to_webmercator(lcc_px, z, "a", src_crs="EPSG:2154").first()
+    b = reproject_pixels_to_webmercator(ll_px, z, "b", src_crs="EPSG:4326").first()
+    assert (a["tile_col"], a["tile_row"]) == (b["tile_col"], b["tile_row"])
+    assert (a["px"], a["py"]) == (b["px"], b["py"])
