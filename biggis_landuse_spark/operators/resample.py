@@ -54,6 +54,58 @@ def _bilinear_value_sql(scale: int) -> str:
     )
 
 
+_CUBIC_A = -0.5  # Keys 1981 convolution parameter (the GDAL default)
+
+
+def _cubic_axis(scale: int, axis: str) -> tuple[str, str, list[str], list[str]]:
+    """Per-axis pieces for cubic convolution: clamped source coord,
+    base index, the 4 clamped tap indices (offsets -1..2) and their
+    Keys-kernel weights as expression strings."""
+    if axis == "x":
+        g = "(ox * ptile.cols + CAST(i % ptile.cols AS INT))"
+        dim = "ptile.cols"
+    else:
+        g = "(oy * ptile.rows + CAST(i div ptile.cols AS INT))"
+        dim = "ptile.rows"
+    s = f"(({g} + 0.5D) / {scale}.0D - 0.5D)"
+    sc = f"greatest(0.0D, least({s}, CAST({dim} - 1 AS DOUBLE)))"
+    i0 = f"CAST(floor({sc}) AS INT)"
+    fr = f"({sc} - floor({sc}))"
+    a = _CUBIC_A
+    idxs, ws = [], []
+    for k in (-1, 0, 1, 2):
+        idxs.append(f"greatest(0, least({i0} + {k}, {dim} - 1))")
+        t = f"abs({k}.0D - {fr})"
+        if k in (0, 1):  # |t| < 1: inner kernel (a+2)t^3 - (a+3)t^2 + 1
+            ws.append(
+                f"(({a + 2!r}) * {t}*{t}*{t} - ({a + 3!r}) * {t}*{t} + 1.0D)"
+            )
+        else:  # 1 <= |t| < 2: outer kernel a t^3 - 5a t^2 + 8a t - 4a
+            ws.append(
+                f"(({a!r}) * {t}*{t}*{t} - ({5 * a!r}) * {t}*{t}"
+                f" + ({8 * a!r}) * {t} - ({4 * a!r}))"
+            )
+    return sc, i0, idxs, ws
+
+
+def _cubic_value_sql(scale: int) -> str:
+    """Keys cubic-convolution child-pixel expression: 4×4 clamped taps,
+    separable weights, sum_j wy_j * (sum_i wx_i * v(xi, yj)). For
+    power-of-2 factors the fractions are dyadic, so every weight and
+    product is exact in float64 — the oracle's flat 16-term sum
+    evaluates to the bit-identical value."""
+    _, _, xs, wxs = _cubic_axis(scale, "x")
+    _, _, ys, wys = _cubic_axis(scale, "y")
+    rows = []
+    for yj, wy in zip(ys, wys):
+        taps = " + ".join(
+            f"{wx} * band[({yj}) * ptile.cols + ({xi})]"
+            for xi, wx in zip(xs, wxs)
+        )
+        rows.append(f"{wy} * ({taps})")
+    return "(" + " + ".join(rows) + ")"
+
+
 def zoom_resample(
     tiles: DataFrame,
     dz: int = 1,
@@ -62,16 +114,18 @@ def zoom_resample(
 ) -> DataFrame:
     """Upsample by 2^dz zoom levels.
 
-    ``method``: "nearest" (default — exact integer replication) or
-    "bilinear" (center-aligned 2×2 interpolation, tile-border clamped).
+    ``method``: "nearest" (default — exact integer replication),
+    "bilinear" (center-aligned 2×2 interpolation, tile-border clamped)
+    or "cubic" (Keys cubic convolution, 4×4 clamped support — the
+    reference's CubicConvolution alternative, Utils.scala:23).
     ``target_bounds = (col_min, row_min, col_max, row_max)`` prunes
     child tiles outside the bounds BEFORE any pixel work.
     """
     if dz < 1:
         raise ValueError("dz must be >= 1")
-    if method not in ("nearest", "bilinear"):
+    if method not in ("nearest", "bilinear", "cubic"):
         raise ValueError(
-            f"unknown resampling method {method!r}: nearest | bilinear"
+            f"unknown resampling method {method!r}: nearest | bilinear | cubic"
         )
     scale = 1 << dz
     offsets = F.array(
@@ -105,11 +159,16 @@ def zoom_resample(
             & (F.col("tile_row") >= r0)
             & (F.col("tile_row") <= r1)
         )
-    if method == "bilinear":
+    if method in ("bilinear", "cubic"):
+        value_sql = (
+            _bilinear_value_sql(scale)
+            if method == "bilinear"
+            else _cubic_value_sql(scale)
+        )
         remap = F.expr(
             "transform(ptile.bands, band -> "
             "  transform(sequence(0, ptile.cols * ptile.rows - 1), i -> "
-            f"    {_bilinear_value_sql(scale)}"
+            f"    {value_sql}"
             "  ))"
         )
     else:

@@ -1151,6 +1151,100 @@ def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _cubic_w_sql(o: str, f: str) -> str:
+    """Keys a=-0.5 kernel weight for tap offset ``o-1`` at fraction
+    ``f`` — explicit t*t*t products (never pow(): dyadic fractions
+    stay exact in float64, matching the engine's expression)."""
+    t = f"abs(({o} - 1) - {f})"
+    inner = f"(1.5 * {t}*{t}*{t} - 2.5 * {t}*{t} + 1.0)"
+    outer = f"(-0.5 * {t}*{t}*{t} + 2.5 * {t}*{t} - 4.0 * {t} + 2.0)"
+    return f"(CASE WHEN {o} IN (1, 2) THEN {inner} ELSE {outer} END)"
+
+
+@register(
+    "zoom_resample_cubic_tile",
+    oracle=f"""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    parent AS (
+      SELECT ((k // 64) % 2) AS tc, (k // 128) AS tr,
+             (k % 64) % 8 AS px, (k % 64) // 8 AS py,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 101 AS DOUBLE) END AS v
+      FROM k
+    ),
+    grid AS (
+      SELECT a.gx, b.gy
+      FROM (SELECT unnest(range(32)) AS gx) a,
+           (SELECT unnest(range(32)) AS gy) b
+    ),
+    geom AS (
+      SELECT gx, gy, gx // 16 AS tc, gy // 16 AS tr,
+             greatest(0.0, least(((gx % 16) + 0.5) / 2.0 - 0.5, 7.0)) AS sx,
+             greatest(0.0, least(((gy % 16) + 0.5) / 2.0 - 0.5, 7.0)) AS sy
+      FROM grid
+    ),
+    base AS (
+      SELECT gx, gy, tc, tr,
+             CAST(floor(sx) AS INT) AS x0, CAST(floor(sy) AS INT) AS y0,
+             sx - floor(sx) AS fx, sy - floor(sy) AS fy
+      FROM geom
+    ),
+    offs AS (SELECT unnest(range(4)) AS o),
+    taps AS (
+      SELECT b.gx, b.gy, b.tc, b.tr,
+             greatest(0, least(b.x0 + (ox.o - 1), 7)) AS cx,
+             greatest(0, least(b.y0 + (oy.o - 1), 7)) AS cy,
+             {_cubic_w_sql("ox.o", "b.fx")}
+               * {_cubic_w_sql("oy.o", "b.fy")} AS w
+      FROM base b, offs ox, offs oy
+    )
+    SELECT CAST(t.gx AS INT) AS gx, CAST(t.gy AS INT) AS gy,
+           round(sum(t.w * p.v), 6) AS value
+    FROM taps t JOIN parent p
+      ON p.tc = t.tc AND p.tr = t.tr AND p.px = t.cx AND p.py = t.cy
+    GROUP BY t.gx, t.gy
+    HAVING count(p.v) = 16
+    """,
+    doc="""Keys cubic-convolution zoom upsample (W3; Utils.scala:23
+    carries CubicConvolution beside Bilinear/NearestNeighbor) through
+    the REAL operator: 4×4 clamped taps, separable a=-0.5 kernel,
+    any-NODATA-in-support → NODATA. Dyadic fractions × integer parent
+    values keep all 16 weighted products exact in float64, so the
+    engine's nested (row-then-column) sum and the oracle's flat
+    16-term sum are bit-identical.""",
+    tags=("W3",),
+)
+def zoom_resample_cubic_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.resample import zoom_resample
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("zrc").alias("layer"),
+        F.lit(1).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 101)
+        .cast("double")
+        .alias("value"),
+    )
+    parents = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    children = zoom_resample(parents, dz=1, method="cubic")
+    out = tiles_to_pixels(children).where(F.col("value").isNotNull())
+    return out.select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        F.round("value", 6).alias("value"),
+    )
+
+
 def _lcc_grid_oracle() -> str:
     """DuckDB replay of lcc_to_lonlat (Lambert-93) with the SAME GRS80
     constants and operation association as the engine's column

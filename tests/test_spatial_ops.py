@@ -448,3 +448,89 @@ def test_zoom_resample_bilinear_matches_numpy(spark):
         assert r["value"] == pytest.approx(expect, rel=1e-12), (gx, gy)
         checked += 1
     assert checked > 50
+
+
+def test_zoom_resample_cubic_constant_and_guard(spark):
+    # Keys kernel weights sum to 1: a constant tile upsamples to the
+    # same constant everywhere, including clamped borders
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    pixels = spark.createDataFrame(
+        [("cb", 0, 0, 0, 0, x, y, 7.0) for x in range(4) for y in range(4)],
+        "layer string, zoom int, tile_col int, tile_row int, band int, "
+        "px int, py int, value double",
+    )
+    parents = pixels_to_tiles(pixels, cols=4, rows=4, n_bands=1)
+    children = zoom_resample(parents, dz=1, method="cubic")
+    vals = [r["value"] for r in tiles_to_pixels(children).collect()]
+    assert len(vals) == 64
+    assert all(v == 7.0 for v in vals)
+
+
+def test_zoom_resample_cubic_reproduces_linear_ramp_interior(spark):
+    # cubic convolution with a=-0.5 reproduces linear functions exactly
+    # wherever the 4x4 support is unclamped
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    n = 8
+    pixels = spark.createDataFrame(
+        [
+            ("rm", 0, 0, 0, 0, x, y, float(3 * x + 5 * y))
+            for x in range(n)
+            for y in range(n)
+        ],
+        "layer string, zoom int, tile_col int, tile_row int, band int, "
+        "px int, py int, value double",
+    )
+    parents = pixels_to_tiles(pixels, cols=n, rows=n, n_bands=1)
+    children = zoom_resample(parents, dz=1, method="cubic")
+    for r in tiles_to_pixels(children).collect():
+        gx = r["tile_col"] * n + r["px"]
+        gy = r["tile_row"] * n + r["py"]
+        sx = (gx + 0.5) / 2 - 0.5
+        sy = (gy + 0.5) / 2 - 0.5
+        # interior: full unclamped 4x4 support
+        if 1 <= sx <= n - 2.5 and 1 <= sy <= n - 2.5:
+            assert r["value"] == pytest.approx(3 * sx + 5 * sy, abs=1e-12), (gx, gy)
+
+
+def test_zoom_resample_cubic_matches_numpy(spark):
+    import numpy as np
+
+    red = FX.fixture_layer(spark, "b4_red", zoom=0)
+    children = zoom_resample(red, dz=1, method="cubic")
+    world = world_grid()
+    ts = FX.TS
+    a = -0.5
+
+    def w(t):
+        t = abs(t)
+        if t < 1:
+            return (a + 2) * t**3 - (a + 3) * t**2 + 1
+        if t < 2:
+            return a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a
+        return 0.0
+
+    px = tiles_to_pixels(children).collect()
+    checked = 0
+    for r in px[::53]:
+        pc, pr = r["tile_col"] // 2, r["tile_row"] // 2
+        tile = world[pr * ts : (pr + 1) * ts, pc * ts : (pc + 1) * ts]
+        gx = (r["tile_col"] % 2) * ts + r["px"]
+        gy = (r["tile_row"] % 2) * ts + r["py"]
+        sx = min(max((gx + 0.5) / 2 - 0.5, 0.0), ts - 1)
+        sy = min(max((gy + 0.5) / 2 - 0.5, 0.0), ts - 1)
+        x0, y0 = int(np.floor(sx)), int(np.floor(sy))
+        fx, fy = sx - x0, sy - y0
+        expect = 0.0
+        for ky in (-1, 0, 1, 2):
+            wy = w(ky - fy)
+            row = 0.0
+            for kx in (-1, 0, 1, 2):
+                cx = min(max(x0 + kx, 0), ts - 1)
+                cy = min(max(y0 + ky, 0), ts - 1)
+                row += w(kx - fx) * tile[cy, cx]
+            expect += wy * row
+        assert r["value"] == pytest.approx(expect, rel=1e-12), (gx, gy)
+        checked += 1
+    assert checked > 30
