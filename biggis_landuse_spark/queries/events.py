@@ -1198,3 +1198,71 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").cast("long").alias("max_cusum_cents"),
         F.min("c").cast("long").alias("min_cusum_cents"),
     )
+
+
+_T0_HOURS = 473352  # 2024-01-01 00:00 UTC in whole hours (1704067200/3600)
+
+
+@register(
+    "ols_trend",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_T0_HOURS} AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE)   AS n,
+             CAST(sum(x) AS DOUBLE)     AS sx,
+             CAST(sum(y) AS DOUBLE)     AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope_cents_per_hour,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept_cents
+    FROM s
+    """,
+    doc="""Per-group OLS trend line over the event stream: value (in
+    exact integer cents) regressed on event hour. One partial-aggregated
+    groupBy reduces the fact table to five EXACT integer sums per group
+    (x in whole hours since 2024-01-01 keeps x*x and x*y far inside
+    BIGINT; y in cents); the normal-equation slope/intercept then
+    combine those sums with a fixed scalar float expression — identical
+    inputs and identical IEEE op order on both engines, so the 6dp
+    rounding is stable (the SCALING.md exact-integer-sums rule applied
+    to regression). At 100 TB this is one map-side-combined shuffle of
+    5 numbers per group — the cheapest possible trend computation.""",
+    tags=("A2", "ML", "STREAM"),
+)
+def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    b = events.select(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 3600) - _T0_HOURS).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.try_divide(num, den)
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round(
+            F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n")), 6
+        ).alias("intercept_cents"),
+    )

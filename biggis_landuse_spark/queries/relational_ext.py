@@ -1174,3 +1174,86 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb"))
         .limit(15)
     )
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT)            AS n_nodes,
+           CAST((SELECT count(*) FROM e) AS BIGINT)              AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT)                   AS n_triangles,
+           round(3.0 * (SELECT t FROM tri)
+                 / (SELECT sum(d * (d - 1) / 2) FROM deg), 6)    AS clustering
+    """,
+    doc="""Triangle counting + global clustering coefficient on the
+    co-purchase graph (parts co-ordered in one order). Edge generation
+    is bounded per order (TPC-H orders hold <= 7 items, so <= 21 pairs
+    each — never a hot-key blow-up); the id-ordered orientation
+    (u < v < w via the two equi-joins) counts each triangle exactly
+    once, which is the standard distributed algorithm — at 100 TB the
+    orientation is flipped to degree-order so high-degree nodes never
+    fan out their full neighborhood, with the same plan shape (two
+    shuffled equi-joins on edge endpoints). Wedge count from exact
+    integer degrees; the only float is the final ratio, rounded 6dp.""",
+    tags=("GRAPH", "J"),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e
+    e2 = e.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    e3 = e.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    tri = (
+        e1.join(e2, "v")
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+            "leftsemi",
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("t").cast("long").alias("n_triangles"),
+            F.round(
+                F.try_divide(3.0 * F.col("t"), F.col("wedges")), 6
+            ).alias("clustering"),
+        )
+    )

@@ -1206,3 +1206,84 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang").alias("actual"), "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# -- PII scrubbing (training-data prep) --------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# synthesized PII suffix: the corpus text itself carries no PII, so each
+# doc gets a deterministic contact line (same trick as the media queries'
+# synthesized binary column) — the scrubbing machinery is the real path
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+)
+
+_PII_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {_PII_TEXT_SQL} AS txt FROM documents),
+    r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(txt, '{_PII_EMAIL}'))        AS n_emails,
+             len(regexp_extract_all(txt, '{_PII_PHONE}'))        AS n_phones,
+             regexp_replace(
+               regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS stage2
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_phones AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(stage2, '{_PII_IP}')) AS INT) AS n_ips,
+           md5(regexp_replace(stage2, '{_PII_IP}', '<IP>', 'g')) AS digest,
+           CAST(length(regexp_replace(stage2, '{_PII_IP}', '<IP>', 'g'))
+                AS INT) AS n_chars
+    FROM r
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=_PII_ORACLE,
+    doc="""PII scrubbing for training corpora: count and redact email /
+    phone / IPv4 patterns in one scan-local regexp pass per document —
+    no shuffle at all, the embarrassingly-parallel shape that runs at
+    ingest speed over 100 TB. Redaction applies sequentially (email →
+    phone → IP) identically on both engines; the redacted text is
+    compared by md5 digest so the oracle checks the exact output
+    string, not just the counts. Patterns stay in the common
+    Java-regex/RE2 subset (no lookaround, no backrefs).""",
+    tags=("TEXT", "PIPELINE"),
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    stage1 = F.regexp_replace(txt, F.lit(_PII_EMAIL), F.lit("<EMAIL>"))
+    stage2 = F.regexp_replace(stage1, F.lit(_PII_PHONE), F.lit("<PHONE>"))
+    stage3 = F.regexp_replace(stage2, F.lit(_PII_IP), F.lit("<IP>"))
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(stage1, F.lit(_PII_PHONE), F.lit(0))
+        ).alias("n_phones"),
+        F.size(F.regexp_extract_all(stage2, F.lit(_PII_IP), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.md5(stage3.cast("binary")).alias("digest"),
+        F.length(stage3).alias("n_chars"),
+    )
