@@ -292,6 +292,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "market_basket_lift",  # 1-row order-count broadcast
         "chi2_status_priority",  # bounded marginal grids (statuses × priorities) + 1-row N
         "events_resample_dense",  # 1-row global span broadcast for grid synthesis
+        "triangle_count",  # 1-row triangle/wedge/edge summaries crossed
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)

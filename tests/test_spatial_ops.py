@@ -419,7 +419,7 @@ def test_zoom_resample_bilinear_null_support_and_method_guard(spark):
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown resampling method"):
-        zoom_resample(parents, dz=1, method="cubic")
+        zoom_resample(parents, dz=1, method="lanczos")
 
 
 def test_zoom_resample_bilinear_matches_numpy(spark):
