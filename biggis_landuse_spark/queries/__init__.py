@@ -114,6 +114,35 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df
 
 
+# Loop-invariant caches held by iterative queries (pagerank's edge
+# list, dedup_incremental's signature relation). Within one query —
+# including a bench warmup + timed reruns — the cache is the designed
+# production shape (persist the relation every iteration re-reads);
+# across a 139-query harness session they must not accumulate, so
+# harnesses call release_caches() between queries.
+_ACTIVE_CACHES: list[DataFrame] = []
+
+
+def hold_cache(df: DataFrame) -> DataFrame:
+    """persist() a loop-invariant relation and register it for
+    release_caches() — the session-lifetime answer to per-query
+    persists leaking across a long harness run."""
+    _ACTIVE_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Drop every hold_cache()d relation. Safe to call repeatedly;
+    called by bench.py after each query's timed runs and by the local
+    oracle gate after each comparison."""
+    while _ACTIVE_CACHES:
+        df = _ACTIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _ensure_loaded()
     return {name: spec.spark for name, spec in REGISTRY.items()}

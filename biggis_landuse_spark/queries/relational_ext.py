@@ -692,9 +692,13 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # them so the orders⋈lineitem⋈distinct pipeline runs once, not per
     # round (the exact "cache the edge list" step every production
     # PageRank does; at 100 TB this is a persisted shuffle-partitioned
-    # table, MEMORY_AND_DISK spills per-executor, never the driver)
-    edges_w = edges.join(deg, "src").persist()
-    nodes = nodes.persist()
+    # table, MEMORY_AND_DISK spills per-executor, never the driver).
+    # hold_cache registers them for harness-level release_caches() so
+    # a 139-query session doesn't accumulate caches (ADVICE r4).
+    from biggis_landuse_spark.queries import hold_cache
+
+    edges_w = hold_cache(edges.join(deg, "src"))
+    nodes = hold_cache(nodes)
     n = nodes.agg(F.count(F.lit(1)).alias("cnt"))
     ranks = nodes.crossJoin(F.broadcast(n)).select(
         "id", (F.lit(1.0) / F.col("cnt")).alias("r")
@@ -716,7 +720,7 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("r"),
         )
-    final = (
+    return (
         ranks.select(
             (F.col("id") / 2).cast("long").alias("node_key"),
             F.when(F.col("id") % 2 == 0, F.lit("cust"))
@@ -729,13 +733,6 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("id")
     )
-    # the result is exactly 20 rows — materialize it so the
-    # loop-invariant caches can be released instead of accumulating
-    # across a 138-query harness session (driver traffic: 20 rows)
-    rows = final.collect()
-    edges_w.unpersist()
-    nodes.unpersist()
-    return spark.createDataFrame(rows, final.schema)
 
 
 # ---------------------------------------------------------------------------

@@ -742,10 +742,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # afterwards: the |docs|x8 signature relation persists so the
     # shingle+hash pass runs once, not once per side. (At scale the
     # snapshot side is a precomputed signature index on disk; this is
-    # the fresh-build twin.)
-    sig = D.minhash_signatures_from_text(
-        documents, "doc_id", "text"
-    ).persist()
+    # the fresh-build twin.) hold_cache registers it for the
+    # harnesses' release_caches() so a long session doesn't
+    # accumulate caches (ADVICE r4).
+    from biggis_landuse_spark.queries import hold_cache
+
+    sig = hold_cache(
+        D.minhash_signatures_from_text(documents, "doc_id", "text")
+    )
     bands = D.banded_signatures(sig, "doc_id")
     snap_bands = (
         bands.where(F.col("doc_id") % 2 == 0)
@@ -759,19 +763,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    result = exact.select(
+    return exact.select(
         "doc_id", F.lit("exact").alias("reason")
     ).unionByName(
         near.join(exact, "doc_id", "left_anti").select(
             "doc_id", F.lit("near").alias("reason")
         )
     )
-    # truncate lineage so the |docs|x8 signature cache can be released
-    # instead of accumulating across a 138-query harness session; the
-    # checkpointed relation is duplicate-id-sized, far below sig
-    result = result.localCheckpoint()
-    sig.unpersist()
-    return result
 
 
 _VOCAB_K = 100  # top-K vocabulary size

@@ -22,6 +22,17 @@ ROWS_ONLY_QUERIES = sorted(
 )
 
 
+@pytest.fixture(autouse=True)
+def _release_query_caches():
+    # iterative queries hold_cache() loop-invariant relations; drop
+    # them after each comparison so the 139-query gate never
+    # accumulates caches in one session
+    from biggis_landuse_spark.queries import release_caches
+
+    yield
+    release_caches()
+
+
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
