@@ -1285,3 +1285,63 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(stage3.cast("binary")).alias("digest"),
         F.length(stage3).alias("n_chars"),
     )
+
+
+_SPAN_N = 3  # fixture-sized n-gram span (real pipelines use 8-13)
+
+
+@register(
+    "dup_ngram_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    ex AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(greatest(len(toks) - {_SPAN_N - 1}, 0)),
+               i -> array_to_string(toks[i+1:i+{_SPAN_N}], ' '))) AS g
+      FROM t
+    ),
+    dfq AS (SELECT g, count(DISTINCT doc_id) AS dfc FROM ex GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN dfc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           round(sum(CASE WHEN dfc > 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS dup_frac
+    FROM ex JOIN dfq USING (g)
+    GROUP BY doc_id
+    """,
+    doc="""Fine-grained duplicated-span measurement: for every document,
+    the fraction of its word n-grams that also occur in ANOTHER
+    document — the corpus-containment signal FineWeb/RefinedWeb-style
+    pipelines threshold on, complementing the pairwise dedup family
+    (one number per doc, no pair enumeration at all). Plan: explode
+    spans (UDTF-shape transform+explode, scan-local), ONE
+    partial-aggregated shuffle on the gram for document frequency,
+    one gram-keyed equi-join back, one per-doc aggregate — at 100 TB
+    the gram relation shuffles on content hash (vocabulary-bounded
+    partial aggregation, no hot-key pair blow-up because nothing is
+    ever paired). Span length 3 matches the fixture's vocabulary
+    (production uses 8-13-gram spans — a constant in the same
+    expression).""",
+    tags=("TEXT", "DEDUP", "PIPELINE"),
+)
+def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(filter(split(text, ' '), x -> x <> '')) - {_SPAN_N - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(filter(split(text, ' '), x -> x <> ''), i, {_SPAN_N})))"
+    )
+    ex = documents.select("doc_id", F.explode(grams).alias("g"))
+    dfq = ex.groupBy("g").agg(F.count_distinct("doc_id").alias("dfc"))
+    joined = ex.join(dfq, "g")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("dfc") > 1).cast("long")).alias("n_dup_grams"),
+        F.round(
+            F.sum((F.col("dfc") > 1).cast("double")) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
+    )
