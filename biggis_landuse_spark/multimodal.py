@@ -10,8 +10,10 @@ bytes next to relational features. Two layers:
 2. **Python-side decode/transform** (`decode_media`, `resize_images`,
    `sample_frames`, `media_features`): Arrow-batched ``mapInPandas``
    generators, the production shape for per-item media kernels. The
-   byte→pixel codecs: ``codec="png"``/``"bmp"``/``"gif"`` are REAL stdlib decoders
-   (sources/png.py — 8-bit gray/RGB/RGBA, all five filters);
+   byte→pixel codecs: ``codec="png"``/``"jpeg"``/``"bmp"``/``"gif"``
+   are REAL stdlib decoders (sources/png.py — 8-bit gray/RGB/RGBA,
+   all five filters; sources/jpeg.py — baseline DCT, 4:4:4/4:2:0,
+   restart markers, TIFF-abbreviated tables);
    ``codec="fake"`` (default) derives a small deterministic pixel
    grid from the bytes themselves (stable across partitions/retries —
    safe for tests and retried stages over the synthetic media
@@ -103,14 +105,15 @@ def media_metadata_cols(content: Column | str) -> list[Column]:
 
 
 def _require_codec(codec: str) -> None:
-    if codec in ("fake", "png", "wav", "bmp", "gif"):
+    if codec in ("fake", "png", "jpeg", "wav", "bmp", "gif"):
         return
     raise NotImplementedError(
         f"codec={codec!r}: general media codecs (pillow/ffmpeg/librosa) are "
         "not available in this environment; wire them in here. Available: "
-        "'png' (REAL stdlib image decoder, sources/png.py), 'wav' (REAL "
-        "stdlib audio decoder, sources/wav.py), and the deterministic "
-        "'fake' codec that exercises the full Spark plumbing."
+        "'png'/'jpeg'/'bmp'/'gif' (REAL stdlib image decoders, "
+        "sources/{png,jpeg,bmp,gif}.py), 'wav' (REAL stdlib audio decoder, "
+        "sources/wav.py), and the deterministic 'fake' codec that "
+        "exercises the full Spark plumbing."
     )
 
 
@@ -149,6 +152,11 @@ def decode_media(
             from biggis_landuse_spark.sources.png import decode_png
 
             w, h, c, buf = decode_png(raw)
+            return w, h, c, [b / 255.0 for b in buf]
+        if codec == "jpeg":
+            from biggis_landuse_spark.sources.jpeg import decode_jpeg
+
+            w, h, c, buf = decode_jpeg(raw)
             return w, h, c, [b / 255.0 for b in buf]
         if codec == "bmp":
             from biggis_landuse_spark.sources.bmp import decode_bmp

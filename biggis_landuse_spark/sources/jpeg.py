@@ -1,0 +1,636 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+Closes the last honest plug point in the media stack: JPEG payloads
+(standalone JFIF files and JPEG-compressed TIFF segments, tag 259=7)
+decode in a container without pillow/rasterio/GDAL, from the public
+JPEG specification only.
+
+Supported subset — the one every baseline writer emits:
+
+- decode: SOF0/SOF1 (baseline + extended sequential, Huffman, 8-bit),
+  grayscale and 3-component YCbCr, sampling factors 1 or 2 per axis
+  (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart intervals (DRI/RSTn), byte
+  stuffing, multi-table DQT/DHT segments, and "abbreviated" streams
+  whose tables arrive separately (TIFF JPEGTables, tag 347) via
+  ``decode_jpeg(data, tables=...)``.
+- encode: baseline 4:4:4 or 4:2:0 YCbCr / grayscale with the spec's
+  Annex K quantization (libjpeg quality scaling) and Annex K Huffman
+  tables — enough to generate real test payloads and TIFF segments.
+- anything outside (progressive SOF2, arithmetic coding, 12-bit,
+  CMYK/Adobe transforms) raises ``JpegFormatError`` — an honest
+  bound, never a garbled image.
+
+Runs executor-side inside Arrow-batched ``mapInPandas`` like the
+PNG/BMP/GIF codecs; per-image cost is numpy block IDCTs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["JpegFormatError", "decode_jpeg", "encode_jpeg"]
+
+
+class JpegFormatError(ValueError):
+    pass
+
+
+# zigzag scan order: index i of the scan → (row, col) flat index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# orthonormal 8-point DCT basis: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# Annex K base quantization tables (natural order)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+])
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+])
+
+# Annex K Huffman table definitions: (bits[1..16], values)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman: {symbol: (code, length)}."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    de-stuffing; stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.cur = 0
+        self.nbits = 0
+        self.marker = None  # marker byte hit mid-stream (RST or terminator)
+
+    def _load_byte(self) -> bool:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            return False
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
+                return False
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                self.pos = p + 2
+                self.cur = 0xFF
+                return True
+            # real marker: stop here
+            self.marker = nxt
+            return False
+        self.pos = p + 1
+        self.cur = b
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if not self._load_byte():
+                raise JpegFormatError("truncated entropy-coded segment")
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_and_expect_rst(self, n: int) -> None:
+        """Restart boundary: drop partial byte, consume RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        # skip fill bytes
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (n % 8):
+            raise JpegFormatError("missing restart marker")
+        self.pos = p + 2
+        self.marker = None
+
+
+def _decode_huff(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegFormatError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - ((1 << t) - 1) if t > 0 and v < (1 << (t - 1)) else v
+
+
+def _parse_tables(data: bytes, qt: dict, huff_dc: dict, huff_ac: dict) -> None:
+    """Scan a tables-only stream (TIFF JPEGTables) for DQT/DHT."""
+    pos = 2 if data[:2] == b"\xff\xd8" else 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0xD9):
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            _read_dqt(seg, qt)
+        elif marker == 0xC4:
+            _read_dht(seg, huff_dc, huff_ac)
+        pos += 2 + seglen
+
+
+def _read_dqt(seg: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(seg):
+        pq, tq = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        n = 64 * (2 if pq else 1)
+        raw = seg[i : i + n]
+        i += n
+        if pq:
+            vals = list(struct.unpack(f">{64}H", raw))
+        else:
+            vals = list(raw)
+        tbl = np.ones(64, dtype=np.float64)
+        for z, v in enumerate(vals):
+            tbl[ZIGZAG[z]] = v
+        qt[tq] = tbl.reshape(8, 8)
+
+
+def _read_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    i = 0
+    while i < len(seg):
+        tc, th = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        bits = list(seg[i : i + 16])
+        i += 16
+        n = sum(bits)
+        values = list(seg[i : i + n])
+        i += n
+        (huff_ac if tc else huff_dc)[th] = _huff_decode_table(bits, values)
+
+
+def decode_jpeg(
+    data: bytes, tables: bytes | None = None
+) -> tuple[int, int, int, bytes]:
+    """→ (width, height, channels, pixels): row-major interleaved uint8
+    (gray or RGB). ``tables`` holds a TIFF JPEGTables (tag 347)
+    tables-only stream for abbreviated segments."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    if tables:
+        _parse_tables(tables, qt, huff_dc, huff_ac)
+    restart = 0
+    comps = None  # (id, h, v, tq)
+    w = h = 0
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegFormatError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            _read_dqt(seg, qt)
+        elif marker == 0xC4:
+            _read_dht(seg, huff_dc, huff_ac)
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise JpegFormatError(f"{prec}-bit JPEG not supported (8 only)")
+            if nc not in (1, 3):
+                raise JpegFormatError(f"{nc}-component JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch not in (1, 2) or cv not in (1, 2):
+                    raise JpegFormatError(
+                        f"sampling factors {ch}x{cv} not supported (1 or 2)"
+                    )
+                comps.append((cid, ch, cv, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(
+                f"SOF{marker - 0xC0}: only baseline/extended sequential "
+                "Huffman JPEG is supported"
+            )
+        elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise JpegFormatError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(
+                    (cc for cc in comps if cc[0] == cs), None
+                )
+                if comp is None:
+                    raise JpegFormatError("scan references unknown component")
+                scan.append((comp, tds >> 4, tds & 0x0F))
+            return _decode_scan(
+                data, pos + 2 + seglen, w, h, scan, qt, huff_dc, huff_ac,
+                restart,
+            )
+        pos += 2 + seglen
+    raise JpegFormatError("no scan data (missing SOS)")
+
+
+def _decode_scan(data, pos, w, h, scan, qt, huff_dc, huff_ac, restart):
+    hmax = max(c[0][1] for c in scan)
+    vmax = max(c[0][2] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for (cid, ch, cv, tq), td, ta in scan:
+        if tq not in qt:
+            raise JpegFormatError(f"missing quantization table {tq}")
+        if td not in huff_dc or ta not in huff_ac:
+            raise JpegFormatError("missing Huffman table")
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8)))
+    br = _BitReader(data, pos)
+    pred = [0] * len(scan)
+    n_rst = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.align_and_expect_rst(n_rst)
+                n_rst += 1
+                pred = [0] * len(scan)
+            for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros(64)
+                        t = _decode_huff(br, huff_dc[td])
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        pred[ci] += diff
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huff(br, huff_ac[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegFormatError("AC index overflow")
+                            coef[k] = _extend(br.read_bits(s), s)
+                            k += 1
+                        block = np.zeros((8, 8))
+                        block.flat[ZIGZAG] = coef  # de-zigzag
+                        block *= qt[tq]
+                        spatial = _A.T @ block @ _A + 128.0
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_count += 1
+    # upsample to full MCU-grid resolution, then crop
+    out_planes = []
+    for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+        p = planes[ci]
+        if ch < hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        if cv < vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.rint(x), 0, 255) for x in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Encoder (baseline, Annex K tables)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * scale + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw, block, qtab, dc_tab, ac_tab, pred):
+    coef = _A @ (block - 128.0) @ _A.T
+    q = np.rint(coef / qtab).astype(np.int64)
+    zz = q.flat[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, length = dc_tab[t]
+    bw.write(code, length)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt_seg(tid: int, qtab: np.ndarray) -> bytes:
+    zz = bytes(int(qtab.flat[ZIGZAG[z]]) for z in range(64))
+    return _seg(0xDB, bytes([tid]) + zz)
+
+
+def _dht_seg(tc: int, th: int, spec) -> bytes:
+    bits, values = spec
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Interleaved uint8 pixels (gray or RGB, row-major) → baseline
+    JFIF bytes. ``subsample=True`` emits 4:2:0 chroma;
+    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs (the
+    error-resilience layout large writers use)."""
+    if channels not in (1, 3):
+        raise JpegFormatError("encode supports 1 (gray) or 3 (RGB) channels")
+    if len(pixels) != width * height * channels:
+        raise JpegFormatError("pixel buffer size mismatch")
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
+        height, width, channels
+    ).astype(np.float64)
+    qy = _quality_scale(_QT_LUMA, quality).reshape(8, 8)
+    qc = _quality_scale(_QT_CHROMA, quality).reshape(8, 8)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_seg(0, qy)
+    if channels == 3:
+        out += _dqt_seg(1, qc)
+    sub = 2 if (subsample and channels == 3) else 1
+    if channels == 1:
+        comp_spec = [(1, 1, 1, 0)]
+    else:
+        comp_spec = [(1, sub, sub, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for cid, ch, cv, tq in comp_spec:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += _seg(0xC0, sof)
+    out += _dht_seg(0, 0, _DC_LUMA)
+    out += _dht_seg(1, 0, _AC_LUMA)
+    if channels == 3:
+        out += _dht_seg(0, 1, _DC_CHROMA)
+        out += _dht_seg(1, 1, _AC_CHROMA)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([channels])
+    for cid, ch, cv, tq in comp_spec:
+        sos += bytes([cid, 0x00 if tq == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    if channels == 1:
+        planes = [arr[:, :, 0]]
+        qtabs = [qy]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if sub == 2:
+            # pad to even dims, then 2x2 mean
+            ph, pw = -(-height // 2) * 2, -(-width // 2) * 2
+            def pad(p):
+                return np.pad(p, ((0, ph - height), (0, pw - width)), "edge")
+            cb = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        qtabs = [qy, qc, qc]
+
+    hmax = max(c[1] for c in comp_spec)
+    vmax = max(c[2] for c in comp_spec)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # pad every plane to its MCU-grid size (edge replicate)
+    padded = []
+    for p, (cid, ch, cv, tq) in zip(planes, comp_spec):
+        th_, tw_ = mcuy * cv * 8, mcux * ch * 8
+        padded.append(
+            np.pad(p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), "edge")
+        )
+    enc_dc = [_huff_encode_table(*_DC_LUMA)]
+    enc_ac = [_huff_encode_table(*_AC_LUMA)]
+    if channels == 3:
+        enc_dc.append(_huff_encode_table(*_DC_CHROMA))
+        enc_ac.append(_huff_encode_table(*_AC_CHROMA))
+    bw = _BitWriter()
+    pred = [0] * channels
+    mcu_count = 0
+    n_rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                n_rst += 1
+                pred = [0] * channels
+            mcu_count += 1
+            for ci, (cid, ch, cv, tq) in enumerate(comp_spec):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(
+                            bw,
+                            block,
+                            qtabs[ci],
+                            enc_dc[min(ci, len(enc_dc) - 1)],
+                            enc_ac[min(ci, len(enc_ac) - 1)],
+                            pred[ci],
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

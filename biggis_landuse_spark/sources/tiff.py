@@ -8,8 +8,10 @@ baseline plus the GeoTIFF georeferencing tags:
 
 - classic TIFF, little- or big-endian (``II``/``MM``, magic 42);
 - stripped (RowsPerStrip) and tiled (TileWidth/TileLength) layouts;
-- compression: none (1), zlib/deflate (8, 32946), LZW (5) and
-  PackBits (32773); JPEG raises;
+- compression: none (1), zlib/deflate (8, 32946), LZW (5), PackBits
+  (32773) and new-style JPEG (7, sources/jpeg.py — baseline streams
+  per segment, abbreviated JPEGTables tag 347 honored); old-style
+  JPEG (6) raises;
 - horizontal-differencing predictor (2) for integer samples;
 - chunky (PlanarConfiguration=1) and planar (2) sample layout;
 - sample types: uint8/16/32, int8/16/32, float32/64 (BitsPerSample ×
@@ -52,6 +54,7 @@ TILE_LENGTH = 323
 TILE_OFFSETS = 324
 TILE_BYTE_COUNTS = 325
 SAMPLE_FORMAT = 339
+JPEG_TABLES = 347
 MODEL_PIXEL_SCALE = 33550
 MODEL_TIEPOINT = 33922
 
@@ -87,7 +90,9 @@ def parse_ifd(data: bytes) -> tuple[str, dict[int, list]]:
         else:
             (ptr,) = struct.unpack(order + "I", e[8:12])
             raw = data[ptr : ptr + size]
-        if typ == 2:  # ASCII
+        if typ == 7:  # UNDEFINED: opaque bytes (e.g. JPEGTables)
+            tags[tag] = [raw]
+        elif typ == 2:  # ASCII
             tags[tag] = [raw.rstrip(b"\x00").decode("ascii", "replace")]
         elif typ in (5, 10):  # RATIONAL: pairs of (num, den)
             pairs = struct.unpack(order + ("Ii"[typ == 10] * 2) * cnt, raw)
@@ -178,7 +183,7 @@ def _packbits_decode(seg: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(seg: bytes, comp: int) -> bytes:
+def _decompress(seg: bytes, comp: int, jpeg_tables: bytes | None = None) -> bytes:
     if comp == 1:
         return seg
     if comp in (8, 32946):  # zlib / deflate (old code)
@@ -187,9 +192,20 @@ def _decompress(seg: bytes, comp: int) -> bytes:
         return _lzw_decode(seg)
     if comp == 32773:
         return _packbits_decode(seg)
+    if comp == 7:  # new-style JPEG: the segment is a JFIF stream,
+        # abbreviated when a JPEGTables tag (347) carries the tables
+        from biggis_landuse_spark.sources.jpeg import decode_jpeg
+
+        _w, _h, _c, buf = decode_jpeg(seg, tables=jpeg_tables)
+        return buf
+    if comp == 6:
+        raise TiffFormatError(
+            "old-style JPEG (compression 6) is deprecated by TIFF TN2 "
+            "and not supported; re-encode as new-style JPEG (7)"
+        )
     raise TiffFormatError(
         f"compression {comp} not supported "
-        "(baseline codec handles none/deflate/lzw/packbits)"
+        "(baseline codec handles none/deflate/lzw/packbits/jpeg)"
     )
 
 
@@ -222,6 +238,12 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     planar = tags.get(PLANAR_CONFIG, [1])[0]
     predictor = tags.get(PREDICTOR, [1])[0]
     dt = _np_dtype(order, bits[0], fmts[0])
+    jpeg_tables = None
+    if comp == 7:
+        if bits[0] != 8 or fmts[0] != 1:
+            raise TiffFormatError("JPEG compression carries 8-bit unsigned samples only")
+        jt = tags.get(JPEG_TABLES)
+        jpeg_tables = jt[0] if jt else None
 
     out = np.empty((spp, h, w), dtype=np.float64)
 
@@ -232,7 +254,7 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
         per_plane = across * down
         chans = spp if planar == 1 else 1
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decompress(data[o : o + c], comp)
+            raw = _decompress(data[o : o + c], comp, jpeg_tables)
             seg = np.frombuffer(raw, dtype=dt, count=th * tw * chans).reshape(
                 th, tw, chans
             )
@@ -259,7 +281,7 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
                 band0, idx = i // per_plane, i % per_plane
             y0 = idx * rps
             rows = min(rps, h - y0)
-            raw = _decompress(data[o : o + c], comp)
+            raw = _decompress(data[o : o + c], comp, jpeg_tables)
             seg = np.frombuffer(raw, dtype=dt, count=rows * w * chans).reshape(
                 rows, w, chans
             )
@@ -372,11 +394,13 @@ def encode_tiff(
     rows_per_strip: int | None = None,
     predictor: bool = False,
     georef: tuple[float, float, float, float] | None = None,
+    jpeg_quality: int = 95,
 ) -> bytes:
     """Encode bands (equal-shape 2-D arrays) as a little-endian classic
     TIFF. ``tile_size`` switches to the tiled layout; ``compression``
-    is ``"none"``, ``"deflate"``, ``"lzw"`` or ``"packbits"``;
-    ``predictor`` applies horizontal
+    is ``"none"``, ``"deflate"``, ``"lzw"``, ``"packbits"`` or
+    ``"jpeg"`` (new-style 7 — LOSSY, uint8 chunky 1- or 3-band only,
+    each segment a full JFIF stream); ``predictor`` applies horizontal
     differencing (integer samples only); ``georef=(x0, y0, dx, dy)``
     writes ModelPixelScale + a (0,0) ModelTiepoint."""
     if not bands:
@@ -389,9 +413,27 @@ def encode_tiff(
     h, w = bands[0].shape
     spp = len(bands)
     arrs = [np.ascontiguousarray(b, dtype=dt) for b in bands]
-    comp_code = {"none": 1, "deflate": 8, "lzw": 5, "packbits": 32773}[compression]
+    comp_code = {
+        "none": 1, "deflate": 8, "lzw": 5, "packbits": 32773, "jpeg": 7,
+    }[compression]
+    if comp_code == 7:
+        if dt != np.dtype("<u1") or planar or predictor or spp not in (1, 3):
+            raise ValueError(
+                "jpeg compression requires uint8 chunky 1- or 3-band data "
+                "without predictor"
+            )
 
     def pack(seg: np.ndarray) -> bytes:
+        if comp_code == 7:
+            from biggis_landuse_spark.sources.jpeg import encode_jpeg
+
+            if seg.ndim == 2:
+                seg = seg[:, :, None]
+            rows, cols, chans = seg.shape
+            return encode_jpeg(
+                cols, rows, seg.tobytes(), channels=chans,
+                quality=jpeg_quality,
+            )
         if predictor:
             if seg.ndim == 2:
                 seg = seg[:, :, None]

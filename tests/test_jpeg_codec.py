@@ -1,0 +1,211 @@
+"""Pure-Python baseline JPEG codec (sources/jpeg.py): encoder/decoder
+round trips across layouts, the TIFF integration (compression 7 +
+JPEGTables), and the multimodal decode path."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from biggis_landuse_spark.sources.jpeg import (
+    JpegFormatError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _smooth_rgb(w, h):
+    # genuinely smooth ramps (no 255→0 wrap seams — a wrap is a sharp
+    # chroma edge where ANY lossy codec, including libjpeg, produces
+    # large local error under 4:2:0)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    r = (xx * 255) // max(w - 1, 1)
+    g = (yy * 255) // max(h - 1, 1)
+    b = ((xx + yy) * 255) // max(w + h - 2, 1)
+    return np.stack([r, g, b], -1).astype(np.uint8)
+
+
+def test_flat_gray_is_exact():
+    w, h = 16, 16
+    for level in (0, 37, 128, 255):
+        data = encode_jpeg(w, h, bytes([level]) * (w * h), channels=1, quality=95)
+        W, H, C, px = decode_jpeg(data)
+        assert (W, H, C) == (w, h, 1)
+        # a flat block is a pure DC coefficient: decodes to the exact level
+        assert set(px) == {level}
+
+
+def test_gray_gradient_within_one_level():
+    w, h = 24, 16
+    grad = bytes((x * 255) // (w - 1) for _ in range(h) for x in range(w))
+    data = encode_jpeg(w, h, grad, channels=1, quality=95)
+    W, H, C, px = decode_jpeg(data)
+    a = np.frombuffer(grad, np.uint8).astype(int)
+    b = np.frombuffer(px, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 1
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("size", [(17, 24), (32, 32), (8, 8)])
+def test_rgb_round_trip(size, subsample):
+    w, h = size
+    rgb = _smooth_rgb(w, h)
+    data = encode_jpeg(w, h, rgb.tobytes(), channels=3, quality=95, subsample=subsample)
+    W, H, C, px = decode_jpeg(data)
+    assert (W, H, C) == (w, h, 3)
+    out = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+    # 4:2:0 halves chroma resolution: the tighter the ramp (full 0→255
+    # over w pixels), the larger the legitimate loss — scale the bound
+    # by steepness like any lossy-codec conformance check does
+    steep = 255 // max(min(w, h) - 1, 1)  # per-pixel ramp delta
+    tol = (4 + 3 * steep) if subsample else 8
+    assert np.abs(out - rgb.astype(int)).max() <= tol
+    assert np.abs(out - rgb.astype(int)).mean() <= (1 + steep / 4)
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_restart_intervals(ri):
+    rgb = _smooth_rgb(33, 40)
+    data = encode_jpeg(33, 40, rgb.tobytes(), channels=3, quality=95, restart_interval=ri)
+    assert b"\xff\xdd" in data  # DRI present
+    W, H, C, px = decode_jpeg(data)
+    out = np.frombuffer(px, np.uint8).reshape(40, 33, 3).astype(int)
+    assert np.abs(out - rgb.astype(int)).max() <= 16
+
+
+def _split_tables(data):
+    """Rebuild the TIFF JPEGTables layout: tables-only stream + an
+    abbreviated image stream."""
+    tables = bytearray(b"\xff\xd8")
+    stripped = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 2 <= len(data):
+        m = data[pos + 1]
+        if m == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        segment = data[pos : pos + 2 + seglen]
+        if m in (0xDB, 0xC4):
+            tables += segment
+        else:
+            stripped += segment
+        pos += 2 + seglen
+        if m == 0xDA:
+            stripped += data[pos:]
+            break
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(stripped)
+
+
+def test_abbreviated_stream_with_external_tables():
+    rgb = _smooth_rgb(19, 13)
+    full = encode_jpeg(19, 13, rgb.tobytes(), channels=3, quality=90)
+    tables, stripped = _split_tables(full)
+    _, _, _, px_full = decode_jpeg(full)
+    _, _, _, px_abbr = decode_jpeg(stripped, tables=tables)
+    assert px_full == px_abbr
+    # without the tables the abbreviated stream must fail loudly
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(stripped)
+
+
+def test_unsupported_variants_raise():
+    with pytest.raises(JpegFormatError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    # progressive (SOF2) is out of the baseline subset
+    data = bytearray(encode_jpeg(8, 8, bytes(64), channels=1))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with pytest.raises(JpegFormatError, match="SOF2"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(JpegFormatError, match="channels"):
+        encode_jpeg(2, 2, bytes(2 * 2 * 4), channels=4)
+
+
+def test_tiff_jpeg_strips_and_tiles():
+    from biggis_landuse_spark.sources.tiff import decode_tiff, encode_tiff, georef_of
+
+    xx, yy = np.meshgrid(np.arange(37), np.arange(29))
+    band = ((xx * 3 + yy * 2) % 200).astype(np.uint8)
+    data = encode_tiff([band], compression="jpeg", rows_per_strip=16)
+    (out,) = decode_tiff(data)
+    assert out.shape == band.shape
+    assert np.abs(out - band).max() <= 2
+
+    rgb = _smooth_rgb(37, 29)
+    bands = [rgb[:, :, i] for i in range(3)]
+    data = encode_tiff(bands, compression="jpeg", tile_size=16, jpeg_quality=95)
+    outs = decode_tiff(data)
+    assert all(o.shape == (29, 37) for o in outs)
+    for o, ref in zip(outs, bands):
+        assert np.abs(o - ref).mean() <= 4
+
+    # georef tags survive next to JPEG segments
+    data = encode_tiff([band], compression="jpeg", georef=(10.0, 50.0, 0.1, 0.1))
+    assert georef_of(data) == (10.0, 50.0, 0.1, 0.1)
+
+
+def test_tiff_jpegtables_tag_external_tables():
+    # hand-build a stripped TIFF whose segments are abbreviated JPEG
+    # streams and whose tables live in a JPEGTABLES (347) tag
+    from biggis_landuse_spark.sources import tiff as T
+
+    xx, yy = np.meshgrid(np.arange(16), np.arange(16))
+    band = ((xx * 5 + yy) % 180).astype(np.uint8)
+    full = encode_jpeg(16, 16, band.tobytes(), channels=1, quality=95)
+    tables, stripped = _split_tables(full)
+
+    # minimal single-strip file, little-endian
+    seg_off = 8
+    body = bytearray(b"II*\x00\x00\x00\x00\x00") + stripped
+    entries = {
+        T.IMAGE_WIDTH: (4, [16]),
+        T.IMAGE_LENGTH: (4, [16]),
+        T.BITS_PER_SAMPLE: (3, [8]),
+        T.COMPRESSION: (3, [7]),
+        T.SAMPLES_PER_PIXEL: (3, [1]),
+        T.ROWS_PER_STRIP: (3, [16]),
+        T.STRIP_OFFSETS: (4, [seg_off]),
+        T.STRIP_BYTE_COUNTS: (4, [len(stripped)]),
+        T.SAMPLE_FORMAT: (3, [1]),
+    }
+    # JPEGTables payload appended after the IFD
+    fmt_size = {3: 2, 4: 4}
+    ifd_off = len(body)
+    struct.pack_into("<I", body, 4, ifd_off)
+    tagcodes = sorted(entries) + [T.JPEG_TABLES]
+    body += struct.pack("<H", len(tagcodes))
+    tables_off = ifd_off + 2 + 12 * len(tagcodes) + 4
+    for tag in tagcodes:
+        if tag == T.JPEG_TABLES:
+            body += struct.pack("<HHI", tag, 7, len(tables))
+            body += struct.pack("<I", tables_off)
+            continue
+        typ, vals = entries[tag]
+        fmt = "H" if typ == 3 else "I"
+        raw = struct.pack("<" + fmt * len(vals), *vals)
+        body += struct.pack("<HHI", tag, typ, len(vals))
+        body += raw + b"\x00" * (4 - len(raw))
+    body += struct.pack("<I", 0)  # next IFD
+    assert len(body) == tables_off
+    body += tables
+
+    (out,) = T.decode_tiff(bytes(body))
+    assert out.shape == (16, 16)
+    assert np.abs(out - band).max() <= 2
+
+
+def test_multimodal_jpeg_codec(spark):
+    from biggis_landuse_spark.multimodal import decode_media
+
+    rgb = _smooth_rgb(9, 6)
+    payload = encode_jpeg(9, 6, rgb.tobytes(), channels=3, quality=95)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, content binary"
+    )
+    r = decode_media(df, codec="jpeg").collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (9, 6, 3)
+    got = np.array(r["pixels"]).reshape(6, 9, 3) * 255.0
+    assert np.abs(got - rgb.astype(float)).max() <= 8

@@ -161,11 +161,21 @@ def test_honest_refusals():
         decode_tiff(b"PK\x03\x04junk")
     with pytest.raises(TiffFormatError, match="BigTIFF"):
         decode_tiff(b"II" + struct.pack("<HI", 43, 8))
-    # JPEG-compressed file must refuse, not garble
+    # new-style JPEG (7) is now a real codec: a compression=7 tag over
+    # non-JPEG segment bytes must raise the codec's typed error, not
+    # garble; old-style JPEG (6) and unknown codes still refuse here
     payload = bytearray(encode_tiff(_ramp(4, 4, "uint8")))
     idx = payload.find(struct.pack("<HHI", 259, 3, 1))
-    payload[idx + 8 : idx + 10] = struct.pack("<H", 7)  # compression=JPEG
-    with pytest.raises(TiffFormatError, match="compression 7"):
+    payload[idx + 8 : idx + 10] = struct.pack("<H", 7)
+    from biggis_landuse_spark.sources.jpeg import JpegFormatError
+
+    with pytest.raises(JpegFormatError, match="not a JPEG"):
+        decode_tiff(bytes(payload))
+    payload[idx + 8 : idx + 10] = struct.pack("<H", 6)  # old-style JPEG
+    with pytest.raises(TiffFormatError, match="old-style JPEG"):
+        decode_tiff(bytes(payload))
+    payload[idx + 8 : idx + 10] = struct.pack("<H", 34712)  # JPEG2000
+    with pytest.raises(TiffFormatError, match="not supported"):
         decode_tiff(bytes(payload))
 
 
