@@ -6,7 +6,7 @@ GeotiffTilingExample.scala:49, MultibandGeotiffTilingExample.scala:59)
 in a container without rasterio/GDAL. Implements the public TIFF 6.0
 baseline plus the GeoTIFF georeferencing tags:
 
-- classic TIFF, little- or big-endian (``II``/``MM``, magic 42);
+- classic TIFF, little- or big-endian (``II``/``MM``, magic 42), and\n  BigTIFF (magic 43, 8-byte offsets) read + write — the layout\n  >4 GB rasters ship in at 100 TB scale;
 - stripped (RowsPerStrip) and tiled (TileWidth/TileLength) layouts;
 - compression: none (1), zlib/deflate (8, 32946), LZW (5), PackBits
   (32773) and new-style JPEG (7, sources/jpeg.py — baseline streams
@@ -34,8 +34,8 @@ import zlib
 import numpy as np
 
 # TIFF field types → struct code / byte size
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
 
 # tag codes (TIFF 6.0 + GeoTIFF)
 IMAGE_WIDTH = 256
@@ -72,23 +72,36 @@ def parse_ifd(data: bytes) -> tuple[str, dict[int, list]]:
     else:
         raise TiffFormatError(f"not a TIFF: byte order {data[:2]!r}")
     (magic,) = struct.unpack(order + "H", data[2:4])
-    if magic == 43:
-        raise TiffFormatError("BigTIFF (magic 43) not supported by the baseline codec")
-    if magic != 42:
+    if magic == 43:  # BigTIFF: 8-byte offsets, 20-byte IFD entries
+        if len(data) < 16:
+            raise TiffFormatError("truncated BigTIFF header")
+        osz, rsv = struct.unpack(order + "HH", data[4:8])
+        if osz != 8 or rsv != 0:
+            raise TiffFormatError(f"bad BigTIFF header (offsetsize={osz})")
+        (off,) = struct.unpack(order + "Q", data[8:16])
+        (n,) = struct.unpack(order + "Q", data[off : off + 8])
+        entry0, esize, inline, ptr_fmt = off + 8, 20, 8, "Q"
+        cnt_fmt = "Q"
+    elif magic == 42:
+        (off,) = struct.unpack(order + "I", data[4:8])
+        (n,) = struct.unpack(order + "H", data[off : off + 2])
+        entry0, esize, inline, ptr_fmt = off + 2, 12, 4, "I"
+        cnt_fmt = "I"
+    else:
         raise TiffFormatError(f"bad TIFF magic {magic}")
-    (off,) = struct.unpack(order + "I", data[4:8])
-    (n,) = struct.unpack(order + "H", data[off : off + 2])
     tags: dict[int, list] = {}
     for i in range(n):
-        e = data[off + 2 + 12 * i : off + 14 + 12 * i]
-        tag, typ, cnt = struct.unpack(order + "HHI", e[:8])
+        e = data[entry0 + esize * i : entry0 + esize * (i + 1)]
+        tag, typ = struct.unpack(order + "HH", e[:4])
+        (cnt,) = struct.unpack(order + cnt_fmt, e[4 : 4 + _TYPE_SIZE[4 if cnt_fmt == "I" else 16]])
         if typ not in _TYPE_SIZE:
             continue  # unknown field type: skip per spec
+        vfield = e[esize - inline :]
         size = _TYPE_SIZE[typ] * cnt
-        if size <= 4:
-            raw = e[8 : 8 + size]
+        if size <= inline:
+            raw = vfield[:size]
         else:
-            (ptr,) = struct.unpack(order + "I", e[8:12])
+            (ptr,) = struct.unpack(order + ptr_fmt, vfield)
             raw = data[ptr : ptr + size]
         if typ == 7:  # UNDEFINED: opaque bytes (e.g. JPEGTables)
             tags[tag] = [raw]
@@ -395,6 +408,7 @@ def encode_tiff(
     predictor: bool = False,
     georef: tuple[float, float, float, float] | None = None,
     jpeg_quality: int = 95,
+    bigtiff: bool = False,
 ) -> bytes:
     """Encode bands (equal-shape 2-D arrays) as a little-endian classic
     TIFF. ``tile_size`` switches to the tiled layout; ``compression``
@@ -402,7 +416,9 @@ def encode_tiff(
     ``"jpeg"`` (new-style 7 — LOSSY, uint8 chunky 1- or 3-band only,
     each segment a full JFIF stream); ``predictor`` applies horizontal
     differencing (integer samples only); ``georef=(x0, y0, dx, dy)``
-    writes ModelPixelScale + a (0,0) ModelTiepoint."""
+    writes ModelPixelScale + a (0,0) ModelTiepoint; ``bigtiff=True``
+    writes the BigTIFF layout (magic 43, 8-byte offsets — the format
+    >4 GB rasters actually ship in)."""
     if not bands:
         raise ValueError("need at least one band")
     dt = np.dtype(dtype or bands[0].dtype).newbyteorder("<")
@@ -476,7 +492,10 @@ def encode_tiff(
         extra[ROWS_PER_STRIP] = (3, [rps])
 
     # lay out: header | segment data | IFD | out-of-line tag values
-    body = bytearray(b"II*\x00\x00\x00\x00\x00")
+    if bigtiff:
+        body = bytearray(b"II+\x00" + struct.pack("<HHQ", 8, 0, 0))
+    else:
+        body = bytearray(b"II*\x00\x00\x00\x00\x00")
     seg_offsets = []
     for seg in segments:
         seg_offsets.append(len(body))
@@ -495,33 +514,41 @@ def encode_tiff(
     if predictor:
         entries[PREDICTOR] = (3, [2])
     entries.update(extra)
+    off_typ = 16 if bigtiff else 4  # LONG8 offsets past 4 GB
     if tile_size is not None:
-        entries[TILE_OFFSETS] = (4, seg_offsets)
-        entries[TILE_BYTE_COUNTS] = (4, [len(s) for s in segments])
+        entries[TILE_OFFSETS] = (off_typ, seg_offsets)
+        entries[TILE_BYTE_COUNTS] = (off_typ, [len(s) for s in segments])
     else:
-        entries[STRIP_OFFSETS] = (4, seg_offsets)
-        entries[STRIP_BYTE_COUNTS] = (4, [len(s) for s in segments])
+        entries[STRIP_OFFSETS] = (off_typ, seg_offsets)
+        entries[STRIP_BYTE_COUNTS] = (off_typ, [len(s) for s in segments])
     if georef is not None:
         x0, y0, dx, dy = georef
         entries[MODEL_PIXEL_SCALE] = (12, [dx, dy, 0.0])
         entries[MODEL_TIEPOINT] = (12, [0.0, 0.0, 0.0, x0, y0, 0.0])
 
     ifd_off = len(body)
-    struct.pack_into("<I", body, 4, ifd_off)
     tag_codes = sorted(entries)
-    body += struct.pack("<H", len(tag_codes))
     overflow = bytearray()
-    overflow_base = ifd_off + 2 + 12 * len(tag_codes) + 4
+    if bigtiff:
+        struct.pack_into("<Q", body, 8, ifd_off)
+        body += struct.pack("<Q", len(tag_codes))
+        overflow_base = ifd_off + 8 + 20 * len(tag_codes) + 8
+        inline, ptr_fmt, cnt_fmt = 8, "<Q", "<HHQ"
+    else:
+        struct.pack_into("<I", body, 4, ifd_off)
+        body += struct.pack("<H", len(tag_codes))
+        overflow_base = ifd_off + 2 + 12 * len(tag_codes) + 4
+        inline, ptr_fmt, cnt_fmt = 4, "<I", "<HHI"
     for tag in tag_codes:
         typ, vals = entries[tag]
         fmt = _TYPE_FMT[typ]
         raw = struct.pack("<" + fmt * len(vals), *vals)
-        if len(raw) <= 4:
-            raw_field = raw.ljust(4, b"\x00")
+        if len(raw) <= inline:
+            raw_field = raw.ljust(inline, b"\x00")
         else:
-            raw_field = struct.pack("<I", overflow_base + len(overflow))
+            raw_field = struct.pack(ptr_fmt, overflow_base + len(overflow))
             overflow += raw
-        body += struct.pack("<HHI", tag, typ, len(vals)) + raw_field
-    body += b"\x00\x00\x00\x00"  # next-IFD pointer: none
+        body += struct.pack(cnt_fmt, tag, typ, len(vals)) + raw_field
+    body += b"\x00" * inline  # next-IFD pointer: none
     body += overflow
     return bytes(body)

@@ -159,8 +159,11 @@ def test_georef_tags_roundtrip():
 def test_honest_refusals():
     with pytest.raises(TiffFormatError, match="not a TIFF"):
         decode_tiff(b"PK\x03\x04junk")
-    with pytest.raises(TiffFormatError, match="BigTIFF"):
+    # BigTIFF is now supported — but a truncated header must refuse
+    with pytest.raises(TiffFormatError, match="truncated BigTIFF"):
         decode_tiff(b"II" + struct.pack("<HI", 43, 8))
+    with pytest.raises(TiffFormatError, match="bad BigTIFF header"):
+        decode_tiff(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16))
     # new-style JPEG (7) is now a real codec: a compression=7 tag over
     # non-JPEG segment bytes must raise the codec's typed error, not
     # garble; old-style JPEG (6) and unknown codes still refuse here
@@ -240,4 +243,62 @@ def test_export_tiles_emits_valid_tiff(spark):
         np.testing.assert_array_equal(
             decoded[0].ravel(),
             np.array(want[(r["tile_col"], r["tile_row"])], dtype=np.float64),
+        )
+
+
+# ---------------------------------------------------------------------------
+# BigTIFF (magic 43): the >4 GB layout, round-tripped at small scale
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"tile_size": 16, "compression": "deflate"},
+        {"rows_per_strip": 8, "compression": "lzw", "predictor": True},
+        {"compression": "packbits"},
+    ],
+)
+def test_bigtiff_round_trip(kwargs):
+    band = (np.arange(29 * 37).reshape(29, 37) % 251).astype(np.uint16)
+    data = encode_tiff([band], bigtiff=True, **kwargs)
+    assert data[:4] == b"II+\x00"  # magic 43
+    (out,) = decode_tiff(data)
+    np.testing.assert_array_equal(out, band.astype(np.float64))
+
+
+def test_bigtiff_multiband_float_georef_and_jpeg():
+    f32 = (np.arange(29 * 37).reshape(29, 37) / 7.0).astype(np.float32)
+    data = encode_tiff(
+        [f32, f32 * 2], bigtiff=True, tile_size=16, georef=(5.0, 45.0, 0.5, 0.5)
+    )
+    outs = decode_tiff(data)
+    np.testing.assert_allclose(outs[1], (f32 * 2).astype(np.float64))
+    assert georef_of(data) == (5.0, 45.0, 0.5, 0.5)
+
+    b8 = (np.arange(29 * 37).reshape(29, 37) % 200).astype(np.uint8)
+    data = encode_tiff([b8], bigtiff=True, compression="jpeg", rows_per_strip=16)
+    (out,) = decode_tiff(data)
+    assert np.abs(out - b8).max() <= 8  # lossy
+
+
+def test_bigtiff_ingest_through_spark(spark, tmp_path):
+    from biggis_landuse_spark.sources.geotiff import ingest_geotiff
+
+    band = np.arange(32 * 32, dtype=np.float32).reshape(32, 32)
+    (tmp_path / "big.tif").write_bytes(
+        encode_tiff([band], bigtiff=True, tile_size=16, compression="deflate")
+    )
+    tiles = ingest_geotiff(spark, str(tmp_path / "big.tif"), layer="big", tile_size=16)
+    got = {
+        (r["tile_col"], r["tile_row"]): r["tile"]["bands"][0]
+        for r in tiles.collect()
+    }
+    assert len(got) == 4
+    for (tc, tr), vals in got.items():
+        want = band[tr * 16 : (tr + 1) * 16, tc * 16 : (tc + 1) * 16]
+        np.testing.assert_array_equal(
+            np.array(vals, dtype=np.float64).reshape(16, 16),
+            want.astype(np.float64),
         )
