@@ -1266,3 +1266,90 @@ def ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n")), 6
         ).alias("intercept_cents"),
     )
+
+
+@register(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000                        AS s,
+             epoch_us(ts) // 1000000 + 1 + (event_id % 300) AS e
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT user_id, island, max(e) - min(s) AS covered
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)     AS n_islands,
+           CAST(sum(covered) AS BIGINT) AS covered_seconds
+    FROM spans GROUP BY user_id
+    """,
+    doc="""Interval-union coverage per user (total seconds covered by
+    overlapping activity intervals, merged): the classic sweep-line —
+    running max-end window detects island starts, a running sum
+    numbers islands, one aggregate per island, one per user. Intervals
+    synthesized deterministically from the event stream (duration =
+    1 + event_id % 300 s). Everything is exact integer seconds — no
+    float anywhere. Scale: windows hash-partition by user (the
+    gaps-and-islands shape longest_event_streak already carries); a
+    pathologically hot user routes through grouped_cumsum
+    (operators/ranking.py) with the same semantics.""",
+    tags=("STREAM", "W"),
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    # integer microsecond floor-division on BOTH engines: DuckDB's
+    # epoch() is fractional DOUBLE seconds and CAST rounds, which
+    # flips interval boundaries by one second vs Spark's truncation
+    sec = F.expr("unix_micros(ts) div 1000000")
+    iv = events.select(
+        "user_id",
+        sec.alias("s"),
+        (sec + 1 + (F.col("event_id") % 300)).alias("e"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    marked = iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+    islands = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull()
+                | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("covered").cast("long").alias("covered_seconds"),
+    )

@@ -1254,3 +1254,68 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@register(
+    "column_entropy",
+    oracle="""
+    WITH m AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS v FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'c_mktsegment', c_mktsegment FROM customer
+    ),
+    cnt AS (SELECT col, v, count(*) AS c FROM m GROUP BY col, v),
+    tot AS (SELECT col, sum(c) AS n FROM cnt GROUP BY col)
+    SELECT cnt.col,
+           CAST(any_value(n) AS BIGINT)            AS n_rows,
+           CAST(count(*) AS BIGINT)                AS n_distinct,
+           round(-sum((c * 1.0 / n) * log2(c * 1.0 / n)), 6) AS entropy_bits
+    FROM cnt JOIN tot ON cnt.col = tot.col
+    GROUP BY cnt.col
+    """,
+    doc="""Column-level Shannon entropy profiling (the data-profiling
+    stat next to table_stats' ndv/min/max): melt categorical columns
+    into (col, value) pairs, one partial-aggregated count shuffle, a
+    group-cardinality-sized total joined back, -sum(p log2 p). The
+    value-count relation is bounded by column cardinality (here
+    statuses × priorities × segments), so the float sum has a handful
+    of terms per column — 6dp rounding has orders of magnitude of
+    margin over libm log2 ULP differences. At 100 TB: one scan per
+    source table, counts partial-aggregate map-side, nothing
+    fact-sized shuffles twice.""",
+    tags=("A2", "PIPELINE"),
+)
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    m = (
+        orders.select(
+            F.lit("o_orderstatus").alias("col"),
+            F.col("o_orderstatus").alias("v"),
+        )
+        .unionByName(
+            orders.select(
+                F.lit("o_orderpriority").alias("col"),
+                F.col("o_orderpriority").alias("v"),
+            )
+        )
+        .unionByName(
+            customer.select(
+                F.lit("c_mktsegment").alias("col"),
+                F.col("c_mktsegment").alias("v"),
+            )
+        )
+    )
+    cnt = m.groupBy("col", "v").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("col").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        cnt.join(F.broadcast(tot), "col")
+        .groupBy("col")
+        .agg(
+            F.any_value("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )
