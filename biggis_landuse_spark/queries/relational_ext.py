@@ -1319,3 +1319,93 @@ def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
         )
     )
+
+
+_KCORE_K = 64  # degree threshold
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    """Unrolled peel rounds (same pattern as the pagerank oracle):
+    round r keeps nodes whose degree among round-(r-1) survivors is
+    >= k; report survivor/edge counts per round."""
+    parts = ["""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    s0 AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)"""]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+    d{r} AS (SELECT u, count(*) AS c FROM s{r-1} GROUP BY u),
+    a{r} AS (SELECT u AS node FROM d{r} WHERE c >= {_KCORE_K}),
+    s{r} AS (
+      SELECT u, v FROM s{r-1}
+      WHERE u IN (SELECT node FROM a{r}) AND v IN (SELECT node FROM a{r})
+    )""")
+    selects = [
+        f"""SELECT {r} AS round,
+           CAST((SELECT count(*) FROM a{r}) AS BIGINT) AS n_nodes,
+           CAST((SELECT count(*) / 2 FROM s{r}) AS BIGINT) AS n_edges"""
+        for r in range(1, _KCORE_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "kcore_peeling",
+    oracle=_kcore_oracle(),
+    doc="""Iterative k-core peeling on the co-purchase graph: each
+    round drops nodes whose degree among current survivors is below
+    k, reporting (round, surviving nodes, surviving edges) for a
+    fixed number of rounds — the degeneracy-ordering shape behind
+    community detection and graph sparsification. Per round: one
+    partial-aggregated degree count + two semi-joins on the edge list
+    — the edge relation is the ONLY thing shuffled, exactly the
+    PageRank contract; rounds are a fixed unrolled count so the
+    oracle replays them as chained CTEs. All counts exact integers.""",
+    tags=("GRAPH", "J"),
+)
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    from biggis_landuse_spark.queries import hold_cache
+
+    sym = hold_cache(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    cur = sym
+    outs = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        alive = deg.where(F.col("c") >= _KCORE_K).select(
+            F.col("u").alias("node")
+        )
+        cur = (
+            cur.join(alive, cur.u == alive.node, "leftsemi")
+            .join(alive, cur.v == alive.node, "leftsemi")
+        )
+        stats = cur.agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges")
+        ).crossJoin(
+            F.broadcast(alive.agg(F.count(F.lit(1)).alias("n_nodes")))
+        )
+        outs.append(
+            stats.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                "n_edges",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
