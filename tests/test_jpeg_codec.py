@@ -240,3 +240,27 @@ def test_ingest_jpeg_compressed_geotiff(spark, tmp_path):
         want = band[tr * 16 : (tr + 1) * 16, tc * 16 : (tc + 1) * 16]
         arr = np.array(vals, dtype=np.float64).reshape(16, 16)
         assert np.abs(arr - want.astype(np.float64)).max() <= 2  # lossy
+
+
+def test_quality_100_is_near_lossless_property():
+    # q=100 collapses the quantization tables to all-ones, leaving only
+    # DCT float rounding: ANY random image round-trips within ±1 gray /
+    # ±2 RGB (color conversion adds one rounding step). Randomized
+    # across sizes including single-pixel and non-multiple-of-8 edges.
+    rng = np.random.RandomState(1234)
+    for _ in range(20):
+        w, h = rng.randint(1, 40), rng.randint(1, 40)
+        img = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        _, _, _, px = decode_jpeg(
+            encode_jpeg(w, h, img.tobytes(), channels=1, quality=100)
+        )
+        out = np.frombuffer(px, np.uint8).reshape(h, w).astype(int)
+        assert np.abs(out - img.astype(int)).max() <= 1, (w, h)
+    for _ in range(10):
+        w, h = rng.randint(1, 24), rng.randint(1, 24)
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        _, _, _, px = decode_jpeg(
+            encode_jpeg(w, h, img.tobytes(), channels=3, quality=100)
+        )
+        out = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
+        assert np.abs(out - img.astype(int)).max() <= 2, (w, h)
