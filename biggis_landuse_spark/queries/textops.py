@@ -1255,6 +1255,7 @@ _PII_ORACLE = f"""
     string, not just the counts. Patterns stay in the common
     Java-regex/RE2 subset (no lookaround, no backrefs).""",
     tags=("TEXT", "PIPELINE"),
+    bench=True,
 )
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
@@ -1327,6 +1328,7 @@ _SPAN_N = 3  # fixture-sized n-gram span (real pipelines use 8-13)
     (production uses 8-13-gram spans — a constant in the same
     expression).""",
     tags=("TEXT", "DEDUP", "PIPELINE"),
+    bench=True,
 )
 def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
