@@ -1332,12 +1332,16 @@ _SPAN_N = 3  # fixture-sized n-gram span (real pipelines use 8-13)
 )
 def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(filter(split(text, ' '), x -> x <> '')) - {_SPAN_N - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(filter(split(text, ' '), x -> x <> ''), i, {_SPAN_N})))"
+    # tokenize ONCE into a projected column — inlining the filter(split())
+    # into the transform lambda re-tokenizes the document per gram
+    tokd = documents.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks")
     )
-    ex = documents.select("doc_id", F.explode(grams).alias("g"))
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {_SPAN_N - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
+    )
+    ex = tokd.select("doc_id", F.explode(grams).alias("g"))
     dfq = ex.groupBy("g").agg(F.count_distinct("doc_id").alias("dfc"))
     joined = ex.join(dfq, "g")
     return joined.groupBy("doc_id").agg(
