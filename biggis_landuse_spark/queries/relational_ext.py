@@ -1363,8 +1363,12 @@ def _kcore_oracle() -> str:
     community detection and graph sparsification. Per round: one
     partial-aggregated degree count + two semi-joins on the edge list
     — the edge relation is the ONLY thing shuffled, exactly the
-    PageRank contract; rounds are a fixed unrolled count so the
-    oracle replays them as chained CTEs. All counts exact integers.""",
+    PageRank contract — and the surviving edge set localCheckpoints
+    so round r+1 starts from materialized blocks instead of
+    re-executing the whole chain (the graph.py pointer-jumping
+    discipline). Driver traffic is two counts per round (metadata,
+    like logreg's model vector). Oracle replays the rounds as chained
+    CTEs. All counts exact integers.""",
     tags=("GRAPH", "J"),
 )
 def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1377,13 +1381,10 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    from biggis_landuse_spark.queries import hold_cache
-
-    sym = hold_cache(
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    )
-    cur = sym
-    outs = []
+    cur = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    rows = []
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
         alive = deg.where(F.col("c") >= _KCORE_K).select(
@@ -1392,20 +1393,11 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = (
             cur.join(alive, cur.u == alive.node, "leftsemi")
             .join(alive, cur.v == alive.node, "leftsemi")
+            .localCheckpoint()
         )
-        stats = cur.agg(
-            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges")
-        ).crossJoin(
-            F.broadcast(alive.agg(F.count(F.lit(1)).alias("n_nodes")))
-        )
-        outs.append(
-            stats.select(
-                F.lit(r).cast("int").alias("round"),
-                F.col("n_nodes").cast("long").alias("n_nodes"),
-                "n_edges",
-            )
-        )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+        n_nodes = alive.count()
+        n_edges = cur.count() // 2
+        rows.append((r, n_nodes, n_edges))
+    return spark.createDataFrame(
+        rows, "round int, n_nodes long, n_edges long"
+    )

@@ -293,7 +293,6 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "chi2_status_priority",  # bounded marginal grids (statuses × priorities) + 1-row N
         "events_resample_dense",  # 1-row global span broadcast for grid synthesis
         "triangle_count",  # 1-row triangle/wedge/edge summaries crossed
-        "kcore_peeling",  # per-round 1-row node/edge summaries crossed
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)
