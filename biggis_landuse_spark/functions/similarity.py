@@ -517,3 +517,73 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_dist")
     )
+
+
+def power_iteration(
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    iters: int = 3,
+) -> tuple[list[float], DataFrame]:
+    """Matrix-free PCA power iteration: returns (direction w as a
+    Python list, 1-row eigenvalue DataFrame with the Rayleigh
+    quotient under w).
+
+    Per round: y = (X-mu)w is a map-side fold against the broadcast
+    direction (no corpus shuffle), z = (X-mu)^T y is one posexplode +
+    partial-aggregated per-dim sum, normalization is a 1-row
+    aggregate. Driver traffic per round is the d-dim direction only.
+    6dp rounds at the z and w sync points make the rounds
+    reproducible across engines and partitionings. Convergence rate
+    is (lambda2/lambda1)^iters — callers on near-isotropic data get
+    the algorithm's fixed-round output, not the dominant eigenvector
+    (see tests/test_pca.py for the planted-gap convergence proof).
+    """
+    v = vectors.select(F.col(vec_col).alias("x"))
+    mu_rows = (
+        v.select(F.posexplode("x").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
+        .collect()
+    )
+    mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: r["dim"])]
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    vc = v.select(F.zip_with("x", mu_arr, lambda a, b: a - b).alias("xc"))
+
+    def y_col(w_list):
+        w_arr = F.array(*[F.lit(float(x)) for x in w_list])
+        return F.aggregate(
+            F.zip_with("xc", w_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+
+    import math
+
+    w = [round(1.0 / math.sqrt(dim), 6)] * dim
+    for _ in range(iters):
+        ydf = vc.select("xc", y_col(w).alias("y"))
+        z = (
+            ydf.select("y", F.posexplode("xc").alias("dim", "val"))
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("y") * F.col("val")), 6).alias("z"))
+        )
+        stats = z.agg(
+            F.round(F.sqrt(F.sum(F.col("z") * F.col("z"))), 6).alias("nrm"),
+            F.min(F.when(F.col("dim") == 0, F.col("z"))).alias("z0"),
+        )
+        wn = z.crossJoin(F.broadcast(stats)).select(
+            "dim",
+            F.round(
+                F.when(F.col("z0") < 0, -F.col("z")).otherwise(F.col("z"))
+                / F.col("nrm"),
+                6,
+            ).alias("w"),
+        )
+        rows = wn.collect()  # model-sized: d floats per round
+        w = [r["w"] for r in sorted(rows, key=lambda r: r["dim"])]
+
+    lam = vc.select(y_col(w).alias("y")).agg(
+        F.round(F.avg(F.col("y") * F.col("y")), 6).alias("eigenvalue")
+    )
+    return w, lam

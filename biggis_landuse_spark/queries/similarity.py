@@ -1035,3 +1035,88 @@ def logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "dim long, weight double").select(
         "dim", F.round("weight", 6).alias("weight")
     )
+
+
+_PCA_ITERS = 3
+_PCA_DIM = 64
+
+
+def _pca_iter_sql(prev_w: str, y: str, z: str, n: str, out_w: str) -> str:
+    """One unrolled power-iteration: y = (X-mu) w (per row), z =
+    (X-mu)^T y (per dim, 6dp sync), then sign-fixed normalization
+    (6dp) — the rounding points make both engines feed the next
+    round bit-identical vectors."""
+    return f"""
+    {y} AS (
+      SELECT v.vec_id, sum((v.vec[w.dim + 1] - mu.m) * w.w) AS y
+      FROM v CROSS JOIN {prev_w} w JOIN mu ON mu.dim = w.dim
+      GROUP BY v.vec_id
+    ),
+    {z} AS (
+      SELECT d.dim, round(sum({y}.y * (v.vec[d.dim + 1] - mu.m)), 6) AS z
+      FROM {y} JOIN v USING (vec_id)
+      CROSS JOIN dims d JOIN mu ON mu.dim = d.dim
+      GROUP BY d.dim
+    ),
+    {n} AS (
+      SELECT round(sqrt(sum(z * z)), 6) AS nrm,
+             (SELECT z FROM {z} WHERE dim = 0) AS z0
+      FROM {z}
+    ),
+    {out_w} AS (
+      SELECT dim,
+             round((CASE WHEN z0 < 0 THEN -z ELSE z END) / nrm, 6) AS w
+      FROM {z} CROSS JOIN {n}
+    )"""
+
+
+@register(
+    "pca_power",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    dims AS (SELECT unnest(range({_PCA_DIM})) AS dim),
+    mu AS (
+      SELECT dim, round(avg(vec[dim + 1]), 6) AS m
+      FROM v CROSS JOIN dims GROUP BY dim
+    ),
+    w0 AS (SELECT dim, 0.125 AS w FROM dims),
+    {",".join(_pca_iter_sql(f"w{i}", f"y{i + 1}", f"z{i + 1}", f"n{i + 1}", f"w{i + 1}") for i in range(_PCA_ITERS))}
+    ,
+    yF AS (
+      SELECT v.vec_id, sum((v.vec[w.dim + 1] - mu.m) * w.w) AS y
+      FROM v CROSS JOIN w{_PCA_ITERS} w JOIN mu ON mu.dim = w.dim
+      GROUP BY v.vec_id
+    ),
+    lam AS (SELECT round(avg(y * y), 6) AS eigenvalue FROM yF)
+    SELECT CAST(w.dim AS INT) AS dim, w.w AS loading, lam.eigenvalue
+    FROM w{_PCA_ITERS} w CROSS JOIN lam
+    """,
+    doc="""Distributed PCA power iteration over the embedding table
+    (fixed 3 unrolled rounds): per round, y = (X-mu)w is a map-side
+    fold against the BROADCAST direction vector (the corpus never
+    shuffles for it), z = (X-mu)^T y is one posexplode +
+    partial-aggregated per-dim sum, and the sign-fixed normalization
+    is a 1-row aggregate — per-iteration driver traffic is the 64-dim
+    direction only (logreg_gd's model-vector contract). 6dp rounds at
+    the z and w sync points keep both engines bit-identical across
+    rounds (kmeans_lloyd's discipline); the eigenvalue is the
+    Rayleigh quotient under the final direction. Convergence to the
+    DOMINANT component requires a spectral gap — the synthetic
+    fixture is near-isotropic, so this query pins the distributed
+    kernel itself, and tests/test_pca.py proves convergence (cos >
+    0.99 vs numpy eigh) on planted anisotropic data through the SAME
+    power_iteration core (functions/similarity.py). The whitening /
+    dimensionality-reduction primitive an embedding pipeline runs
+    before IVF/PQ indexing, as pure DataFrame composition.""",
+    tags=("ML", "ANN"),
+)
+def pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    v = embeddings.select("vec_id", S.as_double("embedding").alias("x"))
+    w, lam = S.power_iteration(v, "x", _PCA_DIM, iters=_PCA_ITERS)
+    loadings = spark.createDataFrame(
+        [(d, float(w[d])) for d in range(_PCA_DIM)], "dim int, loading double"
+    )
+    return loadings.crossJoin(F.broadcast(lam))

@@ -293,6 +293,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "chi2_status_priority",  # bounded marginal grids (statuses × priorities) + 1-row N
         "events_resample_dense",  # 1-row global span broadcast for grid synthesis
         "triangle_count",  # 1-row triangle/wedge/edge summaries crossed
+        "pca_power",  # 1-row Rayleigh-eigenvalue broadcast
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)
