@@ -30,6 +30,7 @@ def main() -> None:
 
     specs = bench_queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in specs.items():
         # per-query warmup absorbs plan compilation + codegen so the
         # timed runs measure steady-state execution, not first-run JIT;
@@ -38,28 +39,35 @@ def main() -> None:
         # iterative query holds (pagerank's edge list) stay warm across
         # its reruns — that IS its steady state — and are released
         # between queries so they never accumulate across the suite.
-        spec.spark(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+        # A failing query is RECORDED, not fatal: one regression must
+        # never cost the whole round's numbers (BENCH_r03 lesson).
+        try:
             spec.spark(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        release_caches()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.spark(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — survive and report
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            release_caches()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
