@@ -124,7 +124,9 @@ def cmd_resample(args) -> int:
     cat = _catalog(spark, args)
     tiles = cat.read_layer(args.layer, args.zoom)
     out = zoom_resample(
-        tiles.withColumn("zoom", F.lit(args.zoom)), dz=args.dz
+        tiles.withColumn("zoom", F.lit(args.zoom)),
+        dz=args.dz,
+        method=args.method,
     )
     cat.write_layer(
         out.select("tile_col", "tile_row", "ts", "tile"),
@@ -445,6 +447,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_pyramid)
 
     sp = sub.add_parser("resample", help="zoom upsample")
+    sp.add_argument(
+        "--method",
+        default="nearest",
+        choices=["nearest", "bilinear", "cubic"],
+        help="resampling kernel (Utils.scala:23 trio)",
+    )
     common(sp)
     sp.add_argument("--layer", required=True)
     sp.add_argument("--zoom", type=int, required=True)
