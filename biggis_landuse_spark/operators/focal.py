@@ -139,7 +139,9 @@ def focal_stats(
     """Run a circular-kernel focal pass; each requested stat becomes one
     band of the output tile (order = ``stats``): 'mean', 'sum',
     'count' (count of data cells under the kernel), 'min', 'max',
-    'range' (max − min), 'median'.
+    'range' (max − min), 'median', 'mode' (majority value, ties to
+    the SMALLEST value — the deterministic majority filter land-use
+    classification post-processing uses; GeoTrellis focalMode).
 
     Reference: focalMean / focalSum over buffered tiles
     (ConvolveLayerExample.scala:62-73, SpatialGetisOrd.scala:31-39);
@@ -162,7 +164,11 @@ def focal_stats(
                 cnt = np.zeros((rows_, cols))
                 vmin = np.full((rows_, cols), np.nan)
                 vmax = np.full((rows_, cols), np.nan)
-                wins = [] if "median" in stats else None
+                wins = (
+                    []
+                    if ("median" in stats or "mode" in stats)
+                    else None
+                )
                 for dx, dy in offsets:
                     win = big[
                         rows_ + dy : 2 * rows_ + dy, cols + dx : 2 * cols + dx
@@ -185,12 +191,31 @@ def focal_stats(
                     if wins is not None:
                         import warnings
 
+                        stacked = np.stack(wins)
                         with warnings.catch_warnings():
                             # all-NaN window → NaN median, silently
                             warnings.simplefilter("ignore", RuntimeWarning)
-                            results["median"] = np.nanmedian(
-                                np.stack(wins), axis=0
-                            )
+                            results["median"] = np.nanmedian(stacked, axis=0)
+                        if "mode" in stats:
+                            # majority with smallest-value tie-break:
+                            # ascending sort (NaN last) + strict-> count
+                            # comparison means the first (smallest) value
+                            # of a tied count wins; NaN==NaN is False so
+                            # NODATA never counts. O(k^2) in the kernel
+                            # size (<= 2 or so dozen cells), vectorized
+                            # over the tile.
+                            s = np.sort(stacked, axis=0)
+                            best_val = np.full(s.shape[1:], np.nan)
+                            best_cnt = np.zeros(s.shape[1:])
+                            for i in range(s.shape[0]):
+                                v = s[i]
+                                c = np.zeros(s.shape[1:])
+                                for j in range(s.shape[0]):
+                                    c += s[j] == v
+                                better = (~np.isnan(v)) & (c > best_cnt)
+                                best_val = np.where(better, v, best_val)
+                                best_cnt = np.where(better, c, best_cnt)
+                            results["mode"] = best_val
                 bands = [_to_nullable_list(results[s]) for s in stats]
                 rows_out.append(
                     {

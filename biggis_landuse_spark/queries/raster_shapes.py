@@ -1677,3 +1677,75 @@ def nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.avg("km"), 6).alias("avg_km"),
     )
+
+
+@register(
+    "focal_mode_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    child AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 5 AS DOUBLE) END AS v
+      FROM k
+    ),
+    gxs AS (SELECT unnest(range(16)) AS gx),
+    gys AS (SELECT unnest(range(16)) AS gy),
+    grid AS (SELECT gx, gy FROM gxs, gys),
+    hood AS (
+      SELECT grid.gx, grid.gy, b.v
+      FROM grid JOIN child b
+        ON abs(grid.gx - b.gx) + abs(grid.gy - b.gy) <= 1
+      WHERE b.v IS NOT NULL
+    ),
+    cnts AS (
+      SELECT gx, gy, v, count(*) AS c FROM hood GROUP BY gx, gy, v
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy, v AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY gx, gy ORDER BY c DESC, v ASC) AS rn
+      FROM cnts
+    ) WHERE rn = 1
+    """,
+    doc="""Focal mode / majority filter (GeoTrellis focalMode — the
+    classification-smoothing pass a land-use pipeline runs after
+    per-pixel classification) through the REAL operator: the same
+    single margin-exchange as the whole focal family, radius-1 cross
+    kernel, majority value with ties to the SMALLEST value and NODATA
+    excluded from voting. Class values are small integers, so both
+    engines vote over exact doubles — no float discipline needed.
+    The oracle replays the election as a per-pixel count + ranked
+    window.""",
+    tags=("W1",),
+)
+def focal_mode_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.focal import focal_stats
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("fmode").alias("layer"),
+        F.lit(1).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 5)
+        .cast("double")
+        .alias("value"),
+    )
+    tiles = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    out = focal_stats(tiles, radius=1, stats=("mode",))
+    px = tiles_to_pixels(out).where(F.col("value").isNotNull())
+    return px.select(
+        (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+        (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+        "value",
+    )

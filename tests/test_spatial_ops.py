@@ -534,3 +534,32 @@ def test_zoom_resample_cubic_matches_numpy(spark):
         assert r["value"] == pytest.approx(expect, rel=1e-12), (gx, gy)
         checked += 1
     assert checked > 30
+
+
+def test_focal_mode_majority_tie_and_nodata(spark):
+    from biggis_landuse_spark.operators.focal import focal_stats
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    # 3x3 tile; cross kernel at center sees {center, up, down, left,
+    # right} = {1, 2, 2, 3, None} -> mode 2; corner (0,0) sees
+    # {3, 2, 1} all distinct -> tie broken to the SMALLEST (1)
+    vals = {
+        (0, 0): 3.0, (1, 0): 2.0, (2, 0): 9.0,
+        (0, 1): 1.0, (1, 1): 1.0, (2, 1): None,
+        (0, 2): 5.0, (1, 2): 2.0, (2, 2): 7.0,
+    }
+    # center cross: (1,1)=1, (1,0)=2, (1,2)=2, (0,1)=1, (2,1)=None
+    # -> counts {1:2, 2:2} tie -> 1
+    pixels = spark.createDataFrame(
+        [("m", 0, 0, 0, 0, x, y, v) for (x, y), v in vals.items()],
+        "layer string, zoom int, tile_col int, tile_row int, band int, "
+        "px int, py int, value double",
+    )
+    tiles = pixels_to_tiles(pixels, cols=3, rows=3, n_bands=1)
+    out = focal_stats(tiles, radius=1, stats=("mode",))
+    got = {(r["px"], r["py"]): r["value"] for r in tiles_to_pixels(out).collect()}
+    assert got[(1, 1)] == 1.0  # tie {1:2, 2:2} -> smallest
+    assert got[(0, 0)] == 1.0  # all-distinct cross {3,2,1} -> smallest
+    # NODATA center still votes its neighbors: cross of (2,1) sees
+    # {up 9, down 7, left 1}, all distinct -> smallest wins
+    assert got[(2, 1)] == 1.0
