@@ -153,3 +153,29 @@ def tile_min(tile: Column) -> Column:
 
 def tile_max(tile: Column) -> Column:
     return F.array_max(_band0(tile))
+
+
+def reclassify(
+    tile: Column,
+    breaks: list[tuple[float, float, float]],
+    default: float | None = None,
+) -> Column:
+    """Class recode (the land-use reclassification step; GeoTrellis
+    localMap / ColorMap-style interval classification as a P4 scalar
+    map): each ``(lo, hi, cls)`` maps cells with ``lo <= v < hi`` to
+    ``cls``; unmatched cells become ``default`` (None = NODATA).
+    First matching interval wins. Pure CASE-WHEN chain — whole-stage
+    codegen, no Python."""
+
+    def fn(v: Column) -> Column:
+        out = F.lit(default).cast("double") if default is not None else F.lit(
+            None
+        ).cast("double")
+        for lo, hi, cls in reversed(breaks):
+            out = F.when(
+                (v >= F.lit(float(lo))) & (v < F.lit(float(hi))),
+                F.lit(float(cls)),
+            ).otherwise(out)
+        return F.when(v.isNull(), F.lit(None).cast("double")).otherwise(out)
+
+    return map_pixels(tile, fn, cell_type="float64")

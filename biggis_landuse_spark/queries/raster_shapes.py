@@ -1749,3 +1749,135 @@ def focal_mode_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
         "value",
     )
+
+
+# land-use class breaks: raw code v in [lo, hi) → class
+_LU_BREAKS = [(0, 33, 1), (33, 66, 2), (66, 97, 3)]
+
+
+@register(
+    "zonal_class_areas",
+    oracle=f"""
+    WITH vals AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CAST((p_partkey * 31) % 97 AS DOUBLE) AS v
+      FROM part WHERE p_partkey < 576
+    ),
+    classed AS (
+      SELECT gx, gy,
+             CASE {" ".join(f"WHEN v >= {lo} AND v < {hi} THEN {cls}.0" for lo, hi, cls in _LU_BREAKS)}
+             END AS cls
+      FROM vals
+    ),
+    zones AS (
+      SELECT n_nationkey AS zone_id,
+             (n_nationkey * 5) % 15 + 0.25 AS x1,
+             (n_nationkey * 3) % 13 + 0.25 AS y1,
+             (n_nationkey * 5) % 15 + 0.25 + 1 + (n_nationkey % 6) AS x2,
+             (n_nationkey * 3) % 13 + 0.25 + 1 + (n_nationkey % 5) AS y2
+      FROM nation
+    ),
+    burn AS (
+      SELECT classed.gx, classed.gy, max(zones.zone_id) AS zone_id
+      FROM classed JOIN zones
+        ON classed.gx + 0.5 > x1 AND classed.gx + 0.5 < x2
+       AND classed.gy + 0.5 > y1 AND classed.gy + 0.5 < y2
+      GROUP BY 1, 2
+    ),
+    counted AS (
+      SELECT zone_id, cls, count(*) AS n
+      FROM burn JOIN classed USING (gx, gy)
+      GROUP BY zone_id, cls
+    )
+    SELECT zone_id, CAST(cls AS INT) AS class,
+           CAST(n AS BIGINT) AS n_pixels,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY zone_id), 6)
+             AS zone_share
+    FROM counted
+    """,
+    doc="""Per-zone land-use class areas — THE reference use case
+    (classified raster × administrative polygons → area accounting):
+    raw values reclassify to land-use classes through the REAL
+    operators.local.reclassify CASE chain (P4, zero-UDF), polygon
+    zones burn through the REAL rasterizer, the zone raster equi-joins
+    the class raster on pixel coordinates (co-partitioned at scale —
+    never a pixel×polygon inequality join), and (zone, class) counts
+    partial-aggregate with a per-zone share window over the
+    class-cardinality-bounded result. Counts are exact integers;
+    shares are ratios of integers rounded 6dp.""",
+    tags=("SPATIAL", "A5", "P4"),
+)
+def zonal_class_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from biggis_landuse_spark.operators.local import reclassify
+    from biggis_landuse_spark.operators.rasterize import (
+        GridLayout,
+        rasterize_features,
+    )
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    part, nation = load_tables(spark, sf_dir, "part", "nation")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 576).select(
+        F.lit("lu").alias("layer"),
+        F.lit(0).alias("zoom"),
+        (k % 24 / 8).cast("int").alias("tile_col"),
+        (k / 24 / 8).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        (k % 24 % 8).cast("int").alias("px"),
+        ((k / 24).cast("int") % 8).cast("int").alias("py"),
+        ((k * 31) % 97).cast("double").alias("value"),
+    )
+    raw = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    classed_tiles = raw.withColumn(
+        "tile", reclassify(F.col("tile"), _LU_BREAKS)
+    )
+    # NODATA cells (absent pixels pad to NULL through the tile round
+    # trip) carry no land-use class — they must not join into the
+    # area accounting (the oracle's vals relation likewise only
+    # contains existing pixels)
+    cpix = (
+        tiles_to_pixels(classed_tiles)
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+            (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+            F.col("value").alias("cls"),
+        )
+    )
+    n = F.col("n_nationkey")
+    x1 = (n * 5) % 15 + 0.25
+    y1 = (n * 3) % 13 + 0.25
+    x2 = x1 + 1 + (n % 6)
+    y2 = y1 + 1 + (n % 5)
+    feats = nation.select(
+        n.alias("feature_id"),
+        F.format_string(
+            "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+            x1, y1, x2, y1, x2, y2, x1, y2, x1, y1,
+        ).alias("geom"),
+        n.cast("double").alias("value"),
+    )
+    ztiles = rasterize_features(feats, GridLayout(tile_size=8))
+    zpix = (
+        tiles_to_pixels(ztiles)
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+            (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+            F.col("value").cast("long").alias("zone_id"),
+        )
+    )
+    counted = (
+        zpix.join(cpix, ["gx", "gy"])
+        .groupBy("zone_id", "cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W2.partitionBy("zone_id")
+    return counted.select(
+        "zone_id",
+        F.col("cls").cast("int").alias("class"),
+        F.col("n").cast("long").alias("n_pixels"),
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("zone_share"),
+    )
