@@ -275,3 +275,32 @@ def test_spacetime_layer_time_range_read(spark, tmp_path, red):
     # against the time-major sort order)
     plan = day2._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
+
+
+def test_reclassify_breaks_default_and_nodata(spark):
+    from biggis_landuse_spark.operators.local import reclassify
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+    from pyspark.sql import functions as F
+
+    vals = {(0, 0): 5.0, (1, 0): 33.0, (2, 0): 96.9, (3, 0): 99.0,
+            (0, 1): None, (1, 1): 0.0, (2, 1): 32.999, (3, 1): 66.0}
+    pixels = spark.createDataFrame(
+        [("rc", 0, 0, 0, 0, x, y, v) for (x, y), v in vals.items()],
+        "layer string, zoom int, tile_col int, tile_row int, band int, "
+        "px int, py int, value double",
+    )
+    tiles = pixels_to_tiles(pixels, cols=4, rows=2, n_bands=1)
+    out = tiles.withColumn(
+        "tile",
+        reclassify(F.col("tile"), [(0, 33, 1), (33, 66, 2), (66, 97, 3)],
+                   default=9.0),
+    )
+    got = {(r["px"], r["py"]): r["value"] for r in tiles_to_pixels(out).collect()}
+    assert got[(0, 0)] == 1.0      # in [0, 33)
+    assert got[(1, 0)] == 2.0      # lower bound inclusive
+    assert got[(2, 0)] == 3.0      # in [66, 97)
+    assert got[(3, 0)] == 9.0      # 99 unmatched -> default
+    assert got[(0, 1)] is None     # NODATA passes through, never default
+    assert got[(1, 1)] == 1.0
+    assert got[(2, 1)] == 1.0      # upper bound exclusive
+    assert got[(3, 1)] == 3.0
