@@ -508,3 +508,53 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(stages).alias("x")).select(
         "x.stage", "x.filter_name", "x.n_surviving"
     )
+
+
+@register(
+    "temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM counts
+    ),
+    tot AS (SELECT sum(w) AS tw, sum(n) AS tn FROM weighted)
+    SELECT source, n AS n_docs,
+           round(w / tw, 6)                          AS mix_weight,
+           round((w / tw) / (n * 1.0 / tn), 6)       AS upsample_factor,
+           CAST(round(w / tw * 100000) AS BIGINT)    AS samples_per_100k
+    FROM weighted CROSS JOIN tot
+    """,
+    doc="""Temperature-based domain mixing (the alpha=0.5 sampling rule
+    multilingual/multi-domain training mixes use — weight each source
+    by n^alpha instead of n so small domains are upsampled): one
+    partial-aggregated count per source, a 1-row total broadcast, and
+    the per-source weight/upsample-factor/sample-budget arithmetic.
+    sqrt rounds at 6dp before normalization (the sync point), ratios
+    round at 6dp, and the 100k-sample budget allocation is an exact
+    integer on both engines. Complements domain_mix_cap (hard caps)
+    with the soft-mixing rule.""",
+    tags=("PIPELINE", "TEXT"),
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    counts = documents.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    weighted = counts.select(
+        "source", "n", F.round(F.sqrt(F.col("n").cast("double")), 6).alias("w")
+    )
+    tot = weighted.agg(
+        F.sum("w").alias("tw"), F.sum("n").alias("tn")
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("w") / F.col("tw"), 6).alias("mix_weight"),
+        F.round(
+            (F.col("w") / F.col("tw")) / (F.col("n") / F.col("tn")), 6
+        ).alias("upsample_factor"),
+        F.round(F.col("w") / F.col("tw") * 100000)
+        .cast("long")
+        .alias("samples_per_100k"),
+    )

@@ -264,3 +264,16 @@ def test_quality_100_is_near_lossless_property():
         )
         out = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(int)
         assert np.abs(out - img.astype(int)).max() <= 2, (w, h)
+
+
+def test_jpeg_rejects_garbage_quickly():
+    # random bytes (with and without a forged SOI) must raise, never
+    # hang or return junk — the same matrix the other codecs pass
+    import random
+
+    random.seed(7)
+    for n in (0, 1, 13, 54, 200, 4096):
+        for prefix in (b"", b"\xff\xd8"):
+            blob = prefix + bytes(random.randrange(256) for _ in range(n))
+            with pytest.raises(Exception):
+                decode_jpeg(blob)

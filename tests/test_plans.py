@@ -294,6 +294,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "events_resample_dense",  # 1-row global span broadcast for grid synthesis
         "triangle_count",  # 1-row triangle/wedge/edge summaries crossed
         "pca_power",  # 1-row Rayleigh-eigenvalue broadcast
+        "temperature_mix",  # 1-row mixing-total broadcast
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)
