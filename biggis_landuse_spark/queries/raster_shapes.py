@@ -1881,3 +1881,112 @@ def zonal_class_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pixels"),
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("zone_share"),
     )
+
+
+_COMPOSITE_TS = 3  # scene timestamps in the synthetic stack
+
+
+@register(
+    "ndvi_composite_tile",
+    oracle=f"""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    t AS (SELECT unnest(range({_COMPOSITE_TS})) AS t),
+    px AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             t.t,
+             CAST((k * 7 + t.t * 17) % 101 AS DOUBLE) AS nir,
+             CAST((k * 11 + t.t * 23) % 97 AS DOUBLE) AS red,
+             CAST((k * 13 + t.t * 29) % 65536 AS BIGINT) AS qa
+      FROM k CROSS JOIN t
+    ),
+    scored AS (
+      SELECT gx, gy, t,
+             round((nir - red) / (nir + red), 6) AS ndvi
+      FROM px
+      WHERE (qa & 32768) = 0 AND (qa & 8192) = 0 AND nir + red <> 0
+    )
+    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+           max(ndvi) AS max_ndvi,
+           CAST(min(CASE WHEN ndvi = mx THEN t END) AS INT) AS best_t,
+           CAST(count(*) AS BIGINT) AS n_clear
+    FROM (SELECT *, max(ndvi) OVER (PARTITION BY gx, gy) AS mx FROM scored)
+    GROUP BY gx, gy
+    """,
+    doc="""Max-NDVI compositing over a space-time stack — the Landsat
+    time-series staple (pick each pixel's greenest cloud-free
+    observation across scene dates; the reference's SpaceTimeKey
+    layers exist exactly for stacks like this). Three timestamped
+    NIR/Red/QA scenes run the REAL per-scene pipeline (tile joins,
+    QA bit masking, zip_with NDVI with NODATA), then the composite is
+    one partial-aggregated (cell) max with a deterministic
+    earliest-date tie-break (max_by over (ndvi, -t)) and a clear-
+    observation count. At 100 TB the per-scene work is scan-local and
+    the composite shuffles once on the cell key — scenes never
+    pairwise join. NDVI is a scalar ratio rounded 6dp BEFORE the max,
+    so the comparison key is identical on both engines.""",
+    tags=("P1", "P2", "J2", "A8"),
+)
+def ndvi_composite_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.local import mask_bits, ndvi
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def layer(name: str, t: int, value: F.Column):
+        px = part.where(k < 256).select(
+            F.lit(name).alias("layer"),
+            F.lit(0).alias("zoom"),
+            ((k / 64).cast("int") % 2).alias("tile_col"),
+            (k / 128).cast("int").alias("tile_row"),
+            F.lit(0).alias("band"),
+            ((k % 64) % 8).cast("int").alias("px"),
+            ((k % 64) / 8).cast("int").alias("py"),
+            value.cast("double").alias("value"),
+        )
+        return pixels_to_tiles(px, cols=8, rows=8, n_bands=1).select(
+            "tile_col", "tile_row", F.col("tile").alias(name)
+        )
+
+    per_scene = []
+    for t in range(_COMPOSITE_TS):
+        nir = layer("nir", t, (k * 7 + t * 17) % 101)
+        red = layer("red", t, (k * 11 + t * 23) % 97)
+        qa = layer("qa", t, (k * 13 + t * 29) % 65536)
+        joined = nir.join(red, ["tile_col", "tile_row"]).join(
+            qa, ["tile_col", "tile_row"]
+        )
+        scene = joined.select(
+            F.lit("ndvi").alias("layer"),
+            F.lit(0).alias("zoom"),
+            "tile_col",
+            "tile_row",
+            F.lit(None).cast("timestamp").alias("ts"),
+            ndvi(
+                mask_bits(F.col("nir"), F.col("qa"), 0x8000 | 0x2000),
+                mask_bits(F.col("red"), F.col("qa"), 0x8000 | 0x2000),
+            ).alias("tile"),
+        )
+        per_scene.append(
+            tiles_to_pixels(scene)
+            .where(F.col("value").isNotNull())
+            .select(
+                (F.col("tile_col") * 8 + F.col("px")).cast("int").alias("gx"),
+                (F.col("tile_row") * 8 + F.col("py")).cast("int").alias("gy"),
+                F.lit(t).cast("int").alias("t"),
+                F.round("value", 6).alias("ndvi"),
+            )
+        )
+    stack = per_scene[0]
+    for s in per_scene[1:]:
+        stack = stack.unionByName(s)
+    return stack.groupBy("gx", "gy").agg(
+        F.max("ndvi").alias("max_ndvi"),
+        F.max_by("t", F.struct(F.col("ndvi"), -F.col("t")))
+        .cast("int")
+        .alias("best_t"),
+        F.count(F.lit(1)).alias("n_clear"),
+    )
