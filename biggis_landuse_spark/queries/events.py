@@ -1353,3 +1353,61 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum("covered").cast("long").alias("covered_seconds"),
     )
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(avg(abs(a.cents - b.cents)) / 100.0, 6) AS mae,
+           round(avg(a.cents - b.cents) / 100.0, 6)      AS bias
+    FROM hourly a JOIN hourly b
+      ON a.event_type = b.event_type AND a.h = b.h + 24
+    GROUP BY a.event_type
+    """,
+    doc="""Seasonal-naive forecast backtest: predict each hour's total
+    value with the same hour one day earlier and report MAE/bias per
+    event_type — the baseline every forecasting pipeline must beat,
+    and the cheapest possible backtest plan: one partial-aggregated
+    hourly rollup (fact table touched once), a self-equi-join on the
+    shifted hour key over the |hours × types| relation (tiny), and a
+    per-type aggregate. Hourly sums are EXACT integer cents, so the
+    error aggregates are ratios of exact integers — 6dp rounding is
+    deterministic on both engines (SCALING.md exact-integer rule).""",
+    tags=("STREAM", "A2", "ML"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = hourly.select(
+        "event_type", "h", F.col("cents").alias("actual")
+    )
+    b = hourly.select(
+        "event_type",
+        (F.col("h") + 24).alias("h"),
+        F.col("cents").alias("pred"),
+    )
+    joined = a.join(b, ["event_type", "h"])
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.round(
+            F.avg(F.abs(F.col("actual") - F.col("pred"))) / 100.0, 6
+        ).alias("mae"),
+        F.round(F.avg(F.col("actual") - F.col("pred")) / 100.0, 6).alias(
+            "bias"
+        ),
+    )
