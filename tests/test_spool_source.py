@@ -251,3 +251,68 @@ def test_stream_commit_marker_makes_replay_noop(spool_dir):
         assert f.read() == "m0\n"
     # and no staged garbage left behind
     assert os.listdir(os.path.join(spool_dir, ".staging")) == []
+
+
+def test_spool_to_spool_windowed_round_trip(spark, spool_dir, tmp_path):
+    # the FULL Kafka-analog pipeline: spool source → watermarked
+    # tumbling-window aggregate (append mode: windows emit when the
+    # watermark passes) → spool SINK, then read the sink back and
+    # check the emitted window rows — source offsets, stateful agg,
+    # and idempotent sink in one graph
+    from pyspark.sql import functions as F
+
+    _register(spark)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    # two closed 5-min windows plus a late tail that advances the
+    # watermark far enough to flush them
+    msgs = (
+        [f"2024-01-01 00:0{m}:00;a;{m}.0" for m in range(5)]
+        + [f"2024-01-01 00:0{m}:00;b;1.0" for m in (5, 6, 7)]
+        + ["2024-01-01 01:00:00;tail;0.0"]
+    )
+    append_messages(src, 0, msgs)
+
+    stream = spark.readStream.format("spool").option("path", src).load()
+    p = F.split("value", ";")
+    parsed = stream.select(
+        p[0].cast("timestamp").alias("ts"),
+        p[1].alias("etype"),
+        p[2].cast("double").alias("v"),
+    ).withWatermark("ts", "10 minutes")
+    windowed = (
+        parsed.groupBy(F.window("ts", "5 minutes").alias("w"), "etype")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("sv"))
+        .select(
+            F.concat_ws(
+                ";",
+                F.unix_timestamp("w.start").cast("string"),
+                "etype",
+                F.col("n").cast("string"),
+                F.col("sv").cast("string"),
+            ).alias("value")
+        )
+    )
+    q = (
+        windowed.writeStream.outputMode("append")
+        .format("spool")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a second empty pass advances nothing; emitted rows must not dup
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        r["value"]
+        for r in spark.read.format("spool").option("path", out).load().collect()
+    )
+    ws0 = str(int(__import__("datetime").datetime(2024, 1, 1, 0, 0).timestamp()))
+    ws1 = str(int(__import__("datetime").datetime(2024, 1, 1, 0, 5).timestamp()))
+    assert f"{ws0};a;5;10.0" in rows
+    assert f"{ws1};b;3;3.0" in rows
+    # only the two closed windows emitted (tail window still open)
+    assert len(rows) == 2
