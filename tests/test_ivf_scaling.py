@@ -79,3 +79,28 @@ def test_subsplit_pair_volume_linear_even_with_strided_ids(spark):
             F.sum(F.col("count") * F.col("count")).alias("pv")
         ).collect()[0]["pv"]
         assert pair_volume <= 2 * n * CAP
+
+
+def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
+    # a refactor that drops `sub` from the pair-join key silently
+    # reverts to unbounded per-cell quadratic blocks — pin the key
+    import io
+    from contextlib import redirect_stdout
+
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    for name in ("semantic_dedup", "knn_graph"):
+        df = REGISTRY[name].spark(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain(True)
+        plan = buf.getvalue()
+        join_lines = [
+            ln for ln in plan.splitlines()
+            if "Join" in ln and "cid" in ln
+        ]
+        assert any("sub" in ln for ln in join_lines), (
+            f"{name}: no join condition carries the sub-split key\n"
+            + "\n".join(join_lines)
+        )
