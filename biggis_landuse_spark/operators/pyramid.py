@@ -34,14 +34,19 @@ _TILE_OUT_SCHEMA = (
 )
 
 
-def pyramid_up(tiles: DataFrame) -> DataFrame:
+def pyramid_up(tiles: DataFrame, method: str = "mean") -> DataFrame:
     """One pyramid level: (zoom) → (zoom-1), 4 child tiles → 1 parent.
 
     Child (c, r) sits in parent (c div 2, r div 2) at quadrant
     (c mod 2, r mod 2) — the inverse of the zoom-resample child
-    arithmetic (ZoomResampleTEST.scala:29-36). Downsample = NaN-aware
-    2×2 block mean.
+    arithmetic (ZoomResampleTEST.scala:29-36). Downsample methods:
+    ``"mean"`` (NaN-aware 2×2 block mean — continuous rasters) or
+    ``"mode"`` (2×2 block majority, ties to the SMALLEST value,
+    NODATA excluded — the correct reduction for CLASSIFIED rasters,
+    where averaging class codes is meaningless).
     """
+    if method not in ("mean", "mode"):
+        raise ValueError(f"unknown pyramid method {method!r}: mean | mode")
     from biggis_landuse_spark.shipping import ensure_package_shipped
 
     ensure_package_shipped(tiles.sparkSession)
@@ -96,10 +101,30 @@ def pyramid_up(tiles: DataFrame) -> DataFrame:
                             qx * cols : (qx + 1) * cols,
                         ] = arr
                     blocks = big.reshape(rows_, 2, cols, 2)
-                    with np.errstate(invalid="ignore"):
-                        cnt = (~np.isnan(blocks)).sum(axis=(1, 3))
-                        s = np.nansum(blocks, axis=(1, 3))
-                        parent = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+                    if method == "mode":
+                        # per-block majority, smallest value wins ties,
+                        # NaN never votes (same election as focal mode)
+                        cand = blocks.transpose(0, 2, 1, 3).reshape(
+                            rows_, cols, 4
+                        )
+                        srt = np.sort(cand, axis=2)  # NaN sorts last
+                        parent = np.full((rows_, cols), np.nan)
+                        best_cnt = np.zeros((rows_, cols))
+                        for i in range(4):
+                            v = srt[:, :, i]
+                            cnt_i = np.zeros((rows_, cols))
+                            for j in range(4):
+                                cnt_i += srt[:, :, j] == v
+                            better = (~np.isnan(v)) & (cnt_i > best_cnt)
+                            parent = np.where(better, v, parent)
+                            best_cnt = np.where(better, cnt_i, best_cnt)
+                    else:
+                        with np.errstate(invalid="ignore"):
+                            cnt = (~np.isnan(blocks)).sum(axis=(1, 3))
+                            s = np.nansum(blocks, axis=(1, 3))
+                            parent = np.where(
+                                cnt > 0, s / np.maximum(cnt, 1), np.nan
+                            )
                     bands_out.append(_to_nullable_list(parent))
                 out.append(
                     {

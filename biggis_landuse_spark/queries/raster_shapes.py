@@ -1990,3 +1990,63 @@ def ndvi_composite_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("best_t"),
         F.count(F.lit(1)).alias("n_clear"),
     )
+
+
+@register(
+    "pyramid_mode_tile",
+    oracle="""
+    WITH k AS (
+      SELECT p_partkey AS k FROM part WHERE p_partkey < 256
+    ),
+    child AS (
+      SELECT ((k // 64) % 2) * 8 + (k % 64) % 8 AS gx,
+             (k // 128) * 8 + (k % 64) // 8     AS gy,
+             CASE WHEN k % 17 = 0 THEN NULL
+                  ELSE CAST((k * 7) % 5 AS DOUBLE) END AS v
+      FROM k
+    ),
+    votes AS (
+      SELECT CAST(gx // 2 AS INT) AS px, CAST(gy // 2 AS INT) AS py,
+             v, count(*) AS c
+      FROM child WHERE v IS NOT NULL
+      GROUP BY 1, 2, v
+    )
+    SELECT px, py, v AS value
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY px, py ORDER BY c DESC, v ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+    doc="""Categorical pyramid level (A8 for CLASSIFIED rasters —
+    GeoTrellis Pyramid with the Mode resample method): 2×2 child
+    blocks reduce to the parent by majority vote (ties to the
+    smallest class, NODATA never votes) instead of the mean, which is
+    meaningless over class codes. Same one-shuffle-per-level plan as
+    the mean pyramid; the oracle replays the election as a grouped
+    count + ranked window over global child coordinates.""",
+    tags=("A8", "P4"),
+)
+def pyramid_mode_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.pyramid import pyramid_up
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 256).select(
+        F.lit("pmode").alias("layer"),
+        F.lit(1).alias("zoom"),
+        ((k / 64).cast("int") % 2).alias("tile_col"),
+        (k / 128).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((k % 64) % 8).cast("int").alias("px"),
+        ((k % 64) / 8).cast("int").alias("py"),
+        F.when(k % 17 == 0, F.lit(None))
+        .otherwise((k * 7) % 5)
+        .cast("double")
+        .alias("value"),
+    )
+    children = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    parent = pyramid_up(children, method="mode")
+    out = tiles_to_pixels(parent).where(F.col("value").isNotNull())
+    return out.select("px", "py", "value")
