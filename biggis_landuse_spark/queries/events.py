@@ -1411,3 +1411,51 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bias"
         ),
     )
+
+
+_SEQ_LEN = 20
+
+
+@register(
+    "user_event_sequences",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS seq_len,
+           string_agg(event_type, '>' ORDER BY rn) AS seq
+    FROM ranked WHERE rn <= {_SEQ_LEN}
+    GROUP BY user_id
+    """,
+    doc="""Per-user behavioral sequences (the feature a sequence/
+    recommendation model trains on): each user's first {n} events in
+    deterministic (ts, event_id) order joined into one string. Scale
+    contract: the ranking window TRUNCATES to {n} BEFORE the
+    collect, so per-user aggregation state is bounded by the sequence
+    cap — a hot user never accumulates an unbounded list (the
+    difference between this and a naive collect_list-then-slice). One
+    user-keyed window pass + one bounded aggregate.""",
+    tags=("STREAM", "PIPELINE", "ML"),
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= _SEQ_LEN)
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("seq_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("seq"),
+    )
