@@ -1459,3 +1459,116 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ">",
         ).alias("seq"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, s1.t1, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id, s1.t1
+    ),
+    s3 AS (
+      SELECT e.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id, s2.t1, s2.t2
+    ),
+    deltas AS (
+      SELECT 'view_to_click' AS hop,
+             (epoch_us(t2) - epoch_us(t1)) // 1000000 AS secs
+      FROM s2
+      UNION ALL
+      SELECT 'click_to_purchase',
+             (epoch_us(t3) - epoch_us(t2)) // 1000000
+      FROM s3
+    ),
+    ranked AS (
+      SELECT hop, secs,
+             row_number() OVER (PARTITION BY hop ORDER BY secs) AS rn,
+             count(*) OVER (PARTITION BY hop) AS n
+      FROM deltas
+    )
+    SELECT hop,
+           CAST(max(n) AS BIGINT) AS n_users,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN secs END) AS BIGINT) AS p50_secs,
+           CAST(min(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN secs END) AS BIGINT) AS p90_secs,
+           CAST(max(secs) AS BIGINT) AS max_secs
+    FROM ranked GROUP BY hop
+    """,
+    doc="""Funnel latency: per-hop time-to-convert percentiles (p50 /
+    p90 / max of the view→click and click→purchase deltas in exact
+    integer seconds). Same user-co-partitioned stage aggregates as
+    funnel_stages, then two tiny per-hop percentile selections — the
+    deltas relation is converted-user-sized, far below the fact
+    table. Percentiles are EXPLICIT rank-at-ceil(q*n) selections
+    (engine builtins disagree at even counts: Spark percentile_disc
+    vs DuckDB quantile_disc pick different elements), so both engines
+    select the identical exact-integer element.""",
+    tags=("STREAM", "A2", "W"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    s1 = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.join(s1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.join(s2, "user_id")
+        .where(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("ts").alias("t3"))
+    )
+    d1 = s2.select(
+        F.lit("view_to_click").alias("hop"),
+        F.expr("(unix_micros(t2) - unix_micros(t1)) div 1000000").alias(
+            "secs"
+        ),
+    )
+    d2 = s3.select(
+        F.lit("click_to_purchase").alias("hop"),
+        F.expr("(unix_micros(t3) - unix_micros(t2)) div 1000000").alias(
+            "secs"
+        ),
+    )
+    deltas = d1.unionByName(d2)
+    w_rank = W.partitionBy("hop").orderBy("secs")
+    w_all = W.partitionBy("hop")
+    ranked = deltas.select(
+        "hop",
+        "secs",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+
+    def at_q(q: float):
+        return F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("secs"),
+            )
+        ).cast("long")
+
+    return ranked.groupBy("hop").agg(
+        F.max("n").cast("long").alias("n_users"),
+        at_q(0.5).alias("p50_secs"),
+        at_q(0.9).alias("p90_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )
