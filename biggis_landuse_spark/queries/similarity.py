@@ -1120,3 +1120,68 @@ def pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, float(w[d])) for d in range(_PCA_DIM)], "dim int, loading double"
     )
     return loadings.crossJoin(F.broadcast(lam))
+
+
+@register(
+    "embedding_drift",
+    oracle="""
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half,
+             unnest(range(len(embedding))) AS i,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, half, i, round(sum(v) / count(*), 6) AS c,
+             count(*) AS n
+      FROM halves GROUP BY label, half, i
+    ),
+    paired AS (
+      SELECT a.label, a.i, a.c AS c_old, b.c AS c_new,
+             a.n AS n_old, b.n AS n_new
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.i = b.i
+       AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           CAST(any_value(n_old) AS BIGINT) AS n_old,
+           CAST(any_value(n_new) AS BIGINT) AS n_new,
+           round(sqrt(sum((c_old - c_new) * (c_old - c_new))), 6)
+             AS centroid_shift
+    FROM paired GROUP BY label
+    """,
+    doc="""Embedding drift monitoring: per-label centroid shift between
+    two corpus snapshots (even/odd vec_id halves stand in for
+    yesterday/today) — the distribution-shift alarm a training-data
+    pipeline runs before reusing an ANN index or a trained quantizer
+    on fresh embeddings. One posexplode + (label, half, dim)
+    partial-aggregated mean (6dp sync point like embedding_centroids),
+    then an L2 over the label×dim-sized centroid relation — nothing
+    corpus-sized moves twice. The 64-term sqrt rounds at 6dp with
+    orders of magnitude of margin over summation-order ULPs.""",
+    tags=("ML", "ANN", "PIPELINE"),
+)
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    halves = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(S.as_double("embedding")).alias("i", "v"),
+    )
+    cent = halves.groupBy("label", "half", "i").agg(
+        F.round(F.sum("v") / F.count(F.lit(1)), 6).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = cent.where(F.col("half") == 0).select(
+        "label", "i", F.col("c").alias("c_old"), F.col("n").alias("n_old")
+    )
+    b = cent.where(F.col("half") == 1).select(
+        "label", "i", F.col("c").alias("c_new"), F.col("n").alias("n_new")
+    )
+    paired = a.join(b, ["label", "i"])
+    d = F.col("c_old") - F.col("c_new")
+    return paired.groupBy("label").agg(
+        F.any_value("n_old").cast("long").alias("n_old"),
+        F.any_value("n_new").cast("long").alias("n_new"),
+        F.round(F.sqrt(F.sum(d * d)), 6).alias("centroid_shift"),
+    )
