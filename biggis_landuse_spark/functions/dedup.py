@@ -107,9 +107,9 @@ def pairs_within_groups(keyed: DataFrame, id_col: str) -> DataFrame:
     groupBy + collect_list + in-group pair explosion instead of a
     self-join: the upstream pipeline (shingling/hashing/bucketing) is
     evaluated ONCE, not once per join side, and the single shuffle is
-    on the group key. Group fan-out is quadratic in group size — the
-    LSH design keeps groups small by construction; callers cap hot
-    groups upstream if the key can be skewed.
+    on the group key. Group fan-out is quadratic in group size — on a
+    skewable key, cap hot groups first (see subsplit_band_groups /
+    similarity.subsplit_cells); lsh_band_pairs does this itself.
     """
     key_cols = [c for c in keyed.columns if c != id_col]
     grouped = (
@@ -143,15 +143,60 @@ def banded_signatures(signatures: DataFrame, id_col: str) -> DataFrame:
     ).select("band.band_id", "band.sig", id_col)
 
 
-def lsh_band_pairs(signatures: DataFrame, id_col: str) -> DataFrame:
+BAND_GROUP_CAP = 64  # hard per-(band, signature) pair-block cap
+
+
+def subsplit_band_groups(
+    banded: DataFrame, id_col: str, cap: int = BAND_GROUP_CAP
+) -> DataFrame:
+    """Hard band-group size guard: split any (band_id, sig) group whose
+    population exceeds ``cap`` into ``ceil(pop/cap)`` deterministic
+    md5-mixed sub-buckets, so the in-group pair explosion does at most
+    ~cap²-ish work per block — total pair volume <= n·N_BANDS·cap,
+    linear in the corpus even when a boilerplate-heavy corpus puts
+    millions of docs behind ONE band signature.
+
+    Same discipline as similarity.subsplit_cells, but the population
+    comes from a window count instead of a broadcast-joined aggregate:
+    the distinct-signature relation is ~n·N_BANDS rows (nothing like
+    the sqrt-n IVF centroid table), so broadcasting it would be the
+    scale bug. The window shuffles on (band_id, sig) — the SAME key
+    the downstream pairs_within_groups groups by (plus ``sub``), so
+    Catalyst reuses the exchange: still one corpus shuffle total.
+    WindowExec buffers each group through a spillable row array, so a
+    monster group costs disk, not executor OOM. Deterministic recall
+    tradeoff (documented): pairs straddling sub-buckets of an
+    oversized group are not compared — the bounded-block contract the
+    resolution path (lsh_dropped_ids) never needs because its fan-out
+    is already linear.
+    """
+    from pyspark.sql import Window as W
+
+    pop = F.count(F.lit(1)).over(W.partitionBy("band_id", "sig"))
+    nsub = F.ceil(pop / F.lit(float(cap))).cast("long")
+    mix = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return banded.withColumn("sub", F.pmod(mix, nsub).cast("long"))
+
+
+def lsh_band_pairs(
+    signatures: DataFrame, id_col: str, group_cap: int = BAND_GROUP_CAP
+) -> DataFrame:
     """Candidate near-dup pairs sharing ≥1 LSH band signature.
 
     Returns (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
     Formulated as groupBy(band signature) + in-group pair explosion
     (see pairs_within_groups) — equivalent to the band equi-join but
     the signature pipeline runs once instead of once per join side.
+    Hot band groups are hard-capped by subsplit_band_groups BEFORE the
+    explosion, so pair volume stays linear in the corpus under any
+    signature skew (the 100 TB guard; exact-fanout test in
+    tests/test_dedup_ops.py).
     """
-    banded = banded_signatures(signatures, id_col)
+    banded = subsplit_band_groups(
+        banded_signatures(signatures, id_col), id_col, group_cap
+    )
     return (
         pairs_within_groups(banded, id_col)
         .groupBy("doc_a", "doc_b")

@@ -137,6 +137,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEAR_DUP_TAU = 0.35
+NEAR_DUP_CAP = 64  # hard per-bucket pair-block cap (S.subsplit_cells)
 
 
 @register(
@@ -147,12 +148,20 @@ NEAR_DUP_TAU = 0.35
              {_bucket_sql("CAST(embedding AS DOUBLE[])")} AS bucket
       FROM embeddings
     ),
+    sp AS (
+      SELECT vec_id, vec, bucket,
+             CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6) AS BIGINT)
+               % CAST(ceil((count(*) OVER (PARTITION BY bucket))
+                           / {NEAR_DUP_CAP}.0) AS BIGINT) AS sub
+      FROM v
+    ),
     pairs AS (
       SELECT b.vec_id AS dup_id, a.vec_id AS kept_id,
              round(list_dot_product(a.vec, b.vec) /
                (sqrt(list_dot_product(a.vec, a.vec)) *
                 sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos_sim
-      FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      FROM sp a JOIN sp b
+        ON a.bucket = b.bucket AND a.sub = b.sub AND a.vec_id < b.vec_id
     )
     SELECT dup_id, kept_id, cos_sim
     FROM (
@@ -165,8 +174,14 @@ NEAR_DUP_TAU = 0.35
     doc="""Embedding-cosine near-duplicate detection, LSH-bucketed scale
     path: candidate pairs come from a same-bucket self-join (an
     equi-join — never the all-pairs product), each duplicate keeps the
-    lowest-id representative it matched. At 100 TB the corpus is
-    written partitioned by bucket so the self-join is co-located.""",
+    lowest-id representative it matched. The plane count is FIXED
+    (2^8 buckets), so at scale Σ|bucket|² would still be ~n²/256 —
+    S.subsplit_cells hard-caps each bucket's pair block at
+    ~NEAR_DUP_CAP rows exactly like semantic_dedup's IVF cells, making
+    pair volume <= n·cap, linear in the corpus (the bucket-population
+    table is 2^8 rows — broadcastable by construction). At 100 TB the
+    corpus is written partitioned by bucket so the self-join is
+    co-located.""",
     tags=("dedup", "ANN"),
     bench=True,
 )
@@ -184,20 +199,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.as_double("embedding").alias("vec"),
         S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
     ).withColumn("nv", S.norm(F.col("vec")))
+    v = S.subsplit_cells(
+        v, NEAR_DUP_CAP, id_col="vec_id", cell_col="bucket"
+    )
     a = v.select(
         F.col("vec_id").alias("kept_id"),
         F.col("vec").alias("va"),
         F.col("nv").alias("na"),
         "bucket",
+        "sub",
     )
     b = v.select(
         F.col("vec_id").alias("dup_id"),
         F.col("vec").alias("vb"),
         F.col("nv").alias("nb"),
         "bucket",
+        "sub",
     )
     pairs = (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "sub"])
         .where(F.col("kept_id") < F.col("dup_id"))
         .select(
             "dup_id",

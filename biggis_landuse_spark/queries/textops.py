@@ -385,6 +385,20 @@ _MINHASH_AGGS = ",\n             ".join(
     f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(D.N_MINHASH)
 )
 
+# hot-band-group sub-split — mirrors D.subsplit_band_groups op-for-op
+# (window population count, md5-prefix mix, ceil(pop/cap) sub-buckets).
+# A no-op below the cap (sub = anything % 1 = 0); engages on skewed
+# signatures so the similarity-path pair volume stays linear.
+_BANDS_SUB_CTE = f"""
+    bsub AS (
+      SELECT doc_id, band_id, sig,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+               % CAST(ceil((count(*) OVER (PARTITION BY band_id, sig))
+                           / {D.BAND_GROUP_CAP}.0) AS BIGINT) AS sub
+      FROM bands
+    )
+"""
+
 
 @register(
     "dedup_minhash",
@@ -400,17 +414,21 @@ _MINHASH_AGGS = ",\n             ".join(
       UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
       UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
       UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
-    )
+    ),
+    {_BANDS_SUB_CTE}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_shared_bands
-    FROM bands a JOIN bands b
-      ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+    FROM bsub a JOIN bsub b
+      ON a.band_id = b.band_id AND a.sig = b.sig AND a.sub = b.sub
+      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
     doc="""MinHash + LSH near-dup candidates: 3-word shingles → 8 salted
     min-hashes (lexicographic min of salted md5 — engine-portable) →
     4 bands of 2 → equi-join on band signature. Candidate generation is
-    an equi-join, never an all-pairs product (the 100 TB path).""",
+    an equi-join, never an all-pairs product, and hot band groups are
+    hard-capped by D.subsplit_band_groups before the in-group pair
+    explosion (the 100 TB path even for boilerplate-heavy corpora).""",
     tags=("DEDUP",),
     bench=True,
 )
@@ -611,10 +629,12 @@ def dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
       UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
     ),
+    {_BANDS_SUB_CTE},
     edges AS (
       SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+      FROM bsub a JOIN bsub b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.sub = b.sub
+        AND a.doc_id < b.doc_id
     ),
     sym AS (
       SELECT src, dst FROM edges
@@ -850,10 +870,12 @@ _SIG_EQ = " + ".join(
       UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
       UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
     ),
+    {_BANDS_SUB_CTE},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+      FROM bsub a JOIN bsub b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.sub = b.sub
+        AND a.doc_id < b.doc_id
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     common AS (

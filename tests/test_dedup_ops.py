@@ -79,3 +79,64 @@ def test_dedup_incremental_reasons_partition(spark, sf_dir):
     assert len(ids) == len(set(ids))
     assert all(i % 2 == 1 for i in ids)
     assert all(r["reason"] in ("exact", "near") for r in rows)
+
+
+def test_band_pair_fanout_capped_on_single_signature_corpus(spark):
+    # pathological corpus: every doc is the SAME boilerplate text, so
+    # all n docs share all 4 band signatures. The similarity path must
+    # sub-split those hot groups BEFORE the in-group pair explosion:
+    # pair volume <= ~N_BANDS * n * cap (linear), never the uncapped
+    # N_BANDS * n(n-1)/2 quadratic.
+    n, cap = 400, 8
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated here") for i in range(n)],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures_from_text(docs, "doc_id", "text")
+    banded = D.subsplit_band_groups(
+        D.banded_signatures(sig, "doc_id"), "doc_id", cap
+    )
+    blocks = banded.groupBy("band_id", "sig", "sub").count()
+    stats = blocks.agg(
+        F.max("count").alias("mx"),
+        F.sum(F.col("count") * F.col("count")).alias("pv"),
+    ).collect()[0]
+    # md5-mixed buckets are multinomial, not exact — small constant slack
+    assert stats["mx"] <= 4 * cap
+    assert stats["pv"] <= 2 * D.N_BANDS * n * cap  # linear, not n^2
+    # the public entry point honors the cap end-to-end
+    pairs = D.lsh_band_pairs(sig, "doc_id", group_cap=cap).count()
+    assert pairs < D.N_BANDS * n * cap
+    assert pairs < n * (n - 1) // 2  # strictly below the all-pairs count
+
+
+def test_band_pair_subsplit_noop_below_cap(spark, sf_dir):
+    # at fixture scale every band group is far below the default cap,
+    # so the guard must be a bit-exact no-op (sub = 0 everywhere) —
+    # which is also what keeps the DuckDB oracles unchanged there
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    sig = D.minhash_signatures_from_text(documents, "doc_id", "text")
+    banded = D.subsplit_band_groups(
+        D.banded_signatures(sig, "doc_id"), "doc_id"
+    )
+    assert banded.where(F.col("sub") != 0).count() == 0
+
+
+def test_embedding_near_dup_bucket_blocks_capped(spark):
+    # total-skew corpus for the LSH-bucket path: identical vectors all
+    # land in ONE of the 2^8 buckets; subsplit_cells must bound the
+    # same-(bucket, sub) block so the self-join stays linear
+    from biggis_landuse_spark.functions import similarity as S
+
+    n, cap = 500, 8
+    v = spark.range(n).select(
+        F.col("id").alias("vec_id"), F.lit(3).alias("bucket")
+    )
+    split = S.subsplit_cells(v, cap, id_col="vec_id", cell_col="bucket")
+    sizes = split.groupBy("bucket", "sub").count()
+    stats = sizes.agg(
+        F.max("count").alias("mx"),
+        F.sum(F.col("count") * F.col("count")).alias("pv"),
+    ).collect()[0]
+    assert stats["mx"] <= 4 * cap
+    assert stats["pv"] <= 2 * n * cap

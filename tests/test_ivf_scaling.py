@@ -90,7 +90,11 @@ def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
     from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    for name in ("semantic_dedup", "knn_graph"):
+    for name, cell_key in (
+        ("semantic_dedup", "cid"),
+        ("knn_graph", "cid"),
+        ("embedding_near_dup", "bucket"),  # LSH-bucket path, same guard
+    ):
         df = REGISTRY[name].spark(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
@@ -98,7 +102,7 @@ def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
         plan = buf.getvalue()
         join_lines = [
             ln for ln in plan.splitlines()
-            if "Join" in ln and "cid" in ln
+            if "Join" in ln and cell_key in ln
         ]
         assert any("sub" in ln for ln in join_lines), (
             f"{name}: no join condition carries the sub-split key\n"
