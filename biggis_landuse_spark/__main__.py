@@ -36,11 +36,16 @@ def cmd_ingest(args) -> int:
     re-tile → layer write."""
     spark = _spark(args)
     cat = _catalog(spark, args)
+    crs = "EPSG:3857"
     if args.no_reproject:
         from biggis_landuse_spark.sources.geotiff import ingest_geotiff
 
         tiles = ingest_geotiff(spark, args.path, args.layer, args.tile_size)
         zoom = args.zoom if args.zoom >= 0 else 0
+        # the raw path tiles the SOURCE pixel grid — record that
+        # honestly so stack_layers' CRS check can catch a mix with
+        # web-mercator layers instead of silently joining disjoint grids
+        crs = f"pixelgrid:{args.crs}"
     else:
         from biggis_landuse_spark.operators.reproject import (
             ingest_geotiff_webmercator,
@@ -53,7 +58,10 @@ def cmd_ingest(args) -> int:
         )
         zoom = tiles.first()["zoom"]
     cat.write_layer(
-        tiles.select("tile_col", "tile_row", "ts", "tile"), args.layer, zoom
+        tiles.select("tile_col", "tile_row", "ts", "tile"),
+        args.layer,
+        zoom,
+        crs=crs,
     )
     print(f"wrote layer {args.layer} zoom {zoom}")
     return 0
@@ -259,10 +267,10 @@ def cmd_delete(args) -> int:
 def _stacked_samples(spark, args):
     """Stack label layer + feature layers and pixel them into labeled
     samples (label band 0) — the data-prep step shared by the
-    samples/classify commands (TilePixelingExample / WorkflowExample)."""
-    from functools import reduce
-
-    from biggis_landuse_spark.operators.local import band_concat
+    samples/classify commands (TilePixelingExample / WorkflowExample).
+    Alignment (CRS check, coarser-level resample) is stack_layers'
+    job — the guarded form of the plain tile-key join."""
+    from biggis_landuse_spark.operators.stack import stack_layers
     from biggis_landuse_spark.pixeling import (
         labeled_pixel_samples,
         tiles_to_pixels,
@@ -270,27 +278,7 @@ def _stacked_samples(spark, args):
 
     cat = _catalog(spark, args)
     layers = [args.labels] + args.features.split(",")
-    frames = [
-        cat.read_layer(name, args.zoom).select(
-            "tile_col", "tile_row", F.col("tile").alias(f"_t{i}")
-        )
-        for i, name in enumerate(layers)
-    ]
-    stacked = reduce(
-        lambda a, b: a.join(b, ["tile_col", "tile_row"]), frames
-    )
-    tile = reduce(
-        lambda acc, i: band_concat(acc, F.col(f"_t{i}")),
-        range(1, len(layers)),
-        F.col("_t0"),
-    )
-    full = stacked.select(
-        F.lit("stack").alias("layer"),
-        F.lit(args.zoom).alias("zoom"),
-        "tile_col",
-        "tile_row",
-        tile.alias("tile"),
-    )
+    full = stack_layers(cat, layers, zoom=args.zoom)
     return labeled_pixel_samples(tiles_to_pixels(full), label_band=0)
 
 

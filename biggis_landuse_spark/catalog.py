@@ -225,6 +225,20 @@ class LayerCatalog:
             raise KeyError(f"layer not found: {layer}")
         return row["z"]
 
+    def layer_crs(self, layer: str, zoom: int | None = None) -> str:
+        """Grid CRS recorded for (layer, zoom) — zoom=None means any
+        level (one layer keeps one grid CRS across its pyramid). The
+        stacking alignment check reads this (reference:
+        tilesmerged.metadata.crs != tiles.metadata.crs,
+        ManyLayersToMultibandLayer.scala:244)."""
+        sel = self.layers().where(F.col("layer") == layer)
+        if zoom is not None:
+            sel = sel.where(F.col("zoom") == zoom)
+        row = sel.select("crs").first()
+        if row is None:
+            raise KeyError(f"layer not found: {layer}")
+        return row["crs"]
+
     def read_layer(
         self,
         layer: str,

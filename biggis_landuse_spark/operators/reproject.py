@@ -203,16 +203,105 @@ def lcc_to_lonlat(
     return lon, F.degrees(lat_rad)
 
 
-def parse_crs(crs: str) -> tuple[str, tuple[int, bool] | LccParams | None]:
+# -- Lambert azimuthal equal-area (ETRS89-extended / LAEA Europe) -----------
+# EPSG:3035 is the EU INSPIRE grid CRS — the native CRS of European
+# land-use products (CORINE, LUCAS), i.e. the reference domain's most
+# common delivery projection (UtilsShape.scala:55-58 parses arbitrary
+# .prj for the same reason). Public EPSG registry parameters; inverse
+# per EPSG Guidance Note 7-2 §3.2.2 / Snyder 1987 eqs. 24-26..24-34
+# with the closed-form authalic-latitude series (eq. 3-18), so the
+# whole warp stays a column expression — no iteration, no UDF.
+
+
+class LaeaParams:
+    """Ellipsoidal Lambert azimuthal equal-area definition
+    (angles in degrees)."""
+
+    def __init__(self, a, f_inv, lat0, lon0, fe, fn):
+        self.a, self.f_inv = a, f_inv
+        self.lat0, self.lon0 = lat0, lon0
+        self.fe, self.fn = fe, fn
+
+
+_LAEA_CRS = {
+    # ETRS89-extended / LAEA Europe (GRS80)
+    3035: LaeaParams(6378137.0, 298.257222101, 52.0, 10.0,
+                     4_321_000.0, 3_210_000.0),
+}
+
+
+def _laea_consts(p: LaeaParams) -> tuple[float, float, float, float, float]:
+    """Driver-side projection constants (e, q_p, beta0, R_q, D)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q(phi: float) -> float:
+        s = math.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    qp = q(math.pi / 2)
+    phi0 = math.radians(p.lat0)
+    beta0 = math.asin(q(phi0) / qp)
+    rq = p.a * math.sqrt(qp / 2)
+    m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+    d = p.a * m0 / (rq * math.cos(beta0))
+    return e, qp, beta0, rq, d
+
+
+def laea_to_lonlat(
+    easting: Column, northing: Column, p: LaeaParams
+) -> tuple[Column, Column]:
+    """Inverse ellipsoidal LAEA as pure column expressions →
+    (lon_deg, lat_deg). Sub-millimeter inside the CRS's domain
+    (closed-form authalic series, no iteration, no UDF)."""
+    e, qp, beta0, rq, d = _laea_consts(p)
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    xp = (easting - F.lit(p.fe)) / F.lit(d)  # spherical-equivalent x
+    yp = F.lit(d) * (northing - F.lit(p.fn))  # spherical-equivalent y
+    rho = F.sqrt(xp * xp + yp * yp)
+    c = 2 * F.asin(rho / F.lit(2 * rq))
+    sinc, cosc = F.sin(c), F.cos(c)
+    # q'/q_p; the rho=0 branch is the projection center (C=0 makes the
+    # first term asin(sin beta0) already) — guard the 0/0 only
+    frac = F.when(
+        rho != 0, yp * sinc * F.lit(math.cos(beta0)) / rho
+    ).otherwise(F.lit(0.0))
+    betap = F.asin(cosc * F.lit(math.sin(beta0)) + frac)
+    lat_rad = (
+        betap
+        + F.lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * betap)
+        + F.lit(23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * betap)
+        + F.lit(761 * e6 / 45360) * F.sin(6 * betap)
+    )
+    lon = F.lit(p.lon0) + F.degrees(
+        F.atan2(
+            xp * sinc,
+            rho * F.lit(math.cos(beta0)) * cosc
+            - yp * F.lit(math.sin(beta0)) * sinc,
+        )
+    )
+    return lon, F.degrees(lat_rad)
+
+
+def parse_crs(
+    crs: str,
+) -> tuple[str, tuple[int, bool] | LccParams | LaeaParams | None]:
     """``"EPSG:4326"`` → ("lonlat", None); ``"EPSG:326xx"/"327xx"``
     → ("utm", (zone, north)); ``"EPSG:3034"/"EPSG:2154"`` → ("lcc",
-    LccParams). Anything else raises — an honest bound, not a silent
-    wrong-projection."""
+    LccParams); ``"EPSG:3035"`` → ("laea", LaeaParams). Anything else
+    raises — an honest bound, not a silent wrong-projection."""
     code = crs.upper().removeprefix("EPSG:")
     if code == "4326":
         return "lonlat", None
     if code.isdigit() and int(code) in _LCC_CRS:
         return "lcc", _LCC_CRS[int(code)]
+    if code.isdigit() and int(code) in _LAEA_CRS:
+        return "laea", _LAEA_CRS[int(code)]
     if code.isdigit() and len(code) == 5:
         num = int(code)
         if 32601 <= num <= 32660:
@@ -221,9 +310,9 @@ def parse_crs(crs: str) -> tuple[str, tuple[int, bool] | LccParams | None]:
             return "utm", (num - 32700, False)
     raise ValueError(
         f"unsupported source CRS {crs!r}: EPSG:4326, UTM "
-        "(EPSG:32601-32660 north, EPSG:32701-32760 south), and Lambert "
-        "conformal conic (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93) "
-        "are supported"
+        "(EPSG:32601-32660 north, EPSG:32701-32760 south), Lambert "
+        "conformal conic (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93), "
+        "and EPSG:3035 (ETRS89-extended LAEA Europe) are supported"
     )
 
 
@@ -270,6 +359,8 @@ def reproject_pixels_to_webmercator(
         lon, lat = sx, sy
     elif kind == "lcc":
         lon, lat = lcc_to_lonlat(sx, sy, crs_info)
+    elif kind == "laea":
+        lon, lat = laea_to_lonlat(sx, sy, crs_info)
     else:
         zone, north = crs_info
         lon, lat = utm_to_lonlat(sx, sy, zone, north)

@@ -1336,6 +1336,110 @@ def lcc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _laea_grid_oracle() -> str:
+    """DuckDB replay of laea_to_lonlat (ETRS89-LAEA Europe) with the
+    SAME GRS80 constants and operation association as the engine's
+    column expressions (libm trig ULPs absorbed by round(avg, 4))."""
+    import math as _m
+
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        _laea_consts,
+    )
+
+    p = _LAEA_CRS[3035]
+    e, qp, beta0, rq, d = _laea_consts(p)
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c2 = e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040
+    c4 = 23 * e4 / 360 + 251 * e6 / 3780
+    c6 = 761 * e6 / 45360
+    sb0, cb0 = _m.sin(beta0), _m.cos(beta0)
+    return f"""
+    WITH src AS (
+      -- CAST to DOUBLE: DuckDB otherwise types these literals DECIMAL
+      -- and xp*xp overflows DECIMAL(38); the values are exact integers
+      -- so the cast is value-identical to Spark's double arithmetic
+      SELECT CAST(2800000.0 + (p_partkey % 500) * 4000.0 AS DOUBLE) AS ee,
+             CAST(1600000.0 + (p_partkey % 451) * 5000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT (ee - {p.fe!r}) / {d!r} AS xp,
+             {d!r} * (nn - {p.fn!r}) AS yp
+      FROM src
+    ),
+    s2 AS (
+      SELECT xp, yp, sqrt(xp * xp + yp * yp) AS rho FROM s1
+    ),
+    s3 AS (
+      SELECT xp, yp, rho, 2 * asin(rho / {2 * rq!r}) AS c FROM s2
+    ),
+    s4 AS (
+      SELECT asin(cos(c) * {sb0!r}
+                  + CASE WHEN rho <> 0
+                         THEN yp * sin(c) * {cb0!r} / rho
+                         ELSE 0.0 END) AS betap,
+             {p.lon0!r} + degrees(atan2(
+               xp * sin(c),
+               rho * {cb0!r} * cos(c) - yp * {sb0!r} * sin(c))) AS lon
+      FROM s3
+    ),
+    s5 AS (
+      SELECT lon,
+             degrees(betap + {c2!r} * sin(2 * betap)
+                           + {c4!r} * sin(4 * betap)
+                           + {c6!r} * sin(6 * betap)) AS lat
+      FROM s4
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s5 GROUP BY 1, 2
+    """
+
+
+@register(
+    "laea_grid",
+    oracle=_laea_grid_oracle(),
+    doc="""ETRS89-LAEA Europe (EPSG:3035) → lat/lon inverse
+    azimuthal-equal-area warp (operators.reproject.laea_to_lonlat —
+    the EU INSPIRE grid, the land-use domain's native delivery CRS;
+    reference parses arbitrary .prj at UtilsShape.scala:55-58) over
+    synthesized easting/northing points spanning Europe, re-keyed
+    onto 1°×1° cells and aggregated. Pure trig column expressions —
+    whole-stage codegen, one shuffle for the final aggregate; same
+    plan shape as utm_grid / lcc_grid.""",
+    tags=("REPROJECT", "LAEA"),
+    bench=True,
+)
+def laea_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        laea_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (2800000.0 + (F.col("p_partkey") % 500) * 4000.0).alias("ee"),
+        (1600000.0 + (F.col("p_partkey") % 451) * 5000.0).alias("nn"),
+    )
+    lon, lat = laea_to_lonlat(F.col("ee"), F.col("nn"), _LAEA_CRS[3035])
+    keyed = src.select(
+        F.floor(lat).cast("long").alias("lat_cell"),
+        F.floor(lon).cast("long").alias("lon_cell"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
 @register(
     "terrain_tile",
     oracle="""

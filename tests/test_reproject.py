@@ -399,3 +399,138 @@ def test_parse_crs_lcc_and_pipeline(spark):
     b = reproject_pixels_to_webmercator(ll_px, z, "b", src_crs="EPSG:4326").first()
     assert (a["tile_col"], a["tile_row"]) == (b["tile_col"], b["tile_row"])
     assert (a["px"], a["py"]) == (b["px"], b["py"])
+
+
+def _laea_forward(lat, lon, p):
+    # independent forward ellipsoidal LAEA (Snyder eqs. 24-26..24-30 /
+    # EPSG GN 7-2 §3.2.2) — the twin of the engine's inverse
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    qp = q(math.pi / 2)
+    phi0 = math.radians(p.lat0)
+    beta0 = math.asin(q(phi0) / qp)
+    rq = p.a * math.sqrt(qp / 2)
+    m0 = math.cos(phi0) / math.sqrt(1 - e2 * math.sin(phi0) ** 2)
+    d = p.a * m0 / (rq * math.cos(beta0))
+    beta = math.asin(q(math.radians(lat)) / qp)
+    lam = math.radians(lon - p.lon0)
+    b = rq * math.sqrt(
+        2
+        / (
+            1
+            + math.sin(beta0) * math.sin(beta)
+            + math.cos(beta0) * math.cos(beta) * math.cos(lam)
+        )
+    )
+    ee = p.fe + b * d * math.cos(beta) * math.sin(lam)
+    nn = p.fn + (b / d) * (
+        math.cos(beta0) * math.sin(beta)
+        - math.sin(beta0) * math.cos(beta) * math.cos(lam)
+    )
+    return ee, nn
+
+
+def test_laea_published_epsg_example(spark):
+    # EPSG Guidance Note 7-2 §3.2.2 worked example for ETRS89-LAEA
+    # Europe: (50N, 5E) → E 3962799.45, N 2999718.85
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        laea_to_lonlat,
+    )
+
+    p = _LAEA_CRS[3035]
+    ee, nn = _laea_forward(50.0, 5.0, p)
+    assert ee == pytest.approx(3962799.45, abs=0.01)
+    assert nn == pytest.approx(2999718.85, abs=0.01)
+    df = spark.createDataFrame([(3962799.45, 2999718.85)], "e double, n double")
+    lon_c, lat_c = laea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(5.0, abs=1e-6)
+    assert r["lat"] == pytest.approx(50.0, abs=1e-6)
+
+
+def test_laea_center_maps_to_false_origin(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        laea_to_lonlat,
+    )
+
+    p = _LAEA_CRS[3035]
+    df = spark.createDataFrame([(p.fe, p.fn)], "e double, n double")
+    lon_c, lat_c = laea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(10.0, abs=1e-9)
+    assert r["lat"] == pytest.approx(52.0, abs=1e-6)  # authalic series
+
+
+@pytest.mark.parametrize(
+    "lat,lon",
+    [
+        (48.8566, 2.3522),   # Paris
+        (37.98, 23.72),      # Athens
+        (64.15, -21.94),     # Reykjavik (far west of lon0)
+        (36.72, -4.42),      # Málaga
+        (68.97, 33.08),      # Murmansk (far northeast)
+    ],
+)
+def test_laea_inverse_roundtrips_forward(spark, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        laea_to_lonlat,
+    )
+
+    p = _LAEA_CRS[3035]
+    ee, nn = _laea_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = laea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=1e-6)
+    assert r["lon"] == pytest.approx(lon, abs=1e-7)
+
+
+def test_parse_crs_laea_and_pipeline(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        parse_crs,
+        reproject_pixels_to_webmercator,
+    )
+
+    kind, p = parse_crs("EPSG:3035")
+    assert kind == "laea" and p.lon0 == 10.0 and p.fe == 4_321_000.0
+    # a LAEA georeferenced pixel lands in the same target cell as its
+    # lon/lat twin — the CORINE-shaped ingest path
+    z = 10
+    lat, lon = 48.8566, 2.3522
+    e, n = _laea_forward(lat, lon, _LAEA_CRS[3035])
+    mk = "band int, px int, py int, value double, x0 double, y0 double, dx double, dy double"
+    laea_px = spark.createDataFrame([(0, 0, 0, 5.0, e - 5.0, n + 5.0, 10.0, 10.0)], mk)
+    ll_px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lon - 0.0001, lat + 0.0001, 0.0002, 0.0002)], mk
+    )
+    a = reproject_pixels_to_webmercator(laea_px, z, "a", src_crs="EPSG:3035").first()
+    b = reproject_pixels_to_webmercator(ll_px, z, "b", src_crs="EPSG:4326").first()
+    assert (a["tile_col"], a["tile_row"]) == (b["tile_col"], b["tile_row"])
+
+
+def test_laea_warp_plan_stays_jvm_side(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        laea_to_lonlat,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") * 1000.0 + 3_000_000.0).alias("e"),
+        (F.col("id") * 1000.0 + 2_000_000.0).alias("n"),
+    )
+    lon, lat = laea_to_lonlat(F.col("e"), F.col("n"), _LAEA_CRS[3035])
+    plan = df.select(lon.alias("lon"), lat.alias("lat"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
