@@ -32,12 +32,38 @@ def _vectorize(samples: DataFrame) -> DataFrame:
 
 
 def split_samples(
-    samples: DataFrame, weights=(0.6, 0.4), seed: int = SEED
+    samples: DataFrame,
+    weights=(0.6, 0.4),
+    seed: int = SEED,
+    mode: str = "random",
+    key_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Seeded train/test split (reference UtilsSVM.SplitSamples,
-    UtilsSVM.scala:57-63)."""
-    train, test = samples.randomSplit(list(weights), seed=seed)
-    return train, test
+    """Train/test split.
+
+    ``mode="random"`` (default): seeded randomSplit — the
+    reference-compat path (UtilsSVM.SplitSamples, UtilsSVM.scala:57-63;
+    fractions are engine-RNG-dependent, so only determinism within one
+    engine holds).
+
+    ``mode="hash"``: content-hash split on ``key_col`` — membership is
+    ``md5(key) first-byte bucket < round(w_train*256)``, a pure
+    function of the key, so re-runs, backfills, added/removed OTHER
+    rows, and other engines (the DuckDB oracle) agree row-for-row.
+    The reproducible choice for training-data pipelines; same
+    machinery as queries.textops.deterministic_split.
+    """
+    if mode == "random":
+        train, test = samples.randomSplit(list(weights), seed=seed)
+        return train, test
+    if mode != "hash":
+        raise ValueError(f"unknown split mode {mode!r}: random | hash")
+    if key_col is None:
+        raise ValueError("mode='hash' needs key_col")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    cut = int(round(256 * weights[0] / (weights[0] + weights[1])))
+    return samples.where(bucket < cut), samples.where(bucket >= cut)
 
 
 def num_classes(samples: DataFrame) -> int:

@@ -751,22 +751,41 @@ def max_zoom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P10 — seeded random split (rows-only check: RNG differs across engines)
+# P10 — train/test split (content-hash mode: fully oracle-checkable)
 # ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
 
 
 @register(
-    "random_split_counts",
-    oracle=None,  # engine RNGs differ; driver records rows-only
-    doc="""Seeded 60/40 randomSplit — UtilsSVM.SplitSamples
-    (UtilsSVM.scala:57-63; seed 11 per TestClassifierSVM.scala:41-43).
-    Split fractions are engine-RNG-dependent, so no SQL oracle; the
-    pytest suite asserts determinism + disjointness + fraction bounds.""",
+    "hash_split_counts",
+    oracle=f"""
+    WITH b AS (
+      SELECT (instr('{_HEX}', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+             + instr('{_HEX}', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1
+               AS bucket
+      FROM orders
+    )
+    SELECT CASE WHEN bucket < 154 THEN 'train' ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY 1
+    """,
+    doc="""60/40 train/test split via ml.classify.split_samples
+    (mode="hash"): md5(key) first-byte bucket < round(0.6*256)=154 — a
+    pure function of the row key, so the split is reproducible across
+    runs, backfills, and engines (this oracle checks the exact
+    memberships, which a seeded-RNG split can never offer). The
+    reference-compat seeded randomSplit (UtilsSVM.SplitSamples,
+    UtilsSVM.scala:57-63, seed 11 per TestClassifierSVM.scala:41-43)
+    remains split_samples' default mode, covered by pytest determinism
+    + disjointness + fraction-bounds tests.""",
     tags=("P10",),
 )
-def random_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.ml.classify import split_samples
+
     (orders,) = load_tables(spark, sf_dir, "orders")
-    train, test = orders.randomSplit([0.6, 0.4], seed=11)
+    train, test = split_samples(orders, mode="hash", key_col="o_orderkey")
     return (
         train.agg(F.count(F.lit(1)).alias("n")).select(
             F.lit("train").alias("split"), "n"

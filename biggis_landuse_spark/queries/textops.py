@@ -530,7 +530,8 @@ _HEX = "0123456789abcdef"
     md5(doc_id) — the reproducible, engine-portable alternative to
     randomSplit (P10): membership is a pure function of the key, so
     re-runs, backfills, and other engines agree row-for-row. The
-    seeded-RNG twin is `random_split_counts` (rows-only check).""",
+    seeded-RNG compat mode lives in ml.classify.split_samples; the
+    oracle-checked split query is `hash_split_counts`.""",
     tags=("ML", "P10"),
 )
 def deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:

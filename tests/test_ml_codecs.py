@@ -243,3 +243,36 @@ def test_geotiff_decoder_stub_raises(spark, tmp_path):
     raw.write_bytes(b"\0" * 32)
     with pytest.raises(Exception, match="rasterio|GDAL|decoder|NotImplemented"):
         ingest_geotiff(spark, str(raw), layer="x", tile_size=8).collect()
+
+
+def test_split_samples_hash_mode_deterministic_and_disjoint(spark):
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    a_train, a_test = split_samples(df, mode="hash", key_col="k")
+    b_train, b_test = split_samples(df, mode="hash", key_col="k")
+    ta = {r["k"] for r in a_train.collect()}
+    sa = {r["k"] for r in a_test.collect()}
+    # exhaustive + disjoint + rerun-stable (pure function of the key)
+    assert ta | sa == set(range(1000)) and not (ta & sa)
+    assert ta == {r["k"] for r in b_train.collect()}
+    # ~60/40 by construction (154/256 of a uniform hash)
+    assert 0.5 < len(ta) / 1000 < 0.7
+    # membership is per-key, independent of the rest of the corpus
+    sub = df.where(F.col("k") < 100)
+    st, _ = split_samples(sub, mode="hash", key_col="k")
+    assert {r["k"] for r in st.collect()} == {k for k in ta if k < 100}
+    with pytest.raises(ValueError, match="key_col"):
+        split_samples(df, mode="hash")
+    with pytest.raises(ValueError, match="unknown split mode"):
+        split_samples(df, mode="banana")
+
+
+def test_split_samples_random_mode_contract(spark):
+    # reference-compat seeded mode: deterministic within the engine,
+    # disjoint, exhaustive, fractions near the weights
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    t1, s1 = split_samples(df)
+    t2, s2 = split_samples(df)
+    ta, sa = {r["k"] for r in t1.collect()}, {r["k"] for r in s1.collect()}
+    assert ta | sa == set(range(2000)) and not (ta & sa)
+    assert ta == {r["k"] for r in t2.collect()}
+    assert 0.5 < len(ta) / 2000 < 0.7
