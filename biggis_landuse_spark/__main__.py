@@ -246,7 +246,10 @@ def cmd_serve(args) -> int:
     kwargs = {"palette": palette} if palette else {}
     server = TileServer(cat, args.layer, breaks, **kwargs)
     port = server.start(args.port)
-    print(f"serving {args.layer} on http://127.0.0.1:{port}/{{z}}/{{x}}/{{y}}")
+    print(
+        f"serving {args.layer}: map client http://127.0.0.1:{port}/ "
+        f"(tiles /{{z}}/{{x}}/{{y}})"
+    )
     if args.block:  # pragma: no cover — interactive mode
         import time
 

@@ -183,10 +183,112 @@ def lookup_tile(
     )
 
 
+MAP_CLIENT_HTML = """<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8"/>
+<meta name="viewport" content="width=device-width, initial-scale=1.0"/>
+<title>{layer} — tile map</title>
+<style>
+html, body {{ margin: 0; height: 100%; overflow: hidden;
+              background: #1b1b1b; font-family: sans-serif; }}
+#map {{ position: absolute; inset: 0; cursor: grab; }}
+#map.drag {{ cursor: grabbing; }}
+#map img {{ position: absolute; width: 256px; height: 256px;
+            image-rendering: pixelated; user-select: none;
+            -webkit-user-drag: none; }}
+#hud {{ position: absolute; top: 10px; left: 10px; z-index: 10;
+        color: #eee; background: rgba(0,0,0,.6); padding: 6px 10px;
+        border-radius: 4px; }}
+#hud button {{ width: 28px; height: 28px; font-size: 16px; }}
+</style>
+</head>
+<body>
+<div id="hud">
+  <b>{layer}</b> &nbsp; zoom <span id="z">?</span>
+  <button id="zin">+</button><button id="zout">&minus;</button>
+</div>
+<div id="map"></div>
+<script>
+// Minimal self-contained slippy viewer over the tile route
+// "/{{z}}/{{x}}/{{y}}" (the reference ships a Leaflet page wired to
+// the same template, static/index.html:21). No external assets.
+(async function () {{
+  const meta = await (await fetch('/meta')).json();
+  const TS = 256, map = document.getElementById('map');
+  const zspan = document.getElementById('z');
+  let zoom = meta.bounds.zoom;
+  // center (in tile units at current zoom) on the layer's extent
+  let cx = (meta.bounds.col_min + meta.bounds.col_max + 1) / 2;
+  let cy = (meta.bounds.row_min + meta.bounds.row_max + 1) / 2;
+  const zmin = Math.min.apply(null, meta.zooms);
+  const zmax = Math.max.apply(null, meta.zooms);
+  let tiles = {{}};
+  function render() {{
+    zspan.textContent = zoom;
+    const W = map.clientWidth, H = map.clientHeight;
+    const x0 = Math.floor(cx - W / 2 / TS), x1 = Math.ceil(cx + W / 2 / TS);
+    const y0 = Math.floor(cy - H / 2 / TS), y1 = Math.ceil(cy + H / 2 / TS);
+    const keep = {{}};
+    for (let ty = y0; ty <= y1; ty++) for (let tx = x0; tx <= x1; tx++) {{
+      if (tx < 0 || ty < 0 || tx >= (1 << zoom) || ty >= (1 << zoom)) continue;
+      const k = zoom + '/' + tx + '/' + ty;
+      let img = tiles[k];
+      if (!img) {{
+        img = document.createElement('img');
+        img.src = '/' + k;
+        img.onerror = function () {{ img.style.display = 'none'; }};
+        map.appendChild(img);
+        tiles[k] = img;
+      }}
+      img.style.left = Math.round(W / 2 + (tx - cx) * TS) + 'px';
+      img.style.top = Math.round(H / 2 + (ty - cy) * TS) + 'px';
+      keep[k] = true;
+    }}
+    for (const k in tiles) if (!keep[k]) {{ tiles[k].remove(); delete tiles[k]; }}
+  }}
+  function setZoom(nz) {{
+    nz = Math.max(zmin, Math.min(zmax, nz));
+    if (nz === zoom) return;
+    const f = Math.pow(2, nz - zoom);
+    cx *= f; cy *= f; zoom = nz;
+    for (const k in tiles) {{ tiles[k].remove(); delete tiles[k]; }}
+    render();
+  }}
+  document.getElementById('zin').onclick = () => setZoom(zoom + 1);
+  document.getElementById('zout').onclick = () => setZoom(zoom - 1);
+  map.addEventListener('wheel', e => {{
+    e.preventDefault(); setZoom(zoom + (e.deltaY < 0 ? 1 : -1));
+  }});
+  let drag = null;
+  map.addEventListener('mousedown', e => {{
+    drag = [e.clientX, e.clientY]; map.classList.add('drag');
+  }});
+  window.addEventListener('mousemove', e => {{
+    if (!drag) return;
+    cx -= (e.clientX - drag[0]) / TS; cy -= (e.clientY - drag[1]) / TS;
+    drag = [e.clientX, e.clientY]; render();
+  }});
+  window.addEventListener('mouseup', () => {{
+    drag = null; map.classList.remove('drag');
+  }});
+  window.addEventListener('resize', render);
+  render();
+}})();
+</script>
+</body>
+</html>
+"""
+
+
 class TileServer:
     """HTTP tile server: ``GET /{zoom}/{x}/{y}`` → rendered PNG —
     functional parity with the reference's spray/akka actor route
-    (ServeLayerAsMap.scala:97-124), stdlib-only.
+    (ServeLayerAsMap.scala:97-124), stdlib-only. ``GET /`` serves a
+    self-contained slippy-map client (the reference's Leaflet demo
+    payoff, static/index.html:21 / GettingStarted.html:22 — here
+    inline vanilla JS, no CDN or vendored library) and ``GET /meta``
+    the layer's zooms + tile bounds the client centers on.
 
     Per SURVEY.md §1.3, Spark is the wrong engine for per-request
     ms-latency reads, so the server renders the requested zoom ONCE in
@@ -250,6 +352,39 @@ class TileServer:
         self._ensure_zoom(zoom)
         return self._cache.get((zoom, x, y))
 
+    def meta(self) -> dict:
+        """Layer zooms + coarsest-level tile bounds for the map client
+        (one metadata-sized agg, computed once)."""
+        if getattr(self, "_meta", None) is None:
+            zooms = sorted(
+                z for (l, z) in self.catalog.layer_ids() if l == self.layer
+            )
+            if not zooms:
+                raise KeyError(f"layer not found: {self.layer}")
+            z0 = zooms[0]
+            b = (
+                self.catalog.read_layer(self.layer, z0)
+                .agg(
+                    F.min("tile_col").alias("c0"),
+                    F.max("tile_col").alias("c1"),
+                    F.min("tile_row").alias("r0"),
+                    F.max("tile_row").alias("r1"),
+                )
+                .first()
+            )
+            self._meta = {
+                "layer": self.layer,
+                "zooms": zooms,
+                "bounds": {
+                    "zoom": z0,
+                    "col_min": b["c0"],
+                    "col_max": b["c1"],
+                    "row_min": b["r0"],
+                    "row_max": b["r1"],
+                },
+            }
+        return self._meta
+
     def start(self, port: int = 0) -> int:
         """Start serving on ``port`` (0 → ephemeral); returns the
         bound port. Route: ``GET /{zoom}/{x}/{y}`` → image/png."""
@@ -263,7 +398,28 @@ class TileServer:
             def log_message(self, *args):  # quiet test runs
                 pass
 
+            def _send(self, body: bytes, ctype: str) -> None:
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    html = MAP_CLIENT_HTML.format(layer=server.layer)
+                    self._send(html.encode(), "text/html; charset=utf-8")
+                    return
+                if self.path == "/meta":
+                    import json
+
+                    try:
+                        body = json.dumps(server.meta()).encode()
+                    except Exception as exc:  # noqa: BLE001
+                        self.send_error(500, str(exc)[:100])
+                        return
+                    self._send(body, "application/json")
+                    return
                 m = re.fullmatch(r"/(\d+)/(\d+)/(\d+)", self.path)
                 if not m:
                     self.send_error(400, "expected /{zoom}/{x}/{y}")

@@ -121,6 +121,32 @@ def test_http_tile_server_end_to_end(spark, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as e400:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
         assert e400.value.code == 400
+
+        # GET / — the self-contained map client (reference parity:
+        # static/index.html:21 wires Leaflet to the same tile route)
+        resp = urllib.request.urlopen(f"http://127.0.0.1:{port}/")
+        assert resp.headers["Content-Type"].startswith("text/html")
+        page = resp.read().decode()
+        assert "/{z}/{x}/{y}" in page  # tile URL template referenced
+        assert "/meta" in page and "srv" in page
+        # self-contained: inline JS only, nothing fetched off-host
+        assert "<script>" in page
+        assert "https://" not in page and "cdn" not in page.lower()
+
+        # GET /meta — zooms + bounds the client centers on
+        import json as _json
+
+        meta = _json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/meta").read()
+        )
+        assert meta["layer"] == "srv" and meta["zooms"] == [2]
+        assert meta["bounds"] == {
+            "zoom": 2,
+            "col_min": 0,
+            "col_max": 3,
+            "row_min": 0,
+            "row_max": 3,
+        }
     finally:
         server.stop()
 
