@@ -63,6 +63,11 @@ def main() -> None:
         "sf": float(sf),
     }
     if errors:
+        # a partial total is NOT comparable to a full-suite total — a
+        # slow query erroring out would read as a speedup. Null the
+        # headline and report the partial sum separately.
+        out["value"] = None
+        out["partial_total"] = total
         out["errors"] = errors
     print(json.dumps(out))
     spark.stop()

@@ -786,7 +786,10 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((dev > 3 * F.col("sd")).cast("long")).alias("n_outliers"),
+            # count(when(...)) not sum(cast): a single-row event_type
+            # has NULL stddev_samp, and summing only NULLs would yield
+            # NULL where the oracle's count(*) FILTER yields 0
+            F.count(F.when(dev > 3 * F.col("sd"), 1)).alias("n_outliers"),
             F.round(F.max(z), 4).alias("max_abs_z"),
         )
     )

@@ -341,6 +341,15 @@ def decode_jpeg(
             if comps is None:
                 raise JpegFormatError("SOS before SOF")
             ns = seg[0]
+            if ns < len(comps):
+                # non-interleaved multi-scan baseline (one scan per
+                # component): decoding only the first scan would return
+                # the Y plane as a silently-grayscale image — honest
+                # bound instead of a wrong picture
+                raise JpegFormatError(
+                    f"non-interleaved scan ({ns} of {len(comps)} "
+                    "components): multi-scan baseline JPEG not supported"
+                )
             scan = []
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]

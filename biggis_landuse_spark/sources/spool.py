@@ -52,6 +52,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import time
 import uuid
 
 from pyspark.sql.datasource import (
@@ -234,6 +235,31 @@ def _drop_staged(messages) -> None:
                 pass
 
 
+_STALE_GRACE_SEC = 300.0
+
+
+def _sweep_stale(path: str, grace: float = _STALE_GRACE_SEC) -> None:
+    """Drop orphaned ``.part`` files from failed or speculative task
+    attempts. Only winning attempts' commit messages ever reach
+    commit()/abort(), so losers' staged files would otherwise
+    accumulate in ``.staging/`` forever across retries. Swept on
+    driver-side commit, aged by mtime — the grace window keeps a
+    CONCURRENT writer's in-flight stage (always younger) safe."""
+    staging = os.path.join(path, ".staging")
+    try:
+        names = os.listdir(staging)
+    except FileNotFoundError:
+        return
+    cutoff = time.time() - grace
+    for name in names:
+        fp = os.path.join(staging, name)
+        try:
+            if os.path.getmtime(fp) < cutoff:
+                os.remove(fp)
+        except OSError:
+            pass
+
+
 class _SpoolBatchWriter(DataSourceWriter):
     def __init__(self, options):
         self.path = options["path"]
@@ -245,6 +271,7 @@ class _SpoolBatchWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         _append_staged(self.path, messages)
+        _sweep_stale(self.path)
 
     def abort(self, messages) -> None:
         _drop_staged(messages)
@@ -268,8 +295,10 @@ class _SpoolStreamWriter(DataSourceStreamWriter):
         marker = os.path.join(commits, str(batchId))
         if os.path.exists(marker):
             _drop_staged(messages)
+            _sweep_stale(self.path)
             return
         _append_staged(self.path, messages)
+        _sweep_stale(self.path)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write("committed\n")

@@ -277,3 +277,121 @@ def test_jpeg_rejects_garbage_quickly():
             blob = prefix + bytes(random.randrange(256) for _ in range(n))
             with pytest.raises(Exception):
                 decode_jpeg(blob)
+
+
+# -- externally constructed golden fixtures ---------------------------------
+# These JPEGs are built byte-by-byte from ITU-T.81 in the test itself
+# (markers, canonical Huffman tables, hand-chosen DC-only blocks) —
+# NOT via encode_jpeg — so a mirrored convention bug present in both
+# halves of the repo codec (swapped chroma planes, a transposed step)
+# cannot cancel out here.
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, pattern: str):
+        self.bits.extend(int(b) for b in pattern)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [1] * (-len(self.bits) % 8)  # pad with 1s
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dqt(tq: int, q: int) -> bytes:
+    return _seg(0xDB, bytes([tq]) + bytes([q] * 64))
+
+
+def _dht(tc: int, th: int, counts: list, symbols: list) -> bytes:
+    return _seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(symbols))
+
+
+def test_golden_handmade_grayscale_dc_only():
+    # 8x8 gray, q=80, single DC diff = -2 → F00 = -160 → every pixel
+    # 128 + (-160/8) = 108 exactly (all AC zero ⇒ flat IDCT)
+    counts_dc = [0, 1] + [0] * 14  # one 2-bit code... (len-2: '00')
+    # canonical: counts[i] codes of length i+1; use a single length-2
+    # code '00' for DC category 2, and a length-1 '0' for AC EOB
+    dc = _dht(0, 0, counts_dc, [0x02])
+    ac = _dht(1, 0, [1] + [0] * 15, [0x00])
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    bw.write("00")   # DC category 2 (canonical first len-2 code)
+    bw.write("01")   # diff = -2 (two's-complement-style bits)
+    bw.write("0")    # AC EOB
+    jpg = (
+        b"\xff\xd8" + _dqt(0, 80) + dc + ac + sof + sos
+        + bw.bytes() + b"\xff\xd9"
+    )
+    w, h, c, px = decode_jpeg(jpg)
+    assert (w, h, c) == (8, 8, 1)
+    assert set(px) == {108}
+
+
+def test_golden_handmade_color_chroma_orientation():
+    # 8x8 4:4:4 color, q=16, DC-only: Y diff +8 → Y=144; Cb diff -4 →
+    # Cb=120; Cr diff +2 → Cr=132. JFIF: R≈149.6 G≈143.9 B≈129.8 —
+    # swapped chroma planes would flip R and B.
+    dc = _dht(0, 0, [0, 0, 3] + [0] * 13, [0x02, 0x03, 0x04])
+    # len-3 canonical codes: cat2='000', cat3='001', cat4='010'
+    ac = _dht(1, 0, [1] + [0] * 15, [0x00])
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos = _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    bw.write("010"); bw.write("1000")  # Y: cat4, diff +8
+    bw.write("0")                      # Y EOB
+    bw.write("001"); bw.write("011")   # Cb: cat3, diff -4
+    bw.write("0")                      # Cb EOB
+    bw.write("000"); bw.write("10")    # Cr: cat2, diff +2
+    bw.write("0")                      # Cr EOB
+    jpg = (
+        b"\xff\xd8" + _dqt(0, 16) + dc + ac + sof + sos
+        + bw.bytes() + b"\xff\xd9"
+    )
+    w, h, c, px = decode_jpeg(jpg)
+    assert (w, h, c) == (8, 8, 3)
+    arr = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
+    r, g, b = (int(arr[..., i].mean()) for i in range(3))
+    assert abs(r - 150) <= 2 and abs(g - 144) <= 2 and abs(b - 130) <= 2
+    assert r > g > b  # swapped Cb/Cr would give b > r
+    assert arr.std(axis=(0, 1)).max() <= 1  # DC-only ⇒ flat planes
+
+
+def test_non_interleaved_multi_scan_raises():
+    # same color frame, but the SOS covers only component 1 (a
+    # 3-scan non-interleaved file): decoding just the Y scan would be
+    # a silently-grayscale wrong answer — must raise instead
+    dc = _dht(0, 0, [0, 0, 3] + [0] * 13, [0x02, 0x03, 0x04])
+    ac = _dht(1, 0, [1] + [0] * 15, [0x00])
+    sof = _seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos_y_only = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    bw.write("010"); bw.write("1000"); bw.write("0")
+    jpg = (
+        b"\xff\xd8" + _dqt(0, 16) + dc + ac + sof + sos_y_only
+        + bw.bytes() + b"\xff\xd9"
+    )
+    with pytest.raises(JpegFormatError, match="non-interleaved"):
+        decode_jpeg(jpg)

@@ -316,3 +316,35 @@ def test_spool_to_spool_windowed_round_trip(spark, spool_dir, tmp_path):
     assert f"{ws1};b;3;3.0" in rows
     # only the two closed windows emitted (tail window still open)
     assert len(rows) == 2
+
+
+def test_commit_sweeps_stale_staged_files(spark, spool_dir):
+    # orphans from failed/speculative attempts never appear in commit
+    # messages — commit must age them out of .staging/, while leaving
+    # a fresh (possibly concurrent) stage untouched
+    import os
+    import time as _time
+
+    _register(spark)
+    staging = os.path.join(spool_dir, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    stale = os.path.join(staging, "deadbeef-p0.part")
+    fresh = os.path.join(staging, "cafebabe-p0.part")
+    for fp in (stale, fresh):
+        with open(fp, "w") as f:
+            f.write("orphan\n")
+    old = _time.time() - 3600
+    os.utime(stale, (old, old))
+
+    df = spark.createDataFrame(
+        [(0, "m1")], "partition int, value string"
+    )
+    df.write.format("spool").option("path", spool_dir).mode("append").save()
+
+    assert not os.path.exists(stale), "stale orphan must be swept"
+    assert os.path.exists(fresh), "fresh stage must survive the sweep"
+    vals = {
+        r["value"]
+        for r in spark.read.format("spool").option("path", spool_dir).load().collect()
+    }
+    assert "m1" in vals and "orphan" not in vals
