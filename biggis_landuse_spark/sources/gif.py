@@ -76,35 +76,47 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
-    """First frame → (width, height, channels=3, RGB bytes)."""
+    """First frame composited onto the logical screen →
+    (width, height, channels=3, RGB bytes).
+
+    Optimized GIFs commonly store the first frame as a sub-rectangle
+    at an (ix, iy) offset; per GIF89a §18/§23 the uncovered screen
+    area is the background color (transparent first-frame pixels —
+    GCE flag bit 0 — also show background). The returned dims are
+    always the HEADER's logical screen, never the sub-frame's."""
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifFormatError("not a GIF file")
-    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    width, height, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = data[pos : pos + 3 * n]
         pos += 3 * n
+    transparent = None
     while pos < len(data):
         block = data[pos]
-        if block == 0x21:  # extension: skip sub-blocks
+        if block == 0x21:  # extension
+            label = data[pos + 1] if pos + 1 < len(data) else 0
             pos += 2
+            first_sub = True
             while pos < len(data) and data[pos] != 0:
-                pos += 1 + data[pos]
+                ln = data[pos]
+                if label == 0xF9 and first_sub and ln >= 4:
+                    # graphic control: transparency flag + index
+                    gflags, t_idx = data[pos + 1], data[pos + 4]
+                    if gflags & 0x01:
+                        transparent = t_idx
+                first_sub = False
+                pos += 1 + ln
             pos += 1
         elif block == 0x2C:  # image descriptor
-            _ix, _iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
-            # full-frame-only contract: optimized GIFs whose first
-            # frame is a sub-rectangle of the logical screen would
-            # silently decode to sub-frame dims inconsistent with the
-            # header — reject instead of compositing
-            if _ix != 0 or _iy != 0 or (iw, ih) != (width, height):
+            if ix + iw > width or iy + ih > height:
                 raise GifFormatError(
-                    f"sub-frame GIF not supported: frame {iw}x{ih} at "
-                    f"({_ix},{_iy}) vs logical screen {width}x{height} "
-                    "(full-frame first frames only)"
+                    f"frame {iw}x{ih} at ({ix},{iy}) exceeds logical "
+                    f"screen {width}x{height}"
                 )
             pal = gct
             if iflags & 0x80:
@@ -135,12 +147,21 @@ def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
                 for y, row in rows:
                     ordered[y * iw : (y + 1) * iw] = row
                 idx = bytes(ordered)
-            out = bytearray(iw * ih * 3)
+            # background fill: GCT background index (black when the
+            # index has no GCT to point into, GIF89a §18)
+            if gct is not None and 3 * bg + 3 <= len(gct):
+                bg_rgb = gct[3 * bg : 3 * bg + 3]
+            else:
+                bg_rgb = b"\x00\x00\x00"
+            out = bytearray(bg_rgb * (width * height))
             for i, ci in enumerate(idx):
+                if ci == transparent:
+                    continue  # background shows through
                 if 3 * ci + 3 > len(pal):
                     raise GifFormatError(f"palette index {ci} out of range")
-                out[3 * i : 3 * i + 3] = pal[3 * ci : 3 * ci + 3]
-            return iw, ih, 3, bytes(out)
+                j = 3 * ((iy + i // iw) * width + (ix + i % iw))
+                out[j : j + 3] = pal[3 * ci : 3 * ci + 3]
+            return width, height, 3, bytes(out)
         elif block == 0x3B:  # trailer
             break
         else:

@@ -200,26 +200,29 @@ def test_media_codecs_reject_garbage_quickly():
             raise AssertionError(f"{dec.__name__} accepted truncated header blob")
 
 
-def test_gif_rejects_subframe_first_frame():
+def test_gif_subframe_bounds_and_dims_contract():
     import struct
 
     import pytest as _pytest
 
     from biggis_landuse_spark.sources.gif import GifFormatError, decode_gif, encode_gif
 
-    data = bytearray(encode_gif(4, 4, bytes(4 * 4 * 3)))
+    rgb = bytes(range(48)) * 1  # 4x4 distinct values
+    data = bytearray(encode_gif(4, 4, rgb))
     flags = data[10]
     desc = 13 + (3 * (2 << (flags & 0x07)) if flags & 0x80 else 0)
     assert data[desc] == 0x2C
-    # frame offset (1, 0): optimized sub-frame layout → typed error
+    # frame offset (1, 0) pushes a 4-wide frame past the 4-wide
+    # screen → typed error, never silent clipping
     struct.pack_into("<H", data, desc + 1, 1)
-    with _pytest.raises(GifFormatError, match="sub-frame"):
+    with _pytest.raises(GifFormatError, match="exceeds logical screen"):
         decode_gif(bytes(data))
-    # frame smaller than the logical screen → typed error
+    # back at (0, 0): decode keeps returning HEADER dims even though
+    # the frame stays 4x4 (composited identity)
     struct.pack_into("<H", data, desc + 1, 0)
-    struct.pack_into("<H", data, desc + 5, 3)
-    with _pytest.raises(GifFormatError, match="sub-frame"):
-        decode_gif(bytes(data))
+    w, h, c, out = decode_gif(bytes(data))
+    assert (w, h, c) == (4, 4, 3)
+    assert out == rgb
 
 
 def test_bmp_rejects_crafted_headers():
@@ -248,3 +251,77 @@ def test_bmp_rejects_crafted_headers():
     struct.pack_into("<I", hdr_px, 10, 14)
     with _pytest.raises(ValueError, match="not a BMP"):
         decode_bmp(bytes(hdr_px))
+
+
+def test_gif_offset_subframe_composites_onto_screen():
+    # optimized GIFs store the first frame as a sub-rectangle at an
+    # offset; decode must composite onto the logical screen (background
+    # fill + GCE transparency), returning HEADER dims — not reject, and
+    # never return sub-frame dims
+    import struct
+
+    from biggis_landuse_spark.sources.gif import GifFormatError, decode_gif
+
+    w, h = 6, 4          # logical screen
+    ix, iy, iw, ih = 3, 1, 2, 2  # sub-frame placement
+    frame_idx = [10, 11, 12, 13]
+    pal = bytes(v for i in range(256) for v in (i, i, i))  # gray GCT
+
+    min_code = 8
+    clear, eoi = 256, 257
+    stream = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for b in frame_idx:
+        put(b)
+        put(clear)
+    put(eoi)
+    if nbits:
+        stream.append(acc & 0xFF)
+
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x87, 7, 0) + pal  # bg index 7
+    # GCE: transparency on, transparent index 11
+    gif += b"\x21\xf9\x04" + bytes([0x01, 0, 0, 11]) + b"\x00"
+    gif += b"\x2c" + struct.pack("<HHHHB", ix, iy, iw, ih, 0x00)
+    gif += bytes([min_code])
+    i = 0
+    while i < len(stream):
+        chunk = stream[i : i + 255]
+        gif += bytes([len(chunk)]) + chunk
+        i += 255
+    gif += b"\x00\x3b"
+
+    W, H, C, out = decode_gif(bytes(gif))
+    assert (W, H, C) == (w, h, 3)  # header dims, not 2x2
+
+    def px(x, y):
+        j = 3 * (y * w + x)
+        return tuple(out[j : j + 3])
+
+    assert px(0, 0) == (7, 7, 7)          # background fill
+    assert px(ix, iy) == (10, 10, 10)     # frame top-left
+    assert px(ix + 1, iy) == (7, 7, 7)    # transparent idx 11 → bg
+    assert px(ix, iy + 1) == (12, 12, 12)
+    assert px(ix + 1, iy + 1) == (13, 13, 13)
+    assert px(w - 1, h - 1) == (7, 7, 7)
+
+    # a frame exceeding the screen is still a typed error
+    bad = bytearray(gif)
+    off = 13 + 768 + 8  # header + GCT + GCE block → image descriptor
+    assert bad[off] == 0x2C
+    bad[off + 1 : off + 5] = struct.pack("<HH", 5, 3)  # 2x2 at (5,3) > 6x4
+    import pytest as _pytest
+
+    with _pytest.raises(GifFormatError, match="exceeds logical screen"):
+        decode_gif(bytes(bad))
