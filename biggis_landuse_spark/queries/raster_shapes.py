@@ -1135,11 +1135,20 @@ def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("p_partkey") % 9000) * 1000.0).alias("n"),
     )
     lon, lat = utm_to_lonlat(F.col("e"), F.col("n"), zone=32, north=True)
-    keyed = src.select(
-        F.floor(lat / 8).cast("long").alias("lat_band"),
-        F.floor(lon).cast("long").alias("lon_cell"),
-        lat.alias("lat"),
-        lon.alias("lon"),
+    # STAGED projection: materialize lat/lon once, derive the grid keys
+    # from the named columns in a second select. Inlining the inverse-TM
+    # series into all four output columns doubles the expression tree
+    # (~68 KB plan → ~35 KB): CollapseProject keeps the stage split
+    # because lat/lon are non-cheap and referenced twice, so codegen
+    # compiles half the code and the JIT reaches steady state in one
+    # run instead of five (the r5 'utm_grid regression' was this
+    # warm-up tail, measured in BASELINE.md).
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat") / 8).cast("long").alias("lat_band"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
     )
     return keyed.groupBy("lat_band", "lon_cell").agg(
         F.count(F.lit(1)).alias("n_px"),
@@ -1323,11 +1332,13 @@ def lcc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6100000.0 + (F.col("p_partkey") % 451) * 2000.0).alias("nn"),
     )
     lon, lat = lcc_to_lonlat(F.col("ee"), F.col("nn"), _LCC_CRS[2154])
-    keyed = src.select(
-        F.floor(lat).cast("long").alias("lat_cell"),
-        F.floor(lon).cast("long").alias("lon_cell"),
-        lat.alias("lat"),
-        lon.alias("lon"),
+    # staged projection — same codegen-size discipline as utm_grid
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
     )
     return keyed.groupBy("lat_cell", "lon_cell").agg(
         F.count(F.lit(1)).alias("n_px"),
@@ -1427,11 +1438,13 @@ def laea_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1600000.0 + (F.col("p_partkey") % 451) * 5000.0).alias("nn"),
     )
     lon, lat = laea_to_lonlat(F.col("ee"), F.col("nn"), _LAEA_CRS[3035])
-    keyed = src.select(
-        F.floor(lat).cast("long").alias("lat_cell"),
-        F.floor(lon).cast("long").alias("lon_cell"),
-        lat.alias("lat"),
-        lon.alias("lon"),
+    # staged projection — same codegen-size discipline as utm_grid
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
     )
     return keyed.groupBy("lat_cell", "lon_cell").agg(
         F.count(F.lit(1)).alias("n_px"),

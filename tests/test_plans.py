@@ -327,3 +327,23 @@ def test_terrain_single_margin_exchange(plan_of):
     plan = plan_of("terrain_tile")
     assert "CartesianProduct" not in plan
     assert plan.count("Generate explode") >= 1
+
+
+def test_warp_grid_queries_stay_jvm_side_one_shuffle_staged(plan_of):
+    # the inverse-projection grid queries: zero Python eval, exactly
+    # one Exchange (the final aggregate), and the STAGED projection —
+    # lat/lon materialized once, not inlined into every output column
+    # (codegen size discipline; the r5 utm_grid 'regression' was the
+    # JIT warm-up tail of the doubled expression tree)
+    for name in ("utm_grid", "lcc_grid", "laea_grid"):
+        plan = plan_of(name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert plan.count("Exchange") == 1, (name, plan.count("Exchange"))
+        # staged: the grid keys must be computed FROM the named lat/lon
+        # columns (floor(lat...)), not from a re-inlined trig tree —
+        # re-inlining shows up as asin/atan inside the floor() args
+        import re as _re
+
+        floors = _re.findall(r"FLOOR\([^)]{0,80}\)", plan)
+        assert floors, name
+        assert all("ATAN" not in f.upper() and "ASIN" not in f.upper() for f in floors), name
