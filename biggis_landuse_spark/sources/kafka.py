@@ -22,12 +22,19 @@ from biggis_landuse_spark.sources.codecs import decode_sample, encode_sample
 
 
 def read_sample_stream_kafka(
-    spark: SparkSession, bootstrap: str, topic: str
+    spark: SparkSession, bootstrap: str, topic: str, fmt: str = "kafka"
 ) -> DataFrame:
     """Streaming pixel-sample source: Kafka value = the reference's
-    delimited codec (S15, realizing the commented plan)."""
+    delimited codec (S15, realizing the commented plan).
+
+    ``fmt`` exists for the test double only (no broker or connector jar
+    ships in this container; Spark reserves the name "kafka" so the
+    double registers under its own): tests/test_kafka_wrappers.py runs
+    THIS function end-to-end against a wire-schema-identical file
+    source, so every line here except the default format string is
+    executed — options, the value cast, the codec."""
     raw = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(fmt)
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .load()
@@ -42,20 +49,25 @@ def decode_stream(lines: DataFrame) -> DataFrame:
 
 
 def write_samples_kafka(
-    samples: DataFrame, bootstrap: str, topic: str, streaming: bool = True
+    samples: DataFrame,
+    bootstrap: str,
+    topic: str,
+    streaming: bool = True,
+    fmt: str = "kafka",
 ):
     """Sample sink (S14; reference UtilsKafka.send — but executor-side
     and exactly-once-capable instead of the reference's driver-side
-    toLocalIterator loop, TilePixelingExample.scala:85)."""
+    toLocalIterator loop, TilePixelingExample.scala:85). ``fmt``: see
+    read_sample_stream_kafka."""
     encoded = samples.select(encode_sample().alias("value"))
     if streaming:
         return (
-            encoded.writeStream.format("kafka")
+            encoded.writeStream.format(fmt)
             .option("kafka.bootstrap.servers", bootstrap)
             .option("topic", topic)
         )
     return (
-        encoded.write.format("kafka")
+        encoded.write.format(fmt)
         .option("kafka.bootstrap.servers", bootstrap)
         .option("topic", topic)
     )
