@@ -288,13 +288,112 @@ def laea_to_lonlat(
     return lon, F.degrees(lat_rad)
 
 
+_ELLPS = {
+    # name → inverse flattening (semi-major is 6378137.0 for both)
+    "GRS80": 298.257222101,
+    "WGS84": 298.257223563,
+}
+
+
+def parse_proj4(
+    proj4: str,
+) -> tuple[str, tuple[int, bool] | LccParams | LaeaParams | None]:
+    """Parse a proj4 definition string into the engine's warp-family
+    descriptors — the arbitrary-CRS half of parse_crs (the reference
+    accepts any CRS object via GeoTrellis, UtilsShape.scala:54-59;
+    a .prj/.json sidecar usually carries exactly this string).
+
+    Supported projections: ``longlat``, ``utm`` (+south), ``tmerc``
+    in the UTM parameter shape, ``lcc`` (2SP), ``laea``. Datums:
+    GRS80/WGS84 (or explicit +a/+rf). Anything else raises — an
+    honest bound, not a silent wrong-projection.
+    """
+    kv: dict[str, str | None] = {}
+    for tok in proj4.split():
+        if not tok.startswith("+"):
+            continue
+        key, _, val = tok[1:].partition("=")
+        kv[key] = val if val != "" else None
+
+    proj = kv.get("proj")
+    if proj is None:
+        raise ValueError(f"proj4 string without +proj: {proj4!r}")
+
+    def num(key: str, default: float | None = None) -> float:
+        v = kv.get(key)
+        if v is None:
+            if default is None:
+                raise ValueError(f"proj4 {proj!r} needs +{key}: {proj4!r}")
+            return default
+        return float(v)
+
+    def ellipsoid() -> tuple[float, float]:
+        name = (kv.get("ellps") or kv.get("datum") or "WGS84").upper()
+        if "a" in kv and "rf" in kv:
+            return num("a"), num("rf")
+        if name in _ELLPS:
+            return 6378137.0, _ELLPS[name]
+        raise ValueError(
+            f"unsupported ellipsoid {name!r} (GRS80/WGS84 or explicit "
+            f"+a/+rf): {proj4!r}"
+        )
+
+    if proj == "longlat":
+        return "lonlat", None
+    if proj == "utm":
+        zone = int(num("zone"))
+        if not 1 <= zone <= 60:
+            raise ValueError(f"UTM zone {zone} out of range: {proj4!r}")
+        return "utm", (zone, "south" not in kv)
+    if proj == "tmerc":
+        # accept only the UTM parameter shape the engine implements
+        # (k0=0.9996, FE=500 km, FN 0/10000 km, lat0=0, zone meridian)
+        lon0, k = num("lon_0"), num("k", num("k_0", 0.9996))
+        x0, y0, lat0 = num("x_0", 0.0), num("y_0", 0.0), num("lat_0", 0.0)
+        zone = (lon0 + 183.0) / 6.0
+        if (
+            abs(k - 0.9996) > 1e-12
+            or lat0 != 0.0
+            or x0 != 500000.0
+            or y0 not in (0.0, 10000000.0)
+            or abs(zone - round(zone)) > 1e-9
+            or not 1 <= round(zone) <= 60
+        ):
+            raise ValueError(
+                "tmerc outside the UTM parameter shape "
+                f"(k0=0.9996, lat_0=0, x_0=500000, y_0 0|10000000, zone "
+                f"meridian): {proj4!r}"
+            )
+        return "utm", (int(round(zone)), y0 == 0.0)
+    if proj == "lcc":
+        a, rf = ellipsoid()
+        return "lcc", LccParams(
+            a, rf, num("lat_0"), num("lon_0"), num("lat_1"),
+            num("lat_2", num("lat_1")), num("x_0", 0.0), num("y_0", 0.0),
+        )
+    if proj == "laea":
+        a, rf = ellipsoid()
+        return "laea", LaeaParams(
+            a, rf, num("lat_0"), num("lon_0"), num("x_0", 0.0),
+            num("y_0", 0.0),
+        )
+    raise ValueError(
+        f"unsupported +proj={proj}: longlat, utm, tmerc (UTM shape), "
+        f"lcc, laea are supported — {proj4!r}"
+    )
+
+
 def parse_crs(
     crs: str,
 ) -> tuple[str, tuple[int, bool] | LccParams | LaeaParams | None]:
     """``"EPSG:4326"`` → ("lonlat", None); ``"EPSG:326xx"/"327xx"``
     → ("utm", (zone, north)); ``"EPSG:3034"/"EPSG:2154"`` → ("lcc",
-    LccParams); ``"EPSG:3035"`` → ("laea", LaeaParams). Anything else
-    raises — an honest bound, not a silent wrong-projection."""
+    LccParams); ``"EPSG:3035"`` → ("laea", LaeaParams); a ``+proj=``
+    string → parse_proj4 (arbitrary CRSs within the implemented
+    projection families). Anything else raises — an honest bound,
+    not a silent wrong-projection."""
+    if crs.lstrip().startswith("+"):
+        return parse_proj4(crs)
     code = crs.upper().removeprefix("EPSG:")
     if code == "4326":
         return "lonlat", None
@@ -423,8 +522,11 @@ def ingest_geotiff_webmercator(
     scan → decode → reproject to the WebMercator zoomed layout →
     re-tile. The decoder must supply georeferencing columns
     (x0, y0, dx, dy) alongside pixels — see sources.geotiff.
-    ``src_crs`` accepts EPSG:4326 or a UTM zone (EPSG:326xx/327xx,
-    the Landsat delivery CRS).
+    ``src_crs`` accepts EPSG:4326, UTM zones (EPSG:326xx/327xx, the
+    Landsat delivery CRS), LCC (EPSG:3034/2154), LAEA (EPSG:3035,
+    the EU INSPIRE grid), or any ``+proj=`` proj4 string within those
+    projection families (parse_proj4 — the .prj-sidecar path,
+    UtilsShape.scala:54-59 parity).
 
     ``zoom=None`` infers the level from the first file's resolution
     (zoom_for_resolution), the ZoomedLayoutScheme behavior.

@@ -534,3 +534,84 @@ def test_laea_warp_plan_stays_jvm_side(spark):
     lon, lat = laea_to_lonlat(F.col("e"), F.col("n"), _LAEA_CRS[3035])
     plan = df.select(lon.alias("lon"), lat.alias("lat"))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_proj4_families():
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        _LCC_CRS,
+        parse_crs,
+        parse_proj4,
+    )
+
+    assert parse_proj4("+proj=longlat +datum=WGS84 +no_defs") == ("lonlat", None)
+    assert parse_proj4("+proj=utm +zone=32 +datum=WGS84") == ("utm", (32, True))
+    assert parse_proj4("+proj=utm +zone=19 +south") == ("utm", (19, False))
+    # tmerc in the exact UTM parameter shape → same descriptor
+    assert parse_proj4(
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0"
+    ) == ("utm", (32, True))
+
+    # published proj4 of RGF93 / Lambert-93 reproduces the EPSG entry
+    kind, p = parse_proj4(
+        "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+        "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m +no_defs"
+    )
+    ref = _LCC_CRS[2154]
+    assert kind == "lcc"
+    assert (p.a, p.f_inv, p.lat0, p.lon0, p.lat1, p.lat2, p.fe, p.fn) == (
+        ref.a, ref.f_inv, ref.lat0, ref.lon0, ref.lat1, ref.lat2, ref.fe, ref.fn
+    )
+
+    # published proj4 of ETRS89-LAEA reproduces the EPSG entry
+    kind, p = parse_proj4(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs"
+    )
+    ref = _LAEA_CRS[3035]
+    assert kind == "laea"
+    assert (p.a, p.f_inv, p.lat0, p.lon0, p.fe, p.fn) == (
+        ref.a, ref.f_inv, ref.lat0, ref.lon0, ref.fe, ref.fn
+    )
+
+    # parse_crs dispatches proj4 strings
+    assert parse_crs("+proj=utm +zone=7")[1] == (7, True)
+
+
+def test_parse_proj4_honest_bounds():
+    from biggis_landuse_spark.operators.reproject import parse_proj4
+
+    for bad in (
+        "+proj=sinu +lon_0=0",               # unimplemented projection
+        "+proj=tmerc +lon_0=8 +k=1.0 +x_0=0",  # non-UTM tmerc shape
+        "+proj=utm +zone=0",                 # zone out of range
+        "+proj=lcc +lat_1=44",               # missing lat_0/lon_0
+        "+proj=laea +lat_0=52 +lon_0=10 +ellps=bessel",  # odd ellipsoid
+        "no plus signs here",
+    ):
+        with pytest.raises(ValueError):
+            parse_proj4(bad)
+
+
+def test_proj4_crs_pipeline_equivalence(spark):
+    # a pixel georeferenced via the proj4 STRING of Lambert-93 lands in
+    # the same web-mercator cell as via its EPSG code — the arbitrary-
+    # CRS ingest path (UtilsShape.scala:54-59 parity)
+    from biggis_landuse_spark.operators.reproject import (
+        _LCC_CRS,
+        reproject_pixels_to_webmercator,
+    )
+
+    lat, lon = 48.8566, 2.3522
+    e, n = _lcc_forward(lat, lon, _LCC_CRS[2154])
+    mk = "band int, px int, py int, value double, x0 double, y0 double, dx double, dy double"
+    px = spark.createDataFrame([(0, 0, 0, 5.0, e - 5.0, n + 5.0, 10.0, 10.0)], mk)
+    a = reproject_pixels_to_webmercator(px, 10, "a", src_crs="EPSG:2154").first()
+    b = reproject_pixels_to_webmercator(
+        px, 10, "b",
+        src_crs="+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+                "+x_0=700000 +y_0=6600000 +ellps=GRS80",
+    ).first()
+    assert (a["tile_col"], a["tile_row"], a["px"], a["py"]) == (
+        b["tile_col"], b["tile_row"], b["px"], b["py"]
+    )
