@@ -92,7 +92,9 @@ def cmd_ndvi(args) -> int:
     out = j.select(
         "tile_col", "tile_row", "ts", ndvi(t_nir, t_red).alias("tile")
     )
-    cat.write_layer(out, args.out, args.zoom)
+    # derived layers inherit the input grid's CRS — writing the default
+    # would lie about a pixel-grid input and trip stack_layers' check
+    cat.write_layer(out, args.out, args.zoom, crs=cat.layer_crs(args.nir))
     print(f"wrote layer {args.out} zoom {args.zoom}")
     return 0
 
@@ -106,7 +108,8 @@ def cmd_convolve(args) -> int:
     tiles = cat.read_layer(args.layer, args.zoom)
     out = focal_mean(tiles, radius=args.radius)
     cat.write_layer(
-        out.select("tile_col", "tile_row", "ts", "tile"), args.out, args.zoom
+        out.select("tile_col", "tile_row", "ts", "tile"),
+        args.out, args.zoom, crs=cat.layer_crs(args.layer),
     )
     print(f"wrote layer {args.out} zoom {args.zoom}")
     return 0
@@ -138,7 +141,7 @@ def cmd_resample(args) -> int:
     )
     cat.write_layer(
         out.select("tile_col", "tile_row", "ts", "tile"),
-        args.out, args.zoom + args.dz,
+        args.out, args.zoom + args.dz, crs=cat.layer_crs(args.layer),
     )
     print(f"wrote layer {args.out} zoom {args.zoom + args.dz}")
     return 0
@@ -332,7 +335,8 @@ def cmd_classify(args) -> int:
         result_px, cols=args.tile_size, rows=args.tile_size, n_bands=1
     )
     cat.write_layer(
-        tiles.select("tile_col", "tile_row", "ts", "tile"), args.out, args.zoom
+        tiles.select("tile_col", "tile_row", "ts", "tile"),
+        args.out, args.zoom, crs=cat.layer_crs(args.labels),
     )
     if args.model_out:
         C.save_model(model, args.model_out)

@@ -153,9 +153,11 @@ def build_pyramid(catalog, layer: str, from_zoom: int, to_zoom: int = 0) -> None
     catalog (cheap, pruned) so lineage stays short and each write is
     independent."""
     current = catalog.read_layer(layer, from_zoom)
+    crs = catalog.layer_crs(layer, from_zoom)
     for z in range(from_zoom, to_zoom, -1):
         parent = pyramid_up(current.withColumn("zoom", F.lit(z)))
         catalog.write_layer(
-            parent.select("tile_col", "tile_row", "ts", "tile"), layer, z - 1
+            parent.select("tile_col", "tile_row", "ts", "tile"),
+            layer, z - 1, crs=crs,
         )
         current = catalog.read_layer(layer, z - 1)

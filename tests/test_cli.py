@@ -187,7 +187,9 @@ def test_cli_samples_and_classify(spark, tmp_path):
             lambda v: F.when(v < W * H / 2, 1.0).otherwise(2.0),
         ).alias("tile"),
     )
-    c.write_layer(gt, "gt", 0)
+    # ground truth derives from feat — it lives on feat's (pixel) grid,
+    # and recording that is what lets stack_layers align them
+    c.write_layer(gt, "gt", 0, crs=c.layer_crs("feat"))
 
     out = tmp_path / "samples_csv"
     assert main([
