@@ -161,3 +161,79 @@ def build_pyramid(catalog, layer: str, from_zoom: int, to_zoom: int = 0) -> None
             layer, z - 1, crs=crs,
         )
         current = catalog.read_layer(layer, z - 1)
+
+
+def update_pyramid(
+    catalog,
+    layer: str,
+    changed_keys: DataFrame,
+    from_zoom: int,
+    to_zoom: int = 0,
+    method: str = "mean",
+) -> None:
+    """Incrementally maintain an existing pyramid after a partial
+    update of the base level — the 100 TB companion to
+    :func:`build_pyramid`, which recomputes every level from scratch.
+
+    ``changed_keys``: (tile_col, tile_row) tiles changed at
+    ``from_zoom`` (e.g. the update frame a merge_into_layer or a
+    streaming microbatch ingested). Per level, only the parents of
+    changed tiles are recomputed: the changed-key set maps to parent
+    keys, the 4-child groups feeding those parents are selected with a
+    BROADCAST semi-join (an incremental update touches a vanishing
+    fraction of a 100 TB layer — the key set stays driver-small while
+    the layer never shuffles), pyramid_up downsamples just those
+    groups, and the level is rewritten with the recomputed parents
+    replacing their old tiles (a parent is a pure function of its 4
+    children, so whole-tile replace is exact). Same staging discipline
+    as merge_into_layer: never read + overwrite one partition in a
+    single job.
+
+    Compute is proportional to |changed|·levels; the level REWRITE is
+    I/O-bound at the catalog's overwrite granularity (layer, zoom) —
+    identical to merge_into_layer's documented cost, and the reason
+    the affected-parent computation must be (and is) incremental.
+    Levels must already exist (build_pyramid first) — a missing level
+    raises instead of silently writing a sparse pyramid.
+    """
+    existing_levels = {z for (l, z) in catalog.layer_ids() if l == layer}
+    needed = set(range(to_zoom, from_zoom + 1))
+    missing = sorted(needed - existing_levels)
+    if missing:
+        raise KeyError(
+            f"update_pyramid needs existing levels {sorted(needed)} of "
+            f"{layer!r}; missing {missing} — run build_pyramid first"
+        )
+    crs = catalog.layer_crs(layer, from_zoom)
+    keys = changed_keys.select("tile_col", "tile_row").dropDuplicates()
+    for z in range(from_zoom, to_zoom, -1):
+        parents = keys.select(
+            F.expr("tile_col div 2").cast("int").alias("tile_col"),
+            F.expr("tile_row div 2").cast("int").alias("tile_row"),
+        ).dropDuplicates()
+        children = catalog.read_layer(layer, z)
+        affected = children.join(
+            F.broadcast(
+                parents.select(
+                    F.col("tile_col").alias("_pc"),
+                    F.col("tile_row").alias("_pr"),
+                )
+            ),
+            (F.expr("tile_col div 2").cast("int") == F.col("_pc"))
+            & (F.expr("tile_row div 2").cast("int") == F.col("_pr")),
+        ).drop("_pc", "_pr")
+        new_parents = pyramid_up(
+            affected.withColumn("zoom", F.lit(z)), method
+        ).select("tile_col", "tile_row", "ts", "tile")
+        kept = (
+            catalog.read_layer(layer, z - 1)
+            .join(F.broadcast(parents), ["tile_col", "tile_row"], "left_anti")
+            .select("tile_col", "tile_row", "ts", "tile")
+        )
+        merged = kept.unionByName(new_parents)
+        tmp = f"{catalog.base}/_staging/pyramid/{layer}/{z - 1}"
+        merged.write.mode("overwrite").parquet(tmp)
+        staged = catalog.spark.read.parquet(tmp)
+        catalog.write_layer(staged, layer, z - 1, crs=crs)
+        catalog._delete_dir(f"{catalog.base}/_staging")
+        keys = parents
