@@ -185,8 +185,9 @@ def test_parse_crs():
     assert parse_crs("EPSG:4326") == ("lonlat", None)
     assert parse_crs("EPSG:32632") == ("utm", (32, True))
     assert parse_crs("epsg:32734") == ("utm", (34, False))
+    assert parse_crs("EPSG:3035")[0] == "laea"  # LAEA Europe (r6)
     with pytest.raises(ValueError, match="unsupported source CRS"):
-        parse_crs("EPSG:3035")  # LAEA Europe: honest refusal
+        parse_crs("EPSG:27700")  # OSGB tmerc: still an honest refusal
 
 
 def test_reproject_utm_pixels_land_at_expected_lonlat(spark):
