@@ -383,17 +383,121 @@ def parse_proj4(
     )
 
 
+def parse_wkt_crs(
+    wkt: str,
+) -> tuple[str, tuple[int, bool] | LccParams | LaeaParams | None]:
+    """Parse an OGC/ESRI WKT CRS definition (the usual content of a
+    shapefile's ``.prj`` sidecar — the reference reads these through
+    GeoTools, UtilsShape.scala:54-59) into the engine's warp-family
+    descriptors. Same families and honest bounds as parse_proj4:
+    geographic (lon/lat), Transverse_Mercator in the UTM shape,
+    Lambert_Conformal_Conic (2SP), Lambert_Azimuthal_Equal_Area.
+    """
+    import re
+
+    head = wkt.lstrip()[:12].upper()
+    if head.startswith("GEOGCS"):
+        return "lonlat", None
+    if not head.startswith("PROJCS"):
+        raise ValueError(f"not a WKT CRS (expect PROJCS/GEOGCS): {wkt[:60]!r}")
+
+    m = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', wkt, re.IGNORECASE)
+    if not m:
+        raise ValueError(f"WKT PROJCS without PROJECTION: {wkt[:60]!r}")
+    proj = m.group(1).lower()
+    params = {
+        k.lower(): float(v)
+        for k, v in re.findall(
+            r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)\s*\]', wkt
+        )
+    }
+    sph = re.search(
+        r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)',
+        wkt,
+        re.IGNORECASE,
+    )
+    if not sph:
+        raise ValueError(f"WKT without SPHEROID: {wkt[:60]!r}")
+    a, rf = float(sph.group(1)), float(sph.group(2))
+    # projected units must be metres (our false eastings/northings are)
+    unit = re.findall(r'UNIT\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt)
+    if unit:
+        uname, uval = unit[-1]  # last UNIT = the projected one
+        if abs(float(uval) - 1.0) > 1e-12:
+            raise ValueError(
+                f"projected unit {uname!r} ({uval}) unsupported — metres only"
+            )
+
+    def p(name: str, default: float | None = None) -> float:
+        if name in params:
+            return params[name]
+        if default is None:
+            raise ValueError(f"WKT {proj!r} missing PARAMETER {name!r}")
+        return default
+
+    if proj == "transverse_mercator":
+        k0 = p("scale_factor", 1.0)
+        lat0, lon0 = p("latitude_of_origin", 0.0), p("central_meridian")
+        x0, y0 = p("false_easting", 0.0), p("false_northing", 0.0)
+        zone = (lon0 + 183.0) / 6.0
+        if (
+            abs(k0 - 0.9996) > 1e-12
+            or lat0 != 0.0
+            or x0 != 500000.0
+            or y0 not in (0.0, 10000000.0)
+            or abs(zone - round(zone)) > 1e-9
+            or not 1 <= round(zone) <= 60
+        ):
+            raise ValueError(
+                "Transverse_Mercator outside the UTM parameter shape "
+                f"(k0=0.9996, lat0=0, FE=500000, FN 0|10000000, zone "
+                f"meridian): {wkt[:60]!r}"
+            )
+        return "utm", (int(round(zone)), y0 == 0.0)
+    if proj in ("lambert_conformal_conic", "lambert_conformal_conic_2sp"):
+        return "lcc", LccParams(
+            a, rf,
+            p("latitude_of_origin"), p("central_meridian"),
+            p("standard_parallel_1"),
+            p("standard_parallel_2", p("standard_parallel_1")),
+            p("false_easting", 0.0), p("false_northing", 0.0),
+        )
+    if proj == "lambert_azimuthal_equal_area":
+        # ESRI writes latitude_of_origin/central_meridian; OGC WKT uses
+        # latitude_of_center/longitude_of_center — accept either
+        lat0 = params.get(
+            "latitude_of_origin", params.get("latitude_of_center")
+        )
+        lon0 = params.get(
+            "central_meridian", params.get("longitude_of_center")
+        )
+        if lat0 is None or lon0 is None:
+            raise ValueError(f"WKT {proj!r} missing center parameters")
+        return "laea", LaeaParams(
+            a, rf, lat0, lon0,
+            p("false_easting", 0.0), p("false_northing", 0.0),
+        )
+    raise ValueError(
+        f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator (UTM "
+        "shape), Lambert_Conformal_Conic(_2SP), "
+        "Lambert_Azimuthal_Equal_Area are supported"
+    )
+
+
 def parse_crs(
     crs: str,
 ) -> tuple[str, tuple[int, bool] | LccParams | LaeaParams | None]:
     """``"EPSG:4326"`` → ("lonlat", None); ``"EPSG:326xx"/"327xx"``
     → ("utm", (zone, north)); ``"EPSG:3034"/"EPSG:2154"`` → ("lcc",
     LccParams); ``"EPSG:3035"`` → ("laea", LaeaParams); a ``+proj=``
-    string → parse_proj4 (arbitrary CRSs within the implemented
-    projection families). Anything else raises — an honest bound,
-    not a silent wrong-projection."""
-    if crs.lstrip().startswith("+"):
+    string → parse_proj4; a ``PROJCS[``/``GEOGCS[`` string →
+    parse_wkt_crs (.prj sidecar content). Anything else raises — an
+    honest bound, not a silent wrong-projection."""
+    stripped = crs.lstrip()
+    if stripped.startswith("+"):
         return parse_proj4(crs)
+    if stripped[:6].upper() in ("PROJCS", "GEOGCS"):
+        return parse_wkt_crs(crs)
     code = crs.upper().removeprefix("EPSG:")
     if code == "4326":
         return "lonlat", None

@@ -616,3 +616,80 @@ def test_proj4_crs_pipeline_equivalence(spark):
     assert (a["tile_col"], a["tile_row"], a["px"], a["py"]) == (
         b["tile_col"], b["tile_row"], b["px"], b["py"]
     )
+
+
+WKT_UTM32 = (
+    'PROJCS["WGS 84 / UTM zone 32N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",9],'
+    'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]'
+)
+
+WKT_L93 = (
+    'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",DATUM["Reseau_Geodesique_'
+    'Francais_1993",SPHEROID["GRS 1980",6378137,298.257222101]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+    'PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",44],'
+    'PARAMETER["latitude_of_origin",46.5],PARAMETER["central_meridian",3],'
+    'PARAMETER["false_easting",700000],PARAMETER["false_northing",6600000],'
+    'UNIT["metre",1]]'
+)
+
+WKT_3035 = (
+    'PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",DATUM['
+    '"European_Terrestrial_Reference_System_1989",SPHEROID["GRS 1980",'
+    '6378137,298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",'
+    '0.0174532925199433]],PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+    'PARAMETER["latitude_of_center",52],PARAMETER["longitude_of_center",10],'
+    'PARAMETER["false_easting",4321000],PARAMETER["false_northing",3210000],'
+    'UNIT["metre",1]]'
+)
+
+
+def test_parse_wkt_crs_families():
+    from biggis_landuse_spark.operators.reproject import (
+        _LAEA_CRS,
+        _LCC_CRS,
+        parse_crs,
+        parse_wkt_crs,
+    )
+
+    assert parse_wkt_crs(WKT_UTM32) == ("utm", (32, True))
+    kind, p = parse_wkt_crs(WKT_L93)
+    ref = _LCC_CRS[2154]
+    assert kind == "lcc" and (p.lat0, p.lon0, p.lat1, p.lat2, p.fe, p.fn) == (
+        ref.lat0, ref.lon0, 49.0, 44.0, ref.fe, ref.fn
+    )
+    kind, p = parse_wkt_crs(WKT_3035)
+    ref = _LAEA_CRS[3035]
+    assert kind == "laea" and (p.lat0, p.lon0, p.fe, p.fn) == (
+        ref.lat0, ref.lon0, ref.fe, ref.fn
+    )
+    # GEOGCS = geographic lon/lat
+    assert parse_wkt_crs(
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",'
+        '0.0174532925199433]]'
+    ) == ("lonlat", None)
+    # parse_crs dispatches WKT strings (the .prj sidecar path)
+    assert parse_crs(WKT_UTM32) == ("utm", (32, True))
+
+
+def test_parse_wkt_crs_honest_bounds():
+    from biggis_landuse_spark.operators.reproject import parse_wkt_crs
+
+    with pytest.raises(ValueError, match="unsupported WKT PROJECTION"):
+        parse_wkt_crs(
+            'PROJCS["x",GEOGCS["y",DATUM["d",SPHEROID["s",6378137,298.25]]],'
+            'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],'
+            'UNIT["metre",1]]'
+        )
+    with pytest.raises(ValueError, match="metres only"):
+        parse_wkt_crs(WKT_UTM32.replace('UNIT["metre",1]', 'UNIT["foot",0.3048]'))
+    with pytest.raises(ValueError, match="UTM parameter shape"):
+        parse_wkt_crs(WKT_UTM32.replace('"central_meridian",9', '"central_meridian",8'))
+    with pytest.raises(ValueError, match="not a WKT CRS"):
+        parse_wkt_crs("COMPD_CS[something]")
