@@ -288,6 +288,36 @@ def _stacked_samples(spark, args):
     return labeled_pixel_samples(tiles_to_pixels(full), label_band=0)
 
 
+def cmd_stack(args) -> int:
+    """ManyLayersToMultibandLayer: N layers → one multiband stack
+    layer on a common aligned grid — max finest zoom by default, CRS
+    check + coarser-level resample per input
+    (ManyLayersToMultibandLayer.scala:56-76, createLayerStack
+    :233-259)."""
+    from biggis_landuse_spark.operators.stack import stack_layers
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    layers = args.layers.split(",")
+    zoom = args.zoom if args.zoom >= 0 else max(
+        cat.finest_zoom(n) for n in layers
+    )
+    out = stack_layers(cat, layers, zoom=zoom, method=args.method)
+    cat.write_layer(
+        out.select(
+            "tile_col",
+            "tile_row",
+            F.lit(None).cast("timestamp").alias("ts"),
+            "tile",
+        ),
+        args.out,
+        zoom,
+        crs=cat.layer_crs(layers[0]),
+    )
+    print(f"wrote stack {args.out} ({len(layers)} layers) zoom {zoom}")
+    return 0
+
+
 def cmd_samples(args) -> int:
     """TilePixelingToCSVExample / UtilsSVM export: stacked layers →
     labeled pixel samples → CSV or LibSVM files."""
@@ -491,6 +521,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--layer", required=True)
     sp.add_argument("--zoom", type=int, default=-1, help="-1 = all zooms")
     sp.set_defaults(fn=cmd_delete)
+
+    sp = sub.add_parser("stack", help="N layers → multiband stack layer")
+    sp.add_argument("--catalog", required=True)
+    sp.add_argument("--layers", required=True, help="comma-separated inputs")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--zoom", type=int, default=-1, help="-1 = max finest")
+    sp.add_argument(
+        "--method", default="nearest",
+        choices=("nearest", "bilinear", "cubic"),
+        help="resample method for coarser inputs",
+    )
+    sp.set_defaults(fn=cmd_stack)
 
     sp = sub.add_parser("samples", help="stacked layers → labeled pixel samples")
     common(sp)

@@ -180,3 +180,22 @@ def test_e2e_utm_plus_lonlat_ingest_stack(cat, spark, tmp_path):
         v for r in pre_rows for v in r["tile"]["bands"][0] if v is not None
     }
     assert pre_band0 == band0
+
+
+def test_cli_stack_command(spark, tmp_path):
+    # ManyLayersToMultibandLayer as a CLI invocation: two layers at
+    # different zooms → one multiband stack layer in the catalog
+    from biggis_landuse_spark.__main__ import main
+
+    cat = LayerCatalog(spark, str(tmp_path / "clicat"))
+    _write_fixture(cat, spark, "b4_red", 2)
+    _write_fixture(cat, spark, "b5_nir", 3)
+    assert main([
+        "stack", "--catalog", str(tmp_path / "clicat"),
+        "--layers", "b5_nir,b4_red", "--out", "stacked",
+    ]) == 0
+    stacked = cat.read_layer("stacked", 3)
+    rows = stacked.collect()
+    assert len(rows) == FX.GRID * FX.GRID
+    assert all(len(r["tile"]["bands"]) == 2 for r in rows)
+    assert cat.layer_crs("stacked") == "EPSG:3857"
