@@ -205,6 +205,7 @@ def stream_to_catalog(
     cell_type: str = "float64",
     checkpoint: str | None = None,
     complete_only: bool = True,
+    maintain_pyramid_to: int | None = None,
 ):
     """Streaming layer ingest: the output of ``reassemble_tiles_stream``
     is merged into a :class:`~biggis_landuse_spark.catalog.LayerCatalog`
@@ -217,6 +218,13 @@ def stream_to_catalog(
     coalesce, S6 semantics), so re-delivered tiles are idempotent
     overwrites and partial tiles can be completed by later batches.
     Returns the DataStreamWriter (caller picks trigger/start).
+
+    ``maintain_pyramid_to``: keep the zoom pyramid down to this level
+    fresh per micro-batch — built once when levels are missing, then
+    INCREMENTALLY maintained (operators.pyramid.update_pyramid: only
+    the parents of the batch's tiles recompute, so per-batch pyramid
+    cost tracks the batch size, not the layer size — the serving
+    story for a continuously-ingested 100 TB layer).
     """
     from biggis_landuse_spark.pixeling import tile_col_expr
 
@@ -236,6 +244,25 @@ def stream_to_catalog(
             catalog.merge_into_layer(staged, layer, zoom)
         else:
             catalog.write_layer(staged, layer, zoom)
+        if maintain_pyramid_to is not None and zoom > maintain_pyramid_to:
+            from biggis_landuse_spark.operators.pyramid import (
+                build_pyramid,
+                update_pyramid,
+            )
+
+            levels = {z for (l, z) in catalog.layer_ids() if l == layer}
+            if set(range(maintain_pyramid_to, zoom)) - levels:
+                build_pyramid(
+                    catalog, layer, from_zoom=zoom, to_zoom=maintain_pyramid_to
+                )
+            else:
+                update_pyramid(
+                    catalog,
+                    layer,
+                    staged.select("tile_col", "tile_row"),
+                    from_zoom=zoom,
+                    to_zoom=maintain_pyramid_to,
+                )
 
     writer = tile_stream.writeStream.foreachBatch(write_batch).outputMode(
         "append"

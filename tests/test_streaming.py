@@ -597,3 +597,54 @@ def test_streaming_trending_topk_parity(spark, events_dir):
         assert got == want and len(got) > 3
     finally:
         q.stop()
+
+
+def test_stream_to_catalog_maintains_pyramid(spark, tmp_path):
+    """maintain_pyramid_to: the first micro-batch builds the pyramid,
+    later batches maintain it INCREMENTALLY — final levels must be
+    bit-identical to a full rebuild of the final base layer."""
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.operators.pyramid import build_pyramid
+    from biggis_landuse_spark.streaming.pixels import stream_to_catalog
+
+    path = str(tmp_path / "pyr_ingest")
+    cat = LayerCatalog(spark, str(tmp_path / "cat"))
+    _write_pixels(spark, path, _pixel_rows(0, 0, list(range(16))), mode="overwrite")
+
+    stream = spark.readStream.schema(PIXEL_DDL).parquet(path)
+    tiles = reassemble_tiles_stream(stream, cols=4, rows=4, n_bands=1)
+    q = stream_to_catalog(
+        tiles,
+        cat,
+        layer="pyr",
+        cols=4,
+        rows=4,
+        zoom=2,
+        checkpoint=str(tmp_path / "ckpt"),
+        maintain_pyramid_to=0,
+    ).start()
+    try:
+        q.processAllAvailable()
+        assert {z for (l, z) in cat.layer_ids() if l == "pyr"} == {0, 1, 2}
+        _write_pixels(
+            spark, path, _pixel_rows(3, 2, list(range(16)), value_of=lambda i: i * 3)
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def level_map(c, layer, z):
+        return {
+            (r["tile_col"], r["tile_row"]): r["tile"]["bands"]
+            for r in c.read_layer(layer, z).collect()
+        }
+
+    # reference: full rebuild of the streamed base in a fresh catalog
+    cat2 = LayerCatalog(spark, str(tmp_path / "cat2"))
+    base = cat.read_layer("pyr", 2).select("tile_col", "tile_row", "ts", "tile")
+    tmp = str(tmp_path / "staged")
+    base.write.parquet(tmp)
+    cat2.write_layer(spark.read.parquet(tmp), "pyr", 2)
+    build_pyramid(cat2, "pyr", from_zoom=2, to_zoom=0)
+    for z in (0, 1, 2):
+        assert level_map(cat, "pyr", z) == level_map(cat2, "pyr", z), z
