@@ -700,6 +700,92 @@ def dedup_cc_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cluster_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    ),
+    {_BANDS_SUB_CTE},
+    edges AS (
+      SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      FROM bsub a JOIN bsub b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.sub = b.sub
+        AND a.doc_id < b.doc_id
+    ),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(r) AS component
+      FROM reach GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, count(*) AS sz FROM comp GROUP BY component
+      UNION ALL
+      SELECT d.doc_id, 1 FROM documents d
+      LEFT JOIN comp USING (doc_id) WHERE comp.doc_id IS NULL
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+    doc="""Near-dup cluster-size histogram — the audit a training
+    pipeline reads before committing to a dedup threshold (how much
+    boilerplate, how heavy is the tail, what fraction of the corpus
+    sits in clusters). Same transitive-closure clusters as
+    dedup_cc_resolve (LSH candidates → connected components, linear
+    pointer-jumping rounds); docs with no near-dup edge count as
+    singleton clusters via one anti-join — the cluster relation stays
+    |components|-sized, the corpus never re-shuffles.""",
+    tags=("DEDUP", "ITER"),
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.functions.graph import connected_components
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = spread(documents)
+    sig = D.minhash_signatures_from_text(docs, "doc_id", "text")
+    edges = D.lsh_band_pairs(sig, "doc_id").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    clustered = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    singletons = (
+        documents.join(comp, "doc_id", "left_anti")
+        .select(F.lit(1).alias("sz"))
+    )
+    sizes = clustered.select("sz").unionByName(singletons)
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    ).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+    )
+
+
+@register(
     "dedup_incremental",
     oracle=f"""
     WITH {_SHINGLES_CTE},
