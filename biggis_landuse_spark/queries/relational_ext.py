@@ -437,20 +437,39 @@ def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_orders",
-    oracle=None,  # HLL sketch estimates are engine-specific by design
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+           CAST(count(*) AS BIGINT)                   AS n_rows,
+           TRUE                                       AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="""HLL approx-distinct sketch per group — the 100 TB-scale
     companion to distinct_agg_orders (estimate instead of exact
-    shuffle-heavy distinct). Rows-only driver check; the pytest twin
-    asserts the estimate lands within 5% of the exact count.""",
+    shuffle-heavy distinct). The raw sketch estimate is
+    engine-specific by design, so the query exports the PORTABLE
+    contract instead: the exact count plus a boolean asserting the
+    HLL estimate (rsd=0.02) landed within 5% of it — the oracle
+    hash-checks that bit, so a broken sketch path fails the diff
+    rather than hiding behind a rows-only check. The HLL aggregate
+    still executes in the same plan.""",
     tags=("A",),
 )
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-            "n_orders_approx"
-        ),
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("n_approx"),
+        F.count_distinct("l_orderkey").alias("n_orders_exact"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_orders_exact",
+        "n_rows",
+        (
+            F.abs(F.col("n_approx") - F.col("n_orders_exact"))
+            <= 0.05 * F.col("n_orders_exact")
+        ).alias("approx_within_5pct"),
     )
 
 
