@@ -441,7 +441,10 @@ def build_parser() -> argparse.ArgumentParser:
     common(sp)
     sp.add_argument("--tile-size", type=int, default=256)
     sp.add_argument("--zoom", type=int, default=-1, help="-1 = infer")
-    sp.add_argument("--crs", default="EPSG:4326")
+    sp.add_argument(
+        "--crs", default="EPSG:4326",
+        help="EPSG code, proj4 string, WKT, or 'auto' (.prj sidecar)",
+    )
     sp.add_argument("--no-reproject", action="store_true",
                     help="keep source grid (MultibandGeotiffToLayerNoReproj)")
     sp.set_defaults(fn=cmd_ingest)

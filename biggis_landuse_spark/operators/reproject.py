@@ -519,6 +519,34 @@ def parse_crs(
     )
 
 
+def sidecar_crs(path: str) -> str:
+    """Resolve the source CRS from sidecar files next to the scenes:
+    ``*.prj`` (WKT — what shapefile/GeoTIFF deliveries ship) or
+    ``*.proj4`` under ``path``. All sidecars must agree (multi-scene
+    directories share one grid); none or conflicting → typed error.
+    The reference gets this for free from GeoTools' datastore
+    (UtilsShape.scala:54-59); here it feeds parse_crs."""
+    import glob
+    import os
+
+    cands = sorted(
+        glob.glob(os.path.join(path, "*.prj"))
+        + glob.glob(os.path.join(path, "*.proj4"))
+    )
+    if not cands:
+        raise ValueError(
+            f"src_crs='auto' but no .prj/.proj4 sidecar under {path!r}"
+        )
+    contents = {open(c).read().strip() for c in cands}
+    if len(contents) != 1:
+        raise ValueError(
+            f"conflicting CRS sidecars under {path!r}: {sorted(cands)}"
+        )
+    crs = contents.pop()
+    parse_crs(crs)  # fail fast with the parse error, not mid-ingest
+    return crs
+
+
 def zoom_for_resolution(
     deg_per_pixel: float, tile_size: int = TILE_SIZE
 ) -> int:
@@ -634,6 +662,8 @@ def ingest_geotiff_webmercator(
 
     ``zoom=None`` infers the level from the first file's resolution
     (zoom_for_resolution), the ZoomedLayoutScheme behavior.
+    ``src_crs="auto"`` resolves the CRS from a .prj/.proj4 sidecar
+    next to the scenes (sidecar_crs).
     """
     from biggis_landuse_spark.pixeling import pixels_to_tiles
     from biggis_landuse_spark.shipping import ensure_package_shipped
@@ -642,6 +672,9 @@ def ingest_geotiff_webmercator(
         decode_to_pixels_georef,
         scan_geotiffs,
     )
+
+    if src_crs == "auto":
+        src_crs = sidecar_crs(path)
 
     ensure_package_shipped(spark)
     binaries = scan_geotiffs(spark, path)

@@ -79,8 +79,18 @@ class FakeRampDecoder(GeoTiffDecoder):
 
 def scan_geotiffs(spark: SparkSession, path: str) -> DataFrame:
     """Distributed binary scan (S1/S2). Column pruning keeps payloads
-    out of any plan that only needs paths/sizes."""
-    return spark.read.format("binaryFile").load(path)
+    out of any plan that only needs paths/sizes. Non-raster sidecars
+    that ride along in scene directories (.prj/.tfw georeference
+    files, metadata XML/JSON/text) are filtered on the path — a
+    pushed-down scan filter, cheaper and more permissive than an
+    allowlist (fake test payloads and extensionless scenes still
+    scan)."""
+    df = spark.read.format("binaryFile").load(path)
+    return df.where(
+        ~F.lower(F.col("path")).rlike(
+            r"\.(prj|proj4|tfw|wld|xml|json|txt|md)$"
+        )
+    )
 
 
 def decode_to_pixels(

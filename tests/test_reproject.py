@@ -693,3 +693,54 @@ def test_parse_wkt_crs_honest_bounds():
         parse_wkt_crs(WKT_UTM32.replace('"central_meridian",9', '"central_meridian",8'))
     with pytest.raises(ValueError, match="not a WKT CRS"):
         parse_wkt_crs("COMPD_CS[something]")
+
+
+def test_sidecar_crs_auto_ingest(spark, tmp_path):
+    # a UTM scene shipped with its .prj sidecar: src_crs="auto" must
+    # land every pixel exactly where the explicit EPSG code does
+    import numpy as np
+
+    from biggis_landuse_spark.operators.reproject import (
+        ingest_geotiff_webmercator,
+        sidecar_crs,
+    )
+    from biggis_landuse_spark.sources.tiff import encode_tiff
+
+    h = w = 8
+    band = np.arange(h * w, dtype=np.float32).reshape(h, w)
+    e, n = _utm_forward(49.0, 8.4, 32)
+    d = tmp_path / "scene_dir"
+    d.mkdir()
+    (d / "scene.tif").write_bytes(
+        encode_tiff([band], compression="deflate", georef=(e, n, 30.0, 30.0))
+    )
+    (d / "scene.prj").write_text(WKT_UTM32)
+
+    assert sidecar_crs(str(d)) == WKT_UTM32
+    auto = ingest_geotiff_webmercator(spark, str(d), "a", src_crs="auto")
+    expl = ingest_geotiff_webmercator(spark, str(d), "b", src_crs="EPSG:32632")
+    ka = {(r["tile_col"], r["tile_row"]) for r in auto.collect()}
+    kb = {(r["tile_col"], r["tile_row"]) for r in expl.collect()}
+    assert ka == kb and ka
+
+
+def test_sidecar_crs_honest_bounds(tmp_path):
+    from biggis_landuse_spark.operators.reproject import sidecar_crs
+
+    d = tmp_path / "noprj"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no .prj"):
+        sidecar_crs(str(d))
+    (d / "a.prj").write_text(WKT_UTM32)
+    (d / "b.prj").write_text(WKT_L93)
+    with pytest.raises(ValueError, match="conflicting"):
+        sidecar_crs(str(d))
+    # two agreeing sidecars (multi-scene dir) are fine
+    (d / "b.prj").write_text(WKT_UTM32)
+    assert sidecar_crs(str(d)) == WKT_UTM32
+    # unparseable sidecar content fails fast
+    d2 = tmp_path / "bad"
+    d2.mkdir()
+    (d2 / "x.proj4").write_text("+proj=sinu +lon_0=0")
+    with pytest.raises(ValueError, match="unsupported"):
+        sidecar_crs(str(d2))
