@@ -718,10 +718,14 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges_w = hold_cache(edges.join(deg, "src"))
     nodes = hold_cache(nodes)
-    n = nodes.agg(F.count(F.lit(1)).alias("cnt"))
-    ranks = nodes.crossJoin(F.broadcast(n)).select(
-        "id", (F.lit(1.0) / F.col("cnt")).alias("r")
-    )
+    # the node count is a single integer: collect it ONCE driver-side
+    # (a count over the cached node list — metadata-sized traffic) and
+    # embed it as a literal, instead of planting a 1-row aggregate +
+    # broadcast exchange inside every iteration of the unrolled loop.
+    # Exact by construction (integer count → the same double division
+    # the oracle's CTE performs); removes ~_PR_ITERS broadcast stages.
+    cnt = nodes.count()
+    ranks = nodes.select("id", F.lit(1.0 / cnt).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
             edges_w.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -732,10 +736,10 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # contrib already covers ALL nodes — the oracle's
         # nodes-LEFT-JOIN is the general form, this is the same result
         # without re-joining the node list every round
-        ranks = contrib.crossJoin(F.broadcast(n)).select(
+        ranks = contrib.select(
             "id",
             (
-                F.lit(0.15) / F.col("cnt")
+                F.lit(0.15) / F.lit(float(cnt))
                 + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("r"),
         )
