@@ -14,12 +14,18 @@ arithmetic, so the warp is a column expression over pixel rows
 
 Supported source CRSs: EPSG:4326 (affine already in lon/lat degrees),
 the UTM zones EPSG:326xx / 327xx (the common Landsat case — affine in
-easting/northing meters), and 2SP Lambert conformal conic national
-grids (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93). UTM → lon/lat
-uses the public inverse Transverse Mercator series (Snyder 1987, "Map
-Projections — A Working Manual", eqs. 8-17..8-25 on WGS84); LCC →
-lon/lat uses Snyder eqs. 15-1..15-11 with the closed-form
-conformal-latitude series (eq. 3-5) — both pure column expressions,
+easting/northing meters), 2SP Lambert conformal conic national grids
+(EPSG:3034 LCC Europe, EPSG:2154 Lambert-93), Lambert azimuthal
+equal-area (EPSG:3035, the EU INSPIRE grid), polar stereographic
+(EPSG:3413 Arctic, EPSG:3031 Antarctic — the polar earth-observation
+grids), and Albers equal-area conic (EPSG:5070, the US NLCD grid).
+UTM → lon/lat uses the public inverse Transverse Mercator series
+(Snyder 1987, "Map Projections — A Working Manual", eqs. 8-17..8-25
+on WGS84); LCC → lon/lat uses Snyder eqs. 15-1..15-11 and polar
+stereographic Snyder eqs. 21-15..21-20, both with the closed-form
+conformal-latitude series (eq. 3-5); LAEA uses Snyder eqs.
+24-26..24-34 and Albers eqs. 14-8..14-11, both with the closed-form
+authalic-latitude series (eq. 3-18) — all pure column expressions,
 sub-centimeter inside each CRS's validity extent. This closes the
 CRS-mismatch stacking branch (ManyLayersToMultibandLayer.scala:
 233-260) beyond the UTM family.
@@ -288,6 +294,168 @@ def laea_to_lonlat(
     return lon, F.degrees(lat_rad)
 
 
+# -- Polar stereographic (variants A/B) -------------------------------------
+# The polar earth-observation grids: EPSG:3413 (NSIDC Sea Ice Polar
+# Stereographic North — the Arctic snow/ice delivery CRS) and
+# EPSG:3031 (Antarctic Polar Stereographic). Public EPSG registry
+# parameters; inverse per EPSG Guidance Note 7-2 §3.2.4 / Snyder 1987
+# eqs. 21-15..21-20 with the same closed-form conformal-latitude
+# series as the LCC inverse (eq. 3-5) — pure column expressions, no
+# iteration, no UDF.
+
+
+class PsParams:
+    """Polar stereographic definition (angles in degrees). Variant B
+    when ``lat_ts`` is given (standard parallel), variant A when
+    ``k0`` is given (scale at the pole); exactly one must be set."""
+
+    def __init__(self, a, f_inv, lon0, fe, fn, north, lat_ts=None, k0=None):
+        if (lat_ts is None) == (k0 is None):
+            raise ValueError("PsParams: exactly one of lat_ts/k0")
+        self.a, self.f_inv = a, f_inv
+        self.lon0, self.fe, self.fn = lon0, fe, fn
+        self.north, self.lat_ts, self.k0 = north, lat_ts, k0
+
+
+_PS_CRS = {
+    # NSIDC Sea Ice Polar Stereographic North (WGS84)
+    3413: PsParams(6378137.0, 298.257223563, -45.0, 0.0, 0.0,
+                   north=True, lat_ts=70.0),
+    # Antarctic Polar Stereographic (WGS84)
+    3031: PsParams(6378137.0, 298.257223563, 0.0, 0.0, 0.0,
+                   north=False, lat_ts=-71.0),
+}
+
+
+def _ps_consts(p: PsParams) -> tuple[float, float]:
+    """Driver-side projection constants (e, rho→t′ factor).
+
+    ``t′ = rho * factor``: variant B gives ``factor = t_F / (a·m_F)``
+    at the standard parallel; variant A gives
+    ``factor = sqrt((1+e)^(1+e)·(1-e)^(1-e)) / (2·a·k0)`` — the two
+    coincide when k0 is derived from lat_ts (EPSG GN7-2 §3.2.4)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    if p.lat_ts is not None:
+        phi_f = math.radians(abs(p.lat_ts))
+        es = e * math.sin(phi_f)
+        t_f = math.tan(math.pi / 4 - phi_f / 2) * (
+            (1 + es) / (1 - es)
+        ) ** (e / 2)
+        m_f = math.cos(phi_f) / math.sqrt(1 - e2 * math.sin(phi_f) ** 2)
+        return e, t_f / (p.a * m_f)
+    big = math.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    return e, big / (2 * p.a * p.k0)
+
+
+def ps_to_lonlat(
+    easting: Column, northing: Column, p: PsParams
+) -> tuple[Column, Column]:
+    """Inverse polar stereographic as pure column expressions →
+    (lon_deg, lat_deg). Sub-millimeter inside the CRS's domain
+    (closed-form conformal series, no iteration, no UDF)."""
+    e, factor = _ps_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    ep = easting - F.lit(p.fe)
+    npr = northing - F.lit(p.fn)
+    rho = F.sqrt(ep * ep + npr * npr)
+    tp = rho * F.lit(factor)
+    if p.north:
+        chi = F.lit(math.pi / 2) - 2 * F.atan(tp)
+        lon = F.lit(p.lon0) + F.degrees(F.atan2(ep, -npr))
+    else:
+        chi = 2 * F.atan(tp) - F.lit(math.pi / 2)
+        lon = F.lit(p.lon0) + F.degrees(F.atan2(ep, npr))
+    lat_rad = (
+        chi
+        + F.lit(e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * F.sin(2 * chi)
+        + F.lit(7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * F.sin(4 * chi)
+        + F.lit(7 * e6 / 120 + 81 * e8 / 1120) * F.sin(6 * chi)
+        + F.lit(4279 * e8 / 161280) * F.sin(8 * chi)
+    )
+    return lon, F.degrees(lat_rad)
+
+
+# -- Albers equal-area conic -------------------------------------------------
+# EPSG:5070 (NAD83 / Conus Albers) is the US national land-cover grid
+# (NLCD deliveries) — the other continental-scale land-use CRS beside
+# EPSG:3035. Public EPSG registry parameters; inverse per Snyder 1987
+# eqs. 14-8..14-11 with the same closed-form authalic-latitude series
+# as the LAEA inverse (eq. 3-18) — pure column expressions.
+
+
+class AeaParams:
+    """Albers equal-area conic definition (angles in degrees)."""
+
+    def __init__(self, a, f_inv, lat0, lon0, lat1, lat2, fe, fn):
+        self.a, self.f_inv = a, f_inv
+        self.lat0, self.lon0 = lat0, lon0
+        self.lat1, self.lat2 = lat1, lat2
+        self.fe, self.fn = fe, fn
+
+
+_AEA_CRS = {
+    # NAD83 / Conus Albers (GRS80)
+    5070: AeaParams(6378137.0, 298.257222101, 23.0, -96.0, 29.5, 45.5,
+                    0.0, 0.0),
+}
+
+
+def _aea_consts(p: AeaParams) -> tuple[float, float, float, float, float]:
+    """Driver-side projection constants (e, q_p, n, C, rho0)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q(phi: float) -> float:
+        s = math.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    def m(phi: float) -> float:
+        return math.cos(phi) / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+
+    qp = q(math.pi / 2)
+    p0, p1, p2 = (math.radians(v) for v in (p.lat0, p.lat1, p.lat2))
+    m1, m2 = m(p1), m(p2)
+    n = (m1 * m1 - m2 * m2) / (q(p2) - q(p1))
+    c = m1 * m1 + n * q(p1)
+    rho0 = p.a * math.sqrt(c - n * q(p0)) / n
+    return e, qp, n, c, rho0
+
+
+def aea_to_lonlat(
+    easting: Column, northing: Column, p: AeaParams
+) -> tuple[Column, Column]:
+    """Inverse Albers equal-area conic as pure column expressions →
+    (lon_deg, lat_deg). Sub-millimeter inside the CRS's domain
+    (closed-form authalic series, no iteration, no UDF)."""
+    e, qp, n, c, rho0 = _aea_consts(p)
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    # Snyder: when n is negative (southern standard parallels) the
+    # signs of easting offset, rho0-offset and theta all flip
+    s = 1.0 if n > 0 else -1.0
+    ep = (easting - F.lit(p.fe)) * F.lit(s)
+    npr = (F.lit(rho0) - (northing - F.lit(p.fn))) * F.lit(s)
+    rho = F.sqrt(ep * ep + npr * npr)
+    theta = F.atan2(ep, npr)
+    qprime = (F.lit(c) - rho * rho * F.lit(n * n / (p.a * p.a))) / F.lit(n)
+    betap = F.asin(qprime / F.lit(qp))
+    lat_rad = (
+        betap
+        + F.lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * betap)
+        + F.lit(23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * betap)
+        + F.lit(761 * e6 / 45360) * F.sin(6 * betap)
+    )
+    lon = F.lit(p.lon0) + F.degrees(theta / F.lit(n))
+    return lon, F.degrees(lat_rad)
+
+
 _ELLPS = {
     # name → inverse flattening (semi-major is 6378137.0 for both)
     "GRS80": 298.257222101,
@@ -304,9 +472,10 @@ def parse_proj4(
     a .prj/.json sidecar usually carries exactly this string).
 
     Supported projections: ``longlat``, ``utm`` (+south), ``tmerc``
-    in the UTM parameter shape, ``lcc`` (2SP), ``laea``. Datums:
-    GRS80/WGS84 (or explicit +a/+rf). Anything else raises — an
-    honest bound, not a silent wrong-projection.
+    in the UTM parameter shape, ``lcc`` (2SP), ``laea``, ``stere``
+    (polar aspect, +lat_0=±90), ``aea``. Datums: GRS80/WGS84 (or
+    explicit +a/+rf). Anything else raises — an honest bound, not a
+    silent wrong-projection.
     """
     kv: dict[str, str | None] = {}
     for tok in proj4.split():
@@ -377,9 +546,33 @@ def parse_proj4(
             a, rf, num("lat_0"), num("lon_0"), num("x_0", 0.0),
             num("y_0", 0.0),
         )
+    if proj == "stere":
+        lat0 = num("lat_0")
+        if abs(lat0) != 90.0:
+            raise ValueError(
+                f"stere is supported in the polar aspect only "
+                f"(+lat_0=90 or -90): {proj4!r}"
+            )
+        a, rf = ellipsoid()
+        lat_ts = kv.get("lat_ts")
+        if lat_ts is not None:
+            return "ps", PsParams(
+                a, rf, num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0),
+                north=lat0 > 0, lat_ts=float(lat_ts),
+            )
+        return "ps", PsParams(
+            a, rf, num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0),
+            north=lat0 > 0, k0=num("k", num("k_0", 1.0)),
+        )
+    if proj == "aea":
+        a, rf = ellipsoid()
+        return "aea", AeaParams(
+            a, rf, num("lat_0", 0.0), num("lon_0"), num("lat_1"),
+            num("lat_2", num("lat_1")), num("x_0", 0.0), num("y_0", 0.0),
+        )
     raise ValueError(
         f"unsupported +proj={proj}: longlat, utm, tmerc (UTM shape), "
-        f"lcc, laea are supported — {proj4!r}"
+        f"lcc, laea, stere (polar), aea are supported — {proj4!r}"
     )
 
 
@@ -477,10 +670,46 @@ def parse_wkt_crs(
             a, rf, lat0, lon0,
             p("false_easting", 0.0), p("false_northing", 0.0),
         )
+    if proj in ("polar_stereographic", "polar_stereographic_(variant_b)"):
+        # ESRI carries the standard parallel in latitude_of_origin
+        # (its sign names the hemisphere); OGC variant B uses
+        # standard_parallel_1 — accept either
+        lat_ts = params.get(
+            "standard_parallel_1", params.get("latitude_of_origin")
+        )
+        if lat_ts is None:
+            raise ValueError(f"WKT {proj!r} missing standard parallel")
+        lon0 = params.get(
+            "central_meridian",
+            params.get("longitude_of_origin",
+                       params.get("straight_vertical_longitude_from_pole")),
+        )
+        if lon0 is None:
+            raise ValueError(f"WKT {proj!r} missing central meridian")
+        return "ps", PsParams(
+            a, rf, lon0, p("false_easting", 0.0), p("false_northing", 0.0),
+            north=lat_ts >= 0, lat_ts=lat_ts,
+        )
+    if proj in ("albers_conic_equal_area", "albers"):
+        lat0 = params.get(
+            "latitude_of_origin", params.get("latitude_of_center", 0.0)
+        )
+        lon0 = params.get(
+            "central_meridian", params.get("longitude_of_center")
+        )
+        if lon0 is None:
+            raise ValueError(f"WKT {proj!r} missing central meridian")
+        return "aea", AeaParams(
+            a, rf, lat0, lon0,
+            p("standard_parallel_1"),
+            p("standard_parallel_2", p("standard_parallel_1")),
+            p("false_easting", 0.0), p("false_northing", 0.0),
+        )
     raise ValueError(
         f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator (UTM "
         "shape), Lambert_Conformal_Conic(_2SP), "
-        "Lambert_Azimuthal_Equal_Area are supported"
+        "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
+        "Albers_Conic_Equal_Area are supported"
     )
 
 
@@ -489,10 +718,12 @@ def parse_crs(
 ) -> tuple[str, tuple[int, bool] | LccParams | LaeaParams | None]:
     """``"EPSG:4326"`` → ("lonlat", None); ``"EPSG:326xx"/"327xx"``
     → ("utm", (zone, north)); ``"EPSG:3034"/"EPSG:2154"`` → ("lcc",
-    LccParams); ``"EPSG:3035"`` → ("laea", LaeaParams); a ``+proj=``
-    string → parse_proj4; a ``PROJCS[``/``GEOGCS[`` string →
-    parse_wkt_crs (.prj sidecar content). Anything else raises — an
-    honest bound, not a silent wrong-projection."""
+    LccParams); ``"EPSG:3035"`` → ("laea", LaeaParams);
+    ``"EPSG:3413"/"EPSG:3031"`` → ("ps", PsParams); ``"EPSG:5070"``
+    → ("aea", AeaParams); a ``+proj=`` string → parse_proj4; a
+    ``PROJCS[``/``GEOGCS[`` string → parse_wkt_crs (.prj sidecar
+    content). Anything else raises — an honest bound, not a silent
+    wrong-projection."""
     stripped = crs.lstrip()
     if stripped.startswith("+"):
         return parse_proj4(crs)
@@ -505,6 +736,10 @@ def parse_crs(
         return "lcc", _LCC_CRS[int(code)]
     if code.isdigit() and int(code) in _LAEA_CRS:
         return "laea", _LAEA_CRS[int(code)]
+    if code.isdigit() and int(code) in _PS_CRS:
+        return "ps", _PS_CRS[int(code)]
+    if code.isdigit() and int(code) in _AEA_CRS:
+        return "aea", _AEA_CRS[int(code)]
     if code.isdigit() and len(code) == 5:
         num = int(code)
         if 32601 <= num <= 32660:
@@ -515,7 +750,9 @@ def parse_crs(
         f"unsupported source CRS {crs!r}: EPSG:4326, UTM "
         "(EPSG:32601-32660 north, EPSG:32701-32760 south), Lambert "
         "conformal conic (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93), "
-        "and EPSG:3035 (ETRS89-extended LAEA Europe) are supported"
+        "EPSG:3035 (ETRS89-extended LAEA Europe), polar stereographic "
+        "(EPSG:3413 Arctic, EPSG:3031 Antarctic), and EPSG:5070 "
+        "(NAD83 Conus Albers) are supported"
     )
 
 
@@ -592,6 +829,10 @@ def reproject_pixels_to_webmercator(
         lon, lat = lcc_to_lonlat(sx, sy, crs_info)
     elif kind == "laea":
         lon, lat = laea_to_lonlat(sx, sy, crs_info)
+    elif kind == "ps":
+        lon, lat = ps_to_lonlat(sx, sy, crs_info)
+    elif kind == "aea":
+        lon, lat = aea_to_lonlat(sx, sy, crs_info)
     else:
         zone, north = crs_info
         lon, lat = utm_to_lonlat(sx, sy, zone, north)

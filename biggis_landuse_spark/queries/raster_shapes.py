@@ -1453,6 +1453,199 @@ def laea_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ps_grid_oracle() -> str:
+    """DuckDB replay of ps_to_lonlat (NSIDC Polar Stereographic North)
+    with the SAME WGS84 constants and operation association as the
+    engine's column expressions (libm trig ULPs absorbed by
+    round(avg, 4))."""
+    import math as _m
+
+    from biggis_landuse_spark.operators.reproject import (
+        _PS_CRS,
+        _ps_consts,
+    )
+
+    p = _PS_CRS[3413]
+    e, factor = _ps_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    c2 = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    c4 = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    c6 = 7 * e6 / 120 + 81 * e8 / 1120
+    c8 = 4279 * e8 / 161280
+    return f"""
+    WITH src AS (
+      -- CAST to DOUBLE: DuckDB otherwise types these literals DECIMAL
+      -- and ep*ep overflows DECIMAL(38); the values are exact integers
+      -- so the cast is value-identical to Spark's double arithmetic
+      SELECT CAST(-2800000.0 + (p_partkey % 500) * 11000.0 AS DOUBLE) AS ee,
+             CAST(-2800000.0 + (p_partkey % 451) * 12000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT ee - {p.fe!r} AS ep, nn - {p.fn!r} AS npr FROM src
+    ),
+    s2 AS (
+      SELECT ep, npr, sqrt(ep * ep + npr * npr) * {factor!r} AS tp FROM s1
+    ),
+    s3 AS (
+      SELECT {p.lon0!r} + degrees(atan2(ep, -npr)) AS lon,
+             {_m.pi / 2!r} - 2 * atan(tp) AS chi
+      FROM s2
+    ),
+    s4 AS (
+      SELECT lon,
+             degrees(chi + {c2!r} * sin(2 * chi) + {c4!r} * sin(4 * chi)
+                         + {c6!r} * sin(6 * chi) + {c8!r} * sin(8 * chi))
+               AS lat
+      FROM s3
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s4 GROUP BY 1, 2
+    """
+
+
+@register(
+    "ps_grid",
+    oracle=_ps_grid_oracle(),
+    doc="""NSIDC Sea Ice Polar Stereographic North (EPSG:3413) →
+    lat/lon inverse polar-stereographic warp
+    (operators.reproject.ps_to_lonlat — the Arctic earth-observation
+    delivery CRS) over synthesized easting/northing points spanning
+    the Arctic, re-keyed onto 1°×1° cells and aggregated. Pure trig
+    column expressions — whole-stage codegen, one shuffle for the
+    final aggregate; same plan shape as utm_grid / lcc_grid /
+    laea_grid.""",
+    tags=("REPROJECT", "PS"),
+    bench=True,
+)
+def ps_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _PS_CRS,
+        ps_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (-2800000.0 + (F.col("p_partkey") % 500) * 11000.0).alias("ee"),
+        (-2800000.0 + (F.col("p_partkey") % 451) * 12000.0).alias("nn"),
+    )
+    lon, lat = ps_to_lonlat(F.col("ee"), F.col("nn"), _PS_CRS[3413])
+    # staged projection — same codegen-size discipline as utm_grid
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
+def _albers_grid_oracle() -> str:
+    """DuckDB replay of aea_to_lonlat (NAD83 Conus Albers) with the
+    SAME GRS80 constants and operation association as the engine's
+    column expressions (libm trig ULPs absorbed by round(avg, 4))."""
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        _aea_consts,
+    )
+
+    p = _AEA_CRS[5070]
+    e, qp, n, c, rho0 = _aea_consts(p)
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c2 = e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040
+    c4 = 23 * e4 / 360 + 251 * e6 / 3780
+    c6 = 761 * e6 / 45360
+    nn_aa = n * n / (p.a * p.a)
+    return f"""
+    WITH src AS (
+      -- CAST to DOUBLE: DuckDB otherwise types these literals DECIMAL
+      -- and ep*ep overflows DECIMAL(38); the values are exact integers
+      -- so the cast is value-identical to Spark's double arithmetic
+      SELECT CAST(-2400000.0 + (p_partkey % 500) * 9000.0 AS DOUBLE) AS ee,
+             CAST(200000.0 + (p_partkey % 451) * 6000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT (ee - {p.fe!r}) * 1.0 AS ep,
+             ({rho0!r} - (nn - {p.fn!r})) * 1.0 AS npr
+      FROM src
+    ),
+    s2 AS (
+      SELECT ep, npr, sqrt(ep * ep + npr * npr) AS rho FROM s1
+    ),
+    s3 AS (
+      SELECT atan2(ep, npr) AS theta,
+             asin((({c!r} - rho * rho * {nn_aa!r}) / {n!r}) / {qp!r})
+               AS betap
+      FROM s2
+    ),
+    s4 AS (
+      SELECT {p.lon0!r} + degrees(theta / {n!r}) AS lon,
+             degrees(betap + {c2!r} * sin(2 * betap)
+                           + {c4!r} * sin(4 * betap)
+                           + {c6!r} * sin(6 * betap)) AS lat
+      FROM s3
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s4 GROUP BY 1, 2
+    """
+
+
+@register(
+    "albers_grid",
+    oracle=_albers_grid_oracle(),
+    doc="""NAD83 / Conus Albers (EPSG:5070) → lat/lon inverse
+    equal-area-conic warp (operators.reproject.aea_to_lonlat — the US
+    NLCD land-cover grid, the other continental land-use CRS beside
+    EPSG:3035) over synthesized easting/northing points spanning the
+    CONUS, re-keyed onto 1°×1° cells and aggregated. Pure trig column
+    expressions — whole-stage codegen, one shuffle for the final
+    aggregate; same plan shape as utm_grid / lcc_grid / laea_grid.""",
+    tags=("REPROJECT", "AEA"),
+    bench=True,
+)
+def albers_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        aea_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (-2400000.0 + (F.col("p_partkey") % 500) * 9000.0).alias("ee"),
+        (200000.0 + (F.col("p_partkey") % 451) * 6000.0).alias("nn"),
+    )
+    lon, lat = aea_to_lonlat(F.col("ee"), F.col("nn"), _AEA_CRS[5070])
+    # staged projection — same codegen-size discipline as utm_grid
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
 @register(
     "terrain_tile",
     oracle="""

@@ -744,3 +744,336 @@ def test_sidecar_crs_honest_bounds(tmp_path):
     (d2 / "x.proj4").write_text("+proj=sinu +lon_0=0")
     with pytest.raises(ValueError, match="unsupported"):
         sidecar_crs(str(d2))
+
+
+def _ps_forward(lat, lon, p):
+    # independent forward polar stereographic (EPSG GN 7-2 §3.2.4 /
+    # Snyder eqs. 21-5..21-6) — the twin of the engine's inverse
+    from biggis_landuse_spark.operators.reproject import _ps_consts
+
+    e, factor = _ps_consts(p)
+    phi = math.radians(lat if p.north else -lat)
+    es = e * math.sin(phi)
+    t = math.tan(math.pi / 4 - phi / 2) * ((1 + es) / (1 - es)) ** (e / 2)
+    rho = t / factor
+    theta = math.radians(lon - p.lon0)
+    ee = p.fe + rho * math.sin(theta)
+    nn = p.fn + (rho * math.cos(theta) if not p.north else -rho * math.cos(theta))
+    return ee, nn
+
+
+def _aea_forward(lat, lon, p):
+    # independent forward Albers equal-area conic (Snyder eqs.
+    # 14-1..14-4) — the twin of the engine's inverse
+    from biggis_landuse_spark.operators.reproject import _aea_consts
+
+    e, qp, n, c, rho0 = _aea_consts(p)
+    e2 = e * e
+    s = math.sin(math.radians(lat))
+    q = (1 - e2) * (
+        s / (1 - e2 * s * s)
+        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+    )
+    rho = p.a * math.sqrt(c - n * q) / n
+    theta = n * math.radians(lon - p.lon0)
+    ee = p.fe + rho * math.sin(theta)
+    nn = p.fn + rho0 - rho * math.cos(theta)
+    return ee, nn
+
+
+def test_ps_variant_b_published_epsg_example(spark):
+    # EPSG Guidance Note 7-2 §3.2.4 variant B worked example
+    # (Australian Antarctic, WGS84, lat_ts=-71, lon0=70E,
+    # FE=FN=6000000): (75S, 120E) → E 7255380.79, N 7053389.56
+    from biggis_landuse_spark.operators.reproject import (
+        PsParams,
+        ps_to_lonlat,
+    )
+
+    p = PsParams(6378137.0, 298.257223563, 70.0, 6_000_000.0, 6_000_000.0,
+                 north=False, lat_ts=-71.0)
+    ee, nn = _ps_forward(-75.0, 120.0, p)
+    assert ee == pytest.approx(7255380.79, abs=0.01)
+    assert nn == pytest.approx(7053389.56, abs=0.01)
+    df = spark.createDataFrame([(7255380.79, 7053389.56)], "e double, n double")
+    lon_c, lat_c = ps_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(120.0, abs=1e-6)
+    assert r["lat"] == pytest.approx(-75.0, abs=1e-6)
+
+
+def test_ps_variant_a_ups_north(spark):
+    # EPSG GN 7-2 §3.2.4 variant A worked example (UPS North, WGS84,
+    # k0=0.994, FE=FN=2000000): (73N, 44E) → E 3320416.75, N 632668.43
+    from biggis_landuse_spark.operators.reproject import (
+        parse_proj4,
+        ps_to_lonlat,
+    )
+
+    kind, p = parse_proj4(
+        "+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 "
+        "+y_0=2000000 +datum=WGS84 +units=m +no_defs"
+    )
+    assert kind == "ps" and p.north and p.k0 == 0.994
+    ee, nn = _ps_forward(73.0, 44.0, p)
+    assert ee == pytest.approx(3320416.75, abs=0.01)
+    assert nn == pytest.approx(632668.43, abs=0.01)
+    df = spark.createDataFrame([(3320416.75, 632668.43)], "e double, n double")
+    lon_c, lat_c = ps_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(44.0, abs=1e-6)
+    assert r["lat"] == pytest.approx(73.0, abs=1e-6)
+
+
+def test_ps_pole_maps_to_false_origin(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _PS_CRS,
+        ps_to_lonlat,
+    )
+
+    for code, pole_lat in ((3413, 90.0), (3031, -90.0)):
+        p = _PS_CRS[code]
+        df = spark.createDataFrame([(p.fe, p.fn)], "e double, n double")
+        lon_c, lat_c = ps_to_lonlat(F.col("e"), F.col("n"), p)
+        r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+        assert r["lat"] == pytest.approx(pole_lat, abs=1e-6)
+
+
+@pytest.mark.parametrize(
+    "code,lat,lon",
+    [
+        (3413, 64.15, -21.94),   # Reykjavik
+        (3413, 71.29, -156.77),  # Utqiagvik (far west of lon0)
+        (3413, 78.22, 15.65),    # Longyearbyen
+        (3031, -77.85, 166.67),  # McMurdo
+        (3031, -64.77, -64.05),  # Palmer (west)
+    ],
+)
+def test_ps_inverse_roundtrips_forward(spark, code, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        _PS_CRS,
+        ps_to_lonlat,
+    )
+
+    p = _PS_CRS[code]
+    ee, nn = _ps_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = ps_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=1e-6)
+    assert r["lon"] == pytest.approx(lon, abs=1e-7)
+
+
+def test_parse_crs_ps_and_pipeline(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _PS_CRS,
+        parse_crs,
+        reproject_pixels_to_webmercator,
+    )
+
+    kind, p = parse_crs("EPSG:3413")
+    assert kind == "ps" and p.north and p.lat_ts == 70.0 and p.lon0 == -45.0
+    kind, p = parse_crs("epsg:3031")
+    assert kind == "ps" and not p.north and p.lat_ts == -71.0
+    # an Arctic georeferenced pixel lands in the same target cell as
+    # its lon/lat twin — the sea-ice-product ingest path
+    z = 10
+    lat, lon = 64.15, -21.94
+    e, n = _ps_forward(lat, lon, _PS_CRS[3413])
+    mk = "band int, px int, py int, value double, x0 double, y0 double, dx double, dy double"
+    ps_px = spark.createDataFrame([(0, 0, 0, 5.0, e - 5.0, n + 5.0, 10.0, 10.0)], mk)
+    ll_px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lon - 0.0001, lat + 0.0001, 0.0002, 0.0002)], mk
+    )
+    a = reproject_pixels_to_webmercator(ps_px, z, "a", src_crs="EPSG:3413").first()
+    b = reproject_pixels_to_webmercator(ll_px, z, "b", src_crs="EPSG:4326").first()
+    assert (a["tile_col"], a["tile_row"]) == (b["tile_col"], b["tile_row"])
+
+
+def test_aea_center_maps_to_false_origin(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        aea_to_lonlat,
+    )
+
+    p = _AEA_CRS[5070]
+    df = spark.createDataFrame([(p.fe, p.fn)], "e double, n double")
+    lon_c, lat_c = aea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(-96.0, abs=1e-9)
+    assert r["lat"] == pytest.approx(23.0, abs=1e-6)  # authalic series
+
+
+@pytest.mark.parametrize(
+    "lat,lon",
+    [
+        (39.7392, -104.9903),  # Denver
+        (47.61, -122.33),      # Seattle (far northwest)
+        (25.76, -80.19),       # Miami (far southeast)
+        (44.98, -93.27),       # Minneapolis
+        (34.05, -118.24),      # Los Angeles
+    ],
+)
+def test_aea_inverse_roundtrips_forward(spark, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        aea_to_lonlat,
+    )
+
+    p = _AEA_CRS[5070]
+    ee, nn = _aea_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = aea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=1e-6)
+    assert r["lon"] == pytest.approx(lon, abs=1e-7)
+
+
+def test_aea_inverse_matches_iterative_inverse():
+    # independent check without the closed-form series: iterate
+    # Snyder eq. 3-16 for phi from q' and compare
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        _aea_consts,
+    )
+
+    p = _AEA_CRS[5070]
+    e, qp, n, c, rho0 = _aea_consts(p)
+    e2 = e * e
+    lat, lon = 39.7392, -104.9903
+    ee, nn = _aea_forward(lat, lon, p)
+    rho = math.hypot(ee - p.fe, rho0 - (nn - p.fn))
+    qprime = (c - rho * rho * n * n / (p.a * p.a)) / n
+    phi = math.asin(qprime / 2)
+    for _ in range(20):
+        s = math.sin(phi)
+        f = (
+            (1 - e2 * s * s) ** 2
+            / (2 * math.cos(phi))
+            * (
+                qprime / (1 - e2)
+                - s / (1 - e2 * s * s)
+                + (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+            )
+        )
+        phi += f
+    assert math.degrees(phi) == pytest.approx(lat, abs=1e-9)
+
+
+def test_parse_crs_aea_and_pipeline(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        parse_crs,
+        reproject_pixels_to_webmercator,
+    )
+
+    kind, p = parse_crs("EPSG:5070")
+    assert kind == "aea" and p.lat1 == 29.5 and p.lat2 == 45.5
+    # a Conus-Albers georeferenced pixel lands in the same target cell
+    # as its lon/lat twin — the NLCD-shaped ingest path
+    z = 10
+    lat, lon = 39.7392, -104.9903
+    e, n = _aea_forward(lat, lon, _AEA_CRS[5070])
+    mk = "band int, px int, py int, value double, x0 double, y0 double, dx double, dy double"
+    aea_px = spark.createDataFrame([(0, 0, 0, 5.0, e - 5.0, n + 5.0, 10.0, 10.0)], mk)
+    ll_px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lon - 0.0001, lat + 0.0001, 0.0002, 0.0002)], mk
+    )
+    a = reproject_pixels_to_webmercator(aea_px, z, "a", src_crs="EPSG:5070").first()
+    b = reproject_pixels_to_webmercator(ll_px, z, "b", src_crs="EPSG:4326").first()
+    assert (a["tile_col"], a["tile_row"]) == (b["tile_col"], b["tile_row"])
+
+
+def test_ps_aea_warp_plans_stay_jvm_side(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        _PS_CRS,
+        aea_to_lonlat,
+        ps_to_lonlat,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") * 1000.0 - 2_000_000.0).alias("e"),
+        (F.col("id") * 1000.0 + 500_000.0).alias("n"),
+    )
+    for fn, p in ((ps_to_lonlat, _PS_CRS[3413]), (aea_to_lonlat, _AEA_CRS[5070])):
+        lon, lat = fn(F.col("e"), F.col("n"), p)
+        plan = (
+            df.select(lon.alias("lon"), lat.alias("lat"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_parse_proj4_ps_aea_families():
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        _PS_CRS,
+        parse_proj4,
+    )
+
+    # published proj4 of EPSG:3413 reproduces the EPSG entry
+    kind, p = parse_proj4(
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+        "+datum=WGS84 +units=m +no_defs"
+    )
+    ref = _PS_CRS[3413]
+    assert kind == "ps"
+    assert (p.a, p.f_inv, p.lon0, p.fe, p.fn, p.north, p.lat_ts) == (
+        ref.a, ref.f_inv, ref.lon0, ref.fe, ref.fn, ref.north, ref.lat_ts
+    )
+    # published proj4 of EPSG:5070 reproduces the EPSG entry
+    kind, p = parse_proj4(
+        "+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+        "+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs"
+    )
+    ref = _AEA_CRS[5070]
+    assert kind == "aea"
+    assert (p.a, p.f_inv, p.lat0, p.lon0, p.lat1, p.lat2, p.fe, p.fn) == (
+        ref.a, ref.f_inv, ref.lat0, ref.lon0, ref.lat1, ref.lat2, ref.fe, ref.fn
+    )
+    # oblique stereographic stays an honest error
+    with pytest.raises(ValueError, match="polar aspect"):
+        parse_proj4("+proj=stere +lat_0=52.15 +lon_0=5.38 +k=0.9999079")
+
+
+WKT_3413 = (
+    'PROJCS["WGS 84 / NSIDC Sea Ice Polar Stereographic North",'
+    'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+    '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",'
+    '0.0174532925199433]],PROJECTION["Polar_Stereographic"],'
+    'PARAMETER["latitude_of_origin",70],PARAMETER["central_meridian",-45],'
+    'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+    'UNIT["metre",1]]'
+)
+
+WKT_5070 = (
+    'PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",DATUM['
+    '"North_American_Datum_1983",SPHEROID["GRS 1980",6378137,'
+    '298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",'
+    '0.0174532925199433]],PROJECTION["Albers_Conic_Equal_Area"],'
+    'PARAMETER["latitude_of_center",23],PARAMETER["longitude_of_center",-96],'
+    'PARAMETER["standard_parallel_1",29.5],'
+    'PARAMETER["standard_parallel_2",45.5],'
+    'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+    'UNIT["metre",1]]'
+)
+
+
+def test_parse_wkt_ps_aea_families():
+    from biggis_landuse_spark.operators.reproject import (
+        _AEA_CRS,
+        _PS_CRS,
+        parse_wkt_crs,
+    )
+
+    kind, p = parse_wkt_crs(WKT_3413)
+    ref = _PS_CRS[3413]
+    assert kind == "ps" and (p.lon0, p.lat_ts, p.north) == (
+        ref.lon0, ref.lat_ts, True
+    )
+    kind, p = parse_wkt_crs(WKT_5070)
+    ref = _AEA_CRS[5070]
+    assert kind == "aea" and (p.lat0, p.lon0, p.lat1, p.lat2) == (
+        ref.lat0, ref.lon0, ref.lat1, ref.lat2
+    )
