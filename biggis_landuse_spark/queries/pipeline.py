@@ -558,3 +558,140 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("samples_per_100k"),
     )
+
+
+_DSIR_B = 64   # hashed feature buckets (10^4+ at real scale)
+_DSIR_K = 50   # documents resampled
+
+
+@register(
+    "dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS term FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(term), 1, 6) AS BIGINT) % {_DSIR_B}
+               AS b
+      FROM tok
+    ),
+    raw AS (SELECT b, count(*) AS r FROM hashed GROUP BY b),
+    tgt AS (
+      SELECT b, count(*) AS t FROM hashed WHERE lang = 'en' GROUP BY b
+    ),
+    tot AS (
+      SELECT sum(r) AS tr, (SELECT sum(t) FROM tgt) AS tt FROM raw
+    ),
+    model AS (
+      SELECT raw.b,
+             round(ln((coalesce(t, 0) + 1.0) / (tt + {_DSIR_B}))
+                   - ln((r + 1.0) / (tr + {_DSIR_B})), 6) AS lam
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             CAST(count(*) AS BIGINT) AS n_toks,
+             sum(lam)                 AS logw
+      FROM hashed h JOIN model m ON h.b = m.b
+      GROUP BY h.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, n_toks, logw,
+             logw - ln(-ln((CAST('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || '|dsir'), 1, 8) AS BIGINT)
+               + 0.5) / 4294967296.0)) AS k
+      FROM scored
+    )
+    SELECT doc_id, n_toks,
+           round(logw, 4) AS log_w,
+           round(k, 4)    AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}
+    """,
+    doc="""DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): estimate per-doc
+    importance weights as the log-likelihood ratio of a hashed
+    bag-of-unigrams model fit on a target slice (lang='en') vs the
+    raw corpus (Laplace-smoothed, 64 buckets here / 10k+ at scale),
+    then resample top-K by weight + deterministic Gumbel noise (the
+    Gumbel-top-k trick; uniforms from the portable md5 mix so both
+    engines draw identical noise).
+
+    Scale: model fit is two partial-aggregated shuffles that each
+    output only B bucket rows; the B-row model broadcasts; scoring is
+    a map-side broadcast join over exploded tokens plus ONE doc-keyed
+    shuffle; selection is TakeOrderedAndProject (top-K, no global
+    sort). Float sync: bucket log-ratios round at 6dp BEFORE scoring
+    (both engines sum identical doubles), outputs at 4dp.""",
+    tags=("PIPELINE", "TEXT", "ML"),
+    bench=True,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    hashed = documents.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("term")
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("term"), 1, 6), 16, 10).cast("long"),
+            F.lit(_DSIR_B),
+        ).alias("b"),
+    )
+    raw = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = (
+        hashed.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    tot = raw.agg(F.sum("r").alias("tr")).crossJoin(
+        tgt.agg(F.sum("t").alias("tt"))
+    )
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("t"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + _DSIR_B)
+                )
+                - F.log((F.col("r") + 1.0) / (F.col("tr") + _DSIR_B)),
+                6,
+            ).alias("lam"),
+        )
+    )
+    scored = (
+        hashed.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lam").alias("logw"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    k = F.col("logw") - F.log(-F.log(u))
+    return (
+        scored.select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("logw"), 4).alias("log_w"),
+            F.round(k, 4).alias("sample_key"),
+            k.alias("_k"),
+        )
+        .orderBy(F.desc("_k"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+        .drop("_k")
+    )
