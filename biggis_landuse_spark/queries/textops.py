@@ -1460,3 +1460,120 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("dfc") > 1).cast("double")) / F.count(F.lit(1)), 6
         ).alias("dup_frac"),
     )
+
+
+_BLOOM_M = 65536   # filter bits (sized to snapshot shingle count; 2^33+ at scale)
+_BLOOM_K = 3       # hash functions (8-hex-char slices of one md5)
+_BLOOM_THRESH = 0.5  # containment fraction that flags a doc
+
+
+@register(
+    "dedup_bloom",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pos AS (
+      SELECT doc_id, shingle, unnest([
+        CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {_BLOOM_M},
+        CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) % {_BLOOM_M},
+        CAST('0x' || substr(md5(shingle), 17, 8) AS BIGINT) % {_BLOOM_M}
+      ]) AS p
+      FROM sh
+    ),
+    bits AS (SELECT DISTINCT p FROM pos WHERE doc_id % 2 = 0),
+    marked AS (
+      SELECT pos.doc_id, pos.shingle, bits.p IS NOT NULL AS inb
+      FROM pos LEFT JOIN bits ON pos.p = bits.p
+      WHERE pos.doc_id % 2 = 1
+    ),
+    grams AS (
+      SELECT doc_id, shingle, bool_and(inb) AS hit
+      FROM marked GROUP BY doc_id, shingle
+    ),
+    d AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT)            AS n_grams,
+             CAST(count(*) FILTER (hit) AS BIGINT) AS n_hit
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_hit,
+           round(n_hit * 1.0 / n_grams, 6)        AS hit_frac,
+           n_hit * 1.0 / n_grams >= {_BLOOM_THRESH} AS flagged
+    FROM d
+    """,
+    doc="""Bloom-filter shingle-containment dedup — the constant-memory
+    rolling-crawl primitive (the Dolma pipeline's paragraph dedup
+    uses exactly this shape): the snapshot's shingles are inserted
+    into an M-bit Bloom filter (K bit positions carved from one md5,
+    so both engines derive identical bits); each incoming-batch doc
+    is scored by the fraction of its shingles whose K bits are ALL
+    set, and flagged when containment >= 0.5. False positives are
+    possible (that's the Bloom tradeoff, visible here as hit_frac
+    above the exact containment), false negatives are impossible by
+    construction.
+
+    Scale: the filter is the <=M-row distinct bit relation — the
+    persisted artifact a rolling crawl keeps instead of the corpus
+    (2^33 bits = 1 GiB at 1e9 shingles); the probe is one equi-join
+    on an int key plus a doc-keyed aggregate, linear in the batch. On
+    a real cluster the same logic compiles to Spark's native
+    bloom_filter_agg/might_contain pair; the relational form here is
+    its exact logical twin and stays DuckDB-checkable. Complements
+    dedup_incremental (exact digest + MinHash-band semi-joins) with
+    the approximate-membership branch.""",
+    tags=("DEDUP",),
+    bench=True,
+)
+def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    tokd = documents.select(
+        "doc_id", TX.tokens("text").alias("_toks")
+    ).where(F.size("_toks") >= 3)
+    sh = tokd.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(D.shingles_from_tokens(F.col("_toks")))
+        ).alias("shingle"),
+    )
+    pos = sh.select(
+        "doc_id",
+        "shingle",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.conv(
+                            F.substring(F.md5("shingle"), 1 + 8 * j, 8), 16, 10
+                        ).cast("long"),
+                        F.lit(_BLOOM_M),
+                    )
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p"),
+    )
+    bits = (
+        pos.where(F.col("doc_id") % 2 == 0).select("p").distinct()
+    )
+    marked = (
+        pos.where(F.col("doc_id") % 2 == 1)
+        .join(bits.withColumn("_inb", F.lit(True)), "p", "left")
+        .select(
+            "doc_id", "shingle", F.coalesce(F.col("_inb"), F.lit(False)).alias("inb")
+        )
+    )
+    grams = marked.groupBy("doc_id", "shingle").agg(
+        F.bool_and("inb").alias("hit")
+    )
+    d = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("hit").cast("long")).cast("long").alias("n_hit"),
+    )
+    frac = F.col("n_hit") * 1.0 / F.col("n_grams")
+    return d.select(
+        "doc_id",
+        "n_grams",
+        "n_hit",
+        F.round(frac, 6).alias("hit_frac"),
+        (frac >= _BLOOM_THRESH).alias("flagged"),
+    )

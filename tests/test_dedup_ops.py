@@ -140,3 +140,52 @@ def test_embedding_near_dup_bucket_blocks_capped(spark):
     ).collect()[0]
     assert stats["mx"] <= 4 * cap
     assert stats["pv"] <= 2 * n * cap
+
+
+def test_dedup_bloom_no_false_negatives(spark, sf_dir):
+    # the Bloom guarantee: a shingle inserted into the filter is
+    # always found, so per-doc bloom containment >= exact containment
+    # — flags may only be ADDED by false positives, never lost
+    from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    bloom = {
+        r["doc_id"]: r
+        for r in REGISTRY["dedup_bloom"].spark(spark, sf_dir).collect()
+    }
+    assert bloom and all(k % 2 == 1 for k in bloom)
+
+    # exact containment of batch shingles in snapshot shingles
+    from biggis_landuse_spark.functions import dedup as D
+    from biggis_landuse_spark.functions import text as TX
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    sh = (
+        documents.select("doc_id", TX.tokens("text").alias("_toks"))
+        .where(F.size("_toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(D.shingles_from_tokens(F.col("_toks")))
+            ).alias("shingle"),
+        )
+    )
+    snap = sh.where(F.col("doc_id") % 2 == 0).select("shingle").distinct()
+    exact = {
+        r["doc_id"]: (r["n"], r["hit"])
+        for r in sh.where(F.col("doc_id") % 2 == 1)
+        .join(snap.withColumn("_in", F.lit(True)), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_in").isNotNull().cast("long")).alias("hit"),
+        )
+        .collect()
+    }
+    assert set(exact) == set(bloom)
+    for doc_id, (n, hit) in exact.items():
+        b = bloom[doc_id]
+        assert b["n_grams"] == n
+        assert b["n_hit"] >= hit, doc_id  # no false negatives
+        if hit * 1.0 / n >= 0.5:
+            assert b["flagged"], doc_id
