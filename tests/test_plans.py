@@ -347,3 +347,22 @@ def test_warp_grid_queries_stay_jvm_side_one_shuffle_staged(plan_of):
         floors = _re.findall(r"FLOOR\([^)]{0,80}\)", plan)
         assert floors, name
         assert all("ATAN" not in f.upper() and "ASIN" not in f.upper() for f in floors), name
+
+
+def test_dsir_select_broadcast_model_topk(plan_of):
+    # the B-row model joins broadcast (corpus never shuffles for the
+    # scoring join) and selection is top-K, not a global sort
+    plan = plan_of("dsir_select")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # exactly the doc-keyed aggregate shuffles the scored relation
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_dedup_bloom_int_keyed_probe(plan_of):
+    # the filter probe is an equi-join on the int bit position —
+    # never a cartesian/broadcast-nested-loop fallback
+    plan = plan_of("dedup_bloom")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
