@@ -337,3 +337,106 @@ def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum(F.col("n_docs") - 1).cast("long").alias("n_duplicates"),
     )
+
+
+BLOOM_M = 65536  # filter bits (sized to snapshot shingle count; 2^33+ at scale)
+BLOOM_K = 3      # hash functions (8-hex-char slices of one md5)
+
+
+def bloom_positions(
+    shingle: Column | str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> Column:
+    """K Bloom bit positions for a shingle, carved as independent
+    32-bit slices of ONE md5 (portable: DuckDB derives identical bits
+    via ``CAST('0x' || substr(md5(s), 1+8j, 8) AS BIGINT) % m``)."""
+    col = F.col(shingle) if isinstance(shingle, str) else shingle
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(F.substring(F.md5(col), 1 + 8 * j, 8), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(m),
+            )
+            for j in range(k)
+        ]
+    )
+
+
+def _bloom_shingles(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Distinct (id, shingle) pairs, guarded against sub-shingle docs."""
+    tokd = docs.select(F.col(id_col), tokens(text_col).alias("_toks")).where(
+        F.size("_toks") >= SHINGLE_WORDS
+    )
+    return tokd.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles_from_tokens(F.col("_toks")))
+        ).alias("shingle"),
+    )
+
+
+def bloom_bits(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """The Bloom filter as a relation: the <=m-row DISTINCT set of bit
+    positions covering every shingle of ``docs`` — the constant-memory
+    artifact a rolling crawl persists instead of the corpus (at real
+    scale this compiles to Spark's native bloom_filter_agg; the
+    relational form is its exact logical twin)."""
+    sh = _bloom_shingles(docs, id_col, text_col)
+    return (
+        sh.select(F.explode(bloom_positions("shingle", m, k)).alias("p"))
+        .distinct()
+    )
+
+
+def bloom_containment(
+    docs: DataFrame,
+    bits: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    thresh: float = 0.5,
+) -> DataFrame:
+    """Score each doc by the fraction of its shingles whose K bit
+    positions are ALL set in ``bits``; flag docs at >= ``thresh``
+    containment. Per-doc and batch-local, so the same call serves the
+    batch query and each streaming micro-batch (no cross-batch state
+    beyond the static bits relation). No false negatives: an inserted
+    shingle always probes positive."""
+    sh = _bloom_shingles(docs, id_col, text_col)
+    pos = sh.select(
+        F.col(id_col),
+        "shingle",
+        F.explode(bloom_positions("shingle", m, k)).alias("p"),
+    )
+    marked = pos.join(
+        bits.withColumn("_inb", F.lit(True)), "p", "left"
+    ).select(
+        F.col(id_col),
+        "shingle",
+        F.coalesce(F.col("_inb"), F.lit(False)).alias("inb"),
+    )
+    grams = marked.groupBy(id_col, "shingle").agg(
+        F.bool_and("inb").alias("hit")
+    )
+    d = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.col("hit").cast("long")).cast("long").alias("n_hit"),
+    )
+    frac = F.col("n_hit") * 1.0 / F.col("n_grams")
+    return d.select(
+        F.col(id_col),
+        "n_grams",
+        "n_hit",
+        F.round(frac, 6).alias("hit_frac"),
+        (frac >= thresh).alias("flagged"),
+    )

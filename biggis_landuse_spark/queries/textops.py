@@ -1462,9 +1462,9 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_M = 65536   # filter bits (sized to snapshot shingle count; 2^33+ at scale)
-_BLOOM_K = 3       # hash functions (8-hex-char slices of one md5)
-_BLOOM_THRESH = 0.5  # containment fraction that flags a doc
+_BLOOM_M = D.BLOOM_M       # filter bits (sized to snapshot shingles; 2^33+ at scale)
+_BLOOM_K = D.BLOOM_K       # hash functions (8-hex-char slices of one md5)
+_BLOOM_THRESH = 0.5        # containment fraction that flags a doc
 
 
 @register(
@@ -1526,54 +1526,9 @@ _BLOOM_THRESH = 0.5  # containment fraction that flags a doc
 def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     documents = spread(documents)
-    tokd = documents.select(
-        "doc_id", TX.tokens("text").alias("_toks")
-    ).where(F.size("_toks") >= 3)
-    sh = tokd.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(D.shingles_from_tokens(F.col("_toks")))
-        ).alias("shingle"),
-    )
-    pos = sh.select(
-        "doc_id",
-        "shingle",
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(
-                        F.conv(
-                            F.substring(F.md5("shingle"), 1 + 8 * j, 8), 16, 10
-                        ).cast("long"),
-                        F.lit(_BLOOM_M),
-                    )
-                    for j in range(_BLOOM_K)
-                ]
-            )
-        ).alias("p"),
-    )
-    bits = (
-        pos.where(F.col("doc_id") % 2 == 0).select("p").distinct()
-    )
-    marked = (
-        pos.where(F.col("doc_id") % 2 == 1)
-        .join(bits.withColumn("_inb", F.lit(True)), "p", "left")
-        .select(
-            "doc_id", "shingle", F.coalesce(F.col("_inb"), F.lit(False)).alias("inb")
-        )
-    )
-    grams = marked.groupBy("doc_id", "shingle").agg(
-        F.bool_and("inb").alias("hit")
-    )
-    d = grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum(F.col("hit").cast("long")).cast("long").alias("n_hit"),
-    )
-    frac = F.col("n_hit") * 1.0 / F.col("n_grams")
-    return d.select(
-        "doc_id",
-        "n_grams",
-        "n_hit",
-        F.round(frac, 6).alias("hit_frac"),
-        (frac >= _BLOOM_THRESH).alias("flagged"),
+    snap = documents.where(F.col("doc_id") % 2 == 0)
+    batch = documents.where(F.col("doc_id") % 2 == 1)
+    bits = D.bloom_bits(snap, m=_BLOOM_M, k=_BLOOM_K)
+    return D.bloom_containment(
+        batch, bits, m=_BLOOM_M, k=_BLOOM_K, thresh=_BLOOM_THRESH
     )

@@ -1,0 +1,66 @@
+"""Streaming Bloom-filter dedup admission — the rolling crawl as a
+stream.
+
+The batch twin (queries/textops.py::dedup_bloom) scores an incoming
+batch against the snapshot's Bloom bit relation; here the incoming
+batch IS a stream: each micro-batch of documents is scored against the
+same static bits relation via ``foreachBatch``, and the scored /
+admitted rows append to a parquet sink. This is the Structured
+Streaming form of the pipeline the reference sketched but never landed
+(Kafka source → dedup → sink, SURVEY.md §2.9): the only state beyond
+the checkpoint is the bits relation itself, which is refreshed
+out-of-band (the crawl's snapshot compaction), so stream state stays
+O(1) in stream length.
+
+Scoring is per-document and batch-local
+(:func:`biggis_landuse_spark.functions.dedup.bloom_containment`), so
+stream output is IDENTICAL to running the batch twin on the union of
+all micro-batches — pinned by test_streaming_bloom parity tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from biggis_landuse_spark.functions.dedup import (
+    BLOOM_K,
+    BLOOM_M,
+    bloom_containment,
+)
+
+
+def stream_bloom_admit(
+    doc_stream: DataFrame,
+    bits: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    thresh: float = 0.5,
+    admitted_only: bool = False,
+):
+    """Score a document stream against a static Bloom bit relation and
+    append the scored rows to ``out_path`` (parquet).
+
+    ``admitted_only=True`` keeps only un-flagged docs (the admission
+    filter a crawl pipeline actually applies); default emits every doc
+    with its containment score so downstream policy stays tunable.
+    Returns the DataStreamWriter (caller picks trigger/start).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = bloom_containment(
+            batch_df, bits, id_col=id_col, text_col=text_col,
+            m=m, k=k, thresh=thresh,
+        )
+        if admitted_only:
+            scored = scored.where(~scored.flagged)
+        scored.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
