@@ -113,10 +113,19 @@ def read_geojsonl(
 
 
 def _ring_signed_area(ring: list[tuple[float, float]]) -> float:
-    """Shoelace ×2: negative for clockwise rings (shapefile outer)."""
+    """Shoelace ×2: negative for clockwise rings (shapefile outer).
+
+    Coordinates are translated to the first vertex before the cross
+    products — area is translation-invariant, and without the shift a
+    small ring far from the origin (projected meters, e.g. a 2 mm
+    rectangle at UTM easting 460134) cancels below double ulp and can
+    flip orientation, misgrouping an outer ring as a hole."""
+    if not ring:
+        return 0.0
+    ox, oy = ring[0]
     s = 0.0
     for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
-        s += x1 * y2 - x2 * y1
+        s += (x1 - ox) * (y2 - oy) - (x2 - ox) * (y1 - oy)
     return s
 
 

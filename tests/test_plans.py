@@ -295,6 +295,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "triangle_count",  # 1-row triangle/wedge/edge summaries crossed
         "pca_power",  # 1-row Rayleigh-eigenvalue broadcast
         "temperature_mix",  # 1-row mixing-total broadcast
+        "dsir_select",  # 1-row corpus/target token-total broadcasts
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)
