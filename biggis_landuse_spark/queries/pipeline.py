@@ -695,3 +695,151 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_DSIR_K)
         .drop("_k")
     )
+
+
+_N_SHUFFLE_SHARDS = 8  # thousands at real scale (one shard ~ one output file)
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || '|shuffle') AS k,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|shuffle'),
+                                 1, 6) AS BIGINT) % {_N_SHUFFLE_SHARDS}
+               AS shard
+      FROM documents
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           arg_min(doc_id, k)           AS head_doc,
+           arg_max(doc_id, k)           AS tail_doc
+    FROM keyed GROUP BY shard
+    """,
+    doc="""Deterministic corpus shuffle into equal training shards —
+    the write-layout step after select/mix/pack: every doc gets a
+    content-hash order key (md5 of doc_id + salt, engine-portable),
+    its shard is the key's md5-prefix modulo, and docs are consumed
+    within a shard in key order. The query reports per-shard stats
+    (count, bytes, first/last doc in shuffle order) — the manifest a
+    shard writer would emit.
+
+    Scale shape: ONE partial-aggregated shuffle on shard (min_by/
+    max_by/sum all combine map-side; N_SHARDS rows out). The actual
+    write is `repartition(shard)` + `sortWithinPartitions(k)` — the
+    same key pair, no extra shuffle, and shard sizes are balanced by
+    the hash regardless of doc_id layout (thousands of shards at
+    100 TB: shard count scales with corpus/file-size, never with
+    executor count).""",
+    tags=("PIPELINE",),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shuffle")))
+    shard = F.pmod(
+        F.conv(F.substring(k, 1, 6), 16, 10).cast("long"),
+        F.lit(_N_SHUFFLE_SHARDS),
+    )
+    return (
+        documents.select(
+            "doc_id", "n_chars", k.alias("k"), shard.alias("shard")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min_by("doc_id", "k").alias("head_doc"),
+            F.max_by("doc_id", "k").alias("tail_doc"),
+        )
+    )
+
+
+@register(
+    "cross_source_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT source, {_TOKS} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT source,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6)
+             AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+    doc="""Source×source contamination matrix: 3-word-shingle Jaccard
+    overlap between every pair of corpus sources — the leakage
+    diagnostic run before mixing crawl snapshots / data vendors into
+    one training corpus (a shingle seen in two sources inflates dedup
+    debt and can leak eval sets across vendor boundaries).
+
+    Scale shape: the corpus is shingled and aggregated to one row per
+    DISTINCT shingle in ONE shuffle (collect_set dedups in the
+    partial agg, and each set is bounded by the SOURCE count —
+    dozens, fixed by schema, never data-sized). That vocabulary-sized
+    relation is hold_cache()d and feeds both consumers: per-source
+    sizes (explode + re-agg over distinct-shingle rows, sublinear in
+    the corpus) and the pair explosion, which is |shingles|·n_sources²
+    at absolute worst — linear in the corpus, never doc-quadratic.
+    Per-source sizes are n_sources rows — broadcast into the jaccard
+    join.""",
+    tags=("PIPELINE", "TEXT", "dedup"),
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.queries import hold_cache
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    grouped = hold_cache(
+        documents.select("source", tokens("text").alias("_toks"))
+        .select(
+            "source",
+            F.explode(D.shingles_from_tokens(F.col("_toks"))).alias("shingle"),
+        )
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
+    sizes = grouped.select(F.explode("srcs").alias("source")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pair_expr = (
+        "flatten(transform(srcs, (a, i) -> "
+        "  transform(slice(srcs, i + 2, size(srcs)), b -> "
+        "    struct(a AS src_a, b AS src_b))))"
+    )
+    pairs = grouped.where(F.size("srcs") >= 2).select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    )
+    shared = pairs.groupBy(
+        F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    sa = F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("_na")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("_nb")))
+    return (
+        shared.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
