@@ -799,6 +799,7 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-source sizes are n_sources rows — broadcast into the jaccard
     join.""",
     tags=("PIPELINE", "TEXT", "dedup"),
+    bench=True,
 )
 def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggis_landuse_spark.queries import hold_cache
