@@ -2360,3 +2360,133 @@ def pyramid_mode_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     parent = pyramid_up(children, method="mode")
     out = tiles_to_pixels(parent).where(F.col("value").isNotNull())
     return out.select("px", "py", "value")
+
+
+@register(
+    "raster_region_labels",
+    oracle="""
+    WITH RECURSIVE vals AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CAST((p_partkey * 31) % 97 AS DOUBLE) AS v
+      FROM part WHERE p_partkey < 576
+    ),
+    px AS (
+      SELECT gy * 24 + gx AS id, gx, gy,
+             CASE WHEN v >= 0 AND v < 33 THEN 1
+                  WHEN v >= 33 AND v < 66 THEN 2
+                  WHEN v >= 66 AND v < 97 THEN 3 END AS cls
+      FROM vals
+    ),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM px a JOIN px b
+        ON a.cls = b.cls
+       AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+         OR (b.gx = a.gx AND b.gy = a.gy + 1))
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+    ),
+    comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+    lbl AS (
+      SELECT px.id, px.gx, px.gy, px.cls,
+             coalesce(comp.component, px.id) AS region_id
+      FROM px LEFT JOIN comp USING (id)
+    )
+    SELECT region_id, CAST(min(cls) AS INT) AS class,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(min(gx) AS INT) AS min_gx, CAST(min(gy) AS INT) AS min_gy,
+           CAST(max(gx) AS INT) AS max_gx, CAST(max(gy) AS INT) AS max_gy
+    FROM lbl GROUP BY region_id
+    """,
+    doc="""Connected-component labeling of the classified land-use
+    raster: every maximal 4-connected region of same-class pixels gets
+    a canonical label (its minimum pixel id) and the region inventory
+    reports class, area, and bbox — the "contiguous land-use patches"
+    product a land-use analyst derives from a classified scene
+    (region sizes feed fragmentation metrics; bboxes feed vectorize/
+    crop). Pixels reclassify through the REAL operators.local
+    .reclassify CASE chain, exactly like zonal_class_areas.
+
+    Scale shape: the adjacency relation is TWO co-partitioned grid
+    equi-joins (east and south neighbor — Catalyst extracts
+    (gx+1, gy, cls) as hash keys; never an inequality join), linear in
+    pixels. Labels come from functions/graph.connected_components —
+    min-label propagation with pointer jumping (O(log diameter)
+    rounds, per-round localCheckpoint so lineage stays flat). At
+    100 TB the production refinement is tile-local pre-labeling
+    (applyInPandas union-find per tile) with CC run only on the
+    tile-boundary adjacency graph — the same join/agg primitives on a
+    relation ~1/tile_size the pixel count; the canonical min-pixel-id
+    labels are identical, which is what the oracle pins. Isolated
+    pixels (no same-class neighbor) are their own regions via the
+    left-join coalesce. Oracle: DuckDB recursive-CTE reachability.""",
+    tags=("SPATIAL", "ITER", "P4"),
+)
+def raster_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.functions.graph import connected_components
+    from biggis_landuse_spark.operators.local import reclassify
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 576).select(
+        F.lit("lu").alias("layer"),
+        F.lit(0).alias("zoom"),
+        (k % 24 / 8).cast("int").alias("tile_col"),
+        (k / 24 / 8).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        (k % 24 % 8).cast("int").alias("px"),
+        ((k / 24).cast("int") % 8).cast("int").alias("py"),
+        ((k * 31) % 97).cast("double").alias("value"),
+    )
+    raw = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    classed_tiles = raw.withColumn(
+        "tile", reclassify(F.col("tile"), _LU_BREAKS)
+    )
+    px = (
+        tiles_to_pixels(classed_tiles)
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("tile_col") * 8 + F.col("px")).cast("long").alias("gx"),
+            (F.col("tile_row") * 8 + F.col("py")).cast("long").alias("gy"),
+            F.col("value").cast("int").alias("cls"),
+        )
+        .withColumn("id", F.col("gy") * 24 + F.col("gx"))
+    )
+    a, b = px.alias("a"), px.alias("b")
+    east = a.join(
+        b,
+        (F.col("a.gx") + 1 == F.col("b.gx"))
+        & (F.col("a.gy") == F.col("b.gy"))
+        & (F.col("a.cls") == F.col("b.cls")),
+    )
+    south = a.join(
+        b,
+        (F.col("a.gx") == F.col("b.gx"))
+        & (F.col("a.gy") + 1 == F.col("b.gy"))
+        & (F.col("a.cls") == F.col("b.cls")),
+    )
+    edges = east.select(
+        F.col("a.id").alias("src"), F.col("b.id").alias("dst")
+    ).union(south.select(F.col("a.id").alias("src"), F.col("b.id").alias("dst")))
+    labels = connected_components(edges, max_iter=20)
+    lbl = px.join(labels, px.id == labels.node, "left").select(
+        "gx",
+        "gy",
+        "cls",
+        F.coalesce(F.col("component"), F.col("id")).alias("region_id"),
+    )
+    return lbl.groupBy("region_id").agg(
+        F.min("cls").cast("int").alias("class"),
+        F.count(F.lit(1)).cast("long").alias("n_pixels"),
+        F.min("gx").cast("int").alias("min_gx"),
+        F.min("gy").cast("int").alias("min_gy"),
+        F.max("gx").cast("int").alias("max_gx"),
+        F.max("gy").cast("int").alias("max_gy"),
+    )
