@@ -2413,24 +2413,25 @@ def pyramid_mode_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     crop). Pixels reclassify through the REAL operators.local
     .reclassify CASE chain, exactly like zonal_class_areas.
 
-    Scale shape: the adjacency relation is TWO co-partitioned grid
-    equi-joins (east and south neighbor — Catalyst extracts
-    (gx+1, gy, cls) as hash keys; never an inequality join), linear in
-    pixels. Labels come from functions/graph.connected_components —
-    min-label propagation with pointer jumping (O(log diameter)
-    rounds, per-round localCheckpoint so lineage stays flat). At
-    100 TB the production refinement is tile-local pre-labeling
-    (applyInPandas union-find per tile) with CC run only on the
-    tile-boundary adjacency graph — the same join/agg primitives on a
-    relation ~1/tile_size the pixel count; the canonical min-pixel-id
-    labels are identical, which is what the oracle pins. Isolated
-    pixels (no same-class neighbor) are their own regions via the
-    left-join coalesce. Oracle: DuckDB recursive-CTE reachability.""",
+    Scale shape (operators/regions.label_regions — the distributed
+    form of GeoTrellis' local-mode-only RegionGroup): pixels shuffle
+    ONCE (groupBy tile), each tile labels itself with an executor-side
+    union-find (Arrow-batched applyInPandas — bounded tile_size²
+    Python cost per group), and the iterative min-label merge
+    (functions/graph.connected_components, pointer jumping +
+    localCheckpoint) runs only on the tile-BOUNDARY adjacency graph,
+    a ~4/tile_size perimeter fraction of the pixel count. The
+    label→region map is component-count-sized and joins back onto the
+    pixels. Canonical min-pixel-id labels are tiling-invariant
+    (test_regions pins equality with a BFS reference and across
+    tile sizes; the oracle pins them relationally). Isolated pixels
+    are their own regions. Oracle: DuckDB recursive-CTE
+    reachability.""",
     tags=("SPATIAL", "ITER", "P4"),
 )
 def raster_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from biggis_landuse_spark.functions.graph import connected_components
     from biggis_landuse_spark.operators.local import reclassify
+    from biggis_landuse_spark.operators.regions import label_regions
     from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
 
     (part,) = load_tables(spark, sf_dir, "part")
@@ -2457,31 +2458,8 @@ def raster_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tile_row") * 8 + F.col("py")).cast("long").alias("gy"),
             F.col("value").cast("int").alias("cls"),
         )
-        .withColumn("id", F.col("gy") * 24 + F.col("gx"))
     )
-    a, b = px.alias("a"), px.alias("b")
-    east = a.join(
-        b,
-        (F.col("a.gx") + 1 == F.col("b.gx"))
-        & (F.col("a.gy") == F.col("b.gy"))
-        & (F.col("a.cls") == F.col("b.cls")),
-    )
-    south = a.join(
-        b,
-        (F.col("a.gx") == F.col("b.gx"))
-        & (F.col("a.gy") + 1 == F.col("b.gy"))
-        & (F.col("a.cls") == F.col("b.cls")),
-    )
-    edges = east.select(
-        F.col("a.id").alias("src"), F.col("b.id").alias("dst")
-    ).union(south.select(F.col("a.id").alias("src"), F.col("b.id").alias("dst")))
-    labels = connected_components(edges, max_iter=20)
-    lbl = px.join(labels, px.id == labels.node, "left").select(
-        "gx",
-        "gy",
-        "cls",
-        F.coalesce(F.col("component"), F.col("id")).alias("region_id"),
-    )
+    lbl = label_regions(px, width=24, tile_size=8)
     return lbl.groupBy("region_id").agg(
         F.min("cls").cast("int").alias("class"),
         F.count(F.lit(1)).cast("long").alias("n_pixels"),
