@@ -2468,3 +2468,165 @@ def raster_region_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gx").cast("int").alias("max_gx"),
         F.max("gy").cast("int").alias("max_gy"),
     )
+
+
+@register(
+    "landscape_metrics",
+    oracle="""
+    WITH RECURSIVE vals AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CAST((p_partkey * 31) % 97 AS DOUBLE) AS v
+      FROM part WHERE p_partkey < 576
+    ),
+    px AS (
+      SELECT gy * 24 + gx AS id, gx, gy,
+             CASE WHEN v >= 0 AND v < 33 THEN 1
+                  WHEN v >= 33 AND v < 66 THEN 2
+                  WHEN v >= 66 AND v < 97 THEN 3 END AS cls
+      FROM vals
+    ),
+    edges AS (
+      SELECT a.id AS src, b.id AS dst
+      FROM px a JOIN px b
+        ON a.cls = b.cls
+       AND ((b.gx = a.gx + 1 AND b.gy = a.gy)
+         OR (b.gx = a.gx AND b.gy = a.gy + 1))
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+    ),
+    comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+    lbl AS (
+      SELECT px.cls, coalesce(comp.component, px.id) AS region_id
+      FROM px LEFT JOIN comp USING (id)
+    ),
+    patch AS (
+      SELECT region_id, min(cls) AS cls, count(*) AS sz
+      FROM lbl GROUP BY region_id
+    ),
+    class_patch AS (
+      SELECT cls, count(*) AS n_patches, sum(sz) AS n_pixels,
+             max(sz) AS max_patch
+      FROM patch GROUP BY cls
+    ),
+    diff_edges AS (
+      SELECT a.cls AS ca, b.cls AS cb
+      FROM px a JOIN px b
+        ON ((b.gx = a.gx + 1 AND b.gy = a.gy)
+         OR (b.gx = a.gx AND b.gy = a.gy + 1))
+      WHERE a.cls <> b.cls
+    ),
+    edge_per_class AS (
+      SELECT cls, count(*) AS n_class_edges FROM (
+        SELECT ca AS cls FROM diff_edges
+        UNION ALL SELECT cb AS cls FROM diff_edges
+      ) GROUP BY cls
+    )
+    SELECT CAST(cp.cls AS INT) AS class,
+           CAST(n_patches AS BIGINT) AS n_patches,
+           CAST(n_pixels AS BIGINT) AS n_pixels,
+           round(CAST(n_pixels AS DOUBLE) / n_patches, 6) AS mean_patch_size,
+           round(CAST(max_patch AS DOUBLE) / n_pixels, 6)
+             AS largest_patch_share,
+           CAST(coalesce(n_class_edges, 0) AS BIGINT) AS n_class_edges
+    FROM class_patch cp
+    LEFT JOIN edge_per_class e ON cp.cls = e.cls
+    """,
+    doc="""FRAGSTATS-style landscape fragmentation metrics per
+    land-use class: patch count, class area, mean patch size, largest
+    patch share (the LPI numerator), and class edge count (pixel-pair
+    boundaries to a DIFFERENT class) — the quantitative summary a
+    land-use-change analysis derives from a classified scene, built
+    on the SAME tile-local CCL as raster_region_labels.
+
+    Scale shape: patch sizes are a partial-aggregated groupBy over
+    the labeled pixels (region-count rows out); class rollups run
+    over the patch relation (class-count rows); edge counting is the
+    same co-partitioned east/south grid equi-join with a cls
+    inequality FILTER (never a join condition), so it stays a hash
+    join. Ratios are integer-over-integer rounded 6dp on both
+    engines.""",
+    tags=("SPATIAL", "ITER", "P4"),
+)
+def landscape_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.local import reclassify
+    from biggis_landuse_spark.operators.regions import label_regions
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    pixels = part.where(k < 576).select(
+        F.lit("lu").alias("layer"),
+        F.lit(0).alias("zoom"),
+        (k % 24 / 8).cast("int").alias("tile_col"),
+        (k / 24 / 8).cast("int").alias("tile_row"),
+        F.lit(0).alias("band"),
+        (k % 24 % 8).cast("int").alias("px"),
+        ((k / 24).cast("int") % 8).cast("int").alias("py"),
+        ((k * 31) % 97).cast("double").alias("value"),
+    )
+    raw = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+    classed_tiles = raw.withColumn(
+        "tile", reclassify(F.col("tile"), _LU_BREAKS)
+    )
+    px = (
+        tiles_to_pixels(classed_tiles)
+        .where(F.col("value").isNotNull())
+        .select(
+            (F.col("tile_col") * 8 + F.col("px")).cast("long").alias("gx"),
+            (F.col("tile_row") * 8 + F.col("py")).cast("long").alias("gy"),
+            F.col("value").cast("int").alias("cls"),
+        )
+    )
+    patch = (
+        label_regions(px, width=24, tile_size=8)
+        .groupBy("region_id")
+        .agg(F.min("cls").alias("cls"), F.count(F.lit(1)).alias("sz"))
+    )
+    class_patch = patch.groupBy("cls").agg(
+        F.count(F.lit(1)).cast("long").alias("n_patches"),
+        F.sum("sz").cast("long").alias("n_pixels"),
+        F.max("sz").alias("max_patch"),
+    )
+    a, b = px.alias("a"), px.alias("b")
+    east = a.join(
+        b,
+        (F.col("a.gx") + 1 == F.col("b.gx"))
+        & (F.col("a.gy") == F.col("b.gy")),
+    ).where(F.col("a.cls") != F.col("b.cls"))
+    south = a.join(
+        b,
+        (F.col("a.gx") == F.col("b.gx"))
+        & (F.col("a.gy") + 1 == F.col("b.gy")),
+    ).where(F.col("a.cls") != F.col("b.cls"))
+    diff = east.select(
+        F.col("a.cls").alias("ca"), F.col("b.cls").alias("cb")
+    ).union(south.select(F.col("a.cls").alias("ca"), F.col("b.cls").alias("cb")))
+    edge_per_class = (
+        diff.select(F.col("ca").alias("cls"))
+        .union(diff.select(F.col("cb").alias("cls")))
+        .groupBy("cls")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_class_edges"))
+    )
+    return (
+        class_patch.join(edge_per_class, "cls", "left")
+        .select(
+            F.col("cls").cast("int").alias("class"),
+            "n_patches",
+            "n_pixels",
+            F.round(
+                F.col("n_pixels").cast("double") / F.col("n_patches"), 6
+            ).alias("mean_patch_size"),
+            F.round(
+                F.col("max_patch").cast("double") / F.col("n_pixels"), 6
+            ).alias("largest_patch_share"),
+            F.coalesce(F.col("n_class_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_class_edges"),
+        )
+    )
