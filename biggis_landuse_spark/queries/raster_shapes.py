@@ -2630,3 +2630,101 @@ def landscape_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_class_edges"),
         )
     )
+
+
+@register(
+    "land_use_change_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CASE WHEN CAST((p_partkey * 31) % 97 AS DOUBLE) < 33 THEN 1
+                  WHEN CAST((p_partkey * 31) % 97 AS DOUBLE) < 66 THEN 2
+                  ELSE 3 END AS cls
+      FROM part WHERE p_partkey < 576
+    ),
+    b AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CASE WHEN CAST((p_partkey * 53 + 17) % 97 AS DOUBLE) < 33 THEN 1
+                  WHEN CAST((p_partkey * 53 + 17) % 97 AS DOUBLE) < 66 THEN 2
+                  ELSE 3 END AS cls
+      FROM part WHERE p_partkey < 576
+    ),
+    joined AS (
+      SELECT a.cls AS class_from, b.cls AS class_to
+      FROM a JOIN b USING (gx, gy)
+    ),
+    counted AS (
+      SELECT class_from, class_to, CAST(count(*) AS BIGINT) AS n_pixels
+      FROM joined GROUP BY class_from, class_to
+    ),
+    tot AS (SELECT sum(n_pixels) AS t FROM counted)
+    SELECT CAST(class_from AS INT) AS class_from,
+           CAST(class_to AS INT)   AS class_to,
+           n_pixels,
+           round(CAST(n_pixels AS DOUBLE) / t, 6) AS share,
+           class_from <> class_to  AS changed
+    FROM counted CROSS JOIN tot
+    """,
+    doc="""Land-use change (transition) matrix between two classified
+    epochs of the same scene — the reference project's headline
+    product (BigGIS land-use monitoring: what turned from forest to
+    built-up between scenes?): per (class_from, class_to) pixel
+    counts, corpus share, and a changed flag. Epoch B is a second
+    deterministic classification of the same grid (at production the
+    two epochs are two catalog layers of the same extent).
+
+    Scale shape: the two epochs equi-join on pixel coordinates —
+    co-partitioned when both layers share the catalog's Z-order
+    layout, so the join is shuffle-free at scale — and transitions
+    partial-aggregate to a class²-bounded relation before the 1-row
+    total broadcasts in for shares. Counts exact; shares 6dp.""",
+    tags=("SPATIAL", "P4", "J1"),
+)
+def land_use_change_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.local import reclassify
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def epoch(expr) -> DataFrame:
+        pixels = part.where(k < 576).select(
+            F.lit("lu").alias("layer"),
+            F.lit(0).alias("zoom"),
+            (k % 24 / 8).cast("int").alias("tile_col"),
+            (k / 24 / 8).cast("int").alias("tile_row"),
+            F.lit(0).alias("band"),
+            (k % 24 % 8).cast("int").alias("px"),
+            ((k / 24).cast("int") % 8).cast("int").alias("py"),
+            expr.cast("double").alias("value"),
+        )
+        tiles = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+        classed = tiles.withColumn("tile", reclassify(F.col("tile"), _LU_BREAKS))
+        return (
+            tiles_to_pixels(classed)
+            .where(F.col("value").isNotNull())
+            .select(
+                (F.col("tile_col") * 8 + F.col("px")).cast("long").alias("gx"),
+                (F.col("tile_row") * 8 + F.col("py")).cast("long").alias("gy"),
+                F.col("value").cast("int").alias("cls"),
+            )
+        )
+
+    a = epoch((k * 31) % 97)
+    b = epoch((k * 53 + 17) % 97)
+    counted = (
+        a.withColumnRenamed("cls", "class_from")
+        .join(b.withColumnRenamed("cls", "class_to"), ["gx", "gy"])
+        .groupBy("class_from", "class_to")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pixels"))
+    )
+    tot = counted.agg(F.sum("n_pixels").alias("t"))
+    return counted.crossJoin(F.broadcast(tot)).select(
+        F.col("class_from").cast("int").alias("class_from"),
+        F.col("class_to").cast("int").alias("class_to"),
+        "n_pixels",
+        F.round(F.col("n_pixels").cast("double") / F.col("t"), 6).alias(
+            "share"
+        ),
+        (F.col("class_from") != F.col("class_to")).alias("changed"),
+    )

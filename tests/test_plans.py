@@ -296,6 +296,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "pca_power",  # 1-row Rayleigh-eigenvalue broadcast
         "temperature_mix",  # 1-row mixing-total broadcast
         "dsir_select",  # 1-row corpus/target token-total broadcasts
+        "land_use_change_matrix",  # 1-row pixel-total broadcast for shares
     }
     for name in sorted(REGISTRY):
         plan = plan_of(name)
