@@ -2728,3 +2728,170 @@ def land_use_change_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("class_from") != F.col("class_to")).alias("changed"),
     )
+
+
+@register(
+    "change_hotspots",
+    oracle="""
+    WITH RECURSIVE a AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CASE WHEN CAST((p_partkey * 31) % 97 AS DOUBLE) < 33 THEN 1
+                  WHEN CAST((p_partkey * 31) % 97 AS DOUBLE) < 66 THEN 2
+                  ELSE 3 END AS cls
+      FROM part WHERE p_partkey < 576
+    ),
+    b AS (
+      SELECT p_partkey % 24 AS gx, p_partkey // 24 AS gy,
+             CASE WHEN CAST((p_partkey * 53 + 17) % 97 AS DOUBLE) < 33 THEN 1
+                  WHEN CAST((p_partkey * 53 + 17) % 97 AS DOUBLE) < 66 THEN 2
+                  ELSE 3 END AS cls
+      FROM b_src
+    ),
+    px AS (
+      SELECT a.gy * 24 + a.gx AS id, a.gx, a.gy,
+             a.cls * 10 + b.cls AS pair
+      FROM a JOIN b USING (gx, gy)
+      WHERE a.cls <> b.cls
+    ),
+    edges AS (
+      SELECT p.id AS src, q.id AS dst
+      FROM px p JOIN px q
+        ON ((q.gx = p.gx + 1 AND q.gy = p.gy)
+         OR (q.gx = p.gx AND q.gy = p.gy + 1))
+    ),
+    sym AS (
+      SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node
+    ),
+    comp AS (SELECT node AS id, min(r) AS component FROM reach GROUP BY node),
+    lbl AS (
+      SELECT px.gx, px.gy, px.pair,
+             coalesce(comp.component, px.id) AS region_id
+      FROM px LEFT JOIN comp USING (id)
+    ),
+    regions AS (
+      SELECT region_id,
+             CAST(count(*) AS BIGINT) AS n_pixels,
+             CAST(min(gx) AS INT) AS min_gx, CAST(min(gy) AS INT) AS min_gy,
+             CAST(max(gx) AS INT) AS max_gx, CAST(max(gy) AS INT) AS max_gy
+      FROM lbl GROUP BY region_id
+    ),
+    pair_counts AS (
+      SELECT region_id, pair, count(*) AS n
+      FROM lbl GROUP BY region_id, pair
+    ),
+    dominant AS (
+      SELECT region_id, pair FROM (
+        SELECT region_id, pair,
+               row_number() OVER (
+                 PARTITION BY region_id ORDER BY n DESC, pair) AS rn
+        FROM pair_counts
+      ) WHERE rn = 1
+    )
+    SELECT r.region_id,
+           CAST(n_pixels AS BIGINT) AS n_pixels,
+           CAST(pair // 10 AS INT) AS top_from,
+           CAST(pair % 10 AS INT) AS top_to,
+           min_gx, min_gy, max_gx, max_gy
+    FROM regions r JOIN dominant d ON r.region_id = d.region_id
+    WHERE n_pixels >= 3
+    """.replace("FROM b_src", "FROM part WHERE p_partkey < 576"),
+    doc="""Contiguous change hotspots: pixels whose land-use class
+    CHANGED between two epochs, grouped into maximal 4-connected
+    regions of change (any transition), reporting each hotspot's area,
+    DOMINANT transition (most frequent from→to, ties to the smallest
+    pair), and bbox for regions of 3+ pixels — the "where is change
+    concentrated" alerting product (single-pixel flips are
+    classification noise; contiguous patches are real change).
+
+    Scale shape: the two epochs equi-join on pixel coordinates
+    (co-partitioned under the catalog layout), the change mask FILTERS
+    before any labeling work (changed pixels are a small fraction of a
+    real scene — the CCL input shrinks by that factor), the SAME
+    tile-local label_regions path runs over the mask (constant class:
+    adjacency only), and both the inventory and the dominant-transition
+    argmax partial-aggregate to region-count-bounded relations.
+    Oracle: recursive-CTE reachability over the changed-pixel graph.""",
+    tags=("SPATIAL", "ITER", "P4"),
+)
+def change_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W2
+
+    from biggis_landuse_spark.operators.local import reclassify
+    from biggis_landuse_spark.operators.regions import label_regions
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+
+    def epoch(expr) -> DataFrame:
+        pixels = part.where(k < 576).select(
+            F.lit("lu").alias("layer"),
+            F.lit(0).alias("zoom"),
+            (k % 24 / 8).cast("int").alias("tile_col"),
+            (k / 24 / 8).cast("int").alias("tile_row"),
+            F.lit(0).alias("band"),
+            (k % 24 % 8).cast("int").alias("px"),
+            ((k / 24).cast("int") % 8).cast("int").alias("py"),
+            expr.cast("double").alias("value"),
+        )
+        tiles = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
+        classed = tiles.withColumn("tile", reclassify(F.col("tile"), _LU_BREAKS))
+        return (
+            tiles_to_pixels(classed)
+            .where(F.col("value").isNotNull())
+            .select(
+                (F.col("tile_col") * 8 + F.col("px")).cast("long").alias("gx"),
+                (F.col("tile_row") * 8 + F.col("py")).cast("long").alias("gy"),
+                F.col("value").cast("int").alias("cls"),
+            )
+        )
+
+    a = epoch((k * 31) % 97).withColumnRenamed("cls", "cls_a")
+    b = epoch((k * 53 + 17) % 97).withColumnRenamed("cls", "cls_b")
+    changed = (
+        a.join(b, ["gx", "gy"])
+        .where(F.col("cls_a") != F.col("cls_b"))
+        .select(
+            "gx",
+            "gy",
+            (F.col("cls_a") * 10 + F.col("cls_b")).cast("int").alias("pair"),
+        )
+    )
+    lbl = label_regions(
+        changed.withColumn("cls", F.lit(1)), width=24, tile_size=8
+    ).join(changed, ["gx", "gy"])
+    regions = lbl.groupBy("region_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pixels"),
+        F.min("gx").cast("int").alias("min_gx"),
+        F.min("gy").cast("int").alias("min_gy"),
+        F.max("gx").cast("int").alias("max_gx"),
+        F.max("gy").cast("int").alias("max_gy"),
+    )
+    pair_counts = lbl.groupBy("region_id", "pair").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W2.partitionBy("region_id").orderBy(F.desc("n"), F.asc("pair"))
+    dominant = (
+        pair_counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("region_id", "pair")
+    )
+    return (
+        regions.join(dominant, "region_id")
+        .where(F.col("n_pixels") >= 3)
+        .select(
+            "region_id",
+            "n_pixels",
+            (F.col("pair") / 10).cast("int").alias("top_from"),
+            F.pmod(F.col("pair"), F.lit(10)).cast("int").alias("top_to"),
+            "min_gx",
+            "min_gy",
+            "max_gx",
+            "max_gy",
+        )
+    )
