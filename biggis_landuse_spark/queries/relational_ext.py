@@ -1424,3 +1424,57 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "round int, n_nodes long, n_edges long"
     )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(quantile_cont(cents, 0.5), 4) AS median_cents,
+           TRUE AS approx_within_rank_tol
+    FROM c GROUP BY l_returnflag
+    """,
+    doc="""Approximate grouped median sketch with a PORTABLE tolerance
+    contract — the percentile sibling of approx_distinct_orders: the
+    raw percentile_approx value (accuracy=10000, rank error <=
+    n/10000) is engine-specific by design, so the query exports the
+    exact interpolated median (integer cents — deterministic) plus a
+    boolean asserting the sketch landed between the exact values at
+    ranks q +/- 0.01 (a 100x margin over the guarantee). The oracle
+    hash-checks that bit: a broken sketch path fails the diff instead
+    of hiding behind a rows-only check. At 100 TB only the sketch
+    runs (one partial-aggregated pass, bounded state per group); the
+    exact bounds here are the verification tier, same as the exact
+    count in approx_distinct_orders.""",
+    tags=("A", "A3"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    c = lineitem.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    agg = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("percentile(cents, 0.5)").alias("_median"),
+        F.expr("percentile(cents, 0.49)").alias("_lo"),
+        F.expr("percentile(cents, 0.51)").alias("_hi"),
+        F.percentile_approx("cents", 0.5, 10000).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        F.round(F.col("_median"), 4).alias("median_cents"),
+        (
+            (F.col("_approx") >= F.col("_lo"))
+            & (F.col("_approx") <= F.col("_hi"))
+        ).alias("approx_within_rank_tol"),
+    )
