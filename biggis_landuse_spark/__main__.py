@@ -427,6 +427,47 @@ def cmd_wordcount(args) -> int:
     return 0
 
 
+def cmd_regions(args) -> int:
+    """Region inventory of a classified layer: contiguous same-value
+    patches via the distributed CCL (operators/regions.label_regions —
+    tile-local union-find + boundary merge), written as a CSV of
+    (region_id, class, n_pixels, min_gx, min_gy, max_gx, max_gy)."""
+    from biggis_landuse_spark.operators.regions import label_regions
+    from biggis_landuse_spark.pixeling import tiles_to_pixels
+
+    spark = _spark(args)
+    cat = _catalog(spark, args)
+    tiles = cat.read_layer(args.layer, args.zoom)
+    cols = tiles.select(F.col("tile")["cols"]).first()[0]
+    px = (
+        tiles_to_pixels(tiles)
+        .where(F.col("value").isNotNull() & (F.col("band") == args.band))
+        .select(
+            (F.col("tile_col") * cols + F.col("px")).cast("long").alias("gx"),
+            (F.col("tile_row") * cols + F.col("py")).cast("long").alias("gy"),
+            F.col("value").cast("int").alias("cls"),
+        )
+    )
+    # 2^20 exceeds any tiled grid width at one zoom; keeps pixel ids
+    # (gy*width+gx) unique without knowing the layer extent up front
+    inv = (
+        label_regions(px, width=1 << 20, tile_size=args.region_tile)
+        .groupBy("region_id")
+        .agg(
+            F.min("cls").alias("class"),
+            F.count(F.lit(1)).alias("n_pixels"),
+            F.min("gx").alias("min_gx"),
+            F.min("gy").alias("min_gy"),
+            F.max("gx").alias("max_gx"),
+            F.max("gy").alias("max_gy"),
+        )
+    )
+    out = inv.coalesce(1) if args.single_file else inv
+    out.write.mode("overwrite").option("header", True).csv(args.out)
+    print(f"wrote region inventory → {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="biggis_landuse_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -574,6 +615,19 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("layers", help="list catalog layers + metadata")
     common(sp)
     sp.set_defaults(fn=cmd_layers)
+
+    sp = sub.add_parser(
+        "regions", help="classified layer → contiguous-patch inventory CSV"
+    )
+    common(sp)
+    sp.add_argument("--layer", required=True)
+    sp.add_argument("--zoom", type=int, required=True)
+    sp.add_argument("--band", type=int, default=0)
+    sp.add_argument("--region-tile", type=int, default=64,
+                    help="CCL tiling block size")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--single-file", action="store_true")
+    sp.set_defaults(fn=cmd_regions)
 
     sp = sub.add_parser("wordcount", help="text → word counts")
     sp.add_argument("path")

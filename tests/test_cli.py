@@ -257,3 +257,26 @@ def test_cli_query_runs_registry_entry(tmp_path, capsys):
     assert glob.glob(out + "/*.parquet")
     # unknown name lists the registry and fails
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_regions_inventory(spark, workspace, tmp_path):
+    import csv
+    import glob
+
+    _, cat = workspace
+    out = str(tmp_path / "regions_csv")
+    assert main([
+        "regions", "--catalog", cat, "--layer", "red", "--zoom", "0",
+        "--out", out, "--single-file", "--region-tile", "16",
+    ]) == 0
+    (path,) = glob.glob(f"{out}/*.csv")
+    with open(path) as fh:
+        rows = list(csv.DictReader(fh))
+    # constant layer → ONE region spanning the whole 32×32 grid
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["class"] == "1000" and r["n_pixels"] == str(W * H)
+    assert (r["min_gx"], r["min_gy"], r["max_gx"], r["max_gy"]) == (
+        "0", "0", "31", "31"
+    )
+    assert r["region_id"] == "0"
