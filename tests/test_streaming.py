@@ -648,3 +648,38 @@ def test_stream_to_catalog_maintains_pyramid(spark, tmp_path):
     build_pyramid(cat2, "pyr", from_zoom=2, to_zoom=0)
     for z in (0, 1, 2):
         assert level_map(cat, "pyr", z) == level_map(cat2, "pyr", z), z
+
+
+def test_stream_change_matrix_parity(spark, tmp_path):
+    # epoch-B pixels stream in; transition counts against the static
+    # epoch-A baseline must equal the batch computation
+    from biggis_landuse_spark.streaming.change import stream_change_matrix
+
+    px_ddl = "gx long, gy long, cls int"
+    base = spark.createDataFrame(
+        [(x, y, 1 + (x + y) % 3) for x in range(16) for y in range(16)],
+        px_ddl,
+    )
+    new_rows = [(x, y, 1 + (x * 3 + y) % 3) for x in range(16) for y in range(16)]
+    path = str(tmp_path / "epoch_b")
+    spark.createDataFrame(new_rows, px_ddl).coalesce(2).write.parquet(path)
+
+    stream = spark.readStream.schema(px_ddl).parquet(path)
+    q = _run_stream(
+        stream_change_matrix(stream, base), "change_out", "complete"
+    )
+    try:
+        got = {
+            (r["class_from"], r["class_to"]): (r["n_pixels"], r["changed"])
+            for r in spark.sql("SELECT * FROM change_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["class_from"], r["class_to"]): (r["n_pixels"], r["changed"])
+        for r in stream_change_matrix(
+            spark.read.schema(px_ddl).parquet(path), base
+        ).collect()
+    }
+    assert got == want and len(got) == 9
+    assert sum(n for n, _ in got.values()) == 256
