@@ -223,6 +223,40 @@ def subsplit_cells(
     )
 
 
+def subsplit_cells_window(
+    assigned: DataFrame,
+    cap: int,
+    id_col: str = "vec_id",
+    cell_col: str = "cid",
+    sub_col: str = "sub",
+) -> DataFrame:
+    """Window-mode twin of :func:`subsplit_cells` — identical ``sub``
+    assignment (same md5 mix, same ``ceil(pop/cap)``), but the cell
+    population comes from ``count(*) OVER (PARTITION BY cell)`` instead
+    of a groupBy + broadcast join back.
+
+    Use this when the DOWNSTREAM consumer is a groupBy on
+    (cell, sub) rather than a two-sided pair join: the window's
+    exchange hash-partitions on ``cell``, which satisfies the
+    (cell, sub) clustering, so Catalyst reuses it — one corpus shuffle
+    total AND the upstream pipeline (e.g. an 8-plane LSH projection)
+    is evaluated exactly once. With a pair JOIN downstream the
+    broadcast variant wins instead (it never shuffles the corpus
+    itself); with a groupBy downstream the join variant costs a second
+    evaluation of the upstream for its pops side. WindowExec buffers
+    each cell through a spillable row array, so a monster cell costs
+    disk, not executor OOM.
+    """
+    from pyspark.sql import Window as W
+
+    pop = F.count(F.lit(1)).over(W.partitionBy(cell_col))
+    nsub = F.ceil(pop / F.lit(float(cap))).cast("long")
+    mix = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return assigned.withColumn(sub_col, F.pmod(mix, nsub).cast("long"))
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -172,22 +172,23 @@ NEAR_DUP_CAP = 64  # hard per-bucket pair-block cap (S.subsplit_cells)
     WHERE rn = 1
     """,
     doc="""Embedding-cosine near-duplicate detection, LSH-bucketed scale
-    path: candidate pairs come from a same-bucket self-join (an
-    equi-join — never the all-pairs product), each duplicate keeps the
-    lowest-id representative it matched. The plane count is FIXED
-    (2^8 buckets), so at scale Σ|bucket|² would still be ~n²/256 —
-    S.subsplit_cells hard-caps each bucket's pair block at
-    ~NEAR_DUP_CAP rows exactly like semantic_dedup's IVF cells, making
-    pair volume <= n·cap, linear in the corpus (the bucket-population
-    table is 2^8 rows — broadcastable by construction). At 100 TB the
-    corpus is written partitioned by bucket so the self-join is
-    co-located.""",
+    path: candidate pairs are enumerated INSIDE each (bucket, sub)
+    group (groupBy + sorted collect_list + i<j pair explosion — the
+    same single-pass shape as dedup_minhash), never an all-pairs
+    product and never a self-join that re-evaluates the 8-plane LSH
+    projection per side. The plane count is FIXED (2^8 buckets), so at
+    scale Σ|bucket|² would still be ~n²/256 — S.subsplit_cells
+    hard-caps each bucket's pair block at ~NEAR_DUP_CAP rows exactly
+    like semantic_dedup's IVF cells, making pair volume <= n·cap,
+    linear in the corpus. The collect_list group is bounded by the
+    same cap, so no group row exceeds ~cap·dim doubles. One corpus
+    shuffle total: the sub-split window partitions by bucket and the
+    groupBy clusters on (bucket, sub) — a prefix of the same hash
+    partitioning, so Catalyst reuses the exchange.""",
     tags=("dedup", "ANN"),
     bench=True,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     # norms precomputed per vector (|V| sqrt-dots), not per pair: the
     # pair count is quadratic within buckets, so per-pair work is the
@@ -199,41 +200,52 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.as_double("embedding").alias("vec"),
         S.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
     ).withColumn("nv", S.norm(F.col("vec")))
-    v = S.subsplit_cells(
+    # window-mode sub-split: downstream is a groupBy (not a pair
+    # join), so the window's bucket exchange is reused by the
+    # (bucket, sub) aggregate and the LSH projection runs once — the
+    # broadcast-pops variant would evaluate it a second time for the
+    # population side
+    v = S.subsplit_cells_window(
         v, NEAR_DUP_CAP, id_col="vec_id", cell_col="bucket"
     )
-    a = v.select(
-        F.col("vec_id").alias("kept_id"),
-        F.col("vec").alias("va"),
-        F.col("nv").alias("na"),
-        "bucket",
-        "sub",
+    # single-pass pair enumeration: sort each bounded group by vec_id
+    # and explode the i<j combinations JVM-side. Equivalent pair set
+    # to the (bucket, sub) self-join, but the scan + LSH projection +
+    # sub-split window run ONCE instead of once per join side.
+    grouped = (
+        v.groupBy("bucket", "sub")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "vec", "nv"))
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
     )
-    b = v.select(
-        F.col("vec_id").alias("dup_id"),
-        F.col("vec").alias("vb"),
-        F.col("nv").alias("nb"),
-        "bucket",
-        "sub",
+    pair_expr = (
+        "flatten(transform(xs, (a, i) -> "
+        "  transform(slice(xs, i + 2, size(xs)), b -> struct(a, b))))"
     )
     pairs = (
-        a.join(b, ["bucket", "sub"])
-        .where(F.col("kept_id") < F.col("dup_id"))
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            "dup_id",
-            "kept_id",
+            F.col("p.b.vec_id").alias("dup_id"),
+            F.col("p.a.vec_id").alias("kept_id"),
             F.round(
-                S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                S.dot(F.col("p.a.vec"), F.col("p.b.vec"))
+                / (F.col("p.a.nv") * F.col("p.b.nv")),
                 6,
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEAR_DUP_TAU)
     )
-    w = W.partitionBy("dup_id").orderBy(F.asc("kept_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("dup_id", "kept_id", "cos_sim")
+    # lowest-id representative per duplicate: hash aggregate with
+    # map-side combine (min/min_by), not a ranking window — the
+    # shuffle carries one partial row per (partition, dup_id), and
+    # kept_id is unique within a dup_id group so min_by is
+    # deterministic
+    return pairs.groupBy("dup_id").agg(
+        F.min("kept_id").alias("kept_id"),
+        F.min_by("cos_sim", "kept_id").alias("cos_sim"),
     )
 
 

@@ -93,7 +93,6 @@ def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
     for name, cell_key in (
         ("semantic_dedup", "cid"),
         ("knn_graph", "cid"),
-        ("embedding_near_dup", "bucket"),  # LSH-bucket path, same guard
     ):
         df = REGISTRY[name].spark(spark, sf_dir)
         buf = io.StringIO()
@@ -108,3 +107,19 @@ def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
             f"{name}: no join condition carries the sub-split key\n"
             + "\n".join(join_lines)
         )
+    # embedding_near_dup enumerates pairs inside a groupBy instead of
+    # a pair join — the sub-split key must survive as a GROUPING key
+    # (dropping `sub` there reverts to unbounded per-bucket blocks)
+    df = REGISTRY["embedding_near_dup"].spark(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    agg_lines = [
+        ln for ln in plan.splitlines()
+        if "Aggregate" in ln and "bucket" in ln
+    ]
+    assert any("sub" in ln for ln in agg_lines), (
+        "embedding_near_dup: no aggregate groups on the sub-split key\n"
+        + "\n".join(agg_lines)
+    )

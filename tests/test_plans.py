@@ -221,13 +221,15 @@ def test_tile_operator_queries_never_go_cartesian(plan_of):
         assert "SortMergeJoin" not in plan, q  # all keyed joins broadcast
 
 
-def test_lsh_candidate_join_is_equi_join(plan_of):
-    # near-dup candidates must come from a bucket equi-join, never the
-    # all-pairs product
+def test_lsh_candidates_single_pass_no_join(plan_of):
+    # near-dup candidates are enumerated inside each bounded
+    # (bucket, sub) group — no join at all, so no all-pairs product
+    # and no second evaluation of the LSH projection pipeline; the
+    # sorted-group pair explosion shows up as aggregate + generate
     plan = plan_of("embedding_near_dup")
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Join" not in plan  # single-pass: zero join operators
+    assert "Generate" in plan and "HashAggregate" in plan
 
 
 def test_scd2_window_is_per_user_not_global(plan_of):
