@@ -657,39 +657,46 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
     )
     assign = S.ivf_assign(v, centroids, vec_col="vec").select("vec_id", "cid")
-    assign = S.subsplit_cells(assign, CELL_CAP)
     # norms materialize ONCE per vector before the pair fan-out — each
     # pair then does one dot product, not one dot + two 64-term norm
     # re-aggregations (same IEEE ops as the oracle's sqrt(dot()) form,
     # just not recomputed per pair)
     sided = assign.join(v, "vec_id").select(
-        "cid", "sub", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
+        "cid", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
     )
-    a = sided.select(
-        "cid",
-        "sub",
-        F.col("vec_id").alias("ka"),
-        F.col("vec").alias("va"),
-        F.col("nv").alias("na"),
+    # window-mode sub-split + in-group pair enumeration: downstream is
+    # a groupBy, not a two-sided join, so the cid exchange is reused by
+    # the (cid, sub) aggregate and the IVF assignment (√n interpreted
+    # cosines per row) is evaluated ONCE — the self-join form costs
+    # three evaluations (pops side + each join side)
+    sided = S.subsplit_cells_window(sided, CELL_CAP, cell_col="cid")
+    grouped = (
+        sided.groupBy("cid", "sub")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("vec_id", "vec", "nv"))
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
     )
-    b = sided.select(
-        "cid",
-        "sub",
-        F.col("vec_id").alias("kb"),
-        F.col("vec").alias("vb"),
-        F.col("nv").alias("nb"),
+    pair_expr = (
+        "flatten(transform(xs, (a, i) -> "
+        "  transform(slice(xs, i + 2, size(xs)), b -> struct(a, b))))"
     )
     cos = F.round(
         F.try_divide(
-            S.dot(F.col("va"), F.col("vb")),
-            F.col("na") * F.col("nb"),
+            S.dot(F.col("p.a.vec"), F.col("p.b.vec")),
+            F.col("p.a.nv") * F.col("p.b.nv"),
         ),
         6,
     )
     dup = (
-        a.join(b, ["cid", "sub"])
-        .where(F.col("ka") < F.col("kb"))
-        .select(F.col("kb").alias("dropped_id"), "ka", cos.alias("cos"))
+        grouped.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            F.col("p.b.vec_id").alias("dropped_id"),
+            F.col("p.a.vec_id").alias("ka"),
+            cos.alias("cos"),
+        )
         .where(F.col("cos") >= SEMDEDUP_TAU)
     )
     return dup.groupBy("dropped_id").agg(
@@ -838,32 +845,34 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
     )
     assign = S.ivf_assign(v, centroids, vec_col="vec").select("vec_id", "cid")
-    assign = S.subsplit_cells(assign, CELL_CAP)
     sided = assign.join(v, "vec_id").select(
-        "cid", "sub", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
+        "cid", "vec_id", "vec", S.norm(F.col("vec")).alias("nv")
     )
-    a = sided.select(
-        "cid",
-        "sub",
-        F.col("vec_id").alias("src"),
-        F.col("vec").alias("va"),
-        F.col("nv").alias("na"),
+    # single-pass block enumeration (see semantic_dedup): the ordered
+    # src≠dst product is generated inside each bounded (cid, sub)
+    # group, so the IVF assignment runs once, not once per join side
+    sided = S.subsplit_cells_window(sided, CELL_CAP, cell_col="cid")
+    grouped = (
+        sided.groupBy("cid", "sub")
+        .agg(F.collect_list(F.struct("vec_id", "vec", "nv")).alias("xs"))
+        .where(F.size("xs") >= 2)
     )
-    b = sided.select(
-        "cid",
-        "sub",
-        F.col("vec_id").alias("dst"),
-        F.col("vec").alias("vb"),
-        F.col("nv").alias("nb"),
+    pair_expr = (
+        "flatten(transform(xs, a -> "
+        "  transform(filter(xs, b -> b.vec_id <> a.vec_id), "
+        "            b -> struct(a, b))))"
     )
     cos = F.round(
-        F.try_divide(S.dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")),
+        F.try_divide(
+            S.dot(F.col("p.a.vec"), F.col("p.b.vec")),
+            F.col("p.a.nv") * F.col("p.b.nv"),
+        ),
         6,
     )
-    pairs = (
-        a.join(b, ["cid", "sub"])
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst", cos.alias("cos_sim"))
+    pairs = grouped.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        F.col("p.a.vec_id").alias("src"),
+        F.col("p.b.vec_id").alias("dst"),
+        cos.alias("cos_sim"),
     )
     w = W.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
     return (

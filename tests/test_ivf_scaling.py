@@ -81,6 +81,21 @@ def test_subsplit_pair_volume_linear_even_with_strided_ids(spark):
         assert pair_volume <= 2 * n * CAP
 
 
+def test_subsplit_window_twin_matches_broadcast_variant(spark):
+    # subsplit_cells_window must assign bit-identical (vec_id, sub)
+    # to subsplit_cells — the oracle SQL mirrors ONE formula for both
+    from biggis_landuse_spark.functions.similarity import (
+        subsplit_cells_window,
+    )
+
+    assigned = spark.range(500).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 3).alias("cid")
+    )
+    a = subsplit_cells(assigned, CAP).select("vec_id", "sub")
+    b = subsplit_cells_window(assigned, CAP).select("vec_id", "sub")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
     # a refactor that drops `sub` from the pair-join key silently
     # reverts to unbounded per-cell quadratic blocks — pin the key
@@ -90,36 +105,25 @@ def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
     from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
+    # all three block queries enumerate pairs inside a groupBy (the
+    # single-pass shape) — the sub-split key must survive as a
+    # GROUPING key next to the cell key (dropping `sub` silently
+    # reverts to unbounded per-cell quadratic blocks)
     for name, cell_key in (
         ("semantic_dedup", "cid"),
         ("knn_graph", "cid"),
+        ("embedding_near_dup", "bucket"),  # LSH-bucket path, same guard
     ):
         df = REGISTRY[name].spark(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain(True)
         plan = buf.getvalue()
-        join_lines = [
+        agg_lines = [
             ln for ln in plan.splitlines()
-            if "Join" in ln and cell_key in ln
+            if "Aggregate" in ln and cell_key in ln
         ]
-        assert any("sub" in ln for ln in join_lines), (
-            f"{name}: no join condition carries the sub-split key\n"
-            + "\n".join(join_lines)
+        assert any("sub" in ln for ln in agg_lines), (
+            f"{name}: no aggregate groups on the sub-split key\n"
+            + "\n".join(agg_lines)
         )
-    # embedding_near_dup enumerates pairs inside a groupBy instead of
-    # a pair join — the sub-split key must survive as a GROUPING key
-    # (dropping `sub` there reverts to unbounded per-bucket blocks)
-    df = REGISTRY["embedding_near_dup"].spark(spark, sf_dir)
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain(True)
-    plan = buf.getvalue()
-    agg_lines = [
-        ln for ln in plan.splitlines()
-        if "Aggregate" in ln and "bucket" in ln
-    ]
-    assert any("sub" in ln for ln in agg_lines), (
-        "embedding_near_dup: no aggregate groups on the sub-split key\n"
-        + "\n".join(agg_lines)
-    )
