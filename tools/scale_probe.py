@@ -1,0 +1,131 @@
+"""Scale probe: empirical growth curves for the dedup/ANN block queries.
+
+Builds 1x / 4x / 16x corpora from the sf0.1 tables by unioning copies
+with offset ids — every copy repeats the SAME vectors and texts, so
+the scaled corpus is the worst case for LSH/IVF blocking (all copies
+of a row share every band signature / land in one cell). An uncapped
+candidate generator does (copies)^2 work per original row and its
+runtime grows ~quadratically in the scale factor; the sub-split caps
+(functions.similarity.subsplit_cells* / functions.dedup.
+subsplit_band_groups) bound every pair block, so runtime must grow
+~linearly.
+
+Usage: python tools/scale_probe.py   (writes /root/repo/SCALE_PROBE.md)
+
+The probe runs each query END-TO-END through the registry (the same
+callable the driver benches), on parquet dirs laid out exactly like a
+testdata sf dir. Growth is reported as t(4x)/t(1x) and t(16x)/t(4x);
+with fixed per-query overhead the ratio understates the asymptotic
+exponent, so any ratio near 4 already means linear work per row and a
+ratio near 16 would mean a quadratic blow-up.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_probe"
+FACTORS = (1, 4, 16)
+PROBES = (
+    "embedding_near_dup",
+    "semantic_dedup",
+    "knn_graph",
+    "dedup_minhash",
+    "simhash",
+)
+
+
+def build_scaled(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{OUT}/x{factor}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_emb = emb.count()
+    n_docs = docs.count()
+    scaled_emb = None
+    scaled_docs = None
+    for c in range(factor):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * n_emb))
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * n_docs))
+        scaled_emb = e if scaled_emb is None else scaled_emb.unionByName(e)
+        scaled_docs = d if scaled_docs is None else scaled_docs.unionByName(d)
+    scaled_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    scaled_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def main() -> None:
+    from biggis_landuse_spark.queries import (
+        REGISTRY,
+        _ensure_loaded,
+        release_caches,
+    )
+    from biggis_landuse_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    _ensure_loaded()
+    dirs = {f: build_scaled(spark, f) for f in FACTORS}
+    times: dict[str, dict[int, float]] = {}
+    for name in PROBES:
+        spec = REGISTRY[name]
+        times[name] = {}
+        for f in FACTORS:
+            spec.spark(spark, dirs[f]).count()  # warm up plan + JIT
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.spark(spark, dirs[f]).count()
+                best = min(best, time.perf_counter() - t0)
+            times[name][f] = best
+            release_caches()
+    lines = [
+        "# SCALE_PROBE — measured growth of the dedup/ANN block queries",
+        "",
+        "Corpora: sf0.1 unioned with itself 1x/4x/16x under offset ids —",
+        "every copy repeats the same vectors/texts, the worst case for",
+        "LSH/IVF blocking (maximum bucket skew). An uncapped candidate",
+        "generator grows ~quadratically here; the sub-split caps must",
+        "keep growth ~linear. Ratios carry fixed per-query overhead, so",
+        "anything near the corpus ratio (4) is linear work per row;",
+        "near 16 would be the quadratic blow-up.",
+        "",
+        "Regenerate: `python tools/scale_probe.py` (numbers below from",
+        "an otherwise idle local[32]; min-of-2 after warmup).",
+        "",
+        "| query | t(1x) s | t(4x) s | t(16x) s | 4x/1x | 16x/4x |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name in PROBES:
+        t = times[name]
+        lines.append(
+            f"| {name} | {t[1]:.2f} | {t[4]:.2f} | {t[16]:.2f} "
+            f"| {t[4] / t[1]:.1f} | {t[16] / t[4]:.1f} |"
+        )
+    lines.append("")
+    out_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALE_PROBE.md",
+    )
+    with open(out_md, "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"wrote {out_md}")
+    for name in PROBES:
+        t = times[name]
+        print(
+            f"{name}: {t[1]:.2f} {t[4]:.2f} {t[16]:.2f} "
+            f"ratios {t[4] / t[1]:.1f} {t[16] / t[4]:.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
