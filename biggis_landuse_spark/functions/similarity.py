@@ -580,6 +580,15 @@ def power_iteration(
         .agg(F.round(F.avg("val"), 6).alias("mu"))
         .collect()
     )
+    if not mu_rows:
+        # empty corpus: there is no direction to estimate. Return an
+        # empty direction + the NULL eigenvalue a global agg over zero
+        # rows produces, so callers stay total instead of crashing on
+        # a zero-length mean vector.
+        lam = v.agg(
+            F.round(F.avg(F.lit(0.0)), 6).alias("eigenvalue")
+        )
+        return [], lam
     mu = [r["mu"] for r in sorted(mu_rows, key=lambda r: r["dim"])]
     mu_arr = F.array(*[F.lit(float(m)) for m in mu])
     vc = v.select(F.zip_with("x", mu_arr, lambda a, b: a - b).alias("xc"))

@@ -725,6 +725,12 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact by construction (integer count → the same double division
     # the oracle's CTE performs); removes ~_PR_ITERS broadcast stages.
     cnt = nodes.count()
+    if cnt == 0:
+        # empty graph (e.g. every order filtered out upstream): no
+        # rows flow, but 1.0/0 on the driver would throw before the
+        # plan even runs — keep the literal finite; the result is the
+        # same empty relation either way
+        cnt = 1
     ranks = nodes.select("id", F.lit(1.0 / cnt).alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (

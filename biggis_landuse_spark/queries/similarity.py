@@ -1070,6 +1070,12 @@ def logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.avg(F.col("r") * F.col("x")), 6).alias("g"))
             .collect()
         )
+        if not g_rows:
+            # zero training rows → no gradient relation at all (the
+            # posexplode emits every dim per row, so dims are only
+            # missing when the corpus is empty): return the empty
+            # model instead of KeyError-ing on the driver
+            return spark.createDataFrame([], "dim long, weight double")
         g = {r["dim"]: r["g"] for r in g_rows}
         w = [w[j] - g[j] for j in range(_KM_DIM)]
     out = [(j, w[j]) for j in range(_KM_DIM)]
@@ -1158,8 +1164,10 @@ def pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = embeddings.select("vec_id", S.as_double("embedding").alias("x"))
     w, lam = S.power_iteration(v, "x", _PCA_DIM, iters=_PCA_ITERS)
     loadings = spark.createDataFrame(
-        [(d, float(w[d])) for d in range(_PCA_DIM)], "dim int, loading double"
+        [(d, float(w[d])) for d in range(len(w))], "dim int, loading double"
     )
+    # len(w) == _PCA_DIM normally; [] on an empty corpus, where the
+    # crossJoin keeps the 3-column schema but emits no rows
     return loadings.crossJoin(F.broadcast(lam))
 
 
