@@ -844,3 +844,82 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# RAG / training-context chunking: fixed token window with overlap.
+# 32/24 fits the synthetic corpus (10-99 tokens/doc -> 1-4 chunks);
+# real pipelines run 512/384 etc. - the plan shape is identical.
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "document_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= {_CHUNK_TOKENS} THEN 1
+                  ELSE 1 + (len(t) - {_CHUNK_TOKENS} + {_CHUNK_STRIDE - 1})
+                           // {_CHUNK_STRIDE} END AS n_chunks
+      FROM toks
+    ),
+    exploded AS (
+      SELECT doc_id, t, unnest(range(n_chunks)) AS i FROM counted
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(t[CAST(i*{_CHUNK_STRIDE}+1 AS BIGINT)
+                      :CAST(i*{_CHUNK_STRIDE}+{_CHUNK_TOKENS} AS BIGINT)])
+                AS BIGINT) AS chunk_tokens,
+           substr(md5(array_to_string(
+               t[CAST(i*{_CHUNK_STRIDE}+1 AS BIGINT)
+                 :CAST(i*{_CHUNK_STRIDE}+{_CHUNK_TOKENS} AS BIGINT)], ' ')),
+               1, 8) AS chunk_sig
+    FROM exploded
+    """,
+    doc="""Overlapping token-window chunking (RAG / context-window prep):
+    every document is split into {chunk}-token windows advancing by
+    {stride} tokens (so consecutive chunks share {overlap} tokens of
+    context), the step between cleaning and embedding in a retrieval
+    or long-context training pipeline. Emits one row per chunk with a
+    content signature (md5 of the chunk text) so exact chunk payloads
+    are oracle-verified, not just counts.
+
+    Scale shape: ZERO shuffles — tokenize, a narrow posexplode of the
+    per-doc chunk index range, and an array slice are all computed
+    inside one whole-stage-codegen'd map over the parquet scan. Output
+    is ~(ntok/stride) rows per doc regardless of corpus size, so the
+    operator streams at 100 TB; the downstream embed step sees chunks
+    already co-partitioned with their parent doc's file split (no
+    repartition needed before a per-chunk Pandas-UDF encoder).""",
+    tags=("PIPELINE",),
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    C, S = _CHUNK_TOKENS, _CHUNK_STRIDE
+    toked = documents.select("doc_id", tokens("text").alias("t"))
+    counted = toked.select(
+        "doc_id",
+        "t",
+        F.when(F.size("t") <= C, F.lit(1))
+        .otherwise(F.lit(1) + F.floor((F.size("t") - C + (S - 1)) / S))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+    exploded = counted.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("i"),
+    )
+    chunk = F.slice("t", F.col("i") * S + 1, C)
+    return exploded.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+        F.substring(F.md5(F.array_join(chunk, " ")), 1, 8).alias(
+            "chunk_sig"
+        ),
+    )
