@@ -1484,3 +1484,109 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("_approx") <= F.col("_hi"))
         ).alias("approx_within_rank_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous LPA rounds (pagerank/kcore oracle pattern):
+    each round a node adopts its neighbors' plurality label, ties
+    broken toward the smallest label id (the deterministic variant of
+    classic LPA's random tie-break)."""
+    parts = ["""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)"""]
+    for r in range(1, _LPA_ROUNDS + 1):
+        parts.append(f""",
+    c{r} AS (
+      SELECT s.u AS node, l.lbl, count(*) AS c
+      FROM sym s JOIN l{r - 1} l ON s.v = l.node
+      GROUP BY s.u, l.lbl
+    ),
+    l{r} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl ASC) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )""")
+    return "".join(parts) + f"""
+    SELECT CAST(n_members AS BIGINT)  AS community_size,
+           CAST(count(*) AS BIGINT)   AS n_communities
+    FROM (SELECT lbl, count(*) AS n_members FROM l{_LPA_ROUNDS} GROUP BY lbl)
+    GROUP BY n_members
+    """
+
+
+@register(
+    "label_propagation",
+    oracle=_lpa_oracle(),
+    doc="""Community detection by synchronous label propagation (3
+    rounds) on the co-purchase graph (parts co-ordered in one order) —
+    the communities complement pagerank (influence), triangle_count
+    (cohesion), kcore_peeling (density), and connected_components
+    (reachability). Each node starts as its own community; per round
+    it adopts the plurality label among its neighbors, ties broken
+    toward the smallest label id so the result is deterministic and
+    engine-portable (classic LPA flips a coin; Spark max_by over a
+    (count, -label) struct == the oracle's row_number window).
+    Output is the community-size histogram after the final round.
+
+    Scale shape: the Pregel iteration expressed relationally. The
+    symmetric edge list is loop-invariant and cached once
+    (hold_cache); per round the |nodes|-sized label vector joins
+    edges on the neighbor key (ONE fact-sized shuffle), the plurality
+    vote partial-aggregates map-side on (node, lbl), and max_by
+    collapses to one row per node without a second ranking shuffle —
+    no window function on the Spark side, no driver-side state. Votes
+    per node are bounded by degree (co-order fanout <= 21 pairs/order),
+    so no hot reducer; at 100 TB you checkpoint the label vector every
+    few rounds to cut lineage, exactly like the pagerank twin.""",
+    tags=("GRAPH", "J"),
+)
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.queries import hold_cache
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    a = lineitem.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = lineitem.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    sym = hold_cache(
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.groupBy("node").agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("lbl")
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .groupBy(F.col("n_members").cast("long").alias("community_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+    )
