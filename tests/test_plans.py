@@ -370,3 +370,25 @@ def test_dedup_bloom_int_keyed_probe(plan_of):
     plan = plan_of("dedup_bloom")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_document_chunking_zero_shuffle_pruned_scan(plan_of):
+    # chunking must stay a narrow map over the scan: tokenize, explode
+    # the per-doc index range, slice — all in one codegen stage, no
+    # Exchange anywhere, and only (doc_id, text) read from documents
+    plan = plan_of("document_chunking")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+    doc = _read_schemas(plan)[0]
+    assert "doc_id" in doc and "text" in doc
+    assert doc.count(":") == 2
+
+
+def test_label_propagation_votes_use_max_by_not_window(plan_of):
+    # the per-node plurality vote must collapse via max_by partial
+    # aggregation — a ranking Window would add a second fact-sized
+    # sort+shuffle per LPA round
+    plan = plan_of("label_propagation")
+    assert "Window" not in plan
+    assert "max_by" in plan
+    assert "CartesianProduct" not in plan
