@@ -252,3 +252,104 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_px"),
         F.round(F.avg("v"), 6).alias("mean_px"),
     )
+
+
+@register(
+    "media_phash_dedup",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    meta AS (
+      SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
+    ),
+    dims AS (
+      SELECT doc_id, hx, len,
+             1 + {_byte_sql("hx", "0")} % 4       AS w,
+             1 + {_byte_sql("hx", "len - 1")} % 4 AS h,
+             1 + len % 3                           AS c
+      FROM meta
+    ),
+    grid AS (SELECT *, unnest(range(2)) AS oy FROM dims),
+    grid2 AS (SELECT *, unnest(range(3)) AS ox FROM grid),
+    grid3 AS (SELECT *, unnest(range(c)) AS ch FROM grid2),
+    src AS (
+      SELECT doc_id, oy * 3 + ox AS p,
+             (least(oy * h // 2, h - 1) * w
+              + least(ox * w // 3, w - 1)) * c + ch AS i,
+             hx, len
+      FROM grid3
+    ),
+    g AS (
+      SELECT doc_id, p,
+             CAST(sum({_byte_sql("hx", "i % len")}) AS BIGINT) AS gi
+      FROM src GROUP BY doc_id, p
+    ),
+    piv AS (
+      SELECT doc_id,
+             max(CASE WHEN p = 0 THEN gi END) AS g0,
+             max(CASE WHEN p = 1 THEN gi END) AS g1,
+             max(CASE WHEN p = 2 THEN gi END) AS g2,
+             max(CASE WHEN p = 3 THEN gi END) AS g3,
+             max(CASE WHEN p = 4 THEN gi END) AS g4,
+             max(CASE WHEN p = 5 THEN gi END) AS g5
+      FROM g GROUP BY doc_id
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CASE WHEN g1 > g0 THEN 1 ELSE 0 END
+                + CASE WHEN g2 > g1 THEN 2 ELSE 0 END
+                + CASE WHEN g4 > g3 THEN 4 ELSE 0 END
+                + CASE WHEN g5 > g4 THEN 8 ELSE 0 END AS BIGINT) AS phash
+      FROM piv
+    )
+    SELECT phash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_dup_pairs
+    FROM hashed GROUP BY phash
+    """,
+    doc="""Perceptual-hash (dHash) image dedup: decode → NN-resize to a
+    3x2 grayscale thumbnail → 4-bit difference hash (each bit = "is
+    the next column brighter", the classic dHash construction at toy
+    width; production uses 9x8 → 64 bits with the SAME plan) → bucket
+    images by hash. Near-duplicate images (re-encodes, small crops)
+    land in one bucket, turning image dedup into an equi-join exactly
+    like MinHash does for text. Grayscale is compared as the EXACT
+    integer byte sum per thumbnail cell (order-free, engine-portable
+    — never an order-dependent float mean), so the bit pattern is
+    deterministic. The oracle replays decode, resize index math, and
+    the hash byte-for-byte in SQL.
+
+    Scale shape: decode+resize are one Arrow-batched mapInPandas pass
+    (constant memory per worker), the hash is a pure column expression
+    over the 6c-element thumbnail, and the ONLY shuffle is the final
+    partial-aggregated groupBy on the hash value — bucket count is
+    bounded by 2^bits, and per-bucket candidate verification (not
+    materialized here) would sub-split hot buckets exactly like
+    embedding_near_dup's LSH path.""",
+    tags=("multimodal", "DEDUP"),
+)
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    decoded = MM.decode_media(_with_content(documents))
+    small = MM.resize_images(decoded, out_w=3, out_h=2)
+    # exact integer byte sum per thumbnail cell: recover the byte from
+    # the /255.0 double (round is exact — the double is b/255.0 ± ulp)
+    gray = F.expr(
+        "transform(sequence(0, 5), p -> aggregate("
+        "  slice(pixels, p * channels + 1, channels), 0L,"
+        "  (a, x) -> a + cast(round(x * 255.0) as bigint)))"
+    ).alias("g")
+    bit = lambda hi, lo, v: F.when(  # noqa: E731
+        F.element_at("g", hi) > F.element_at("g", lo), F.lit(v)
+    ).otherwise(F.lit(0))
+    hashed = small.select("doc_id", gray).select(
+        "doc_id",
+        (bit(2, 1, 1) + bit(3, 2, 2) + bit(5, 4, 4) + bit(6, 5, 8))
+        .cast("long")
+        .alias("phash"),
+    )
+    return hashed.groupBy("phash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images"),
+        (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+        .cast("long")
+        .alias("n_dup_pairs"),
+    )
