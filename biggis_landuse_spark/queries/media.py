@@ -353,3 +353,170 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_dup_pairs"),
     )
+
+
+# 8-bit PCM mono WAV header pieces (RIFF spec). After "RIFF" + the
+# LE32 riff size comes this fixed 32-byte run: "WAVE", "fmt ", LE32(16),
+# the <HHIIHH fmt chunk (PCM=1, mono, 8000 Hz, byte rate 8000,
+# block align 1, 8 bits), then "data". Only the two LE32 sizes vary.
+_WAV_FIXED_HEX = (
+    "57415645"          # WAVE
+    "666D7420" "10000000"  # fmt , chunk size 16
+    "0100" "0100" "401F0000" "401F0000" "0100" "0800"
+    "64617461"          # data
+)
+
+
+@register(
+    "media_audio_stats",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+    ),
+    idx AS (SELECT doc_id, len, hx, unnest(range(len)) AS i FROM m),
+    s AS (
+      SELECT doc_id, len, i,
+             {_byte_sql("hx", "i")} - 128 AS q
+      FROM idx
+    ),
+    zc AS (
+      SELECT a.doc_id,
+             count(*) FILTER (WHERE (a.q < 0) <> (b.q < 0)) AS z
+      FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      GROUP BY a.doc_id
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT)    AS n,
+             CAST(sum(abs(q)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(q)) AS BIGINT) AS max_abs,
+             CAST(sum(q * q) AS BIGINT)  AS energy
+      FROM s GROUP BY doc_id
+    )
+    SELECT agg.doc_id,
+           n AS n_samples,
+           round(CAST(sum_abs AS DOUBLE) * 1000000.0
+                 / (128.0 * CAST(n AS DOUBLE))) / 1000000.0 AS mean_amp,
+           round(CAST(max_abs AS DOUBLE) / 128.0 * 1000000.0)
+                 / 1000000.0                                AS peak_amp,
+           round(sqrt(CAST(energy AS DOUBLE)
+                      / (16384.0 * CAST(n AS DOUBLE))) * 1000000.0)
+                 / 1000000.0                                AS rms_amp,
+           CASE WHEN n > 1
+                THEN round(CAST(coalesce(z, 0) AS DOUBLE) * 1000000.0
+                           / CAST(n - 1 AS DOUBLE)) / 1000000.0
+           END AS zero_cross_rate
+    FROM agg LEFT JOIN zc ON agg.doc_id = zc.doc_id
+    """,
+    doc="""Audio feature extraction through the REAL stdlib WAV codec:
+    each document's bytes become an 8-bit PCM mono WAV (RIFF header
+    built as pure Catalyst expressions — the two little-endian sizes
+    come from byte-swapped hex of the length column), decode_media
+    (codec="wav", Arrow-batched mapInPandas) parses the RIFF
+    container and normalizes samples to [-1, 1], and the features
+    (mean/peak amplitude, RMS energy, zero-crossing rate) are column
+    expressions over the sample array. The oracle replays the payload
+    byte math — decode(synthesize(text)) == (byte-128)/128 per text
+    byte — so the full synthesize → RIFF walk → normalize → featurize
+    pipeline is hash-checked.
+
+    Float discipline (SCALING.md): 8-bit samples are 1/128 dyadics,
+    so naive 6dp rounding of their means lands EXACTLY on ...5
+    boundaries (found at sf0.001: 3348/12800 = 0.2615625) where
+    engine round() paths diverge. All statistics are therefore
+    aggregated as EXACT integer sums (|q|, q², with q = byte-128) and
+    both engines apply the IDENTICAL sync expression
+    round(int_sum * 1e6 / denom) / 1e6 — every intermediate double is
+    either exact or the correctly-rounded result of the same IEEE
+    op, and both engines round halves away from zero for positives.
+    NULL/empty text is filtered on both sides — the real-codec path
+    raises on torn containers by contract (honest bound), so a
+    crawl's failed extractions must be gated before decode.
+
+    Scale shape: one mapInPandas pass (constant memory per worker,
+    payloads never cross the driver), features fused in codegen over
+    the returned array, NO shuffle at all — the result stays
+    co-partitioned with the input file splits.""",
+    tags=("multimodal",),
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    plen = F.octet_length(payload)
+    docs = documents.where(F.col("text").isNotNull() & (plen > 0))
+
+    def le32(n):
+        h = F.lpad(F.hex(n), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2),
+                F.substring(h, 5, 2),
+                F.substring(h, 3, 2),
+                F.substring(h, 1, 2),
+            )
+        )
+
+    content = F.concat(
+        F.unhex(F.lit("52494646")),       # RIFF
+        le32(plen + 36),
+        F.unhex(F.lit(_WAV_FIXED_HEX)),
+        le32(plen),
+        payload,
+    )
+    decoded = MM.decode_media(
+        docs.select("doc_id", content.alias("content")), codec="wav"
+    )
+    # recover the exact integer q = byte-128 from the /128 double
+    # (x*128 is exact; round() only strips the cast ulp)
+    qs = F.expr(
+        "transform(pixels, x -> cast(round(x * 128.0) as bigint))"
+    )
+    n = F.size("pixels")
+    stats = decoded.select(
+        "doc_id",
+        n.cast("long").alias("n"),
+        qs.alias("q"),
+    ).select(
+        "doc_id",
+        "n",
+        F.expr("aggregate(q, 0L, (a, x) -> a + abs(x))").alias("sum_abs"),
+        F.expr("array_max(transform(q, x -> abs(x)))").alias("max_abs"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + x * x)").alias("energy"),
+        F.expr(
+            "size(filter(zip_with("
+            "  slice(q, 1, size(q) - 1), slice(q, 2, size(q) - 1),"
+            "  (a, b) -> (a < 0L) != (b < 0L)), x -> x))"
+        ).alias("z"),
+    )
+    sync = lambda c: F.round(c * 1000000.0) / 1000000.0  # noqa: E731
+    return stats.select(
+        "doc_id",
+        F.col("n").alias("n_samples"),
+        (
+            F.round(
+                F.col("sum_abs").cast("double")
+                * 1000000.0
+                / (128.0 * F.col("n").cast("double"))
+            )
+            / 1000000.0
+        ).alias("mean_amp"),
+        sync(F.col("max_abs").cast("double") / 128.0).alias("peak_amp"),
+        sync(
+            F.sqrt(
+                F.col("energy").cast("double")
+                / (16384.0 * F.col("n").cast("double"))
+            )
+        ).alias("rms_amp"),
+        F.when(
+            F.col("n") > 1,
+            F.round(
+                F.col("z").cast("double")
+                * 1000000.0
+                / (F.col("n") - 1).cast("double")
+            )
+            / 1000000.0,
+        ).alias("zero_cross_rate"),
+    )

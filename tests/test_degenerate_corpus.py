@@ -107,6 +107,7 @@ NULL_PROBES = [
     "knn_cosine",
     "media_decode_features",
     "media_phash_dedup",
+    "media_audio_stats",  # real WAV codec: NULL text must be gated upstream
     "document_chunking",
     "sequence_packing",
     "pca_power",
