@@ -520,3 +520,100 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0,
         ).alias("zero_cross_rate"),
     )
+
+
+# scene-cut threshold: mean byte level must jump by more than this
+# many byte units between consecutive frames
+_CUT_T = 4
+
+
+@register(
+    "media_scene_cuts",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, hex({_CONTENT_SQL}) AS hx,
+             octet_length({_CONTENT_SQL}) AS len
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, hx, len, unnest(range((len + {FRAME_SIZE - 1})
+                                           // {FRAME_SIZE})) AS fno
+      FROM m
+    ),
+    b AS (
+      SELECT doc_id, fno, hx,
+             unnest(range(CASE WHEN (fno + 1) * {FRAME_SIZE} <= len
+                               THEN {FRAME_SIZE}
+                               ELSE len - fno * {FRAME_SIZE} END)) AS j
+      FROM fr
+    ),
+    fsum AS (
+      SELECT doc_id, fno,
+             CAST(count(*) AS BIGINT) AS fb,
+             CAST(sum({_byte_sql("hx", f"fno * {FRAME_SIZE} + j")})
+                  AS BIGINT)          AS cs
+      FROM b GROUP BY doc_id, fno
+    ),
+    cuts AS (
+      SELECT a.doc_id,
+             CAST(sum(CASE WHEN abs(a.cs * p.fb - p.cs * a.fb)
+                                > {_CUT_T} * a.fb * p.fb
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             min(CASE WHEN abs(a.cs * p.fb - p.cs * a.fb)
+                           > {_CUT_T} * a.fb * p.fb
+                      THEN a.fno END)                    AS first_cut
+      FROM fsum a JOIN fsum p
+        ON a.doc_id = p.doc_id AND p.fno = a.fno - 1
+      GROUP BY a.doc_id
+    )
+    SELECT m.doc_id,
+           CAST((len + {FRAME_SIZE - 1}) // {FRAME_SIZE} AS BIGINT)
+             AS n_frames,
+           coalesce(n_cuts, 0)  AS n_cuts,
+           first_cut
+    FROM m LEFT JOIN cuts ON m.doc_id = cuts.doc_id
+    """,
+    doc="""Video scene-cut detection over the frame stream: split each
+    byte stream into fixed {FRAME_SIZE}-byte frames (sample_frames,
+    the mapInPandas UDTF — every_n=1 keeps all frames), flag a cut
+    wherever the mean byte level jumps by more than {_CUT_T} units
+    between consecutive frames, and report per-video frame/cut counts
+    and the first cut position. The comparison is EXACT integer
+    cross-multiplication (|cs_i*fb_prev - cs_prev*fb_i| >
+    T*fb_i*fb_prev) — no float mean, no rounding hazard, engine-
+    portable. The oracle replays frame split + per-frame byte sums +
+    the cut predicate byte-for-byte in SQL.
+
+    Scale shape: frame extraction is one Arrow-batched mapInPandas
+    pass; consecutive-frame comparison is a lag window partitioned by
+    video id (ONE shuffle, state bounded by frames-per-video), and
+    the per-video rollup reuses the same partitioning — Catalyst
+    collapses both into a single exchange. At 100 TB, videos hash
+    across executors and no pairwise frame join ever forms.""",
+    tags=("multimodal",),
+)
+def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    frames = MM.sample_frames(
+        _with_content(documents), every_n=1, frame_size=FRAME_SIZE
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    fb = F.col("frame_bytes").cast("long")
+    cs = F.col("checksum")
+    pfb = F.lag(fb).over(w)
+    pcs = F.lag(cs).over(w)
+    cut = (
+        F.abs(cs * pfb - pcs * fb) > F.lit(_CUT_T) * fb * pfb
+    ).cast("long")
+    flagged = frames.select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("fno"),
+        cut.alias("c"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cuts"),
+        F.min(F.when(F.col("c") == 1, F.col("fno"))).alias("first_cut"),
+    )
