@@ -456,6 +456,44 @@ def aea_to_lonlat(
     return lon, F.degrees(lat_rad)
 
 
+# -- Sinusoidal (spherical) ---------------------------------------------------
+# The MODIS land-product grid (MOD13/MCD12 land-cover deliveries — the
+# global land-use domain's other native CRS beside EPSG:3035/5070) is
+# sinusoidal on the authalic sphere R=6371007.181 m; there is no EPSG
+# code, deliveries carry the proj4 string
+# "+proj=sinu +R=6371007.181 ..." in their metadata. Inverse per
+# Snyder 1987 eqs. 30-6..30-7: phi = y/R, lam = lon0 + x/(R cos phi) —
+# closed-form, pure column expressions. Spherical only: the
+# ellipsoidal inverse needs the rectifying-latitude series, and no
+# mainstream delivery uses it — a typed error, not a wrong warp.
+
+
+class SinuParams:
+    """Spherical sinusoidal definition (angles in degrees)."""
+
+    def __init__(self, r, lon0, fe, fn):
+        self.r, self.lon0 = r, lon0
+        self.fe, self.fn = fe, fn
+
+
+#: the MODIS sinusoidal grid (authalic sphere, central meridian 0)
+MODIS_SINU = SinuParams(6371007.181, 0.0, 0.0, 0.0)
+
+
+def sinu_to_lonlat(
+    easting: Column, northing: Column, p: SinuParams
+) -> tuple[Column, Column]:
+    """Inverse spherical sinusoidal as pure column expressions →
+    (lon_deg, lat_deg). Exact closed form (no series, no iteration,
+    no UDF); cos(lat)=0 at the exact poles yields NULL via try_divide
+    (NODATA), never a job-killing ANSI divide error."""
+    lat_rad = (northing - F.lit(p.fn)) / F.lit(p.r)
+    lon_rad = F.try_divide(
+        easting - F.lit(p.fe), F.lit(p.r) * F.cos(lat_rad)
+    )
+    return F.lit(p.lon0) + F.degrees(lon_rad), F.degrees(lat_rad)
+
+
 _ELLPS = {
     # name → inverse flattening (semi-major is 6378137.0 for both)
     "GRS80": 298.257222101,
@@ -473,9 +511,10 @@ def parse_proj4(
 
     Supported projections: ``longlat``, ``utm`` (+south), ``tmerc``
     in the UTM parameter shape, ``lcc`` (2SP), ``laea``, ``stere``
-    (polar aspect, +lat_0=±90), ``aea``. Datums: GRS80/WGS84 (or
-    explicit +a/+rf). Anything else raises — an honest bound, not a
-    silent wrong-projection.
+    (polar aspect, +lat_0=±90), ``aea``, ``sinu`` (spherical — the
+    MODIS grid ships "+proj=sinu +R=6371007.181"). Datums: GRS80/WGS84
+    (or explicit +a/+rf; +R/+a=+b for sinu). Anything else raises —
+    an honest bound, not a silent wrong-projection.
     """
     kv: dict[str, str | None] = {}
     for tok in proj4.split():
@@ -570,9 +609,25 @@ def parse_proj4(
             a, rf, num("lat_0", 0.0), num("lon_0"), num("lat_1"),
             num("lat_2", num("lat_1")), num("x_0", 0.0), num("y_0", 0.0),
         )
+    if proj == "sinu":
+        # spherical only (the MODIS shape): +R, or +a=+b
+        if "R" in kv:
+            r = num("R")
+        else:
+            r = num("a")
+            if abs(num("b", r) - r) > 1e-6:
+                raise ValueError(
+                    "sinu is supported on a sphere only (+R or +a=+b; "
+                    "the MODIS grid is spherical) — the ellipsoidal "
+                    f"inverse is not implemented: {proj4!r}"
+                )
+        return "sinu", SinuParams(
+            r, num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0)
+        )
     raise ValueError(
         f"unsupported +proj={proj}: longlat, utm, tmerc (UTM shape), "
-        f"lcc, laea, stere (polar), aea are supported — {proj4!r}"
+        f"lcc, laea, stere (polar), aea, sinu (spherical) are "
+        f"supported — {proj4!r}"
     )
 
 
@@ -833,6 +888,8 @@ def reproject_pixels_to_webmercator(
         lon, lat = ps_to_lonlat(sx, sy, crs_info)
     elif kind == "aea":
         lon, lat = aea_to_lonlat(sx, sy, crs_info)
+    elif kind == "sinu":
+        lon, lat = sinu_to_lonlat(sx, sy, crs_info)
     else:
         zone, north = crs_info
         lon, lat = utm_to_lonlat(sx, sy, zone, north)

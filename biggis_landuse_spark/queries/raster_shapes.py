@@ -3051,3 +3051,76 @@ def region_shape_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shape_index"),
     )
+
+
+def _sinu_grid_oracle() -> str:
+    """DuckDB replay of sinu_to_lonlat (MODIS sinusoidal sphere) with
+    the SAME constants and operation association as the engine's
+    column expressions (libm trig ULPs absorbed by round(avg, 4))."""
+    from biggis_landuse_spark.operators.reproject import MODIS_SINU
+
+    p = MODIS_SINU
+    return f"""
+    WITH src AS (
+      -- CAST to DOUBLE: DuckDB otherwise types these literals DECIMAL
+      SELECT CAST(1000000.0 + (p_partkey % 500) * 8000.0 AS DOUBLE) AS ee,
+             CAST(4000000.0 + (p_partkey % 451) * 4000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT ee, (nn - {p.fn!r}) / {p.r!r} AS lat_rad FROM src
+    ),
+    s2 AS (
+      SELECT degrees(lat_rad) AS lat,
+             {p.lon0!r} + degrees((ee - {p.fe!r})
+                                  / ({p.r!r} * cos(lat_rad))) AS lon
+      FROM s1
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s2 GROUP BY 1, 2
+    """
+
+
+@register(
+    "sinu_grid",
+    oracle=_sinu_grid_oracle(),
+    doc="""MODIS sinusoidal grid → lat/lon inverse warp
+    (operators.reproject.sinu_to_lonlat — the global land-product
+    delivery CRS: MOD13/MCD12 tiles ship "+proj=sinu +R=6371007.181";
+    reference parses arbitrary CRSs at UtilsShape.scala:55-58) over
+    synthesized easting/northing points spanning a mid-latitude MODIS
+    tile band, re-keyed onto 1°x1° cells and aggregated. Exact
+    closed-form spherical inverse (Snyder eqs. 30-6..7) — whole-stage
+    codegen, one shuffle for the final aggregate; same plan shape as
+    utm_grid / laea_grid.""",
+    tags=("REPROJECT", "SINU"),
+    bench=True,
+)
+def sinu_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        MODIS_SINU,
+        sinu_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (1000000.0 + (F.col("p_partkey") % 500) * 8000.0).alias("ee"),
+        (4000000.0 + (F.col("p_partkey") % 451) * 4000.0).alias("nn"),
+    )
+    lon, lat = sinu_to_lonlat(F.col("ee"), F.col("nn"), MODIS_SINU)
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )

@@ -1077,3 +1077,114 @@ def test_parse_wkt_ps_aea_families():
     assert kind == "aea" and (p.lat0, p.lon0, p.lat1, p.lat2) == (
         ref.lat0, ref.lon0, ref.lat1, ref.lat2
     )
+
+
+# -- sinusoidal (MODIS grid) --------------------------------------------------
+
+
+def _sinu_forward(lat_deg: float, lon_deg: float, p) -> tuple[float, float]:
+    """Forward spherical sinusoidal (Snyder 30-1..30-2), test-side."""
+    import math
+
+    phi = math.radians(lat_deg)
+    lam = math.radians(lon_deg - p.lon0)
+    return (
+        p.fe + p.r * lam * math.cos(phi),
+        p.fn + p.r * phi,
+    )
+
+
+def test_sinu_modis_tile_anchor(spark):
+    # MODIS tile math: the grid spans 36 tiles of 1111950.5196666666 m
+    # (= R * 10 degrees in radians); the (h18, v8) tile's upper-left
+    # corner sits at lon 0, lat 10 — an analytically exact anchor.
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        MODIS_SINU,
+        sinu_to_lonlat,
+    )
+
+    p = MODIS_SINU
+    tile = p.r * math.radians(10.0)
+    assert tile == pytest.approx(1111950.5196666666, abs=1e-4)
+    ee, nn = _sinu_forward(10.0, 0.0, p)
+    assert ee == pytest.approx(0.0, abs=1e-9)
+    assert nn == pytest.approx(tile, abs=1e-6)
+    df = spark.createDataFrame([(0.0, tile)], "e double, n double")
+    lon_c, lat_c = sinu_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(0.0, abs=1e-9)
+    assert r["lat"] == pytest.approx(10.0, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "lat,lon",
+    [
+        (50.1, 8.6),       # Frankfurt
+        (-3.1, -60.0),     # Manaus (southern hemisphere, far west)
+        (65.0, 170.0),     # far-east high latitude
+        (0.0, 0.0),        # origin
+        (-33.9, 18.4),     # Cape Town
+    ],
+)
+def test_sinu_inverse_roundtrips_forward(spark, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        MODIS_SINU,
+        sinu_to_lonlat,
+    )
+
+    p = MODIS_SINU
+    ee, nn = _sinu_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = sinu_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=1e-9)
+    assert r["lon"] == pytest.approx(lon, abs=1e-9)
+
+
+def test_parse_proj4_sinu_and_pipeline(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        MODIS_SINU,
+        parse_crs,
+        parse_proj4,
+    )
+
+    kind, p = parse_proj4(
+        "+proj=sinu +lon_0=0 +x_0=0 +y_0=0 "
+        "+a=6371007.181 +b=6371007.181 +units=m +no_defs"
+    )
+    assert kind == "sinu"
+    assert p.r == MODIS_SINU.r and p.lon0 == 0.0
+    kind2, p2 = parse_crs("+proj=sinu +R=6371007.181")
+    assert kind2 == "sinu" and p2.r == MODIS_SINU.r
+    # ellipsoidal sinusoidal is an honest typed error, not a wrong warp
+    with pytest.raises(ValueError, match="sphere"):
+        parse_proj4("+proj=sinu +ellps=WGS84 +a=6378137 +b=6356752.3")
+
+
+def test_sinu_pole_division_is_nodata_not_error(spark):
+    # ANSI mode: x / (R*cos(pi/2)) must yield NULL (NODATA), never a
+    # DIVIDE_BY_ZERO job failure on one polar pixel in 100 TB
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        MODIS_SINU,
+        sinu_to_lonlat,
+    )
+
+    p = MODIS_SINU
+    pole_n = p.r * math.pi / 2
+    # nudge to the exact double where cos() underflows is fragile;
+    # assert the expression simply evaluates and stays finite-or-null
+    df = spark.createDataFrame(
+        [(1000.0, pole_n)], "e double, n double"
+    )
+    lon_c, lat_c = sinu_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(90.0, abs=1e-9)
+    # cos(pi/2) underflows to ~6e-17 rather than 0.0, so the quotient
+    # is a huge-but-finite junk longitude (downstream warps clip at
+    # |lat| < 85.06 anyway); NULL is the try_divide outcome if a
+    # platform's cos returns exact 0. Either way: no ANSI error.
+    assert r["lon"] is None or math.isfinite(r["lon"])
