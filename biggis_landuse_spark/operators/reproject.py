@@ -760,11 +760,26 @@ def parse_wkt_crs(
             p("standard_parallel_2", p("standard_parallel_1")),
             p("false_easting", 0.0), p("false_northing", 0.0),
         )
+    if proj == "sinusoidal":
+        # spherical only (the MODIS shape): the SPHEROID must carry
+        # inverse flattening 0 (ESRI writes 0.0 for a sphere)
+        if rf != 0.0:
+            raise ValueError(
+                "Sinusoidal is supported on a sphere only (SPHEROID "
+                f"inverse flattening must be 0; MODIS is spherical): "
+                f"{wkt[:60]!r}"
+            )
+        lon0 = params.get(
+            "central_meridian", params.get("longitude_of_center", 0.0)
+        )
+        return "sinu", SinuParams(
+            a, lon0, p("false_easting", 0.0), p("false_northing", 0.0)
+        )
     raise ValueError(
         f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator (UTM "
         "shape), Lambert_Conformal_Conic(_2SP), "
         "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
-        "Albers_Conic_Equal_Area are supported"
+        "Albers_Conic_Equal_Area, Sinusoidal (spherical) are supported"
     )
 
 

@@ -1188,3 +1188,27 @@ def test_sinu_pole_division_is_nodata_not_error(spark):
     # |lat| < 85.06 anyway); NULL is the try_divide outcome if a
     # platform's cos returns exact 0. Either way: no ANSI error.
     assert r["lon"] is None or math.isfinite(r["lon"])
+
+
+def test_parse_wkt_sinusoidal():
+    from biggis_landuse_spark.operators.reproject import (
+        MODIS_SINU,
+        parse_wkt_crs,
+    )
+
+    # the ESRI-style .prj content MODIS reprojections ship
+    wkt = (
+        'PROJCS["MODIS Sinusoidal",GEOGCS["Sphere",DATUM["D_unknown",'
+        'SPHEROID["S",6371007.181,0.0]],PRIMEM["Greenwich",0],'
+        'UNIT["Degree",0.0174532925199433]],PROJECTION["Sinusoidal"],'
+        'PARAMETER["central_meridian",0.0],'
+        'PARAMETER["false_easting",0.0],'
+        'PARAMETER["false_northing",0.0],UNIT["Meter",1.0]]'
+    )
+    kind, prm = parse_wkt_crs(wkt)
+    assert kind == "sinu"
+    assert prm.r == MODIS_SINU.r and prm.lon0 == 0.0
+    # ellipsoidal sinusoidal WKT is a typed error
+    bad = wkt.replace("6371007.181,0.0", "6378137.0,298.257223563")
+    with pytest.raises(ValueError, match="sphere"):
+        parse_wkt_crs(bad)
