@@ -1532,3 +1532,141 @@ def dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.bloom_containment(
         batch, bits, m=_BLOOM_M, k=_BLOOM_K, thresh=_BLOOM_THRESH
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training loop (multi-round)
+# ---------------------------------------------------------------------------
+
+_BPE_TRAIN_ROUNDS = 4
+
+# Canonical symbol-string form shared by both engines: every symbol is
+# flanked by its own spaces (" a  b  c "), so the merge of pair (L, R)
+# is replace(s, " L  R ", " LR ") — non-overlapping left-to-right in
+# both Spark and DuckDB, and adjacent replacements re-establish the
+# double-space boundary automatically (" LR " + " X " == " LR  X ").
+
+
+def _bpe_train_oracle() -> str:
+    parts = [f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    w0 AS (
+      SELECT c,
+             ' ' || array_to_string(
+               list_transform(range(len(w)), i -> w[CAST(i + 1 AS INT)]),
+               '  ') || ' ' AS s
+      FROM words
+    )"""]
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        parts.append(f""",
+    l{r} AS (
+      SELECT c, list_filter(string_split(s, ' '), x -> x <> '') AS lst,
+             s
+      FROM w{r - 1}
+    ),
+    p{r} AS (
+      SELECT lst[CAST(i AS INT)] AS ls, lst[CAST(i + 1 AS INT)] AS rs,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM (SELECT c, lst, unnest(range(1, len(lst))) AS i FROM l{r})
+      GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT ls, rs, n FROM p{r} ORDER BY n DESC, ls, rs LIMIT 1),
+    w{r} AS (
+      SELECT c, replace(s, ' ' || m.ls || '  ' || m.rs || ' ',
+                           ' ' || m.ls || m.rs || ' ') AS s
+      FROM l{r}, m{r} m
+    )""")
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, ls AS left_sym, "
+        f"rs AS right_sym, n AS pair_count FROM m{r}"
+        for r in range(1, _BPE_TRAIN_ROUNDS + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc="""Distributed BPE tokenizer TRAINING (Sennrich et al. 2016),
+    multi-round: build the word-frequency vocabulary once (the one
+    corpus-sized shuffle), then per round count adjacent symbol pairs
+    weighted by word frequency, adopt the most frequent pair as the
+    next merge rule (ties broken lexicographically — deterministic,
+    engine-portable), and apply it leftmost-non-overlapping to every
+    word. Emits the learned merge table (round, pair, count) — the
+    artifact a tokenizer trainer persists. Extends the single-round
+    bpe_merge_candidates into the actual training loop.
+
+    Scale shape: the classic BPE trick — after the initial vocabulary
+    groupBy, EVERY per-round relation is vocab-sized, not
+    corpus-sized (pair counts partial-aggregate map-side; the merge
+    rule is ONE row collected driver-side per round, the same
+    model-sized-state discipline as kmeans_lloyd); the merge itself
+    is a narrow string replace over the cached vocabulary. Both
+    engines share the canonical double-spaced symbol string, so the
+    non-overlapping replace semantics are identical by construction.
+    The oracle unrolls the same rounds as CTEs.""",
+    tags=("TEXT", "ML"),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.queries import hold_cache
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    words = (
+        spread(documents)
+        .select(F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    chars = F.expr("filter(split(w, ''), x -> x != '')")
+    state = hold_cache(
+        words.select(
+            "c",
+            F.concat(
+                F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
+            ).alias("s"),
+        )
+    )
+    out: list[tuple[int, str, str, int]] = []
+    for r in range(1, _BPE_TRAIN_ROUNDS + 1):
+        lst = F.expr("filter(split(s, ' '), x -> x != '')")
+        pairs = (
+            state.select("c", lst.alias("lst"))
+            .where(F.size("lst") >= 2)
+            .select(
+                "c",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(lst) - 1), i -> "
+                        "struct(element_at(lst, i) AS ls, "
+                        "element_at(lst, i + 1) AS rs))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.ls").alias("ls"), F.col("p.rs").alias("rs"))
+            .agg(F.sum("c").alias("n"))
+        )
+        top = (
+            pairs.orderBy(F.desc("n"), F.asc("ls"), F.asc("rs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # degenerate corpus: no pairs at all
+        ls, rs, n = top[0]["ls"], top[0]["rs"], int(top[0]["n"])
+        out.append((r, ls, rs, n))
+        state = state.select(
+            "c",
+            F.replace(
+                "s",
+                F.lit(f" {ls}  {rs} "),
+                F.lit(f" {ls}{rs} "),
+            ).alias("s"),
+        )
+    return spark.createDataFrame(
+        out, "round bigint, left_sym string, right_sym string, pair_count bigint"
+    )

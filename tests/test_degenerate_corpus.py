@@ -35,6 +35,7 @@ PROBES = [
     "semantic_dedup",
     "dedup_minhash",
     "bm25_search",
+    "bpe_train_merges",  # per-round driver collect must tolerate no pairs
     "dsir_select",
     "ndvi_shape",
     "media_metadata",
