@@ -1547,7 +1547,10 @@ _BPE_TRAIN_ROUNDS = 4
 # double-space boundary automatically (" LR " + " X " == " LR  X ").
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_rounds_cte() -> str:
+    """The WITH body shared by the BPE train/encode oracles: word
+    vocabulary → canonical symbol string → _BPE_TRAIN_ROUNDS rounds of
+    (pair counts p{r}, adopted merge m{r}, merged vocabulary w{r})."""
     parts = [f"""
     WITH words AS (
       SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -1555,7 +1558,7 @@ def _bpe_train_oracle() -> str:
       GROUP BY w
     ),
     w0 AS (
-      SELECT c,
+      SELECT w, c,
              ' ' || array_to_string(
                list_transform(range(len(w)), i -> w[CAST(i + 1 AS INT)]),
                '  ') || ' ' AS s
@@ -1564,7 +1567,7 @@ def _bpe_train_oracle() -> str:
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
         parts.append(f""",
     l{r} AS (
-      SELECT c, list_filter(string_split(s, ' '), x -> x <> '') AS lst,
+      SELECT w, c, list_filter(string_split(s, ' '), x -> x <> '') AS lst,
              s
       FROM w{r - 1}
     ),
@@ -1576,16 +1579,20 @@ def _bpe_train_oracle() -> str:
     ),
     m{r} AS (SELECT ls, rs, n FROM p{r} ORDER BY n DESC, ls, rs LIMIT 1),
     w{r} AS (
-      SELECT c, replace(s, ' ' || m.ls || '  ' || m.rs || ' ',
-                           ' ' || m.ls || m.rs || ' ') AS s
+      SELECT w, c, replace(s, ' ' || m.ls || '  ' || m.rs || ' ',
+                              ' ' || m.ls || m.rs || ' ') AS s
       FROM l{r}, m{r} m
     )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     selects = [
         f"SELECT CAST({r} AS BIGINT) AS round, ls AS left_sym, "
         f"rs AS right_sym, n AS pair_count FROM m{r}"
         for r in range(1, _BPE_TRAIN_ROUNDS + 1)
     ]
-    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+    return _bpe_rounds_cte() + "\n" + "\nUNION ALL\n".join(selects)
 
 
 @register(
@@ -1613,9 +1620,19 @@ def _bpe_train_oracle() -> str:
     tags=("TEXT", "ML"),
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    rules, _state = _bpe_train(documents)
+    return spark.createDataFrame(
+        rules,
+        "round bigint, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def _bpe_train(documents: DataFrame):
+    """Shared BPE training loop: → (merge rules, final vocabulary
+    state (w, c, s) with s the canonical merged symbol string)."""
     from biggis_landuse_spark.queries import hold_cache
 
-    (documents,) = load_tables(spark, sf_dir, "documents")
     words = (
         spread(documents)
         .select(F.explode(TX.tokens("text")).alias("w"))
@@ -1625,13 +1642,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = F.expr("filter(split(w, ''), x -> x != '')")
     state = hold_cache(
         words.select(
+            "w",
             "c",
             F.concat(
                 F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
             ).alias("s"),
         )
     )
-    out: list[tuple[int, str, str, int]] = []
+    rules: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
         lst = F.expr("filter(split(s, ' '), x -> x != '')")
         pairs = (
@@ -1658,8 +1676,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not top:
             break  # degenerate corpus: no pairs at all
         ls, rs, n = top[0]["ls"], top[0]["rs"], int(top[0]["n"])
-        out.append((r, ls, rs, n))
+        rules.append((r, ls, rs, n))
         state = state.select(
+            "w",
             "c",
             F.replace(
                 "s",
@@ -1667,6 +1686,64 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f" {ls}{rs} "),
             ).alias("s"),
         )
-    return spark.createDataFrame(
-        out, "round bigint, left_sym string, right_sym string, pair_count bigint"
+    return rules, state
+
+
+@register(
+    "bpe_encode_stats",
+    oracle=_bpe_rounds_cte() + f"""
+    , enc AS (
+      SELECT w,
+             CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_syms
+      FROM w{_BPE_TRAIN_ROUNDS}
+    ),
+    toks AS (SELECT lang, unnest({_TOKS}) AS w FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT)           AS n_tokens,
+           CAST(sum(n_syms) AS BIGINT)        AS total_symbols,
+           round(CAST(sum(len(toks.w)) AS DOUBLE)
+                 / CAST(sum(n_syms) AS DOUBLE), 6) AS chars_per_symbol
+    FROM toks JOIN enc ON toks.w = enc.w
+    GROUP BY lang
+    """,
+    doc="""The ENCODE half of the BPE pipeline: apply the merge table
+    bpe_train_merges learns to the corpus and report per-language
+    token/symbol budgets and the chars-per-symbol compression the
+    tokenizer achieves — the number a training-data pipeline uses to
+    convert byte budgets into token budgets.
+
+    Scale shape: encoding happens on the VOCABULARY (each distinct
+    word's symbol string is already merged by the training loop), so
+    the corpus is touched exactly twice — once by the vocabulary
+    groupBy and once by the word→n_syms equi-join, whose build side is
+    vocab-sized (AQE broadcasts when it fits; at 100 TB a 100M-word
+    vocabulary shuffles as a normal hash join, never a forced
+    broadcast). Per-language rollup partial-aggregates map-side.""",
+    tags=("TEXT", "ML"),
+)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    _rules, state = _bpe_train(documents)
+    enc = state.select(
+        "w",
+        F.size(F.expr("filter(split(s, ' '), x -> x != '')"))
+        .cast("long")
+        .alias("n_syms"),
+    )
+    toks = documents.select(
+        "lang", F.explode(TX.tokens("text")).alias("w")
+    )
+    return (
+        toks.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("n_syms").cast("long").alias("total_symbols"),
+            F.round(
+                F.sum(F.length("w")).cast("double")
+                / F.sum("n_syms").cast("double"),
+                6,
+            ).alias("chars_per_symbol"),
+        )
     )
