@@ -1575,3 +1575,77 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         at_q(0.9).alias("p90_secs"),
         F.max("secs").cast("long").alias("max_secs"),
     )
+
+
+@register(
+    "ewma_event_rate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT)   AS n
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list(CAST(n AS DOUBLE) ORDER BY h) AS xs,
+             CAST(count(*) AS BIGINT)           AS n_hours,
+             CAST(sum(n) AS BIGINT)             AS total_events
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type,
+           n_hours,
+           total_events,
+           round(CASE WHEN len(xs) = 1 THEN xs[1]
+                      ELSE list_reduce(xs, (a, b) -> (b + a) / 2.0)
+                 END, 6) AS ewma_rate
+    FROM series
+    """,
+    doc="""Exponentially weighted (alpha=0.5) hourly event-rate
+    smoothing per event type — the load-forecast signal next to
+    cusum_drift/ols_trend. The hourly series is folded in hour order
+    with s_t = (x_t + s_{t-1}) / 2; counts are integers and the
+    halving chain is the SAME IEEE op sequence in both engines
+    (Spark aggregate over the sorted array, DuckDB list_reduce), so
+    the result is bit-identical before the 6dp sync.
+
+    Scale shape: ONE partial-aggregated shuffle to hourly counts
+    (types x hours rows — time-bounded, sublinear in events), then a
+    per-type fold over an array bounded by the time horizon; no
+    window over raw events, no driver state. At 100 TB the fold
+    array is hours-long (a retention horizon, not data-sized);
+    longer horizons chunk by day and fold the per-chunk tails.""",
+    tags=("EVENTS", "TS"),
+)
+def ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    series = hourly.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(h, n))), "
+            "p -> cast(p.n as double))"
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n").cast("long").alias("total_events"),
+    )
+    ewma = F.when(
+        F.size("xs") == 1, F.element_at("xs", 1)
+    ).otherwise(
+        F.expr(
+            "aggregate(slice(xs, 2, size(xs) - 1), element_at(xs, 1), "
+            "(a, x) -> (x + a) / 2.0D)"
+        )
+    )
+    return series.select(
+        "event_type",
+        "n_hours",
+        "total_events",
+        F.round(ewma, 6).alias("ewma_rate"),
+    )
