@@ -684,6 +684,14 @@ def test_parse_wkt_crs_honest_bounds():
     with pytest.raises(ValueError, match="unsupported WKT PROJECTION"):
         parse_wkt_crs(
             'PROJCS["x",GEOGCS["y",DATUM["d",SPHEROID["s",6378137,298.25]]],'
+            'PROJECTION["Robinson"],PARAMETER["central_meridian",0],'
+            'UNIT["metre",1]]'
+        )
+    # Sinusoidal is now a supported family — but only on a sphere;
+    # the ellipsoidal variant stays a typed refusal (late r6)
+    with pytest.raises(ValueError, match="sphere"):
+        parse_wkt_crs(
+            'PROJCS["x",GEOGCS["y",DATUM["d",SPHEROID["s",6378137,298.25]]],'
             'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],'
             'UNIT["metre",1]]'
         )
@@ -741,9 +749,16 @@ def test_sidecar_crs_honest_bounds(tmp_path):
     # unparseable sidecar content fails fast
     d2 = tmp_path / "bad"
     d2.mkdir()
-    (d2 / "x.proj4").write_text("+proj=sinu +lon_0=0")
+    (d2 / "x.proj4").write_text("+proj=robin +lon_0=0")
     with pytest.raises(ValueError, match="unsupported"):
         sidecar_crs(str(d2))
+    # sinu without a radius is also a fail-fast parse error (late r6:
+    # sinu itself is now a supported spherical family)
+    d3 = tmp_path / "sinu_no_r"
+    d3.mkdir()
+    (d3 / "x.proj4").write_text("+proj=sinu +lon_0=0")
+    with pytest.raises(ValueError, match=r"needs \+a"):
+        sidecar_crs(str(d3))
 
 
 def _ps_forward(lat, lon, p):
