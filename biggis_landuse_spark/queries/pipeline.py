@@ -896,6 +896,7 @@ _CHUNK_STRIDE = 24
     already co-partitioned with their parent doc's file split (no
     repartition needed before a per-chunk Pandas-UDF encoder).""",
     tags=("PIPELINE",),
+    bench=True,
 )
 def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")

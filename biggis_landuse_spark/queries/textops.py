@@ -1618,6 +1618,7 @@ def _bpe_train_oracle() -> str:
     non-overlapping replace semantics are identical by construction.
     The oracle unrolls the same rounds as CTEs.""",
     tags=("TEXT", "ML"),
+    bench=True,
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
