@@ -1748,3 +1748,81 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_symbol"),
         )
     )
+
+
+_VG_BUCKETS = 10
+
+
+@register(
+    "vocab_growth",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    first_seen AS (
+      SELECT w, min(doc_id) AS fs
+      FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    bucketed AS (
+      -- bucket k holds words first seen in prefix k (1-based decile
+      -- of the doc_id range); ceil maps fs=0 to bucket 1 via greatest
+      SELECT greatest(1, CAST(ceil(fs * {_VG_BUCKETS}.0
+                                   / (m + 1)) AS BIGINT)) AS bucket,
+             count(*) AS nw
+      FROM first_seen, mx GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(1, {_VG_BUCKETS + 1})) AS bucket)
+    SELECT grid.bucket,
+           CAST(coalesce(nw, 0) AS BIGINT) AS new_words,
+           CAST(sum(coalesce(nw, 0)) OVER (ORDER BY grid.bucket)
+                AS BIGINT)                 AS vocab_size
+    FROM grid LEFT JOIN bucketed ON grid.bucket = bucketed.bucket
+    """,
+    doc="""Heaps'-law vocabulary growth: how many NEW distinct words
+    each tenth of the corpus contributes, and the cumulative
+    vocabulary size — the curve a tokenizer/vocab-size decision reads
+    (flattening growth → vocabulary saturated; linear growth → noisy
+    OCR/boilerplate worth inspecting upstream).
+
+    Scale shape: ONE vocab-sized shuffle (min(doc_id) per word
+    partial-aggregates map-side), a 10-row bucket rollup, and the
+    cumulative sum runs over those 10 rows — never a corpus-sized
+    window. The prefix key is the stable doc_id, so the curve is
+    deterministic across runs and partitionings.""",
+    tags=("TEXT", "PIPELINE"),
+)
+def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    mx = documents.agg(F.max("doc_id").alias("m"))
+    first_seen = (
+        spread(documents)
+        .select("doc_id", F.explode(TX.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fs"))
+    )
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(mx))
+        .select(
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("fs") * _VG_BUCKETS / (F.col("m") + 1)
+                ).cast("long"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("nw"))
+    )
+    grid = spark.range(1, _VG_BUCKETS + 1).select(
+        F.col("id").alias("bucket")
+    )
+    joined = grid.join(bucketed, "bucket", "left").select(
+        "bucket", F.coalesce("nw", F.lit(0)).alias("nw")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "bucket",
+        F.col("nw").cast("long").alias("new_words"),
+        F.sum("nw").over(w).cast("long").alias("vocab_size"),
+    )
