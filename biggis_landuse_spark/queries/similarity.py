@@ -1234,3 +1234,113 @@ def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n_new").cast("long").alias("n_new"),
         F.round(F.sqrt(F.sum(d * d)), 6).alias("centroid_shift"),
     )
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    aff AS (
+      SELECT v.vec_id, cid,
+             {_IVF_COS.format(a="vec", b="cv")} AS a
+      FROM v CROSS JOIN cent
+    ),
+    aranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS pr
+      FROM aff
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cid FROM aranked WHERE pr = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM aranked
+      WHERE pr <= {N_PROBE} AND vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM probes JOIN assign USING (cid)
+      WHERE neighbor_id <> query_id
+    ),
+    isim AS (
+      SELECT query_id, neighbor_id,
+             {_IVF_COS.format(a="q.vec", b="c.vec")} AS cos_sim
+      FROM cand
+      JOIN v q ON cand.query_id = q.vec_id
+      JOIN v c ON cand.neighbor_id = c.vec_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM isim
+      ) WHERE rnk <= {K}
+    ),
+    bsim AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_IVF_COS.format(a="q.vec", b="c.vec")} AS cos_sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bsim
+      ) WHERE rnk <= {K}
+    )
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id) / {K}.0, 6) AS recall_at_k
+    FROM brute b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="""ANN quality evaluation: recall@k of the IVF index path
+    against the exact brute-force top-k, per query — the acceptance
+    gate a production similarity pipeline runs after (re)building an
+    index, here as a first-class query instead of a test-only
+    assertion (tests/test_ivf_trained.py enforces the recall FLOOR;
+    this reports the measured curve).
+
+    Scale shape: the brute-force ground truth runs only for the
+    bounded query panel (broadcast query side, corpus streamed
+    map-side — the same plan as knn_cosine), the IVF path is the
+    production candidate generator (cell equi-join), and the
+    intersection is a k-row-per-query hash join. At 100 TB the panel
+    stays a fixed sample, so evaluation cost is independent of corpus
+    size.""",
+    tags=("ANN", "ML"),
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    ivf = S.ivf_topk(
+        queries, embeddings, centroids, k=K, n_probe=N_PROBE
+    ).select("query_id", "neighbor_id")
+    brute = S.brute_force_topk(queries, embeddings, k=K).select(
+        "query_id", "neighbor_id"
+    )
+    matched = (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    base = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    return (
+        base.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("nh", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("nh", F.lit(0)) / float(K), 6
+            ).alias("recall_at_k"),
+        )
+    )
