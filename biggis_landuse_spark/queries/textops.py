@@ -1826,3 +1826,64 @@ def vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nw").cast("long").alias("new_words"),
         F.sum("nw").over(w).cast("long").alias("vocab_size"),
     )
+
+
+@register(
+    "data_card",
+    oracle=f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT)                       AS n_docs,
+             CAST(sum(len({_TOKS})) AS BIGINT)              AS total_tokens,
+             round(avg(len({_TOKS})), 6)                    AS avg_tokens,
+             round(avg(n_chars), 6)                         AS avg_chars,
+             round(avg(CASE WHEN lang = 'en' THEN 1.0
+                            ELSE 0.0 END), 6)               AS en_share,
+             round(1.0 - count(DISTINCT md5(text))
+                         / CAST(count(*) AS DOUBLE), 6)     AS exact_dup_rate
+      FROM documents
+    )
+    SELECT 'n_docs' AS stat, CAST(n_docs AS DOUBLE) AS value FROM agg
+    UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM agg
+    UNION ALL SELECT 'avg_tokens', avg_tokens FROM agg
+    UNION ALL SELECT 'avg_chars', avg_chars FROM agg
+    UNION ALL SELECT 'en_share', en_share FROM agg
+    UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM agg
+    """,
+    doc="""Dataset card: the one-screen corpus summary a training-data
+    release publishes (docs, token budget, language share, exact
+    duplication rate). One corpus scan computes every stat as a
+    partial-aggregated fold (the md5-distinct for the dup rate is the
+    only key shuffle, digest-sized); the 6-row unpivot is driver-free.
+    At 100 TB: same single pass — the card is the cheap artifact that
+    gates the expensive pipeline stages behind it.""",
+    tags=("TEXT", "PIPELINE"),
+)
+def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    ntok = F.size(TX.tokens("text"))
+    agg = documents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        F.round(F.avg(ntok), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(
+            F.avg((F.col("lang") == "en").cast("double")), 6
+        ).alias("en_share"),
+        F.round(
+            1.0
+            - F.countDistinct(F.md5("text"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(6, "
+            "'n_docs', cast(n_docs as double), "
+            "'total_tokens', cast(total_tokens as double), "
+            "'avg_tokens', avg_tokens, "
+            "'avg_chars', avg_chars, "
+            "'en_share', en_share, "
+            "'exact_dup_rate', exact_dup_rate) AS (stat, value)"
+        )
+    )
