@@ -292,6 +292,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "ntile_price_bands",  # 1-row global count broadcast (global_ntile)
         "rfm_segments",  # 3× 1-row global count broadcast (global_ntile)
         "pareto_parts",  # 1-row revenue-total broadcast
+        "vocab_growth",  # 1-row max-doc_id broadcast for prefix buckets
         "market_basket_lift",  # 1-row order-count broadcast
         "chi2_status_priority",  # bounded marginal grids (statuses × priorities) + 1-row N
         "events_resample_dense",  # 1-row global span broadcast for grid synthesis
