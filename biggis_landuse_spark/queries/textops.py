@@ -1887,3 +1887,119 @@ def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'exact_dup_rate', exact_dup_rate) AS (stat, value)"
         )
     )
+
+
+_DPE_T = 0.5  # true-duplicate Jaccard threshold for the precision gate
+
+
+@register(
+    "dedup_precision_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    ),
+    {_BANDS_SUB_CTE}
+    , cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared_bands
+      FROM bsub a JOIN bsub b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.sub = b.sub
+        AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, c.n_shared_bands, count(sb.shingle) AS cc
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      LEFT JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT n_shared_bands,
+             round(CAST(cc AS DOUBLE) / (za.n + zb.n - cc), 6) AS j
+      FROM common
+      JOIN sizes za ON common.doc_a = za.doc_id
+      JOIN sizes zb ON common.doc_b = zb.doc_id
+    )
+    SELECT n_shared_bands,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE j >= {_DPE_T}) AS BIGINT)
+             AS n_true_dups,
+           round(count(*) FILTER (WHERE j >= {_DPE_T})
+                 / CAST(count(*) AS DOUBLE), 6) AS precision,
+           round(avg(j), 6) AS avg_jaccard
+    FROM scored GROUP BY n_shared_bands
+    """,
+    doc="""Dedup-quality evaluation: empirical precision of the
+    MinHash/LSH candidate generator against exact shingle Jaccard,
+    bucketed by shared-band count — the measured S-curve a dedup
+    pipeline reads before committing a (bands, rows) configuration,
+    as a first-class query (the dedup twin of ann_recall_eval). A
+    candidate pair counts as a true duplicate at Jaccard >= {t}.
+
+    Scale shape: exact Jaccard is computed ONLY for candidate pairs
+    (the LSH output, already sub-split-capped), via a shingle
+    equi-join restricted to candidate docs — never all-pairs; the
+    rollup is a handful of band-count rows. At 100 TB the evaluation
+    is proportional to the candidate volume the pipeline would verify
+    anyway.""".replace("{t}", str(_DPE_T)),
+    tags=("DEDUP", "ML"),
+)
+def dedup_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    sig = D.minhash_signatures_from_text(documents, "doc_id", "text")
+    cand = D.lsh_band_pairs(sig, "doc_id")
+    sh = D.exploded_shingles(documents, "doc_id", "text")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(
+        F.col("doc_id").alias("_db"), F.col("shingle").alias("_shb")
+    )
+    common = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("_db"))
+            & (F.col("shingle") == F.col("_shb")),
+            "left",
+        )
+        .groupBy("doc_a", "doc_b", "n_shared_bands")
+        .agg(F.count("_shb").alias("cc"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "n_shared_bands",
+            F.round(
+                F.col("cc").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("cc")),
+                6,
+            ).alias("j"),
+        )
+    )
+    return scored.groupBy("n_shared_bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count(F.when(F.col("j") >= _DPE_T, 1)).cast("long").alias(
+            "n_true_dups"
+        ),
+        F.round(
+            F.count(F.when(F.col("j") >= _DPE_T, 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("precision"),
+        F.round(F.avg("j"), 6).alias("avg_jaccard"),
+    )
