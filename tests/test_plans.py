@@ -394,3 +394,21 @@ def test_label_propagation_votes_use_max_by_not_window(plan_of):
     assert "Window" not in plan
     assert "max_by" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_media_audio_stats_zero_shuffle(plan_of):
+    # synthesize → WAV decode (mapInPandas) → featurize must stay a
+    # narrow pipeline: no Exchange, result co-partitioned with input
+    plan = plan_of("media_audio_stats")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_media_phash_and_scene_cuts_single_exchange(plan_of):
+    # phash: the only shuffle is the final hash groupBy
+    plan = plan_of("media_phash_dedup")
+    assert plan.count("Exchange") <= 2  # partial→final agg pair
+    assert "MapInPandas" in plan
+    # scene cuts: lag window + rollup share ONE doc-keyed exchange
+    plan = plan_of("media_scene_cuts")
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
