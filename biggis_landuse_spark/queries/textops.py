@@ -2003,3 +2003,104 @@ def dedup_precision_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("precision"),
         F.round(F.avg("j"), 6).alias("avg_jaccard"),
     )
+
+
+@register(
+    "dedup_recall_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (
+      SELECT doc_id,
+             {_MINHASH_AGGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band_id, h0 || h1 AS sig FROM sig
+      UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+      UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+      UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+    ),
+    {_BANDS_SUB_CTE}
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bsub a JOIN bsub b
+        ON a.band_id = b.band_id AND a.sig = b.sig AND a.sub = b.sub
+        AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b,
+             round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j
+      FROM common
+      JOIN sizes sa ON common.doc_a = sa.doc_id
+      JOIN sizes sb ON common.doc_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.1
+    ),
+    banded AS (
+      SELECT CASE WHEN j >= 0.7 THEN '0.7+'
+                  WHEN j >= 0.5 THEN '0.5-0.7'
+                  WHEN j >= 0.3 THEN '0.3-0.5'
+                  ELSE '0.1-0.3' END AS j_band,
+             CASE WHEN cand.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+      FROM truth LEFT JOIN cand
+        ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b
+    )
+    SELECT j_band,
+           CAST(count(*) AS BIGINT)      AS n_true_pairs,
+           CAST(sum(caught) AS BIGINT)   AS n_caught,
+           round(sum(caught) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM banded GROUP BY j_band
+    """,
+    doc="""The recall half of the dedup evaluation pair
+    (dedup_precision_eval measures precision): of the TRUE near-dup
+    pairs (exact shingle Jaccard >= 0.1, the inverted-index join),
+    what fraction does the MinHash/LSH candidate generator catch, per
+    similarity band — the measured miss rate that tells a pipeline
+    whether its band/row configuration leaks duplicates into the
+    training set.
+
+    Scale shape: truth generation is the same doc-freq-capped
+    inverted-index equi-join ngram_jaccard runs (never all-pairs);
+    the candidate set is the sub-split-capped LSH output; their
+    left join is pair-keyed; the rollup is 4 band rows. At 100 TB
+    recall is estimated on a sampled partition of the corpus — the
+    plan is identical, only the input shrinks.""",
+    tags=("DEDUP", "ML"),
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    sig = D.minhash_signatures_from_text(documents, "doc_id", "text")
+    cand = (
+        D.lsh_band_pairs(sig, "doc_id")
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("_caught", F.lit(1))
+    )
+    truth = D.ngram_jaccard_pairs(
+        documents, "doc_id", "text", threshold=0.1
+    )
+    j = F.col("jaccard")
+    banded = (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .select(
+            F.when(j >= 0.7, "0.7+")
+            .when(j >= 0.5, "0.5-0.7")
+            .when(j >= 0.3, "0.3-0.5")
+            .otherwise("0.1-0.3")
+            .alias("j_band"),
+            F.coalesce("_caught", F.lit(0)).alias("caught"),
+        )
+    )
+    return banded.groupBy("j_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs"),
+        F.sum("caught").cast("long").alias("n_caught"),
+        F.round(
+            F.sum("caught") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall"),
+    )
