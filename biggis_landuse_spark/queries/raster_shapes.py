@@ -619,10 +619,17 @@ def focal_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE b.v IS NOT NULL
       GROUP BY 1, 2
     )
-    SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
-           round((s - mu * w) / (sigma * sqrt((n * w - w * w) / (n - 1))), 4)
-             AS gstar
-    FROM hood, stats
+    SELECT gx, gy, gstar FROM (
+      SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+             round((s - mu * w)
+                   / (sigma * sqrt((n * w - w * w) / (n - 1))), 4)
+               AS gstar
+      FROM hood, stats
+    )
+    -- the engine drops NODATA cells after the tile round trip
+    -- (try_divide NULL when a neighborhood covers ALL data points:
+    -- zero-variance denominator on a degenerate corpus)
+    WHERE gstar IS NOT NULL
     """,
     doc="""Getis-Ord G* (W2, SpatialGetisOrd.scala:66-83) through the REAL
     operator: focal sum+count via margin exchange, standardized by

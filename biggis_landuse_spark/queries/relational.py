@@ -665,6 +665,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
+    HAVING count(*) > 0
     """,
     doc="""ROLLUP grouping-set aggregate — free via Spark SQL
     (SURVEY.md §2.4 note), the relational cousin of the pyramid's
@@ -766,9 +767,16 @@ _HEX = "0123456789abcdef"
                AS bucket
       FROM orders
     )
-    SELECT CASE WHEN bucket < 154 THEN 'train' ELSE 'test' END AS split,
-           CAST(count(*) AS BIGINT) AS n
-    FROM b GROUP BY 1
+    , c AS (
+      SELECT CASE WHEN bucket < 154 THEN 'train' ELSE 'test' END AS split,
+             count(*) AS n
+      FROM b GROUP BY 1
+    ),
+    g AS (SELECT 'train' AS split UNION ALL SELECT 'test')
+    -- static grid: the engine emits BOTH splits (two global aggregates
+    -- unioned), so an empty bucket must appear as 0, not vanish
+    SELECT g.split, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+    FROM g LEFT JOIN c ON g.split = c.split
     """,
     doc="""60/40 train/test split via ml.classify.split_samples
     (mode="hash"): md5(key) first-byte bucket < round(0.6*256)=154 — a
@@ -807,6 +815,7 @@ def hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING count(*) > 0
     """,
     doc="""CUBE grouping-sets aggregate (flag × status × both margins +
     grand total) — the multi-dimensional rollup surface Spark gives
@@ -842,6 +851,7 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 2)                      AS revenue
     FROM orders
     GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    HAVING count(*) > 0
     """,
     doc="""ROLLUP over the calendar hierarchy (year > month > grand
     total) — the hierarchical cousin of cube_revenue: month rows,

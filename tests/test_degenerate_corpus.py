@@ -115,6 +115,55 @@ NULL_PROBES = [
 ]
 
 
+@pytest.fixture(scope="module")
+def tiny_dir(tmp_path_factory) -> str:
+    """THREE rows per table, written as single parquet files so the
+    DuckDB oracle can read them — the degenerate-group regime where
+    engine semantics diverge (empty grouping sets, zero-variance
+    neighborhoods, one-element rank-tolerance bands). The full
+    186-query ORACLE sweep on this corpus runs out-of-band (0 bad);
+    this pins the four queries it caught."""
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("tiny_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(tbl.slice(0, 3), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+TINY_ORACLE_PROBES = [
+    # found by the 3-row sweep, each a distinct engine-semantics edge:
+    "rollup_revenue",            # Spark rollup: no () row over empty input
+    "grouping_sets_revenue",     # same, via SQL GROUPING SETS
+    "hash_split_counts",         # static split grid must emit 0-count rows
+    "getis_ord_tile",            # zero-variance neighborhoods drop as NODATA
+    "approx_percentile_prices",  # rank-tol band < 1 element at tiny n
+]
+
+
+@pytest.mark.parametrize("name", TINY_ORACLE_PROBES)
+def test_query_matches_oracle_on_tiny_corpus(spark, tiny_dir, name):
+    from tests.oracle_diff import compare
+
+    from biggis_landuse_spark.queries import (
+        REGISTRY,
+        _ensure_loaded,
+        release_caches,
+    )
+
+    _ensure_loaded()
+    try:
+        spec = REGISTRY[name]
+        r = compare(spec.spark(spark, tiny_dir), spec.oracle, tiny_dir)
+        assert r["rowcount_match"] and r["schema_match"] and r["values_match"], (
+            name,
+            r,
+        )
+    finally:
+        release_caches()
+
+
 @pytest.mark.parametrize("name", NULL_PROBES)
 def test_query_total_on_nulled_corpus(spark, nulled_dir, name):
     from biggis_landuse_spark.queries import (
