@@ -125,6 +125,12 @@ def label_regions(
     labeled = keyed.groupBy("_tx", "_ty").applyInPandas(
         _label_tile_factory(width), schema=_LABELED_SCHEMA
     )
+    # `labeled` feeds three consumers (both _boundary_edges sides and
+    # the final join-back); without a cut the Python union-find stage
+    # and its upstream shuffle would re-execute per consumer.
+    # localCheckpoint materializes it once and truncates the lineage —
+    # same lifecycle the pointer-jumping rounds below already use.
+    labeled = labeled.localCheckpoint()
     merge = connected_components(_boundary_edges(labeled, tile_size))
     return labeled.join(
         merge, labeled.label == merge.node, "left"

@@ -725,15 +725,49 @@ def parse_wkt_crs(
             a, rf, lat0, lon0,
             p("false_easting", 0.0), p("false_northing", 0.0),
         )
-    if proj in ("polar_stereographic", "polar_stereographic_(variant_b)"):
-        # ESRI carries the standard parallel in latitude_of_origin
-        # (its sign names the hemisphere); OGC variant B uses
-        # standard_parallel_1 — accept either
-        lat_ts = params.get(
-            "standard_parallel_1", params.get("latitude_of_origin")
-        )
-        if lat_ts is None:
-            raise ValueError(f"WKT {proj!r} missing standard parallel")
+    if proj in (
+        "polar_stereographic",
+        "polar_stereographic_(variant_a)",
+        "polar_stereographic_(variant_b)",
+    ):
+        # Three WKT spellings of the same projection:
+        # - OGC variant B: standard_parallel_1 carries lat_ts;
+        # - ESRI: latitude_of_origin carries the standard parallel
+        #   (its sign names the hemisphere), scale_factor absent/1;
+        # - OGC/EPSG variant A (e.g. UPS EPSG:5041/5042):
+        #   latitude_of_origin = ±90 names the pole and scale_factor
+        #   carries k0 — feeding that lat 90 into the lat_ts branch
+        #   would make _ps_consts' factor 0 and silently warp every
+        #   pixel to the pole, so it MUST take the k0 constructor
+        #   (mirrors parse_proj4's stere k0 branch).
+        sp1 = params.get("standard_parallel_1")
+        lat0 = params.get("latitude_of_origin")
+        k0 = p("scale_factor", 1.0)
+        if sp1 is not None and abs(sp1) != 90.0:
+            if k0 != 1.0:
+                raise ValueError(
+                    "WKT polar stereographic with BOTH a non-polar "
+                    f"standard parallel ({sp1}) and scale_factor "
+                    f"{k0} is ambiguous (variant A xor B): {wkt[:60]!r}"
+                )
+            north, lat_ts_kw = sp1 >= 0, {"lat_ts": sp1}
+        elif sp1 is not None:  # standard parallel AT the pole ≡ k0=1
+            north, lat_ts_kw = sp1 > 0, {"k0": k0}
+        elif lat0 is not None and abs(lat0) == 90.0:
+            north, lat_ts_kw = lat0 > 0, {"k0": k0}  # variant A
+        elif lat0 is not None and k0 == 1.0:
+            north, lat_ts_kw = lat0 >= 0, {"lat_ts": lat0}  # ESRI
+        elif lat0 is not None:
+            raise ValueError(
+                "WKT polar stereographic with a non-polar "
+                f"latitude_of_origin ({lat0}) and scale_factor {k0}: "
+                f"variant A needs latitude_of_origin=±90 — {wkt[:60]!r}"
+            )
+        else:
+            raise ValueError(
+                f"WKT {proj!r} missing standard parallel / "
+                f"latitude_of_origin"
+            )
         lon0 = params.get(
             "central_meridian",
             params.get("longitude_of_origin",
@@ -743,7 +777,7 @@ def parse_wkt_crs(
             raise ValueError(f"WKT {proj!r} missing central meridian")
         return "ps", PsParams(
             a, rf, lon0, p("false_easting", 0.0), p("false_northing", 0.0),
-            north=lat_ts >= 0, lat_ts=lat_ts,
+            north=north, **lat_ts_kw,
         )
     if proj in ("albers_conic_equal_area", "albers"):
         lat0 = params.get(

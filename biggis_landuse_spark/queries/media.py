@@ -36,6 +36,21 @@ _CONTENT_SQL = f"""
            ELSE encode(text) END
 """
 
+# Totality filter, applied IDENTICALLY on both engines wherever the
+# engine side runs a frame/pixel GENERATOR (zero rows out for a
+# NULL/empty payload) while the oracle side scans documents (a row per
+# doc regardless) — the engine/oracle mismatch class the r6 advisor
+# flagged on media_scene_cuts; a nulled-corpus oracle sweep found the
+# same latent skew in the decode_media family.
+_DOC_FILTER_SQL = "WHERE text IS NOT NULL AND octet_length(encode(text)) > 0"
+
+
+def _nonempty_docs(documents: DataFrame) -> DataFrame:
+    return documents.where(
+        F.col("text").isNotNull()
+        & (F.octet_length(F.encode(F.col("text"), "UTF-8")) > 0)
+    )
+
 
 @register(
     "media_metadata",
@@ -67,6 +82,7 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH m AS (
       SELECT doc_id, octet_length({_CONTENT_SQL}) AS n_bytes FROM documents
+      {_DOC_FILTER_SQL}
     )
     SELECT doc_id,
            CAST(ceil(ceil(n_bytes / {FRAME_SIZE}.0) / {EVERY_N}.0) AS BIGINT)
@@ -76,13 +92,17 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="""Video-style frame sampling (split byte stream into fixed-size
     frames, keep every Nth) via a mapInPandas UDTF-shaped generator —
     one row in, many rows out; the oracle checks the fan-out
-    arithmetic end-to-end.""",
+    arithmetic end-to-end. NULL/empty-text docs are filtered on BOTH
+    sides (the generator emits zero frames for them, a bare document
+    scan emits a NULL-count row — the totality mismatch class the
+    r6 advisor flagged on media_scene_cuts).""",
     tags=("multimodal",),
 )
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = _nonempty_docs(documents)
     frames = MM.sample_frames(
-        _with_content(documents), every_n=EVERY_N, frame_size=FRAME_SIZE
+        _with_content(docs), every_n=EVERY_N, frame_size=FRAME_SIZE
     )
     return frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_frames_kept")
@@ -104,7 +124,8 @@ def _byte_sql(hx: str, pos: str) -> str:
 @register(
     "media_decode_features",
     oracle=f"""
-    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents
+               {_DOC_FILTER_SQL}),
     meta AS (
       SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
     ),
@@ -141,7 +162,7 @@ def _byte_sql(hx: str, pos: str) -> str:
 )
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    decoded = MM.decode_media(_with_content(documents))
+    decoded = MM.decode_media(_with_content(_nonempty_docs(documents)))
     feats = MM.media_features(decoded)
     return feats.select(
         "doc_id",
@@ -155,7 +176,8 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_pixel_stats",
     oracle=f"""
-    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents
+               {_DOC_FILTER_SQL}),
     meta AS (
       SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
     ),
@@ -187,7 +209,7 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    decoded = MM.decode_media(_with_content(documents))
+    decoded = MM.decode_media(_with_content(_nonempty_docs(documents)))
     ex = decoded.select("doc_id", F.explode("pixels").alias("v"))
     return ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_px"),
@@ -201,7 +223,8 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_resize_stats",
     oracle=f"""
-    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents
+               {_DOC_FILTER_SQL}),
     meta AS (
       SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
     ),
@@ -245,7 +268,7 @@ def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    decoded = MM.decode_media(_with_content(documents))
+    decoded = MM.decode_media(_with_content(_nonempty_docs(documents)))
     small = MM.resize_images(decoded, out_w=2, out_h=2)
     ex = small.select("doc_id", F.explode("pixels").alias("v"))
     return ex.groupBy("doc_id").agg(
@@ -257,7 +280,8 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "media_phash_dedup",
     oracle=f"""
-    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents),
+    WITH m AS (SELECT doc_id, {_CONTENT_SQL} AS content FROM documents
+               {_DOC_FILTER_SQL}),
     meta AS (
       SELECT doc_id, hex(content) AS hx, octet_length(content) AS len FROM m
     ),
@@ -329,7 +353,7 @@ def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    decoded = MM.decode_media(_with_content(documents))
+    decoded = MM.decode_media(_with_content(_nonempty_docs(documents)))
     small = MM.resize_images(decoded, out_w=3, out_h=2)
     # exact integer byte sum per thumbnail cell: recover the byte from
     # the /255.0 double (round is exact — the double is b/255.0 ± ulp)
@@ -534,6 +558,7 @@ _CUT_T = 4
       SELECT doc_id, hex({_CONTENT_SQL}) AS hx,
              octet_length({_CONTENT_SQL}) AS len
       FROM documents
+      {_DOC_FILTER_SQL}
     ),
     fr AS (
       SELECT doc_id, hx, len, unnest(range((len + {FRAME_SIZE - 1})
@@ -596,8 +621,13 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (documents,) = load_tables(spark, sf_dir, "documents")
+    # totality: a NULL/empty-text doc yields zero frames from
+    # sample_frames but a len-row from the oracle's document scan —
+    # filter both sides identically (as media_audio_stats does) so the
+    # engine/oracle row sets agree on degenerate corpora
+    docs = _nonempty_docs(documents)
     frames = MM.sample_frames(
-        _with_content(documents), every_n=1, frame_size=FRAME_SIZE
+        _with_content(docs), every_n=1, frame_size=FRAME_SIZE
     )
     w = Window.partitionBy("doc_id").orderBy("frame_no")
     fb = F.col("frame_bytes").cast("long")

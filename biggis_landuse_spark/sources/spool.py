@@ -24,9 +24,11 @@ The WRITE half (the Kafka *sink* analog, UtilsKafka.scala:18-34) is a
 DataSourceWriter/DataSourceStreamWriter pair realizing the producer
 contract over the same files:
 
-- executors stage their rows into ``.staging/`` files (one per task ×
-  spool partition — data never moves through the driver; commit
-  messages carry file paths and counts only);
+- executors stage their rows into ``.staging/<writer_uuid>/`` files
+  (one per task × spool partition, namespaced per write job so
+  concurrent writers never sweep each other's in-flight stage — data
+  never moves through the driver; commit messages carry file paths
+  and counts only);
 - the driver-side commit appends staged files into the partition logs
   in deterministic (task, partition) order;
 - the streaming commit is keyed by ``batchId``: a ``.commits/<id>``
@@ -184,11 +186,14 @@ def _route(row, n_parts: int) -> int:
     return int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % n_parts
 
 
-def _stage(path: str, iterator, n_parts: int) -> _StagedFiles:
+def _stage(path: str, iterator, n_parts: int, writer_id: str) -> _StagedFiles:
     """Executor side: spill this task's rows into one staging file per
-    spool partition. Streams row-by-row — never materializes the task
-    partition in memory."""
-    staging = os.path.join(path, ".staging")
+    spool partition, under the WRITER's namespace directory
+    ``.staging/<writer_id>/`` (the writer uuid is minted driver-side in
+    the writer's __init__ and rides the pickled writer to every task,
+    so concurrent jobs never share a namespace). Streams row-by-row —
+    never materializes the task partition in memory."""
+    staging = os.path.join(path, ".staging", writer_id)
     os.makedirs(staging, exist_ok=True)
     tid = uuid.uuid4().hex
     handles: dict[int, object] = {}
@@ -235,16 +240,35 @@ def _drop_staged(messages) -> None:
                 pass
 
 
-_STALE_GRACE_SEC = 300.0
+_STALE_GRACE_SEC = 1800.0
 
 
-def _sweep_stale(path: str, grace: float = _STALE_GRACE_SEC) -> None:
-    """Drop orphaned ``.part`` files from failed or speculative task
-    attempts. Only winning attempts' commit messages ever reach
-    commit()/abort(), so losers' staged files would otherwise
-    accumulate in ``.staging/`` forever across retries. Swept on
-    driver-side commit, aged by mtime — the grace window keeps a
-    CONCURRENT writer's in-flight stage (always younger) safe."""
+def _drop_namespace(path: str, writer_id: str) -> None:
+    """Remove the calling writer's OWN staging namespace after its
+    commit/abort: winners' files were already consumed (or dropped),
+    so anything left is a failed/speculative attempt of this finished
+    job. Unconditional — no grace needed inside one's own namespace."""
+    import shutil
+
+    shutil.rmtree(
+        os.path.join(path, ".staging", writer_id), ignore_errors=True
+    )
+
+
+def _sweep_stale(
+    path: str, exclude: str, grace: float = _STALE_GRACE_SEC
+) -> None:
+    """GC staging namespaces left by CRASHED jobs (driver died before
+    commit/abort could _drop_namespace). A namespace is swept only when
+    its newest mtime — the directory itself or any file in it — is
+    older than the grace window: a live writer keeps touching its
+    files, so liveness is observable; a slow stage-to-commit gap is
+    covered by the generous grace, and a writer never sweeps its own
+    (``exclude``) namespace regardless of age. This replaces the old
+    flat per-file sweep, whose fixed 300 s age could delete a slow
+    concurrent writer's staged-but-uncommitted files."""
+    import shutil
+
     staging = os.path.join(path, ".staging")
     try:
         names = os.listdir(staging)
@@ -252,10 +276,20 @@ def _sweep_stale(path: str, grace: float = _STALE_GRACE_SEC) -> None:
         return
     cutoff = time.time() - grace
     for name in names:
-        fp = os.path.join(staging, name)
+        if name == exclude:
+            continue
+        ns = os.path.join(staging, name)
         try:
-            if os.path.getmtime(fp) < cutoff:
-                os.remove(fp)
+            newest = os.path.getmtime(ns)
+            if os.path.isdir(ns):
+                for entry in os.listdir(ns):
+                    newest = max(
+                        newest, os.path.getmtime(os.path.join(ns, entry))
+                    )
+                if newest < cutoff:
+                    shutil.rmtree(ns, ignore_errors=True)
+            elif newest < cutoff:
+                os.remove(ns)  # pre-namespace layout leftover
         except OSError:
             pass
 
@@ -264,41 +298,48 @@ class _SpoolBatchWriter(DataSourceWriter):
     def __init__(self, options):
         self.path = options["path"]
         self.n_parts = int(options.get("num_partitions", "1"))
+        self.writer_id = uuid.uuid4().hex  # staging namespace
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator) -> _StagedFiles:
-        return _stage(self.path, iterator, self.n_parts)
+        return _stage(self.path, iterator, self.n_parts, self.writer_id)
 
     def commit(self, messages) -> None:
         _append_staged(self.path, messages)
-        _sweep_stale(self.path)
+        _drop_namespace(self.path, self.writer_id)
+        _sweep_stale(self.path, exclude=self.writer_id)
 
     def abort(self, messages) -> None:
         _drop_staged(messages)
+        _drop_namespace(self.path, self.writer_id)
 
 
 class _SpoolStreamWriter(DataSourceStreamWriter):
     def __init__(self, options):
         self.path = options["path"]
         self.n_parts = int(options.get("num_partitions", "1"))
+        self.writer_id = uuid.uuid4().hex  # staging namespace
         os.makedirs(self.path, exist_ok=True)
 
     def write(self, iterator) -> _StagedFiles:
-        return _stage(self.path, iterator, self.n_parts)
+        return _stage(self.path, iterator, self.n_parts, self.writer_id)
 
     def commit(self, messages, batchId: int) -> None:
         # epoch-idempotent commit: a checkpoint-replayed microbatch
         # finds its marker and becomes a no-op instead of appending
-        # twice — the producer half of the exactly-once contract
+        # twice — the producer half of the exactly-once contract.
+        # NOTE: the stream writer's namespace lives across epochs (one
+        # writer instance per query run), so per-epoch losers are only
+        # GC'd with the namespace at query end / by a later run's sweep.
         commits = os.path.join(self.path, ".commits")
         os.makedirs(commits, exist_ok=True)
         marker = os.path.join(commits, str(batchId))
         if os.path.exists(marker):
             _drop_staged(messages)
-            _sweep_stale(self.path)
+            _sweep_stale(self.path, exclude=self.writer_id)
             return
         _append_staged(self.path, messages)
-        _sweep_stale(self.path)
+        _sweep_stale(self.path, exclude=self.writer_id)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write("committed\n")

@@ -179,3 +179,69 @@ def test_query_total_on_nulled_corpus(spark, nulled_dir, name):
         out.count()  # must evaluate without raising
     finally:
         release_caches()
+
+
+@pytest.fixture(scope="module")
+def nulled_file_dir(tmp_path_factory) -> str:
+    """Single-file parquet twin of nulled_dir (DuckDB reads one file
+    per table, not a Spark part-directory): every 7th document's text
+    is NULL and one is the empty string — the exact degenerate rows
+    the LEFT-JOIN-shaped oracles disagreed on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("null_file_sf")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
+        if t == "documents":
+            pdf = tbl.to_pandas()
+            pdf.loc[pdf["doc_id"] % 7 == 0, "text"] = None
+            if len(pdf) > 1:
+                pdf.loc[pdf.index[1], "text"] = ""  # empty-but-present
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+NULLED_ORACLE_PROBES = [
+    # advisor-found engine/oracle mismatch class: a NULL/empty-text doc
+    # yields zero frames from the engine's frame generator but a
+    # document-scan row from a LEFT-JOIN-shaped oracle. Both sides now
+    # filter degenerate docs identically; pin the match on the corpus
+    # that actually CONTAINS such docs.
+    "media_scene_cuts",
+    "media_audio_stats",
+    "media_frame_sample",
+    # same class, found by sweeping ALL media queries on this corpus:
+    # the decode_media family scanned every document in the oracle but
+    # dropped NULL/empty payloads in the mapInPandas decoder
+    "media_decode_features",
+    "media_pixel_stats",
+    "media_resize_stats",
+    "media_phash_dedup",
+    "media_metadata",  # total over all docs on BOTH sides — no filter
+]
+
+
+@pytest.mark.parametrize("name", NULLED_ORACLE_PROBES)
+def test_query_matches_oracle_on_nulled_corpus(spark, nulled_file_dir, name):
+    from tests.oracle_diff import compare
+
+    from biggis_landuse_spark.queries import (
+        REGISTRY,
+        _ensure_loaded,
+        release_caches,
+    )
+
+    _ensure_loaded()
+    try:
+        spec = REGISTRY[name]
+        r = compare(
+            spec.spark(spark, nulled_file_dir), spec.oracle, nulled_file_dir
+        )
+        assert r["rowcount_match"] and r["schema_match"] and r["values_match"], (
+            name,
+            r,
+        )
+    finally:
+        release_caches()

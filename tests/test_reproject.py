@@ -1094,6 +1094,61 @@ def test_parse_wkt_ps_aea_families():
     )
 
 
+WKT_5041 = (  # WGS 84 / UPS North — variant A: k0 at the pole
+    'PROJCS["WGS 84 / UPS North (E,N)",GEOGCS["WGS 84",DATUM['
+    '"WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+    'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+    'PROJECTION["Polar_Stereographic"],'
+    'PARAMETER["latitude_of_origin",90],'
+    'PARAMETER["central_meridian",0],'
+    'PARAMETER["scale_factor",0.994],'
+    'PARAMETER["false_easting",2000000],'
+    'PARAMETER["false_northing",2000000],UNIT["metre",1]]'
+)
+
+
+def test_parse_wkt_ps_variant_a_ups(spark):
+    # Advisor-found bug: a variant-A WKT (latitude_of_origin=±90 +
+    # scale_factor) used to be read as lat_ts=90, collapsing every
+    # pixel to the pole. It must take the k0 constructor, matching
+    # parse_proj4's stere k0 branch.
+    from biggis_landuse_spark.operators.reproject import (
+        parse_wkt_crs,
+        ps_to_lonlat,
+    )
+
+    kind, p = parse_wkt_crs(WKT_5041)
+    assert kind == "ps" and p.north
+    assert p.lat_ts is None and p.k0 == 0.994
+    assert (p.fe, p.fn) == (2_000_000.0, 2_000_000.0)
+    # EPSG GN 7-2 §3.2.4 variant A worked example (UPS North):
+    # (73N, 44E) ↔ E 3320416.75, N 632668.43
+    ee, nn = _ps_forward(73.0, 44.0, p)
+    assert ee == pytest.approx(3320416.75, abs=0.01)
+    assert nn == pytest.approx(632668.43, abs=0.01)
+    df = spark.createDataFrame(
+        [(3320416.75, 632668.43)], "e double, n double"
+    )
+    lon_c, lat_c = ps_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(44.0, abs=1e-6)
+    assert r["lat"] == pytest.approx(73.0, abs=1e-6)
+    # UPS South twin: latitude_of_origin=-90 names the hemisphere
+    kind, ps = parse_wkt_crs(
+        WKT_5041.replace('"latitude_of_origin",90', '"latitude_of_origin",-90')
+    )
+    assert kind == "ps" and not ps.north and ps.k0 == 0.994
+    # a non-polar standard parallel plus a scale factor is ambiguous
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="ambiguous"):
+        parse_wkt_crs(
+            WKT_5041.replace(
+                '"latitude_of_origin",90', '"standard_parallel_1",70'
+            )
+        )
+
+
 # -- sinusoidal (MODIS grid) --------------------------------------------------
 
 

@@ -348,3 +348,48 @@ def test_commit_sweeps_stale_staged_files(spark, spool_dir):
         for r in spark.read.format("spool").option("path", spool_dir).load().collect()
     }
     assert "m1" in vals and "orphan" not in vals
+
+
+def test_slow_concurrent_writer_stage_survives_commit_sweep(spark, spool_dir):
+    # Advisor-found bug: the old flat sweep deleted ANY .part older
+    # than the grace, so a slow concurrent writer (staged early, still
+    # writing, not yet committed) lost files. Namespaced staging fixes
+    # it: a foreign namespace is swept only when its NEWEST entry is
+    # older than the grace — one live file keeps the whole namespace.
+    import os
+    import time as _time
+
+    _register(spark)
+    staging = os.path.join(spool_dir, ".staging")
+    slow = os.path.join(staging, "slowwriter00")
+    os.makedirs(slow, exist_ok=True)
+    early = os.path.join(slow, "t1-p0.part")
+    live = os.path.join(slow, "t2-p0.part")
+    for fp in (early, live):
+        with open(fp, "w") as f:
+            f.write("staged\n")
+    old = _time.time() - 7200
+    os.utime(early, (old, old))
+    os.utime(slow, (old, old))  # dir mtime stale too; `live` is fresh
+
+    crashed = os.path.join(staging, "crashedjob00")
+    os.makedirs(crashed, exist_ok=True)
+    dead = os.path.join(crashed, "t9-p0.part")
+    with open(dead, "w") as f:
+        f.write("orphan\n")
+    for fp in (dead, crashed):
+        os.utime(fp, (old, old))
+
+    df = spark.createDataFrame([(0, "m1")], "partition int, value string")
+    df.write.format("spool").option("path", spool_dir).mode("append").save()
+
+    assert os.path.exists(early) and os.path.exists(live), (
+        "slow concurrent writer's namespace must survive while any "
+        "file in it is fresh"
+    )
+    assert not os.path.exists(crashed), "fully-stale namespace is GC'd"
+    # the committing writer's own namespace is gone (unconditional)
+    leftover = [
+        n for n in os.listdir(staging) if n not in ("slowwriter00",)
+    ]
+    assert leftover == []
