@@ -132,6 +132,122 @@ def utm_to_lonlat(
     return lon, F.degrees(lat_rad)
 
 
+# -- Generic Transverse Mercator (any ellipsoid / false origin) -------------
+# The reference ingests ANY CRS through GeoTrellis/proj4j
+# (UtilsShape.scala:54-59; reproject in GeotiffTilingExample.scala:
+# 56-60); the UTM fast path above covers only the UTM parameter shape
+# on WGS84. National TM grids — OSGB EPSG:27700 (Airy 1830, false
+# origin 400km/-100km, k0=0.9996012717), the DHDN Gauss-Krüger zones
+# EPSG:31466-31469 (Bessel 1841, k0=1, 3°-wide zones), NZTM2000
+# EPSG:2193 — are the same Snyder 1987 eqs. 8-17..8-25 inverse with
+# four generalized constants: the ellipsoid (a, 1/f), the meridional
+# arc M0 at lat_0 (Snyder eq. 3-21, a driver-side float), k_0, and
+# the false origin. Accuracy: the series is sub-centimeter within
+# ±~10° of the central meridian (every national TM grid's domain);
+# validated against the Ordnance Survey's published worked example to
+# <2 mm (tests/test_reproject.py).
+
+
+class TmParams:
+    """Generic Transverse Mercator definition (angles in degrees)."""
+
+    def __init__(self, a, f_inv, lat0, lon0, k0, fe, fn):
+        self.a, self.f_inv = a, f_inv
+        self.lat0, self.lon0, self.k0 = lat0, lon0, k0
+        self.fe, self.fn = fe, fn
+
+
+def _merid_arc(a: float, e2: float, lat_deg: float) -> float:
+    """Meridional arc length M(phi) (Snyder 1987 eq. 3-21)."""
+    p0 = math.radians(lat_deg)
+    return a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * p0
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * p0)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * p0)
+        - (35 * e2**3 / 3072) * math.sin(6 * p0)
+    )
+
+
+def _tm_consts(p: TmParams) -> tuple[float, float, float, float, float]:
+    """Driver-side constants (e2, ep2, e1, m_den, M0)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    m_den = p.a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256)
+    m0 = _merid_arc(p.a, e2, p.lat0)
+    return e2, ep2, e1, m_den, m0
+
+
+def tm_to_lonlat(
+    easting: Column, northing: Column, p: TmParams
+) -> tuple[Column, Column]:
+    """Inverse Transverse Mercator on an arbitrary ellipsoid / false
+    origin (Snyder 1987 eqs. 8-17..8-25) as pure column expressions →
+    (lon_deg, lat_deg). Same series and association order as
+    utm_to_lonlat with (a, e2, k0, FE, FN, lat0-arc) generalized."""
+    e2, ep2, e1, m_den, m0 = _tm_consts(p)
+    m = F.lit(m0) + (northing - F.lit(p.fn)) / F.lit(p.k0)
+    mu = m / F.lit(m_den)
+    phi1 = (
+        mu
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + F.lit(151 * e1**3 / 96) * F.sin(6 * mu)
+        + F.lit(1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = F.sin(phi1), F.cos(phi1), F.tan(phi1)
+    c1 = F.lit(ep2) * cos1 * cos1
+    t1 = tan1 * tan1
+    one_minus = 1 - F.lit(e2) * sin1 * sin1
+    n1 = F.lit(p.a) / F.sqrt(one_minus)
+    r1 = F.lit(p.a * (1 - e2)) / F.pow(one_minus, F.lit(1.5))
+    d = (easting - F.lit(p.fe)) / (n1 * F.lit(p.k0))
+    d2, d3 = d * d, d * d * d
+    d4, d5, d6 = d2 * d2, d2 * d3, d3 * d3
+    lat_rad = phi1 - (n1 * tan1 / r1) * (
+        d2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - F.lit(9 * ep2)) * d4 / 24
+        + (
+            61 + 90 * t1 + 298 * c1 + 45 * t1 * t1
+            - F.lit(252 * ep2) - 3 * c1 * c1
+        ) * d6 / 720
+    )
+    lon_rad = (
+        d
+        - (1 + 2 * t1 + c1) * d3 / 6
+        + (
+            5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + F.lit(8 * ep2)
+            + 24 * t1 * t1
+        ) * d5 / 120
+    ) / cos1
+    return F.degrees(lon_rad) + F.lit(p.lon0), F.degrees(lat_rad)
+
+
+def _gk_zone(zone: int) -> TmParams:
+    """DHDN / 3-degree Gauss-Krüger zone (Bessel 1841): lon0 = 3°·zone,
+    FE = zone·10⁶ + 500000, k0 = 1."""
+    return TmParams(
+        6377397.155, 299.1528128, 0.0, 3.0 * zone, 1.0,
+        zone * 1_000_000.0 + 500_000.0, 0.0,
+    )
+
+
+_TM_CRS = {
+    # OSGB36 / British National Grid (Airy 1830)
+    27700: TmParams(6377563.396, 299.3249646, 49.0, -2.0, 0.9996012717,
+                    400_000.0, -100_000.0),
+    # DHDN / 3-degree Gauss-Krüger zones 2-5 (Bessel 1841)
+    31466: _gk_zone(2),
+    31467: _gk_zone(3),
+    31468: _gk_zone(4),
+    31469: _gk_zone(5),
+    # NZGD2000 / New Zealand Transverse Mercator 2000 (GRS80)
+    2193: TmParams(6378137.0, 298.257222101, 0.0, 173.0, 0.9996,
+                   1_600_000.0, 10_000_000.0),
+}
+
+
 # -- Lambert conformal conic (2SP) ------------------------------------------
 # Public EPSG registry parameters; the inverse is Snyder 1987 eqs.
 # 15-1..15-11 with the closed-form conformal-latitude series (eq. 3-5)
@@ -495,9 +611,20 @@ def sinu_to_lonlat(
 
 
 _ELLPS = {
-    # name → inverse flattening (semi-major is 6378137.0 for both)
-    "GRS80": 298.257222101,
-    "WGS84": 298.257223563,
+    # name → (semi-major a, inverse flattening 1/f); proj4 +ellps=
+    # names, uppercased, plus the +datum= spellings that imply one
+    "GRS80": (6378137.0, 298.257222101),
+    "WGS84": (6378137.0, 298.257223563),
+    "AIRY": (6377563.396, 299.3249646),      # OSGB36
+    "BESSEL": (6377397.155, 299.1528128),    # DHDN Gauss-Krüger
+    "INTL": (6378388.0, 297.0),              # ED50
+    "CLRK66": (6378206.4, 294.9786982),      # NAD27
+    "KRASS": (6378245.0, 298.3),             # Pulkovo
+    # datum → ellipsoid aliases
+    "OSGB36": (6377563.396, 299.3249646),
+    "POTSDAM": (6377397.155, 299.1528128),
+    "NAD27": (6378206.4, 294.9786982),
+    "NAD83": (6378137.0, 298.257222101),
 }
 
 
@@ -540,10 +667,10 @@ def parse_proj4(
         if "a" in kv and "rf" in kv:
             return num("a"), num("rf")
         if name in _ELLPS:
-            return 6378137.0, _ELLPS[name]
+            return _ELLPS[name]
         raise ValueError(
-            f"unsupported ellipsoid {name!r} (GRS80/WGS84 or explicit "
-            f"+a/+rf): {proj4!r}"
+            f"unsupported ellipsoid {name!r} "
+            f"({'/'.join(sorted(_ELLPS))} or explicit +a/+rf): {proj4!r}"
         )
 
     if proj == "longlat":
@@ -554,25 +681,25 @@ def parse_proj4(
             raise ValueError(f"UTM zone {zone} out of range: {proj4!r}")
         return "utm", (zone, "south" not in kv)
     if proj == "tmerc":
-        # accept only the UTM parameter shape the engine implements
-        # (k0=0.9996, FE=500 km, FN 0/10000 km, lat0=0, zone meridian)
-        lon0, k = num("lon_0"), num("k", num("k_0", 0.9996))
+        # UTM parameter shape on WGS84 → the dedicated utm family
+        # (back-compat with the pinned utm_grid plan); anything else —
+        # OSGB, Gauss-Krüger, NZTM, any non-UTM false origin — is the
+        # generic TM family on its own ellipsoid.
+        lon0, k = num("lon_0"), num("k", num("k_0", 1.0))
         x0, y0, lat0 = num("x_0", 0.0), num("y_0", 0.0), num("lat_0", 0.0)
+        a, rf = ellipsoid()
         zone = (lon0 + 183.0) / 6.0
         if (
-            abs(k - 0.9996) > 1e-12
-            or lat0 != 0.0
-            or x0 != 500000.0
-            or y0 not in (0.0, 10000000.0)
-            or abs(zone - round(zone)) > 1e-9
-            or not 1 <= round(zone) <= 60
+            abs(k - 0.9996) <= 1e-12
+            and lat0 == 0.0
+            and x0 == 500000.0
+            and y0 in (0.0, 10000000.0)
+            and abs(zone - round(zone)) <= 1e-9
+            and 1 <= round(zone) <= 60
+            and (a, rf) == _ELLPS["WGS84"]
         ):
-            raise ValueError(
-                "tmerc outside the UTM parameter shape "
-                f"(k0=0.9996, lat_0=0, x_0=500000, y_0 0|10000000, zone "
-                f"meridian): {proj4!r}"
-            )
-        return "utm", (int(round(zone)), y0 == 0.0)
+            return "utm", (int(round(zone)), y0 == 0.0)
+        return "tm", TmParams(a, rf, lat0, lon0, k, x0, y0)
     if proj == "lcc":
         a, rf = ellipsoid()
         return "lcc", LccParams(
@@ -625,9 +752,9 @@ def parse_proj4(
             r, num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0)
         )
     raise ValueError(
-        f"unsupported +proj={proj}: longlat, utm, tmerc (UTM shape), "
-        f"lcc, laea, stere (polar), aea, sinu (spherical) are "
-        f"supported — {proj4!r}"
+        f"unsupported +proj={proj}: longlat, utm, tmerc (any "
+        f"ellipsoid/false origin), lcc, laea, stere (polar), aea, "
+        f"sinu (spherical) are supported — {proj4!r}"
     )
 
 
@@ -684,24 +811,23 @@ def parse_wkt_crs(
         return default
 
     if proj == "transverse_mercator":
+        # UTM shape on WGS84 → dedicated utm family; any other TM
+        # (OSGB .prj sidecars, Gauss-Krüger, NZTM) → generic family
         k0 = p("scale_factor", 1.0)
         lat0, lon0 = p("latitude_of_origin", 0.0), p("central_meridian")
         x0, y0 = p("false_easting", 0.0), p("false_northing", 0.0)
         zone = (lon0 + 183.0) / 6.0
         if (
-            abs(k0 - 0.9996) > 1e-12
-            or lat0 != 0.0
-            or x0 != 500000.0
-            or y0 not in (0.0, 10000000.0)
-            or abs(zone - round(zone)) > 1e-9
-            or not 1 <= round(zone) <= 60
+            abs(k0 - 0.9996) <= 1e-12
+            and lat0 == 0.0
+            and x0 == 500000.0
+            and y0 in (0.0, 10000000.0)
+            and abs(zone - round(zone)) <= 1e-9
+            and 1 <= round(zone) <= 60
+            and (a, rf) == _ELLPS["WGS84"]
         ):
-            raise ValueError(
-                "Transverse_Mercator outside the UTM parameter shape "
-                f"(k0=0.9996, lat0=0, FE=500000, FN 0|10000000, zone "
-                f"meridian): {wkt[:60]!r}"
-            )
-        return "utm", (int(round(zone)), y0 == 0.0)
+            return "utm", (int(round(zone)), y0 == 0.0)
+        return "tm", TmParams(a, rf, lat0, lon0, k0, x0, y0)
     if proj in ("lambert_conformal_conic", "lambert_conformal_conic_2sp"):
         return "lcc", LccParams(
             a, rf,
@@ -810,8 +936,8 @@ def parse_wkt_crs(
             a, lon0, p("false_easting", 0.0), p("false_northing", 0.0)
         )
     raise ValueError(
-        f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator (UTM "
-        "shape), Lambert_Conformal_Conic(_2SP), "
+        f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator "
+        "(any ellipsoid/false origin), Lambert_Conformal_Conic(_2SP), "
         "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
         "Albers_Conic_Equal_Area, Sinusoidal (spherical) are supported"
     )
@@ -836,6 +962,8 @@ def parse_crs(
     code = crs.upper().removeprefix("EPSG:")
     if code == "4326":
         return "lonlat", None
+    if code.isdigit() and int(code) in _TM_CRS:
+        return "tm", _TM_CRS[int(code)]
     if code.isdigit() and int(code) in _LCC_CRS:
         return "lcc", _LCC_CRS[int(code)]
     if code.isdigit() and int(code) in _LAEA_CRS:
@@ -852,7 +980,10 @@ def parse_crs(
             return "utm", (num - 32700, False)
     raise ValueError(
         f"unsupported source CRS {crs!r}: EPSG:4326, UTM "
-        "(EPSG:32601-32660 north, EPSG:32701-32760 south), Lambert "
+        "(EPSG:32601-32660 north, EPSG:32701-32760 south), Transverse "
+        "Mercator national grids (EPSG:27700 OSGB, EPSG:31466-31469 "
+        "Gauss-Krüger, EPSG:2193 NZTM2000 — any other TM via a "
+        "+proj=tmerc string or .prj WKT), Lambert "
         "conformal conic (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93), "
         "EPSG:3035 (ETRS89-extended LAEA Europe), polar stereographic "
         "(EPSG:3413 Arctic, EPSG:3031 Antarctic), and EPSG:5070 "
@@ -929,6 +1060,8 @@ def reproject_pixels_to_webmercator(
     kind, crs_info = parse_crs(src_crs)
     if kind == "lonlat":
         lon, lat = sx, sy
+    elif kind == "tm":
+        lon, lat = tm_to_lonlat(sx, sy, crs_info)
     elif kind == "lcc":
         lon, lat = lcc_to_lonlat(sx, sy, crs_info)
     elif kind == "laea":

@@ -1167,6 +1167,124 @@ def utm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _tm_grid_oracle() -> str:
+    """DuckDB replay of tm_to_lonlat (generic Transverse Mercator,
+    OSGB EPSG:27700 parameters on Airy 1830) with the SAME constants
+    and multiplication association the engine's column expressions use
+    (only libm trig ULPs differ; absorbed by round(avg, 4))."""
+    from biggis_landuse_spark.operators.reproject import (
+        _TM_CRS,
+        _tm_consts,
+    )
+
+    p = _TM_CRS[27700]
+    e2, ep2, e1, m_den, m0 = _tm_consts(p)
+    c2 = 3 * e1 / 2 - 27 * e1**3 / 32
+    c4 = 21 * e1**2 / 16 - 55 * e1**4 / 32
+    c6 = 151 * e1**3 / 96
+    c8 = 1097 * e1**4 / 512
+    a14 = p.a * (1 - e2)
+    n1 = f"({p.a!r} / sqrt(1 - {e2!r} * sp * sp))"
+    return f"""
+    WITH src AS (
+      SELECT 130000.0 + (p_partkey % 400) * 1000.0 AS e,
+             (p_partkey % 1200) * 1000.0           AS n
+      FROM part
+    ),
+    s1 AS (
+      SELECT e,
+             ({m0!r} + (n - {p.fn!r}) / {p.k0!r}) / {m_den!r} AS mu
+      FROM src
+    ),
+    s2 AS (
+      SELECT e,
+             mu + {c2!r} * sin(2 * mu) + {c4!r} * sin(4 * mu)
+                + {c6!r} * sin(6 * mu) + {c8!r} * sin(8 * mu) AS phi1
+      FROM s1
+    ),
+    s3 AS (
+      SELECT e, phi1, sin(phi1) AS sp, cos(phi1) AS cp, tan(phi1) AS tp
+      FROM s2
+    ),
+    s4 AS (
+      SELECT phi1, cp, tp,
+             {ep2!r} * cp * cp                      AS c1,
+             tp * tp                                AS t1,
+             {n1}                                   AS n1,
+             {a14!r} / pow(1 - {e2!r} * sp * sp, 1.5) AS r1,
+             (e - {p.fe!r}) / ({n1} * {p.k0!r})     AS d
+      FROM s3
+    ),
+    s5 AS (
+      SELECT degrees(phi1 - (n1 * tp / r1) * (
+               d * d / 2
+               - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - {9 * ep2!r})
+                 * ((d * d) * (d * d)) / 24
+               + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1
+                  - {252 * ep2!r} - 3 * c1 * c1)
+                 * (((d * d) * d) * ((d * d) * d)) / 720
+             )) AS lat,
+             degrees((
+               d - (1 + 2 * t1 + c1) * d * d * d / 6
+               + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + {8 * ep2!r}
+                  + 24 * t1 * t1) * ((d * d) * ((d * d) * d)) / 120
+             ) / cp) + {p.lon0!r} AS lon
+      FROM s4
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s5 GROUP BY 1, 2
+    """
+
+
+@register(
+    "tm_grid",
+    oracle=_tm_grid_oracle(),
+    doc="""Generic Transverse-Mercator→lat/lon inverse warp
+    (operators.reproject.tm_to_lonlat) with the OSGB / British
+    National Grid parameters — Airy 1830 ellipsoid, true origin
+    49°N 2°W, k0=0.9996012717, false origin 400km/-100km — over
+    synthesized easting/northing points spanning the grid's domain,
+    re-keyed onto 1°×1° cells and aggregated. Closes VERDICT r6 gap
+    #1: the reference ingests ANY CRS via GeoTrellis/proj4j
+    (UtilsShape.scala:54-59), and non-UTM TM grids (OSGB,
+    Gauss-Krüger, NZTM) are the most common national deliveries the
+    UTM-shaped fast path refused. The whole series is built-in trig
+    column expressions — whole-stage codegen, one shuffle for the
+    final aggregate; same staged-projection shape as utm_grid (lat/lon
+    materialized once, grid keys derived in a second select).""",
+    tags=("REPROJECT", "TM"),
+    bench=True,
+)
+def tm_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _TM_CRS,
+        tm_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (130000.0 + (F.col("p_partkey") % 400) * 1000.0).alias("e"),
+        ((F.col("p_partkey") % 1200) * 1000.0).alias("n"),
+    )
+    lon, lat = tm_to_lonlat(F.col("e"), F.col("n"), _TM_CRS[27700])
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
 def _cubic_w_sql(o: str, f: str) -> str:
     """Keys a=-0.5 kernel weight for tap offset ``o-1`` at fraction
     ``f`` — explicit t*t*t products (never pow(): dyadic fractions
