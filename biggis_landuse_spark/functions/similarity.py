@@ -272,10 +272,17 @@ def ivf_assign(
 
     Returns (id, cid, probe_rank). The centroid table is broadcast
     (small by contract: a few hundred to a few thousand rows even at
-    100 TB); the big side streams map-side through a broadcast
-    nested-loop — no shuffle of the corpus. At scale the corpus is
-    then written partitioned by ``cid`` so cell probes are
-    partition-pruned scans.
+    100 TB); the big side streams map-side — no shuffle of the corpus.
+    At scale the corpus is then written partitioned by ``cid`` so cell
+    probes are partition-pruned scans.
+
+    Multiprobe (n_probe > 1) stays MAP-SIDE too: the centroid table
+    collapses to a one-row array, each corpus row scores all centroids
+    inside a single projection, and top-P is an array_sort + slice of
+    the k-element (affinity, cid) array — never a ranking window over
+    the |corpus| × |centroids| affinity relation, whose exchange would
+    shuffle n·k rows (the r6-flagged scale hazard that kept the
+    blocked similarity paths at n_probe=1).
     """
     v = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v")
@@ -283,23 +290,21 @@ def ivf_assign(
     c = centroids.select(
         F.col(cid_col), F.col(cvec_col).alias("_c")
     ).withColumn("_ncv", norm(F.col("_c")))
-    aff = v.crossJoin(F.broadcast(c)).select(
-        id_col,
-        cid_col,
-        F.round(
-            F.try_divide(
-                dot(F.col("_v"), F.col("_c")),
-                F.col("_nv") * F.col("_ncv"),
-            ),
-            6,
-        ).alias("_a"),
-    )
     if n_probe == 1:
-        # the corpus-sized case: max_by partial-aggregates map-side, so
-        # the shuffle carries one row per vector — never a full sort of
-        # the |corpus| × |centroids| affinity relation (which is what a
-        # ranking window would do). Tie-break: higher affinity, then
-        # lower centroid id (the negated id inside the ordering struct).
+        # max_by partial-aggregates map-side, so the shuffle carries
+        # one row per vector. Tie-break: higher affinity, then lower
+        # centroid id (the negated id inside the ordering struct).
+        aff = v.crossJoin(F.broadcast(c)).select(
+            id_col,
+            cid_col,
+            F.round(
+                F.try_divide(
+                    dot(F.col("_v"), F.col("_c")),
+                    F.col("_nv") * F.col("_ncv"),
+                ),
+                6,
+            ).alias("_a"),
+        )
         return (
             aff.groupBy(id_col)
             .agg(
@@ -309,11 +314,42 @@ def ivf_assign(
             )
             .select(id_col, cid_col, F.lit(1).cast("long").alias("probe_rank"))
         )
-    w = W.partitionBy(id_col).orderBy(F.desc("_a"), F.asc(cid_col))
+    carr = c.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(cid_col).alias("cid"),
+                    F.col("_c").alias("cv"),
+                    F.col("_ncv").alias("ncv"),
+                )
+            )
+        ).alias("_cs")
+    )
+    # same 6dp-rounded cosine + (affinity DESC, cid ASC) order as the
+    # n_probe=1 branch and the DuckDB oracles' row_number window
+    ordered = F.expr(
+        """
+        slice(array_sort(
+          transform(_cs, c -> struct(
+            round(try_divide(
+              aggregate(zip_with(_v, c.cv, (x, y) -> x * y),
+                        0D, (acc, x) -> acc + x),
+              _nv * c.ncv), 6) AS a,
+            c.cid AS cid)),
+          (l, r) -> CASE WHEN l.a > r.a THEN -1 WHEN l.a < r.a THEN 1
+                         WHEN l.cid < r.cid THEN -1
+                         WHEN l.cid > r.cid THEN 1 ELSE 0 END
+        ), 1, {np})
+        """.format(np=int(n_probe))
+    )
     return (
-        aff.withColumn("probe_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("probe_rank") <= n_probe)
-        .select(id_col, cid_col, "probe_rank")
+        v.crossJoin(F.broadcast(carr))
+        .select(F.col(id_col), F.posexplode(ordered))
+        .select(
+            id_col,
+            F.col("col.cid").alias(cid_col),
+            (F.col("pos") + 1).cast("long").alias("probe_rank"),
+        )
     )
 
 

@@ -277,6 +277,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "ann_recall_eval",  # knn_cosine's query broadcast + the codebook
         "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
         "knn_graph",  # same 16-centroid codebook broadcast (ivf_assign)
+        "knn_graph_recall_eval",  # codebook + bounded-panel brute force
         "kmeans_lloyd",  # broadcast 16-centroid model per Lloyd iteration
         "pagerank_suppliers",  # 1-row node-count broadcast per iteration
         "above_avg_parts",  # 1-row scalar-subquery stat
