@@ -1,24 +1,31 @@
-"""Pure-Python baseline JPEG codec (ITU-T T.81 sequential DCT).
+"""Pure-Python JPEG codec (ITU-T T.81 sequential + progressive DCT).
 
 Closes the last honest plug point in the media stack: JPEG payloads
 (standalone JFIF files and JPEG-compressed TIFF segments, tag 259=7)
 decode in a container without pillow/rasterio/GDAL, from the public
 JPEG specification only.
 
-Supported subset — the one every baseline writer emits:
+Supported subset — what real-world writers emit:
 
-- decode: SOF0/SOF1 (baseline + extended sequential, Huffman, 8-bit),
-  grayscale and 3-component YCbCr, sampling factors 1 or 2 per axis
-  (4:4:4, 4:2:2, 4:4:0, 4:2:0), restart intervals (DRI/RSTn), byte
-  stuffing, multi-table DQT/DHT segments, and "abbreviated" streams
-  whose tables arrive separately (TIFF JPEGTables, tag 347) via
-  ``decode_jpeg(data, tables=...)``.
+- decode: SOF0/SOF1 (baseline + extended sequential) AND SOF2
+  (progressive: spectral selection, successive approximation, EOB
+  runs — T.81 §G; web-scraped training images are very often
+  progressive), Huffman, 8-bit, grayscale and 3-component YCbCr,
+  sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:4:0, 4:2:0),
+  non-interleaved multi-scan sequential files, restart intervals
+  (DRI/RSTn), byte stuffing, multi-table DQT/DHT segments, and
+  "abbreviated" streams whose tables arrive separately (TIFF
+  JPEGTables, tag 347) via ``decode_jpeg(data, tables=...)``.
+  All scan kinds accumulate into per-component coefficient arrays;
+  one vectorized dequantize→IDCT pass runs at EOI. Validated against
+  Java ImageIO as an independent decoder on third-party-written
+  progressive and baseline files (tests/test_jpeg_codec.py).
 - encode: baseline 4:4:4 or 4:2:0 YCbCr / grayscale with the spec's
   Annex K quantization (libjpeg quality scaling) and Annex K Huffman
   tables — enough to generate real test payloads and TIFF segments.
-- anything outside (progressive SOF2, arithmetic coding, 12-bit,
-  CMYK/Adobe transforms) raises ``JpegFormatError`` — an honest
-  bound, never a garbled image.
+- anything outside (arithmetic coding, 12-bit, lossless/hierarchical
+  SOFs, CMYK/Adobe transforms) raises ``JpegFormatError`` — an
+  honest bound, never a garbled image.
 
 Runs executor-side inside Arrow-batched ``mapInPandas`` like the
 PNG/BMP/GIF codecs; per-image cost is numpy block IDCTs.
@@ -290,7 +297,16 @@ def decode_jpeg(
 ) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, pixels): row-major interleaved uint8
     (gray or RGB). ``tables`` holds a TIFF JPEGTables (tag 347)
-    tables-only stream for abbreviated segments."""
+    tables-only stream for abbreviated segments.
+
+    Sequential (SOF0/SOF1) and progressive (SOF2) frames decode
+    through the same coefficient-domain engine: every scan — whether a
+    full-precision interleaved baseline scan, a per-component
+    sequential scan (multi-scan baseline), or a progressive
+    DC/AC first/refinement pass (T.81 §G, spectral selection +
+    successive approximation with EOB runs) — accumulates into
+    per-component coefficient arrays, and one vectorized
+    dequantize→IDCT→upsample→color-convert pass runs at EOI."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegFormatError("not a JPEG (missing SOI)")
     qt: dict = {}
@@ -299,15 +315,26 @@ def decode_jpeg(
     if tables:
         _parse_tables(tables, qt, huff_dc, huff_ac)
     restart = 0
-    comps = None  # (id, h, v, tq)
-    w = h = 0
+    frame = None  # (w, h, comps=[(cid, ch, cv, tq)], hmax, vmax)
+    coefs: dict = {}  # cid → int32 (BY, BX, 64) zigzag-order coefficients
+    nblocks: dict = {}  # cid → (by, bx) for NON-interleaved scans
+    mcux = mcuy = 0
+    seen_scan = False
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError("marker expected")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise JpegFormatError("truncated segment header")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
@@ -316,7 +343,7 @@ def decode_jpeg(
             _read_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDD:
             (restart,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegFormatError(f"{prec}-bit JPEG not supported (8 only)")
@@ -331,98 +358,226 @@ def decode_jpeg(
                         f"sampling factors {ch}x{cv} not supported (1 or 2)"
                     )
                 comps.append((cid, ch, cv, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            frame = (w, h, comps, hmax, vmax)
+            for cid, ch, cv, tq in comps:
+                # padded to the MCU grid (interleaved scans address it
+                # directly); non-interleaved scans cover the smaller
+                # ceil(comp_dim/8) prefix (T.81 A.2.2)
+                coefs[cid] = np.zeros((mcuy * cv, mcux * ch, 64), np.int32)
+                compw = -(-(w * ch) // hmax)
+                comph = -(-(h * cv) // vmax)
+                nblocks[cid] = (-(-comph // 8), -(-compw // 8))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                f"SOF{marker - 0xC0}: only baseline/extended sequential "
-                "Huffman JPEG is supported"
+                f"SOF{marker - 0xC0}: only sequential (SOF0/1) and "
+                "progressive (SOF2) Huffman JPEG is supported"
             )
         elif marker == 0xDA:  # SOS
-            if comps is None:
+            if frame is None:
                 raise JpegFormatError("SOS before SOF")
             ns = seg[0]
-            if ns < len(comps):
-                # non-interleaved multi-scan baseline (one scan per
-                # component): decoding only the first scan would return
-                # the Y plane as a silently-grayscale image — honest
-                # bound instead of a wrong picture
-                raise JpegFormatError(
-                    f"non-interleaved scan ({ns} of {len(comps)} "
-                    "components): multi-scan baseline JPEG not supported"
-                )
             scan = []
             for c in range(ns):
                 cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(
-                    (cc for cc in comps if cc[0] == cs), None
-                )
+                comp = next((cc for cc in frame[2] if cc[0] == cs), None)
                 if comp is None:
                     raise JpegFormatError("scan references unknown component")
                 scan.append((comp, tds >> 4, tds & 0x0F))
-            return _decode_scan(
-                data, pos + 2 + seglen, w, h, scan, qt, huff_dc, huff_ac,
-                restart,
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan_into(
+                data, pos + 2 + seglen, frame, scan, ss, se, ah, al,
+                huff_dc, huff_ac, restart, coefs, nblocks, mcux, mcuy,
             )
+            seen_scan = True
+            continue
         pos += 2 + seglen
-    raise JpegFormatError("no scan data (missing SOS)")
+    if frame is None or not seen_scan:
+        raise JpegFormatError("no scan data (missing SOS)")
+    return _finish(frame, coefs, qt)
 
 
-def _decode_scan(data, pos, w, h, scan, qt, huff_dc, huff_ac, restart):
-    hmax = max(c[0][1] for c in scan)
-    vmax = max(c[0][2] for c in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = []
+def _decode_block(br, coef, ss, se, ah, al, dctab, actab, pred, ci, eobrun):
+    """Decode one block's contribution from the current scan into its
+    zigzag-order coefficient vector. Covers all four T.81 scan kinds:
+    sequential full (ss=0, se=63, ah=al=0), progressive DC first/
+    refine (ss=0), progressive AC first/refine (ss>0). Returns the
+    updated EOB run."""
+    if ss == 0:
+        if ah == 0:
+            t = _decode_huff(br, dctab)
+            diff = _extend(br.read_bits(t), t) if t else 0
+            pred[ci] += diff
+            coef[0] = pred[ci] << al
+        elif br.read_bit():
+            coef[0] |= 1 << al
+        if se == 0:
+            return eobrun
+    k = max(ss, 1)
+    if ah == 0:
+        # first (or sequential) pass: (run, size) symbols + EOB runs
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= se:
+            rs = _decode_huff(br, actab)
+            r, sz = rs >> 4, rs & 0x0F
+            if sz == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += r
+            if k > 63:
+                raise JpegFormatError("AC index overflow")
+            coef[k] = _extend(br.read_bits(sz), sz) << al
+            k += 1
+        return eobrun
+    return _refine_ac(br, coef, k, se, al, actab, eobrun)
+
+
+def _refine_ac(br, coef, ss, se, al, actab, eobrun):
+    """Progressive AC successive-approximation refinement
+    (T.81 §G.1.2.3 / the jdphuff correction-bit algorithm): newly
+    significant coefficients carry ±(1<<al); every already-nonzero
+    coefficient crossed on the way reads one correction bit."""
+    p1 = 1 << al
+    m1 = -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, actab)
+            r, sz = rs >> 4, rs & 0x0F
+            newval = 0
+            if sz == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: a run of 16 zero-history coefficients
+            else:
+                if sz != 1:
+                    raise JpegFormatError("bad AC refinement magnitude")
+                newval = p1 if br.read_bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise JpegFormatError("AC refinement overrun")
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_into(
+    data, pos, frame, scan, ss, se, ah, al, huff_dc, huff_ac, restart,
+    coefs, nblocks, mcux, mcuy,
+):
+    """Decode one scan's entropy-coded segment into the coefficient
+    arrays; returns the offset of the next marker."""
     for (cid, ch, cv, tq), td, ta in scan:
-        if tq not in qt:
-            raise JpegFormatError(f"missing quantization table {tq}")
-        if td not in huff_dc or ta not in huff_ac:
-            raise JpegFormatError("missing Huffman table")
-        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8)))
+        if ss == 0 and ah == 0 and td not in huff_dc:
+            raise JpegFormatError("missing DC Huffman table")
+        if se > 0 and ta not in huff_ac:
+            raise JpegFormatError("missing AC Huffman table")
     br = _BitReader(data, pos)
     pred = [0] * len(scan)
+    eobrun = 0
     n_rst = 0
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                br.align_and_expect_rst(n_rst)
-                n_rst += 1
-                pred = [0] * len(scan)
-            for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
-                for by in range(cv):
-                    for bx in range(ch):
-                        coef = np.zeros(64)
-                        t = _decode_huff(br, huff_dc[td])
-                        diff = _extend(br.read_bits(t), t) if t else 0
-                        pred[ci] += diff
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huff(br, huff_ac[ta])
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise JpegFormatError("AC index overflow")
-                            coef[k] = _extend(br.read_bits(s), s)
-                            k += 1
-                        block = np.zeros((8, 8))
-                        block.flat[ZIGZAG] = coef  # de-zigzag
-                        block *= qt[tq]
-                        spatial = _A.T @ block @ _A + 128.0
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_count += 1
-    # upsample to full MCU-grid resolution, then crop
+    cnt = 0
+    if len(scan) == 1:
+        # non-interleaved: one block per "MCU", component-sized grid
+        (cid, ch, cv, tq), td, ta = scan[0]
+        by, bx = nblocks[cid]
+        cf = coefs[cid]
+        dctab, actab = huff_dc.get(td), huff_ac.get(ta)
+        for y in range(by):
+            for x in range(bx):
+                if restart and cnt and cnt % restart == 0:
+                    br.align_and_expect_rst(n_rst)
+                    n_rst += 1
+                    pred = [0]
+                    eobrun = 0
+                eobrun = _decode_block(
+                    br, cf[y, x], ss, se, ah, al, dctab, actab, pred, 0,
+                    eobrun,
+                )
+                cnt += 1
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and cnt and cnt % restart == 0:
+                    br.align_and_expect_rst(n_rst)
+                    n_rst += 1
+                    pred = [0] * len(scan)
+                    eobrun = 0
+                for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
+                    cf = coefs[cid]
+                    dctab, actab = huff_dc.get(td), huff_ac.get(ta)
+                    for byy in range(cv):
+                        for bxx in range(ch):
+                            eobrun = _decode_block(
+                                br,
+                                cf[my * cv + byy, mx * ch + bxx],
+                                ss, se, ah, al, dctab, actab, pred, ci,
+                                eobrun,
+                            )
+                cnt += 1
+    # skip to the next real marker (fill bytes and stray RSTs included)
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _finish(frame, coefs, qt):
+    """Dequantize → batched IDCT → upsample → color convert."""
+    w, h, comps, hmax, vmax = frame
     out_planes = []
-    for ci, ((cid, ch, cv, tq), td, ta) in enumerate(scan):
-        p = planes[ci]
+    for cid, ch, cv, tq in comps:
+        if tq not in qt:
+            raise JpegFormatError(f"missing quantization table {tq}")
+        cf = coefs[cid].astype(np.float64)  # (BY, BX, 64) zigzag order
+        nat = np.zeros_like(cf)
+        nat[..., ZIGZAG] = cf  # de-zigzag into natural order
+        blk = nat.reshape(cf.shape[0], cf.shape[1], 8, 8) * qt[tq]
+        spatial = np.einsum("ij,abjk,kl->abil", _A.T, blk, _A) + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(
+            cf.shape[0] * 8, cf.shape[1] * 8
+        )
         if ch < hmax:
             p = np.repeat(p, hmax // ch, axis=1)
         if cv < vmax:
