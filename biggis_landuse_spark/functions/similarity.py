@@ -353,6 +353,156 @@ def ivf_assign(
     )
 
 
+def ivf_assign_hier(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    ccid_col: str = "ccid",
+    n_probe_coarse: int = 1,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Hierarchical (two-level) IVF coarse quantization — the IMI-style
+    assignment that fixes the flat quantizer's measured n^1.5 cost
+    (SCALE_PROBE.md: with k ~ sqrt(n) cells, flat assignment scores
+    n*sqrt(n) dot products; the 16x corpus scores 4x as many centroids
+    per row).
+
+    The fine codebook (``centroids``: cid, cv) is itself bucketed
+    under a small coarse codebook (``coarse``: ccid, cv): each fine
+    centroid joins its nearest coarse cell (cosine at 6dp, ties to the
+    lower ccid — the exact flat-``ivf_assign`` order). A vector then
+    scores only ``|coarse| + Σ fines(top coarse cells)`` centroids:
+    with |coarse| ~ sqrt(k) that is ~2*sqrt(k) dot products per row
+    instead of k — at k = sqrt(n) the total assignment cost drops from
+    n^1.5 to n^1.25 while the candidate-join contract downstream
+    (equi-join on the FINE cell id) is unchanged.
+
+    Everything stays map-side, mirroring ``ivf_assign``'s multiprobe
+    branch: the two-level codebook collapses to a ONE-ROW nested array
+    (coarse struct → its fine structs), broadcast once; per-row probing
+    is array_sort + slice + flatten inside a single projection — never
+    a ranking window over an n×k affinity relation. Returns
+    (id, cid, probe_rank) over the fine cells: rank 1..n_probe among
+    the fines of the ``n_probe_coarse`` nearest coarse cells.
+
+    Trade-off (documented, measured by the recall evals): a fine cell
+    whose coarse parent misses the probe list is unreachable — the
+    standard hierarchical-IVF recall trade, recovered by raising
+    ``n_probe_coarse``, exactly like flat multiprobe.
+
+    Reference parity note: the reference has no ANN at all; this is
+    part of the beyond-reference LLM-pipeline surface
+    (SURVEY.md §2 extension table).
+    """
+    # fine → coarse bucketing: |centroids| rows scored against the
+    # broadcast coarse table — k*sqrt(k) work on bounded relations
+    f2c = ivf_assign(
+        centroids.select(F.col(cid_col), F.col(cvec_col).alias("vec")),
+        coarse,
+        id_col=cid_col,
+        vec_col="vec",
+        cid_col=ccid_col,
+        cvec_col=cvec_col,
+        n_probe=1,
+    ).select(cid_col, ccid_col)
+    fines = (
+        centroids.select(
+            F.col(cid_col),
+            F.col(cvec_col).alias("_fv"),
+            norm(F.col(cvec_col)).alias("_nfv"),
+        )
+        .join(F.broadcast(f2c), cid_col)
+        .groupBy(ccid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(cid_col).alias("cid"),
+                        F.col("_fv").alias("cv"),
+                        F.col("_nfv").alias("ncv"),
+                    )
+                )
+            ).alias("fines")
+        )
+    )
+    # LEFT join: a coarse cell no fine centroid mapped to still ranks
+    # in the per-vector coarse ordering (with zero probeable fines) —
+    # matching the oracle, which ranks ALL coarse cells before joining
+    # fines in. The flatten below coalesces its NULL fines to empty.
+    garr = (
+        coarse.select(
+            F.col(ccid_col),
+            F.col(cvec_col).alias("_gv"),
+            norm(F.col(cvec_col)).alias("_ngv"),
+        )
+        .join(fines, ccid_col, "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ccid_col).alias("ccid"),
+                        F.col("_gv").alias("gv"),
+                        F.col("_ngv").alias("ngv"),
+                        F.col("fines").alias("fines"),
+                    )
+                )
+            ).alias("_gs")
+        )
+    )
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("_v")
+    ).withColumn("_nv", norm(F.col("_v")))
+    # per row: top-P coarse cells → flatten their fines → top-p fine
+    # cells; 6dp-rounded cosine, (affinity DESC, id ASC) — identical to
+    # ivf_assign and the DuckDB row_number oracles
+    _cos = (
+        "round(try_divide("
+        "aggregate(zip_with(_v, {vec}, (x, y) -> x * y),"
+        " 0D, (acc, x) -> acc + x), _nv * {nrm}), 6)"
+    )
+    _cmp = (
+        "(l, r) -> CASE WHEN l.a > r.a THEN -1 WHEN l.a < r.a THEN 1 "
+        "WHEN l.{id} < r.{id} THEN -1 WHEN l.{id} > r.{id} THEN 1 "
+        "ELSE 0 END"
+    )
+    ordered = F.expr(
+        """
+        slice(array_sort(
+          transform(
+            flatten(transform(
+              slice(array_sort(
+                transform(_gs, g -> struct(
+                  {gcos} AS a, g.ccid AS ccid, g.fines AS fines)),
+                {gcmp}
+              ), 1, {npc}),
+              p -> coalesce(p.fines, array()))),
+            c -> struct({fcos} AS a, c.cid AS cid)),
+          {fcmp}
+        ), 1, {np})
+        """.format(
+            gcos=_cos.format(vec="g.gv", nrm="g.ngv"),
+            fcos=_cos.format(vec="c.cv", nrm="c.ncv"),
+            gcmp=_cmp.format(id="ccid"),
+            fcmp=_cmp.format(id="cid"),
+            npc=int(n_probe_coarse),
+            np=int(n_probe),
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(garr))
+        .select(F.col(id_col), F.posexplode(ordered))
+        .select(
+            id_col,
+            F.col("col.cid").alias(cid_col),
+            (F.col("pos") + 1).cast("long").alias("probe_rank"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -394,6 +544,73 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()  # a neighbor reachable via 2 probes counts once
+    )
+    sim = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")),
+                    F.col("nq") * F.col("nc"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_topk_hier(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    coarse: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe_coarse: int = 2,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Two-level-IVF approximate top-k: identical candidate contract to
+    :func:`ivf_topk` (fine-cell equi-join, never all-pairs) but both
+    corpus assignment and query probing run through the hierarchical
+    quantizer — the n^1.25 assignment path for billion-vector corpora.
+    Corpus vectors land in their single best reachable fine cell
+    (coarse top-1 → fine top-1); queries probe ``n_probe_coarse``
+    coarse cells and the best ``n_probe`` fine cells within them.
+    """
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    assign = ivf_assign_hier(
+        v, centroids, coarse, id_col=id_col,
+        n_probe_coarse=1, n_probe=1,
+    ).select(F.col(id_col).alias("neighbor_id"), "cid")
+    q_probes = ivf_assign_hier(
+        queries.select(F.col(id_col), as_double(vec_col).alias("vec")),
+        centroids,
+        coarse,
+        id_col=id_col,
+        n_probe_coarse=n_probe_coarse,
+        n_probe=n_probe,
+    ).select(F.col(id_col).alias("query_id"), "cid")
+    c = v.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv")
+    ).withColumn("nc", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("nq", norm(F.col("qv")))
+    cand = (
+        assign.join(F.broadcast(q_probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     sim = (
         cand.join(c, "neighbor_id")

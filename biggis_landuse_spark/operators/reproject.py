@@ -610,6 +610,71 @@ def sinu_to_lonlat(
     return F.lit(p.lon0) + F.degrees(lon_rad), F.degrees(lat_rad)
 
 
+# -- Lambert cylindrical equal-area (CEA) -----------------------------------
+# EPSG:6933 (WGS 84 / NSIDC EASE-Grid 2.0 Global) is the global
+# snow/ice/soil-moisture delivery grid (SMAP, AMSR) — the remaining
+# common earth-observation CRS beside the LAEA/AEA/PS families.
+# Public EPSG registry parameters; inverse per EPSG Guidance Note 7-2
+# §3.5.2 / Snyder 1987 eqs. 10-26..10-27 with the same closed-form
+# authalic-latitude series as the LAEA/AEA inverses (eq. 3-18) — pure
+# column expressions, no iteration, no UDF.
+
+
+class CeaParams:
+    """Ellipsoidal Lambert cylindrical equal-area definition
+    (angles in degrees; ``lat_ts`` is the standard parallel)."""
+
+    def __init__(self, a, f_inv, lat_ts, lon0, fe, fn):
+        self.a, self.f_inv = a, f_inv
+        self.lat_ts, self.lon0 = lat_ts, lon0
+        self.fe, self.fn = fe, fn
+
+
+_CEA_CRS = {
+    # NSIDC EASE-Grid 2.0 Global (WGS84, standard parallel 30°N)
+    6933: CeaParams(6378137.0, 298.257223563, 30.0, 0.0, 0.0, 0.0),
+}
+
+
+def _cea_consts(p: CeaParams) -> tuple[float, float, float]:
+    """Driver-side projection constants (e, q_p, k0)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    s = math.sin(math.pi / 2)
+    qp = (1 - e2) * (
+        s / (1 - e2 * s * s)
+        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+    )
+    phi_ts = math.radians(p.lat_ts)
+    k0 = math.cos(phi_ts) / math.sqrt(1 - e2 * math.sin(phi_ts) ** 2)
+    return e, qp, k0
+
+
+def cea_to_lonlat(
+    easting: Column, northing: Column, p: CeaParams
+) -> tuple[Column, Column]:
+    """Inverse ellipsoidal cylindrical equal-area as pure column
+    expressions → (lon_deg, lat_deg). Sub-millimeter inside the CRS's
+    domain (closed-form authalic series, no iteration, no UDF)."""
+    e, qp, k0 = _cea_consts(p)
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    beta = F.asin(
+        2 * (northing - F.lit(p.fn)) * F.lit(k0) / F.lit(p.a * qp)
+    )
+    lat_rad = (
+        beta
+        + F.lit(e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * F.sin(2 * beta)
+        + F.lit(23 * e4 / 360 + 251 * e6 / 3780) * F.sin(4 * beta)
+        + F.lit(761 * e6 / 45360) * F.sin(6 * beta)
+    )
+    lon = F.lit(p.lon0) + F.degrees(
+        (easting - F.lit(p.fe)) / F.lit(p.a * k0)
+    )
+    return lon, F.degrees(lat_rad)
+
+
 _ELLPS = {
     # name → (semi-major a, inverse flattening 1/f); proj4 +ellps=
     # names, uppercased, plus the +datum= spellings that imply one
@@ -736,6 +801,12 @@ def parse_proj4(
             a, rf, num("lat_0", 0.0), num("lon_0"), num("lat_1"),
             num("lat_2", num("lat_1")), num("x_0", 0.0), num("y_0", 0.0),
         )
+    if proj == "cea":
+        a, rf = ellipsoid()
+        return "cea", CeaParams(
+            a, rf, num("lat_ts", 0.0), num("lon_0", 0.0),
+            num("x_0", 0.0), num("y_0", 0.0),
+        )
     if proj == "sinu":
         # spherical only (the MODIS shape): +R, or +a=+b
         if "R" in kv:
@@ -753,7 +824,7 @@ def parse_proj4(
         )
     raise ValueError(
         f"unsupported +proj={proj}: longlat, utm, tmerc (any "
-        f"ellipsoid/false origin), lcc, laea, stere (polar), aea, "
+        f"ellipsoid/false origin), lcc, laea, stere (polar), aea, cea, "
         f"sinu (spherical) are supported — {proj4!r}"
     )
 
@@ -920,6 +991,16 @@ def parse_wkt_crs(
             p("standard_parallel_2", p("standard_parallel_1")),
             p("false_easting", 0.0), p("false_northing", 0.0),
         )
+    if proj in ("cylindrical_equal_area", "lambert_cylindrical_equal_area"):
+        # OGC writes standard_parallel_1; ESRI also writes
+        # standard_parallel_1 for this projection
+        return "cea", CeaParams(
+            a, rf,
+            p("standard_parallel_1", 0.0),
+            params.get("central_meridian",
+                       params.get("longitude_of_center", 0.0)),
+            p("false_easting", 0.0), p("false_northing", 0.0),
+        )
     if proj == "sinusoidal":
         # spherical only (the MODIS shape): the SPHEROID must carry
         # inverse flattening 0 (ESRI writes 0.0 for a sphere)
@@ -939,7 +1020,8 @@ def parse_wkt_crs(
         f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator "
         "(any ellipsoid/false origin), Lambert_Conformal_Conic(_2SP), "
         "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
-        "Albers_Conic_Equal_Area, Sinusoidal (spherical) are supported"
+        "Albers_Conic_Equal_Area, Cylindrical_Equal_Area, "
+        "Sinusoidal (spherical) are supported"
     )
 
 
@@ -972,6 +1054,8 @@ def parse_crs(
         return "ps", _PS_CRS[int(code)]
     if code.isdigit() and int(code) in _AEA_CRS:
         return "aea", _AEA_CRS[int(code)]
+    if code.isdigit() and int(code) in _CEA_CRS:
+        return "cea", _CEA_CRS[int(code)]
     if code.isdigit() and len(code) == 5:
         num = int(code)
         if 32601 <= num <= 32660:
@@ -986,8 +1070,9 @@ def parse_crs(
         "+proj=tmerc string or .prj WKT), Lambert "
         "conformal conic (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93), "
         "EPSG:3035 (ETRS89-extended LAEA Europe), polar stereographic "
-        "(EPSG:3413 Arctic, EPSG:3031 Antarctic), and EPSG:5070 "
-        "(NAD83 Conus Albers) are supported"
+        "(EPSG:3413 Arctic, EPSG:3031 Antarctic), EPSG:5070 "
+        "(NAD83 Conus Albers), and EPSG:6933 (NSIDC EASE-Grid 2.0 "
+        "Global) are supported"
     )
 
 
@@ -1070,6 +1155,8 @@ def reproject_pixels_to_webmercator(
         lon, lat = ps_to_lonlat(sx, sy, crs_info)
     elif kind == "aea":
         lon, lat = aea_to_lonlat(sx, sy, crs_info)
+    elif kind == "cea":
+        lon, lat = cea_to_lonlat(sx, sy, crs_info)
     elif kind == "sinu":
         lon, lat = sinu_to_lonlat(sx, sy, crs_info)
     else:

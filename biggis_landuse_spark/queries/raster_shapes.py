@@ -3249,3 +3249,211 @@ def sinu_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lat"), 4).alias("avg_lat"),
         F.round(F.avg("lon"), 4).alias("avg_lon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Space-time layer (SpaceTimeKey) through the REAL catalog — r7
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "space_time_layer_rollup",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('day', ts) AS day,
+             event_id % 4          AS tc,
+             (event_id // 4) % 4   AS tr,
+             (event_id // 16) % 4  AS px,
+             (event_id // 64) % 4  AS py,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+    ),
+    cells AS (
+      SELECT day, tc, tr, px, py, CAST(sum(cents) AS BIGINT) AS cents
+      FROM c GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT strftime(day, '%Y-%m-%d')   AS day,
+           CAST(count(*) AS BIGINT)    AS n_px,
+           CAST(sum(cents) AS BIGINT)  AS total_cents
+    FROM cells
+    WHERE day >= TIMESTAMP '2024-01-08' AND day < TIMESTAMP '2024-01-23'
+    GROUP BY 1
+    """,
+    doc="""Space-time layer round trip through the REAL catalog
+    (SpaceTimeKey parity, api/package.scala:152-164): events aggregate
+    into per-(day, cell) integer-cent pixel values, assemble into
+    dense 4x4 tiles per day (pixels_to_tiles), write through
+    LayerCatalog.write_layer — whose time-major + Z-curve sort order
+    (catalog.py:85-91) makes the parquet row-group stats prune BOTH
+    time and space predicates — then read back with a
+    time_range=[Jan 8, Jan 23) pushed-down filter (catalog.py:264)
+    and roll up per day. Every step before/after the disk round trip
+    is exact integer arithmetic, so the oracle derives the identical
+    result straight from events. This is the ts-keyed twin the r6
+    verdict asked the driver to be able to hash-check (the path was
+    previously unit-tested only, test_raster_core.py).
+
+    Scale shape: ONE shuffle to tile (groupBy day-cell reuses it), a
+    range-partitioned parallel write (never a single-task funnel), and
+    the read is a partition-pruned scan whose ts predicate lands in
+    PushedFilters (pinned by test_raster_core's plan assertion).""",
+    tags=("S3", "S4", "CATALOG"),
+)
+def space_time_layer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+    import tempfile
+
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.pixeling import pixels_to_tiles, tiles_to_pixels
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    cells = (
+        events.where(
+            F.col("ts").isNotNull()
+            & eid.isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            (eid % 4).alias("tile_col"),
+            ((eid / 4).cast("long") % 4).alias("tile_row"),
+            ((eid / 16).cast("long") % 4).alias("px"),
+            ((eid / 64).cast("long") % 4).alias("py"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day", "tile_col", "tile_row", "px", "py")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    pixels = cells.select(
+        F.date_format("day", "yyyy-MM-dd").alias("layer"),
+        F.lit(0).alias("zoom"),
+        F.col("tile_col").cast("int"),
+        F.col("tile_row").cast("int"),
+        F.lit(0).alias("band"),
+        F.col("px").cast("int"),
+        F.col("py").cast("int"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    tiles = pixels_to_tiles(pixels, cols=4, rows=4, n_bands=1)
+    st_tiles = tiles.select(
+        "tile_col",
+        "tile_row",
+        "tile",
+        F.to_timestamp("layer", "yyyy-MM-dd").alias("ts"),
+    )
+    cat = LayerCatalog(spark, tempfile.mkdtemp(prefix="st_cat_"))
+    cat.write_layer(st_tiles, "st", 0)
+    got = cat.read_layer(
+        "st", 0,
+        time_range=(dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 23)),
+    )
+    # tiles_to_pixels projects the standard tile key — carry the day
+    # through the layer column for the pixel explosion
+    day_tiles = got.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("layer"),
+        "zoom",
+        "tile_col",
+        "tile_row",
+        "tile",
+    )
+    px = tiles_to_pixels(day_tiles).where(F.col("value").isNotNull())
+    return px.groupBy(F.col("layer").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum(F.col("value").cast("long")).alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EASE-Grid 2.0 cylindrical equal-area warp — r7
+# ---------------------------------------------------------------------------
+
+
+def _cea_grid_oracle() -> str:
+    """DuckDB replay of cea_to_lonlat (NSIDC EASE-Grid 2.0 Global)
+    with the SAME WGS84 constants and operation association as the
+    engine's column expressions (libm trig ULPs absorbed by
+    round(avg, 4))."""
+    from biggis_landuse_spark.operators.reproject import (
+        _CEA_CRS,
+        _cea_consts,
+    )
+
+    p = _CEA_CRS[6933]
+    e, qp, k0 = _cea_consts(p)
+    e2 = e * e
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    c2 = e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040
+    c4 = 23 * e4 / 360 + 251 * e6 / 3780
+    c6 = 761 * e6 / 45360
+    return f"""
+    WITH src AS (
+      -- CAST to DOUBLE: DuckDB otherwise types these literals DECIMAL;
+      -- the values are exact integers so the cast is value-identical
+      -- to Spark's double arithmetic
+      SELECT CAST(-17000000.0 + (p_partkey % 500) * 68000.0 AS DOUBLE) AS ee,
+             CAST(-7300000.0 + (p_partkey % 451) * 32000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT asin(2 * (nn - {p.fn!r}) * {k0!r} / {p.a * qp!r}) AS beta,
+             {p.lon0!r} + degrees((ee - {p.fe!r}) / {p.a * k0!r}) AS lon
+      FROM src
+    ),
+    s2 AS (
+      SELECT lon,
+             degrees(beta + {c2!r} * sin(2 * beta)
+                          + {c4!r} * sin(4 * beta)
+                          + {c6!r} * sin(6 * beta)) AS lat
+      FROM s1
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s2 GROUP BY 1, 2
+    """
+
+
+@register(
+    "cea_grid",
+    oracle=_cea_grid_oracle(),
+    doc="""NSIDC EASE-Grid 2.0 Global (EPSG:6933) → lat/lon inverse
+    cylindrical-equal-area warp (operators.reproject.cea_to_lonlat —
+    the global snow/ice/soil-moisture delivery grid: SMAP and AMSR
+    products ship on it; reference ingests any CRS via GeoTrellis,
+    UtilsShape.scala:54-59) over synthesized easting/northing points
+    spanning the global grid, re-keyed onto 1°x1° cells and
+    aggregated. Pure trig column expressions — whole-stage codegen,
+    one shuffle for the final aggregate; same plan shape as utm_grid /
+    laea_grid / sinu_grid.""",
+    tags=("REPROJECT", "CEA"),
+    bench=True,
+)
+def cea_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _CEA_CRS,
+        cea_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (-17000000.0 + (F.col("p_partkey") % 500) * 68000.0).alias("ee"),
+        (-7300000.0 + (F.col("p_partkey") % 451) * 32000.0).alias("nn"),
+    )
+    lon, lat = cea_to_lonlat(F.col("ee"), F.col("nn"), _CEA_CRS[6933])
+    # staged projection — same codegen-size discipline as utm_grid
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )

@@ -324,6 +324,123 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS_H = 64  # fine cells
+COARSE_K = 8  # coarse cells over the fine codebook (~sqrt of fine)
+
+
+@register(
+    "ann_ivf2_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS_H}
+    ),
+    grp AS (
+      SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS gv
+      FROM embeddings WHERE vec_id < {COARSE_K}
+    ),
+    f2c AS (
+      SELECT cid, ccid FROM (
+        SELECT c.cid, g.ccid,
+               row_number() OVER (PARTITION BY c.cid ORDER BY
+                 {_IVF_COS.format(a="c.cv", b="g.gv")} DESC, g.ccid) AS pr
+        FROM cent c CROSS JOIN grp g
+      ) WHERE pr = 1
+    ),
+    vg AS (
+      SELECT vec_id, ccid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               {_IVF_COS.format(a="v.vec", b="g.gv")} DESC, g.ccid) AS gpr
+      FROM v CROSS JOIN grp g
+    ),
+    assign AS (
+      -- corpus: coarse top-1, fine top-1 within that coarse cell
+      SELECT vec_id AS neighbor_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid)
+                 AS fpr
+        FROM (
+          SELECT vg.vec_id, f.cid,
+                 {_IVF_COS.format(a="v.vec", b="c.cv")} AS a
+          FROM vg
+          JOIN f2c f USING (ccid)
+          JOIN cent c ON c.cid = f.cid
+          JOIN v ON v.vec_id = vg.vec_id
+          WHERE vg.gpr = 1
+        )
+      ) WHERE fpr = 1
+    ),
+    probes AS (
+      -- queries: coarse top-2, fine top-2 within their union
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid)
+                 AS fpr
+        FROM (
+          SELECT vg.vec_id, f.cid,
+                 {_IVF_COS.format(a="v.vec", b="c.cv")} AS a
+          FROM vg
+          JOIN f2c f USING (ccid)
+          JOIN cent c ON c.cid = f.cid
+          JOIN v ON v.vec_id = vg.vec_id
+          WHERE vg.gpr <= 2 AND vg.vec_id < {N_QUERIES}
+        )
+      ) WHERE fpr <= 2
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM probes JOIN assign USING (cid)
+      WHERE neighbor_id <> query_id
+    ),
+    sim AS (
+      SELECT query_id, neighbor_id,
+             {_IVF_COS.format(a="q.vec", b="c.vec")} AS cos_sim
+      FROM cand
+      JOIN v q ON cand.query_id = q.vec_id
+      JOIN v c ON cand.neighbor_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM sim
+    )
+    WHERE rank <= {K}
+    """,
+    doc="""Hierarchical (two-level / IMI-style) IVF ANN
+    (functions.similarity.ivf_assign_hier / ivf_topk_hier): the fine
+    codebook is itself bucketed under a sqrt-sized coarse codebook, so
+    assignment scores ~2*sqrt(k) centroids per vector instead of k —
+    at the engine's k~sqrt(n) sizing this turns the flat quantizer's
+    measured n^1.5 assignment cost (SCALE_PROBE.md) into n^1.25; at
+    1e10 vectors that is ~100k centroid dots per row down to ~600.
+    Candidate generation is unchanged: a fine-cell equi-join, corpus
+    written partitioned by cell at scale. The whole two-level codebook
+    collapses to ONE broadcast row; per-row probing is array_sort +
+    slice + flatten in a single projection — no n×k affinity shuffle.
+    Oracle replays the identical 6dp/tie-break quantizer with
+    row_number windows.""",
+    tags=("ANN",),
+    bench=True,
+)
+def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS_H).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    coarse = embeddings.where(F.col("vec_id") < COARSE_K).select(
+        F.col("vec_id").alias("ccid"), S.as_double("embedding").alias("cv")
+    )
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    return S.ivf_topk_hier(
+        queries, embeddings, centroids, coarse,
+        k=K, n_probe_coarse=2, n_probe=2,
+    )
+
+
 N_CLASSES = 10
 
 

@@ -237,3 +237,63 @@ def test_kafka_stream_producer_path_builds_and_runs(spark, tmp_path, broker):
     q.awaitTermination(60)
     with open(os.path.join(broker, "live.log")) as f:
         assert len(f.read().splitlines()) == len(SAMPLES)
+
+
+# ---------------------------------------------------------------------------
+# Env-gated REAL-broker integration (r7, VERDICT item 6): runs only
+# when KAFKA_BOOTSTRAP_SERVERS points at a live broker AND the
+# spark-sql-kafka connector is on the classpath; skips cleanly
+# otherwise (no broker or jar ships in this container). Mirrors
+# tests/test_spool_source.py's round trip over the standard `kafka`
+# format so the one untested token in kafka.py — the literal default
+# format name — gets executed whenever an environment provides it.
+# ---------------------------------------------------------------------------
+
+_BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP_SERVERS")
+
+
+def _kafka_connector_available(spark) -> bool:
+    try:
+        spark.read.format("kafka").option(
+            "kafka.bootstrap.servers", _BOOTSTRAP or "none:9092"
+        ).option("subscribe", "probe").load()
+        return True
+    except Exception as e:  # DATA_SOURCE_NOT_FOUND → jar missing
+        return "DATA_SOURCE_NOT_FOUND" not in str(e)
+
+
+@pytest.mark.skipif(
+    not _BOOTSTRAP, reason="KAFKA_BOOTSTRAP_SERVERS not set (no broker)"
+)
+def test_real_kafka_round_trip(spark, tmp_path):
+    if not _kafka_connector_available(spark):
+        pytest.skip("spark-sql-kafka connector jar not on classpath")
+    import uuid as _uuid
+
+    from biggis_landuse_spark.sources.codecs import SAMPLE_SCHEMA
+
+    topic = f"biggis-it-{_uuid.uuid4().hex[:8]}"
+    samples = spark.createDataFrame(
+        [(3, 4, 10, 20, 1.0, [1.0, 2.0])], SAMPLE_SCHEMA
+    )
+    # produce through the REAL default format (no fmt override)
+    write_samples_kafka(
+        samples, _BOOTSTRAP, topic, streaming=False
+    ).save()
+    # consume through the streaming wrapper, availableNow → memory
+    q = (
+        read_sample_stream_kafka(spark, _BOOTSTRAP, topic)
+        .writeStream.format("memory")
+        .queryName("kafka_it")
+        .option(
+            "checkpointLocation", str(tmp_path / "ck_kafka_it")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM kafka_it").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["label"] == 1.0 and r["features"] == [1.0, 2.0]
+    assert (r["tile_col"], r["tile_row"], r["px"], r["py"]) == (3, 4, 10, 20)

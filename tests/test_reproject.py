@@ -1458,3 +1458,169 @@ def test_tm_pipeline_equivalence(spark):
         r["tile_col"] * 256 + r["px"], r["tile_row"] * 256 + r["py"]
     )
     assert key(out_tm) == key(out_ll)
+
+
+# ---------------------------------------------------------------------------
+# Cylindrical equal-area (EASE-Grid 2.0) — r7
+# ---------------------------------------------------------------------------
+
+
+def _cea_forward(lat_deg: float, lon_deg: float, p) -> tuple[float, float]:
+    """Independent forward CEA (EPSG GN7-2 §3.5.2 / Snyder eq. 10-1,
+    10-2 ellipsoidal): test-side twin of the engine's inverse."""
+    import math
+
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+
+    def q(phi: float) -> float:
+        s = math.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
+
+    phi_ts = math.radians(p.lat_ts)
+    k0 = math.cos(phi_ts) / math.sqrt(1 - e2 * math.sin(phi_ts) ** 2)
+    ee = p.fe + p.a * k0 * math.radians(lon_deg - p.lon0)
+    nn = p.fn + p.a * q(math.radians(lat_deg)) / (2 * k0)
+    return ee, nn
+
+
+def test_cea_ease2_published_extent(spark):
+    # NSIDC EASE-Grid 2.0 global: the map extent at lon ±180° is the
+    # published ±17,367,530.45 m — an analytically exact anchor for
+    # a·k0·π on WGS84 with the 30° standard parallel.
+    from biggis_landuse_spark.operators.reproject import (
+        _CEA_CRS,
+        cea_to_lonlat,
+    )
+
+    p = _CEA_CRS[6933]
+    ee, nn = _cea_forward(0.0, 180.0, p)
+    assert ee == pytest.approx(17367530.45, abs=0.01)
+    assert nn == pytest.approx(0.0, abs=1e-9)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = cea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lon"] == pytest.approx(180.0, abs=1e-9)
+    assert r["lat"] == pytest.approx(0.0, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "lat,lon",
+    [
+        (30.0, 0.0),       # the standard parallel
+        (50.1, 8.6),       # Frankfurt
+        (-3.1, -60.0),     # Manaus
+        (67.5, 170.0),     # far-east high latitude
+        (-33.9, 18.4),     # Cape Town
+        (84.0, -120.0),    # near the grid's polar edge
+    ],
+)
+def test_cea_inverse_roundtrips_forward(spark, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        _CEA_CRS,
+        cea_to_lonlat,
+    )
+
+    p = _CEA_CRS[6933]
+    ee, nn = _cea_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = cea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=2e-8)  # authalic series
+    assert r["lon"] == pytest.approx(lon, abs=1e-9)  # exact closed form
+
+
+def test_parse_cea_proj4_wkt_epsg(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _CEA_CRS,
+        parse_crs,
+        parse_proj4,
+        parse_wkt_crs,
+    )
+
+    ref = _CEA_CRS[6933]
+    kind, p = parse_crs("EPSG:6933")
+    assert kind == "cea" and p is ref
+
+    kind, p = parse_proj4(
+        "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 "
+        "+datum=WGS84 +units=m +no_defs"
+    )
+    assert kind == "cea"
+    assert (p.a, p.f_inv, p.lat_ts, p.lon0, p.fe, p.fn) == (
+        ref.a, ref.f_inv, ref.lat_ts, ref.lon0, ref.fe, ref.fn
+    )
+
+    wkt = (
+        'PROJCS["WGS 84 / NSIDC EASE-Grid 2.0 Global",'
+        'GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Cylindrical_Equal_Area"],'
+        'PARAMETER["standard_parallel_1",30],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt)
+    assert kind == "cea"
+    assert (p.a, p.f_inv, p.lat_ts, p.lon0, p.fe, p.fn) == (
+        ref.a, ref.f_inv, ref.lat_ts, ref.lon0, ref.fe, ref.fn
+    )
+
+
+def test_cea_warp_plan_stays_jvm_side(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _CEA_CRS,
+        cea_to_lonlat,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") * 30000.0 - 1_500_000.0).alias("e"),
+        (F.col("id") * 20000.0 - 1_000_000.0).alias("n"),
+    )
+    lon, lat = cea_to_lonlat(F.col("e"), F.col("n"), _CEA_CRS[6933])
+    plan = (
+        df.select(lon.alias("lon"), lat.alias("lat"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cea_pipeline_equivalence(spark):
+    # the EASE-2 warp through the full webmercator pipeline: a proj4
+    # string, a .prj WKT, and the EPSG code must key identical tiles
+    from biggis_landuse_spark.operators.reproject import (
+        reproject_pixels_to_webmercator,
+    )
+
+    pixels = spark.createDataFrame(
+        [
+            (0, px, py, float(px * 10 + py),
+             -1_000_000.0, 2_000_000.0, 25000.0, 25000.0)
+            for px in range(8)
+            for py in range(8)
+        ],
+        "band int, px int, py int, value double, "
+        "x0 double, y0 double, dx double, dy double",
+    )
+    outs = []
+    for crs in (
+        "EPSG:6933",
+        "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84",
+    ):
+        got = reproject_pixels_to_webmercator(
+            pixels, zoom=6, layer="ease", src_crs=crs
+        )
+        outs.append(
+            sorted(
+                (r["tile_col"], r["tile_row"], r["px"], r["py"], r["value"])
+                for r in got.collect()
+            )
+        )
+    assert outs[0] == outs[1] and len(outs[0]) == 64
