@@ -274,6 +274,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "nearest_station",  # broadcast K-station table (bounded by contract)
         "ann_pq_topk",  # broadcast bounded query-side PQ distance tables
         "ann_ivf_topk",  # broadcast 16-centroid codebook
+        "ann_ivf2_topk",  # broadcast 1-row two-level codebook (hier IVF)
         "ann_recall_eval",  # knn_cosine's query broadcast + the codebook
         "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
         "knn_graph",  # same 16-centroid codebook broadcast (ivf_assign)
