@@ -675,6 +675,180 @@ def cea_to_lonlat(
     return lon, F.degrees(lat_rad)
 
 
+# -- Mercator (ellipsoidal, variants A/B) ------------------------------------
+# EPSG:3395 (WGS 84 / World Mercator) is the marine/navigation and
+# global-bathymetry delivery CRS (GEBCO, nautical charting) — the
+# non-web Mercator the WebMercator fast path must NOT silently absorb
+# (EPSG:3857 treats the ellipsoid as a sphere; 3395 does not, and the
+# difference is ~37 km of northing at 60°). Public EPSG registry
+# parameters; inverse per EPSG Guidance Note 7-2 §3.2.1/3.2.2 with the
+# same closed-form conformal-latitude series as the polar-stereo
+# inverse — pure column expressions, no iteration, no UDF.
+
+
+class MercParams:
+    """Ellipsoidal Mercator definition (angles in degrees). Variant B
+    when ``lat_ts`` is given (standard parallel), variant A when
+    ``k0`` is given (scale at the equator); exactly one must be set."""
+
+    def __init__(self, a, f_inv, lon0, fe, fn, lat_ts=None, k0=None):
+        if (lat_ts is None) == (k0 is None):
+            raise ValueError("MercParams: exactly one of lat_ts/k0")
+        self.a, self.f_inv = a, f_inv
+        self.lon0, self.fe, self.fn = lon0, fe, fn
+        self.lat_ts, self.k0 = lat_ts, k0
+
+
+_MERC_CRS = {
+    # WGS 84 / World Mercator (variant A, k0 = 1)
+    3395: MercParams(6378137.0, 298.257223563, 0.0, 0.0, 0.0, k0=1.0),
+}
+
+
+def _merc_consts(p: MercParams) -> tuple[float, float]:
+    """Driver-side constants (e, a·k0_eff). Variant B derives the
+    effective scale from the standard parallel: k0 = m(φ1) =
+    cos φ1 / sqrt(1 − e²·sin²φ1) (EPSG GN7-2 §3.2.2), which makes
+    the two variants coincide when k0 is derived from lat_ts."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    if p.lat_ts is not None:
+        phi1 = math.radians(abs(p.lat_ts))
+        k0 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+    else:
+        k0 = p.k0
+    return e, p.a * k0
+
+
+def merc_to_lonlat(
+    easting: Column, northing: Column, p: MercParams
+) -> tuple[Column, Column]:
+    """Inverse ellipsoidal Mercator as pure column expressions →
+    (lon_deg, lat_deg). Sub-millimeter inside the CRS's domain:
+    t = exp(−(N−FN)/(a·k0)), χ = π/2 − 2·atan(t), then the same
+    closed-form conformal-latitude series the polar-stereo inverse
+    uses (EPSG GN7-2; no iteration, no UDF)."""
+    e, ak = _merc_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    t = F.exp((F.lit(p.fn) - northing) / F.lit(ak))
+    chi = F.lit(math.pi / 2) - 2 * F.atan(t)
+    lat_rad = (
+        chi
+        + F.lit(e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * F.sin(2 * chi)
+        + F.lit(7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * F.sin(4 * chi)
+        + F.lit(7 * e6 / 120 + 81 * e8 / 1120) * F.sin(6 * chi)
+        + F.lit(4279 * e8 / 161280) * F.sin(8 * chi)
+    )
+    lon = F.lit(p.lon0) + F.degrees((easting - F.lit(p.fe)) / F.lit(ak))
+    return lon, F.degrees(lat_rad)
+
+
+# -- Equidistant cylindrical --------------------------------------------------
+# EPSG:4087 (WGS 84 / World Equidistant Cylindrical, EPSG method 1028)
+# is the global climate/model-output delivery grid (one degree ≡ one
+# grid unit of longitude everywhere) — ellipsoidal: northing is the
+# true meridional arc M(φ), NOT a·φ. Inverse per EPSG GN7-2 §3.5.3 /
+# Snyder 1987: the rectifying-latitude footpoint series the TM inverse
+# already uses — pure column expressions, no iteration, no UDF.
+
+
+class EqcParams:
+    """Ellipsoidal equidistant cylindrical definition (angles in
+    degrees; ``lat_ts`` is the standard parallel φ1, ``lat0`` an
+    optional northing origin shift)."""
+
+    def __init__(self, a, f_inv, lat_ts, lat0, lon0, fe, fn):
+        self.a, self.f_inv = a, f_inv
+        self.lat_ts, self.lat0, self.lon0 = lat_ts, lat0, lon0
+        self.fe, self.fn = fe, fn
+
+
+_EQC_CRS = {
+    # WGS 84 / World Equidistant Cylindrical (Plate Carrée on the
+    # equator: φ1 = 0, λ0 = 0)
+    4087: EqcParams(6378137.0, 298.257223563, 0.0, 0.0, 0.0, 0.0, 0.0),
+}
+
+
+def _eqc_consts(p: EqcParams) -> tuple[float, float, float, float]:
+    """Driver-side constants (ν1·cosφ1, e1, m_den, M0)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    phi1 = math.radians(p.lat_ts)
+    nu1cos = (
+        p.a * math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+    )
+    m_den = p.a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256)
+    m0 = _merid_arc(p.a, e2, p.lat0)
+    return nu1cos, e1, m_den, m0
+
+
+def eqc_to_lonlat(
+    easting: Column, northing: Column, p: EqcParams
+) -> tuple[Column, Column]:
+    """Inverse ellipsoidal equidistant cylindrical as pure column
+    expressions → (lon_deg, lat_deg): lon is exact closed form,
+    lat is the rectifying-latitude footpoint series (same
+    coefficients as the TM inverse's φ1; sub-millimeter)."""
+    nu1cos, e1, m_den, m0 = _eqc_consts(p)
+    mu = (F.lit(m0) + (northing - F.lit(p.fn))) / F.lit(m_den)
+    lat_rad = (
+        mu
+        + F.lit(3 * e1 / 2 - 27 * e1**3 / 32) * F.sin(2 * mu)
+        + F.lit(21 * e1**2 / 16 - 55 * e1**4 / 32) * F.sin(4 * mu)
+        + F.lit(151 * e1**3 / 96) * F.sin(6 * mu)
+        + F.lit(1097 * e1**4 / 512) * F.sin(8 * mu)
+    )
+    lon = F.lit(p.lon0) + F.degrees((easting - F.lit(p.fe)) / F.lit(nu1cos))
+    return lon, F.degrees(lat_rad)
+
+
+# -- Mollweide ----------------------------------------------------------------
+# ESRI:54009 (World Mollweide) is the global equal-area map-delivery
+# CRS (land-cover and population rasters ship in it). Spherical by
+# construction — PROJ and ESRI both evaluate Mollweide on a sphere of
+# radius a even when the CRS names an ellipsoid — so the inverse is
+# exact closed form (Snyder 1987 eqs. 31-6..31-8): no series, no
+# iteration, no UDF.
+
+
+class MollParams:
+    """Spherical Mollweide definition (angles in degrees)."""
+
+    def __init__(self, r, lon0, fe, fn):
+        self.r, self.lon0 = r, lon0
+        self.fe, self.fn = fe, fn
+
+
+_MOLL_CRS = {
+    # World Mollweide (sphere radius = WGS84 semi-major, per PROJ/ESRI)
+    54009: MollParams(6378137.0, 0.0, 0.0, 0.0),
+}
+
+
+def moll_to_lonlat(
+    easting: Column, northing: Column, p: MollParams
+) -> tuple[Column, Column]:
+    """Inverse spherical Mollweide as pure column expressions →
+    (lon_deg, lat_deg). Exact closed form: θ = asin(y/(√2·R)),
+    lat = asin((2θ + sin 2θ)/π), lon = lon0 + π·x/(2√2·R·cos θ).
+    cos θ = 0 at the exact poles yields NULL via try_divide (NODATA),
+    never a job-killing ANSI divide error; off-map y (|y| > √2·R)
+    yields NaN from asin, which the warp's domain filter drops."""
+    theta = F.asin((northing - F.lit(p.fn)) / F.lit(math.sqrt(2) * p.r))
+    lat_rad = F.asin((2 * theta + F.sin(2 * theta)) / F.lit(math.pi))
+    lon = F.lit(p.lon0) + F.degrees(
+        F.try_divide(
+            F.lit(math.pi) * (easting - F.lit(p.fe)),
+            F.lit(2 * math.sqrt(2) * p.r) * F.cos(theta),
+        )
+    )
+    return lon, F.degrees(lat_rad)
+
+
 _ELLPS = {
     # name → (semi-major a, inverse flattening 1/f); proj4 +ellps=
     # names, uppercased, plus the +datum= spellings that imply one
@@ -807,6 +981,31 @@ def parse_proj4(
             a, rf, num("lat_ts", 0.0), num("lon_0", 0.0),
             num("x_0", 0.0), num("y_0", 0.0),
         )
+    if proj == "merc":
+        a, rf = ellipsoid()
+        lat_ts = kv.get("lat_ts")
+        if lat_ts is not None:  # variant B (standard parallel)
+            return "merc", MercParams(
+                a, rf, num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0),
+                lat_ts=float(lat_ts),
+            )
+        return "merc", MercParams(  # variant A (scale at the equator)
+            a, rf, num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0),
+            k0=num("k", num("k_0", 1.0)),
+        )
+    if proj == "eqc":
+        a, rf = ellipsoid()
+        return "eqc", EqcParams(
+            a, rf, num("lat_ts", 0.0), num("lat_0", 0.0),
+            num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0),
+        )
+    if proj == "moll":
+        # spherical by construction: PROJ evaluates Mollweide with
+        # es=0 on the semi-major axis even for an ellipsoidal datum
+        r = num("R", 0.0) or ellipsoid()[0]
+        return "moll", MollParams(
+            r, num("lon_0", 0.0), num("x_0", 0.0), num("y_0", 0.0)
+        )
     if proj == "sinu":
         # spherical only (the MODIS shape): +R, or +a=+b
         if "R" in kv:
@@ -825,7 +1024,7 @@ def parse_proj4(
     raise ValueError(
         f"unsupported +proj={proj}: longlat, utm, tmerc (any "
         f"ellipsoid/false origin), lcc, laea, stere (polar), aea, cea, "
-        f"sinu (spherical) are supported — {proj4!r}"
+        f"merc, eqc, moll, sinu (spherical) are supported — {proj4!r}"
     )
 
 
@@ -1001,6 +1200,53 @@ def parse_wkt_crs(
                        params.get("longitude_of_center", 0.0)),
             p("false_easting", 0.0), p("false_northing", 0.0),
         )
+    if proj in ("mercator_1sp", "mercator_(variant_a)"):
+        # OGC variant A: scale_factor at the equator
+        return "merc", MercParams(
+            a, rf, p("central_meridian", 0.0),
+            p("false_easting", 0.0), p("false_northing", 0.0),
+            k0=p("scale_factor", 1.0),
+        )
+    if proj in ("mercator", "mercator_2sp", "mercator_(variant_b)"):
+        # ESRI and OGC variant B: standard_parallel_1 carries lat_ts.
+        # An ESRI "Mercator" with no standard parallel ≡ variant A k0=1.
+        sp1 = params.get("standard_parallel_1")
+        k0 = p("scale_factor", 1.0)
+        if sp1 is not None:
+            if k0 != 1.0:
+                raise ValueError(
+                    "WKT Mercator with BOTH standard_parallel_1 "
+                    f"({sp1}) and scale_factor {k0} is ambiguous "
+                    f"(variant A xor B): {wkt[:60]!r}"
+                )
+            return "merc", MercParams(
+                a, rf, p("central_meridian", 0.0),
+                p("false_easting", 0.0), p("false_northing", 0.0),
+                lat_ts=sp1,
+            )
+        return "merc", MercParams(
+            a, rf, p("central_meridian", 0.0),
+            p("false_easting", 0.0), p("false_northing", 0.0), k0=k0,
+        )
+    if proj in ("equidistant_cylindrical", "equirectangular",
+                "plate_carree"):
+        return "eqc", EqcParams(
+            a, rf,
+            p("standard_parallel_1", 0.0),
+            p("latitude_of_origin", 0.0),
+            params.get("central_meridian",
+                       params.get("longitude_of_center", 0.0)),
+            p("false_easting", 0.0), p("false_northing", 0.0),
+        )
+    if proj == "mollweide":
+        # spherical by construction (PROJ/ESRI evaluate on a sphere of
+        # radius a even when the CRS names an ellipsoid)
+        lon0 = params.get(
+            "central_meridian", params.get("longitude_of_center", 0.0)
+        )
+        return "moll", MollParams(
+            a, lon0, p("false_easting", 0.0), p("false_northing", 0.0)
+        )
     if proj == "sinusoidal":
         # spherical only (the MODIS shape): the SPHEROID must carry
         # inverse flattening 0 (ESRI writes 0.0 for a sphere)
@@ -1021,6 +1267,7 @@ def parse_wkt_crs(
         "(any ellipsoid/false origin), Lambert_Conformal_Conic(_2SP), "
         "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
         "Albers_Conic_Equal_Area, Cylindrical_Equal_Area, "
+        "Mercator(_1SP/_2SP), Equidistant_Cylindrical, Mollweide, "
         "Sinusoidal (spherical) are supported"
     )
 
@@ -1041,9 +1288,15 @@ def parse_crs(
         return parse_proj4(crs)
     if stripped[:6].upper() in ("PROJCS", "GEOGCS"):
         return parse_wkt_crs(crs)
+    if crs.upper().removeprefix("ESRI:") == "54009":
+        return "moll", _MOLL_CRS[54009]
     code = crs.upper().removeprefix("EPSG:")
     if code == "4326":
         return "lonlat", None
+    if code.isdigit() and int(code) in _MERC_CRS:
+        return "merc", _MERC_CRS[int(code)]
+    if code.isdigit() and int(code) in _EQC_CRS:
+        return "eqc", _EQC_CRS[int(code)]
     if code.isdigit() and int(code) in _TM_CRS:
         return "tm", _TM_CRS[int(code)]
     if code.isdigit() and int(code) in _LCC_CRS:
@@ -1071,8 +1324,10 @@ def parse_crs(
         "conformal conic (EPSG:3034 LCC Europe, EPSG:2154 Lambert-93), "
         "EPSG:3035 (ETRS89-extended LAEA Europe), polar stereographic "
         "(EPSG:3413 Arctic, EPSG:3031 Antarctic), EPSG:5070 "
-        "(NAD83 Conus Albers), and EPSG:6933 (NSIDC EASE-Grid 2.0 "
-        "Global) are supported"
+        "(NAD83 Conus Albers), EPSG:6933 (NSIDC EASE-Grid 2.0 "
+        "Global), EPSG:3395 (World Mercator), EPSG:4087 (World "
+        "Equidistant Cylindrical), and ESRI:54009 (World Mollweide) "
+        "are supported"
     )
 
 
@@ -1157,6 +1412,12 @@ def reproject_pixels_to_webmercator(
         lon, lat = aea_to_lonlat(sx, sy, crs_info)
     elif kind == "cea":
         lon, lat = cea_to_lonlat(sx, sy, crs_info)
+    elif kind == "merc":
+        lon, lat = merc_to_lonlat(sx, sy, crs_info)
+    elif kind == "eqc":
+        lon, lat = eqc_to_lonlat(sx, sy, crs_info)
+    elif kind == "moll":
+        lon, lat = moll_to_lonlat(sx, sy, crs_info)
     elif kind == "sinu":
         lon, lat = sinu_to_lonlat(sx, sy, crs_info)
     else:

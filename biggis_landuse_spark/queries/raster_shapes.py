@@ -3457,3 +3457,256 @@ def cea_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lat"), 4).alias("avg_lat"),
         F.round(F.avg("lon"), 4).alias("avg_lon"),
     )
+
+
+def _merc_grid_oracle() -> str:
+    """DuckDB replay of merc_to_lonlat (WGS 84 / World Mercator) with
+    the SAME constants and operation association as the engine's
+    column expressions (libm trig/exp ULPs absorbed by
+    round(avg, 4))."""
+    from biggis_landuse_spark.operators.reproject import (
+        _MERC_CRS,
+        _merc_consts,
+    )
+
+    p = _MERC_CRS[3395]
+    e, ak = _merc_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    c2 = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    c4 = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    c6 = 7 * e6 / 120 + 81 * e8 / 1120
+    c8 = 4279 * e8 / 161280
+    import math as _m
+
+    return f"""
+    WITH src AS (
+      SELECT CAST(-20000000.0 + (p_partkey % 500) * 80000.0 AS DOUBLE) AS ee,
+             CAST(-15400000.0 + (p_partkey % 441) * 70000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT {_m.pi / 2!r} - 2 * atan(exp(({p.fn!r} - nn) / {ak!r})) AS chi,
+             {p.lon0!r} + degrees((ee - {p.fe!r}) / {ak!r}) AS lon
+      FROM src
+    ),
+    s2 AS (
+      SELECT lon,
+             degrees(chi + {c2!r} * sin(2 * chi)
+                         + {c4!r} * sin(4 * chi)
+                         + {c6!r} * sin(6 * chi)
+                         + {c8!r} * sin(8 * chi)) AS lat
+      FROM s1
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s2 GROUP BY 1, 2
+    """
+
+
+@register(
+    "merc_grid",
+    oracle=_merc_grid_oracle(),
+    doc="""WGS 84 / World Mercator (EPSG:3395) → lat/lon inverse
+    ellipsoidal-Mercator warp (operators.reproject.merc_to_lonlat —
+    the marine/bathymetry delivery CRS the WebMercator fast path must
+    NOT silently absorb: 3857 treats the ellipsoid as a sphere, 3395
+    does not, ~37 km of northing apart at 60°; reference ingests any
+    CRS via GeoTrellis, UtilsShape.scala:54-59) over synthesized
+    easting/northing points spanning |lat| ≤ ~80°, re-keyed onto
+    1°x1° cells and aggregated. Closed-form conformal-latitude series
+    — pure trig/exp column expressions, whole-stage codegen, one
+    shuffle for the final aggregate; same staged-projection plan
+    shape as utm_grid / cea_grid.""",
+    tags=("REPROJECT", "MERC"),
+    bench=True,
+)
+def merc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _MERC_CRS,
+        merc_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (-20000000.0 + (F.col("p_partkey") % 500) * 80000.0).alias("ee"),
+        (-15400000.0 + (F.col("p_partkey") % 441) * 70000.0).alias("nn"),
+    )
+    lon, lat = merc_to_lonlat(F.col("ee"), F.col("nn"), _MERC_CRS[3395])
+    # staged projection — same codegen-size discipline as utm_grid
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
+def _eqc_grid_oracle() -> str:
+    """DuckDB replay of eqc_to_lonlat (WGS 84 / World Equidistant
+    Cylindrical) with the SAME constants and operation association as
+    the engine's column expressions (libm trig ULPs absorbed by
+    round(avg, 4))."""
+    from biggis_landuse_spark.operators.reproject import (
+        _EQC_CRS,
+        _eqc_consts,
+    )
+
+    p = _EQC_CRS[4087]
+    nu1cos, e1, m_den, m0 = _eqc_consts(p)
+    c2 = 3 * e1 / 2 - 27 * e1**3 / 32
+    c4 = 21 * e1**2 / 16 - 55 * e1**4 / 32
+    c6 = 151 * e1**3 / 96
+    c8 = 1097 * e1**4 / 512
+    return f"""
+    WITH src AS (
+      SELECT CAST(-20000000.0 + (p_partkey % 500) * 80000.0 AS DOUBLE) AS ee,
+             CAST(-9900000.0 + (p_partkey % 397) * 50000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT ({m0!r} + (nn - {p.fn!r})) / {m_den!r} AS mu,
+             {p.lon0!r} + degrees((ee - {p.fe!r}) / {nu1cos!r}) AS lon
+      FROM src
+    ),
+    s2 AS (
+      SELECT lon,
+             degrees(mu + {c2!r} * sin(2 * mu)
+                        + {c4!r} * sin(4 * mu)
+                        + {c6!r} * sin(6 * mu)
+                        + {c8!r} * sin(8 * mu)) AS lat
+      FROM s1
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s2 GROUP BY 1, 2
+    """
+
+
+@register(
+    "eqc_grid",
+    oracle=_eqc_grid_oracle(),
+    doc="""WGS 84 / World Equidistant Cylindrical (EPSG:4087, method
+    1028) → lat/lon inverse warp (operators.reproject.eqc_to_lonlat —
+    the global climate/model-output delivery grid; ellipsoidal:
+    northing is the true meridional arc M(φ), NOT a·φ — a spherical
+    shortcut is ~24 km wrong at 45°) over synthesized easting/northing
+    points spanning the globe, re-keyed onto 1°x1° cells and
+    aggregated. Longitude is exact closed form; latitude is the
+    rectifying-latitude footpoint series the TM inverse shares — pure
+    trig column expressions, whole-stage codegen, one shuffle.""",
+    tags=("REPROJECT", "EQC"),
+    bench=True,
+)
+def eqc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _EQC_CRS,
+        eqc_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (-20000000.0 + (F.col("p_partkey") % 500) * 80000.0).alias("ee"),
+        (-9900000.0 + (F.col("p_partkey") % 397) * 50000.0).alias("nn"),
+    )
+    lon, lat = eqc_to_lonlat(F.col("ee"), F.col("nn"), _EQC_CRS[4087])
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
+def _moll_grid_oracle() -> str:
+    """DuckDB replay of moll_to_lonlat (World Mollweide) with the
+    SAME constants and operation association as the engine's column
+    expressions (libm trig ULPs absorbed by round(avg, 4))."""
+    import math as _m
+
+    from biggis_landuse_spark.operators.reproject import _MOLL_CRS
+
+    p = _MOLL_CRS[54009]
+    return f"""
+    WITH src AS (
+      SELECT CAST(-12800000.0 + (p_partkey % 513) * 50000.0 AS DOUBLE) AS ee,
+             CAST(-6300000.0 + (p_partkey % 421) * 30000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT ee, asin((nn - {p.fn!r}) / {_m.sqrt(2) * p.r!r}) AS theta
+      FROM src
+    ),
+    s2 AS (
+      SELECT degrees(asin((2 * theta + sin(2 * theta)) / {_m.pi!r})) AS lat,
+             {p.lon0!r} + degrees(
+               ({_m.pi!r} * (ee - {p.fe!r}))
+               / ({2 * _m.sqrt(2) * p.r!r} * cos(theta))) AS lon
+      FROM s1
+    )
+    SELECT CAST(floor(lat) AS BIGINT) AS lat_cell,
+           CAST(floor(lon) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)   AS n_px,
+           round(avg(lat), 4)         AS avg_lat,
+           round(avg(lon), 4)         AS avg_lon
+    FROM s2 GROUP BY 1, 2
+    """
+
+
+@register(
+    "moll_grid",
+    oracle=_moll_grid_oracle(),
+    doc="""World Mollweide (ESRI:54009) → lat/lon inverse equal-area
+    warp (operators.reproject.moll_to_lonlat — the global equal-area
+    map-delivery CRS for land-cover and population rasters; spherical
+    by construction, PROJ/ESRI both evaluate it on a sphere of radius
+    a) over synthesized easting/northing points inside the map
+    ellipse (|n| ≤ 6.3e6 keeps cos θ ≥ 0.71 so the |e| ≤ 12.8e6
+    rectangle stays on-map), re-keyed onto 1°x1° cells and
+    aggregated. Exact closed-form inverse — no series at all — pure
+    trig column expressions, whole-stage codegen, one shuffle.""",
+    tags=("REPROJECT", "MOLL"),
+    bench=True,
+)
+def moll_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _MOLL_CRS,
+        moll_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (-12800000.0 + (F.col("p_partkey") % 513) * 50000.0).alias("ee"),
+        (-6300000.0 + (F.col("p_partkey") % 421) * 30000.0).alias("nn"),
+    )
+    lon, lat = moll_to_lonlat(F.col("ee"), F.col("nn"), _MOLL_CRS[54009])
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat")).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon")).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )

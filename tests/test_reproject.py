@@ -1624,3 +1624,443 @@ def test_cea_pipeline_equivalence(spark):
             )
         )
     assert outs[0] == outs[1] and len(outs[0]) == 64
+
+
+# ---------------------------------------------------------------------------
+# Mercator (EPSG:3395) / Equidistant Cylindrical (EPSG:4087) /
+# Mollweide (ESRI:54009) — r7
+# ---------------------------------------------------------------------------
+
+
+def _merc_forward(lat_deg: float, lon_deg: float, p) -> tuple[float, float]:
+    """Independent forward ellipsoidal Mercator (EPSG GN7-2 §3.2.1/2):
+    test-side twin of the engine's inverse."""
+    import math
+
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    if p.lat_ts is not None:
+        phi1 = math.radians(abs(p.lat_ts))
+        k0 = math.cos(phi1) / math.sqrt(1 - e2 * math.sin(phi1) ** 2)
+    else:
+        k0 = p.k0
+    phi = math.radians(lat_deg)
+    es = e * math.sin(phi)
+    ee = p.fe + p.a * k0 * math.radians(lon_deg - p.lon0)
+    nn = p.fn + p.a * k0 * math.log(
+        math.tan(math.pi / 4 + phi / 2) * ((1 - es) / (1 + es)) ** (e / 2)
+    )
+    return ee, nn
+
+
+def _eqc_forward(lat_deg: float, lon_deg: float, p) -> tuple[float, float]:
+    """Independent forward ellipsoidal equidistant cylindrical (EPSG
+    method 1028): northing is the meridional arc, computed here by
+    Simpson integration of the curvature radius — NOT the engine's
+    series — so the round-trip also validates the series itself."""
+    import math
+
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    phi1 = math.radians(p.lat_ts)
+    nu1cos = p.a * math.cos(phi1) / math.sqrt(
+        1 - e2 * math.sin(phi1) ** 2
+    )
+
+    def merid(lat: float, n: int = 20000) -> float:
+        phi = math.radians(lat)
+
+        def g(x: float) -> float:
+            return p.a * (1 - e2) / (1 - e2 * math.sin(x) ** 2) ** 1.5
+
+        h = phi / n
+        s = g(0) + g(phi)
+        for i in range(1, n):
+            s += (4 if i % 2 else 2) * g(i * h)
+        return s * h / 3
+
+    ee = p.fe + nu1cos * math.radians(lon_deg - p.lon0)
+    nn = p.fn + merid(lat_deg) - merid(p.lat0)
+    return ee, nn
+
+
+def _moll_forward(lat_deg: float, lon_deg: float, p) -> tuple[float, float]:
+    """Independent forward spherical Mollweide (Snyder 1987 eqs.
+    31-1..31-5, Newton iteration): test-side twin of the inverse."""
+    import math
+
+    phi = math.radians(lat_deg)
+    if abs(abs(phi) - math.pi / 2) < 1e-12:
+        th = math.copysign(math.pi / 2, phi)
+    else:
+        th = phi
+        for _ in range(100):
+            d = (2 * th + math.sin(2 * th) - math.pi * math.sin(phi)) / (
+                2 + 2 * math.cos(2 * th)
+            )
+            th -= d
+            if abs(d) < 1e-15:
+                break
+    ee = p.fe + (2 * math.sqrt(2) / math.pi) * p.r * math.radians(
+        lon_deg - p.lon0
+    ) * math.cos(th)
+    nn = p.fn + math.sqrt(2) * p.r * math.sin(th)
+    return ee, nn
+
+
+def test_merc_variant_a_published_epsg_example(spark):
+    # EPSG GN7-2 §3.2.1 worked example (Makassar / NEIEZ, Mercator
+    # variant A): Bessel 1841, k0=0.997, λ0=110°E, FE=3900000,
+    # FN=900000; φ=3°S λ=120°E ⇄ E=5009726.58 N=569150.82.
+    from biggis_landuse_spark.operators.reproject import (
+        MercParams,
+        merc_to_lonlat,
+    )
+
+    p = MercParams(
+        6377397.155, 299.1528128, 110.0, 3_900_000.0, 900_000.0, k0=0.997
+    )
+    ee, nn = _merc_forward(-3.0, 120.0, p)
+    assert ee == pytest.approx(5009726.58, abs=0.01)
+    assert nn == pytest.approx(569150.82, abs=0.01)
+    df = spark.createDataFrame([(5009726.58, 569150.82)], "e double, n double")
+    lon_c, lat_c = merc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(-3.0, abs=1e-7)
+    assert r["lon"] == pytest.approx(120.0, abs=1e-7)
+
+
+def test_merc_variant_b_published_epsg_example(spark):
+    # EPSG GN7-2 §3.2.2 worked example (Pulkovo 1942 / Caspian Sea,
+    # Mercator variant B): Krassowsky 1940, φ1=42°N, λ0=51°E;
+    # φ=53°N λ=53°E ⇄ E=165704.29 N=5171848.07.
+    from biggis_landuse_spark.operators.reproject import (
+        MercParams,
+        merc_to_lonlat,
+    )
+
+    p = MercParams(6378245.0, 298.3, 51.0, 0.0, 0.0, lat_ts=42.0)
+    ee, nn = _merc_forward(53.0, 53.0, p)
+    assert ee == pytest.approx(165704.29, abs=0.01)
+    assert nn == pytest.approx(5171848.07, abs=0.01)
+    df = spark.createDataFrame([(165704.29, 5171848.07)], "e double, n double")
+    lon_c, lat_c = merc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(53.0, abs=1e-7)
+    assert r["lon"] == pytest.approx(53.0, abs=1e-7)
+
+
+def test_merc_3395_diverges_from_webmercator(spark):
+    # the reason 3395 must NOT silently ride the spherical fast path:
+    # at 60°N the ellipsoidal northing is ~37 km south of the
+    # spherical (3857) northing for the same latitude.
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        _MERC_CRS,
+        R_EARTH,
+    )
+
+    _, nn = _merc_forward(60.0, 0.0, _MERC_CRS[3395])
+    n_sph = R_EARTH * math.log(math.tan(math.pi / 4 + math.radians(60) / 2))
+    assert 30_000 < n_sph - nn < 45_000
+
+
+@pytest.mark.parametrize(
+    "lat,lon",
+    [
+        (0.0, 0.0),
+        (50.1, 8.6),       # Frankfurt
+        (-33.9, 18.4),     # Cape Town
+        (79.9, -170.0),    # near the grid's usable northern edge
+        (-79.9, 179.5),    # southern edge, antimeridian side
+    ],
+)
+def test_merc_inverse_roundtrips_forward(spark, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        _MERC_CRS,
+        merc_to_lonlat,
+    )
+
+    p = _MERC_CRS[3395]
+    ee, nn = _merc_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = merc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=2e-8)  # conformal series
+    assert r["lon"] == pytest.approx(lon, abs=1e-9)  # exact closed form
+
+
+def test_eqc_published_epsg_example(spark):
+    # EPSG GN7-2 §3.5.3 worked example (WGS 84 / World Equidistant
+    # Cylindrical): φ=55°N λ=10°E ⇄ E=1113194.91 N=6097230.31. The
+    # forward here integrates the meridional arc numerically
+    # (Simpson), so the anchor is independent of the engine's series.
+    from biggis_landuse_spark.operators.reproject import (
+        _EQC_CRS,
+        eqc_to_lonlat,
+    )
+
+    p = _EQC_CRS[4087]
+    ee, nn = _eqc_forward(55.0, 10.0, p)
+    assert ee == pytest.approx(1113194.91, abs=0.01)
+    assert nn == pytest.approx(6097230.31, abs=0.01)
+    df = spark.createDataFrame([(1113194.91, 6097230.31)], "e double, n double")
+    lon_c, lat_c = eqc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(55.0, abs=1e-7)
+    assert r["lon"] == pytest.approx(10.0, abs=1e-7)
+
+
+@pytest.mark.parametrize(
+    "lat,lon",
+    [
+        (0.0, 0.0),
+        (45.0, 90.0),
+        (-60.5, -179.0),
+        (89.0, 12.3),      # near-polar: the arc series must hold
+        (-12.34, 45.6),
+    ],
+)
+def test_eqc_inverse_roundtrips_forward(spark, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        _EQC_CRS,
+        eqc_to_lonlat,
+    )
+
+    p = _EQC_CRS[4087]
+    ee, nn = _eqc_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = eqc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=2e-7)  # rectifying series
+    assert r["lon"] == pytest.approx(lon, abs=1e-9)  # exact closed form
+
+
+def test_moll_snyder_published_example(spark):
+    # Snyder 1987 numerical example (Appendix, Mollweide sphere):
+    # R=1, λ0=−90°, φ=50°N λ=−75° ⇄ x=0.1788845 y=0.9208758.
+    from biggis_landuse_spark.operators.reproject import (
+        MollParams,
+        moll_to_lonlat,
+    )
+
+    p = MollParams(1.0, -90.0, 0.0, 0.0)
+    ee, nn = _moll_forward(50.0, -75.0, p)
+    assert ee == pytest.approx(0.1788845, abs=1e-7)
+    assert nn == pytest.approx(0.9208758, abs=1e-7)
+    df = spark.createDataFrame([(0.1788845, 0.9208758)], "e double, n double")
+    lon_c, lat_c = moll_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(50.0, abs=1e-5)   # example's 7 digits
+    assert r["lon"] == pytest.approx(-75.0, abs=1e-5)
+
+
+def test_moll_analytic_extents(spark):
+    # exact closed-form anchors: the equatorial map edge x=2√2·R is
+    # lon ±180°, and y=√2·R is the pole.
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        _MOLL_CRS,
+        moll_to_lonlat,
+    )
+
+    p = _MOLL_CRS[54009]
+    edge = 2 * math.sqrt(2) * p.r
+    df = spark.createDataFrame(
+        [(edge, 0.0), (0.0, math.sqrt(2) * p.r)], "e double, n double"
+    )
+    lon_c, lat_c = moll_to_lonlat(F.col("e"), F.col("n"), p)
+    rows = df.select(lon_c.alias("lon"), lat_c.alias("lat")).collect()
+    assert rows[0]["lon"] == pytest.approx(180.0, abs=1e-9)
+    assert rows[0]["lat"] == pytest.approx(0.0, abs=1e-9)
+    assert rows[1]["lat"] == pytest.approx(90.0, abs=1e-6)
+
+
+@pytest.mark.parametrize(
+    "lat,lon",
+    [
+        (0.0, 0.0),
+        (50.1, 8.6),
+        (-33.9, 18.4),
+        (75.0, -150.0),
+        (-89.0, 10.0),     # near-polar
+    ],
+)
+def test_moll_inverse_roundtrips_forward(spark, lat, lon):
+    from biggis_landuse_spark.operators.reproject import (
+        _MOLL_CRS,
+        moll_to_lonlat,
+    )
+
+    p = _MOLL_CRS[54009]
+    ee, nn = _moll_forward(lat, lon, p)
+    df = spark.createDataFrame([(ee, nn)], "e double, n double")
+    lon_c, lat_c = moll_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    assert r["lat"] == pytest.approx(lat, abs=1e-8)  # exact closed form
+    assert r["lon"] == pytest.approx(lon, abs=1e-7)
+
+
+def test_parse_merc_eqc_moll_proj4_wkt_epsg():
+    from biggis_landuse_spark.operators.reproject import (
+        _EQC_CRS,
+        _MERC_CRS,
+        _MOLL_CRS,
+        parse_crs,
+        parse_proj4,
+        parse_wkt_crs,
+    )
+
+    # EPSG codes
+    kind, p = parse_crs("EPSG:3395")
+    assert kind == "merc" and p is _MERC_CRS[3395]
+    kind, p = parse_crs("EPSG:4087")
+    assert kind == "eqc" and p is _EQC_CRS[4087]
+    kind, p = parse_crs("ESRI:54009")
+    assert kind == "moll" and p is _MOLL_CRS[54009]
+
+    # proj4 — variant A, variant B, eqc, moll
+    kind, p = parse_proj4(
+        "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84 +units=m"
+    )
+    assert kind == "merc" and p.k0 == 1.0 and p.lat_ts is None
+    kind, p = parse_proj4("+proj=merc +lat_ts=42 +lon_0=51 +ellps=krass")
+    assert kind == "merc" and p.lat_ts == 42.0 and p.k0 is None
+    assert (p.a, p.f_inv) == (6378245.0, 298.3)
+    kind, p = parse_proj4(
+        "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"
+    )
+    assert kind == "eqc" and (p.lat_ts, p.lat0) == (0.0, 0.0)
+    kind, p = parse_proj4("+proj=moll +lon_0=0 +x_0=0 +y_0=0 +R=6371000")
+    assert kind == "moll" and p.r == 6371000.0
+    kind, p = parse_proj4("+proj=moll +lon_0=0 +datum=WGS84")
+    assert kind == "moll" and p.r == 6378137.0  # sphere-on-a semantics
+
+    # WKT — OGC Mercator_1SP (EPSG:3395's .prj), ESRI Mercator with a
+    # standard parallel (variant B), Equidistant_Cylindrical, Mollweide
+    wkt_3395 = (
+        'PROJCS["WGS 84 / World Mercator",GEOGCS["WGS 84",'
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_1SP"],'
+        'PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt_3395)
+    assert kind == "merc" and p.k0 == 1.0 and p.lat_ts is None
+
+    wkt_esri_merc = (
+        'PROJCS["Caspian",GEOGCS["Pulkovo 1942",DATUM["Pulkovo_1942",'
+        'SPHEROID["Krassowsky 1940",6378245,298.3]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator"],'
+        'PARAMETER["standard_parallel_1",42],'
+        'PARAMETER["central_meridian",51],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["Meter",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt_esri_merc)
+    assert kind == "merc" and p.lat_ts == 42.0 and p.k0 is None
+
+    wkt_4087 = (
+        'PROJCS["WGS 84 / World Equidistant Cylindrical",'
+        'GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Equidistant_Cylindrical"],'
+        'PARAMETER["standard_parallel_1",0],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt_4087)
+    assert kind == "eqc" and p.lat_ts == 0.0
+
+    wkt_54009 = (
+        'PROJCS["World_Mollweide",GEOGCS["GCS_WGS_1984",'
+        'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mollweide"],PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["Meter",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt_54009)
+    assert kind == "moll" and p.r == 6378137.0
+
+    # ambiguous Mercator (both standard parallel and non-1 k0) raises
+    bad = wkt_esri_merc.replace(
+        'PARAMETER["central_meridian",51]',
+        'PARAMETER["scale_factor",0.997],PARAMETER["central_meridian",51]',
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        parse_wkt_crs(bad)
+
+
+def test_merc_eqc_moll_warp_plans_stay_jvm_side(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        _EQC_CRS,
+        _MERC_CRS,
+        _MOLL_CRS,
+        eqc_to_lonlat,
+        merc_to_lonlat,
+        moll_to_lonlat,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") * 30000.0 - 1_500_000.0).alias("e"),
+        (F.col("id") * 20000.0 - 1_000_000.0).alias("n"),
+    )
+    for fn, params in (
+        (merc_to_lonlat, _MERC_CRS[3395]),
+        (eqc_to_lonlat, _EQC_CRS[4087]),
+        (moll_to_lonlat, _MOLL_CRS[54009]),
+    ):
+        lon, lat = fn(F.col("e"), F.col("n"), params)
+        plan = (
+            df.select(lon.alias("lon"), lat.alias("lat"))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_merc_eqc_moll_pipeline_equivalence(spark):
+    # each family through the full webmercator pipeline: the EPSG/ESRI
+    # code and the equivalent proj4 string must key identical tiles
+    from biggis_landuse_spark.operators.reproject import (
+        reproject_pixels_to_webmercator,
+    )
+
+    pixels = spark.createDataFrame(
+        [
+            (0, px, py, float(px * 10 + py),
+             500_000.0, 5_000_000.0, 25000.0, 25000.0)
+            for px in range(8)
+            for py in range(8)
+        ],
+        "band int, px int, py int, value double, "
+        "x0 double, y0 double, dx double, dy double",
+    )
+    for code, proj4 in (
+        ("EPSG:3395", "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84"),
+        ("EPSG:4087",
+         "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"),
+        ("ESRI:54009", "+proj=moll +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"),
+    ):
+        outs = []
+        for crs in (code, proj4):
+            got = reproject_pixels_to_webmercator(
+                pixels, zoom=6, layer="t", src_crs=crs
+            )
+            outs.append(
+                sorted(
+                    (r["tile_col"], r["tile_row"], r["px"], r["py"],
+                     r["value"])
+                    for r in got.collect()
+                )
+            )
+        assert outs[0] == outs[1] and len(outs[0]) == 64, code
