@@ -183,6 +183,24 @@ def ivf_cell_count(n: int, min_k: int = 16) -> int:
     return max(min_k, int(math.ceil(math.sqrt(float(n)))))
 
 
+def ivf_coarse_count(k: int, min_k: int = 4) -> int:
+    """Coarse codebook size for the two-level quantizer:
+    ``kc = max(min_k, ceil(sqrt(k)))`` over the FINE cell count.
+
+    With k ~ sqrt(n) fine cells, a sqrt-sized coarse codebook makes
+    per-row assignment score ~kc + n_probe_coarse·(k/kc) ≈ 2·sqrt(k)
+    centroids instead of k — the flat quantizer's n^1.5 total
+    assignment cost (SCALE_PROBE.md) becomes n^1.25. Same float
+    ``ceil(sqrt())`` as :func:`ivf_cell_count` so oracles mirror it
+    op-for-op.
+    """
+    import math
+
+    if k <= 0:
+        return min_k
+    return max(min_k, int(math.ceil(math.sqrt(float(k)))))
+
+
 def subsplit_cells(
     assigned: DataFrame,
     cap: int,
