@@ -647,3 +647,140 @@ def media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_cuts"),
         F.min(F.when(F.col("c") == 1, F.col("fno"))).alias("first_cut"),
     )
+
+
+# synthesized AVI geometry for media_video_frames: 4x2 BI_RGB frames,
+# 3 per document → 24 payload bytes/frame, 72 bytes/document (144 hex
+# chars), every container size a constant → the whole RIFF skeleton
+# collapses to TWO hex literals the oracle can replay
+_VID_W, _VID_H, _VID_N = 4, 2, 3
+_VID_FRAME_BYTES = ((_VID_W * 3 + 3) // 4 * 4) * _VID_H  # 24
+_VID_HEX = 2 * _VID_FRAME_BYTES  # hex chars per frame slice
+_VID_PAD = _VID_N * _VID_HEX  # padded payload hex length
+
+
+def _avi_const_hex() -> tuple[str, str]:
+    from biggis_landuse_spark.sources.avi import avi_header_parts
+
+    prefix, headers = avi_header_parts(
+        _VID_W, _VID_H, _VID_N, rate=25, scale=1
+    )
+    return (prefix + headers[0]).hex().upper(), headers[0].hex().upper()
+
+
+_AVI_PREFIX_HEX, _AVI_SEP_HEX = _avi_const_hex()
+# RGB raveled pixel (0,0).R lives at file offset stride*(h-1)+2 of the
+# bottom-up BGR frame payload — the byte that pins row flip + channel
+# swap in the oracle
+_VID_FIRST_R = ((_VID_W * 3 + 3) // 4 * 4) * (_VID_H - 1) + 2
+
+
+@register(
+    "media_video_frames",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             rpad(hex(encode(text)), {_VID_PAD}, hex(encode(text))) AS px
+      FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+    ),
+    b AS (
+      SELECT doc_id, j, i,
+             {_byte_sql("px", f"{_VID_FRAME_BYTES}*j + i")} AS v
+      FROM (SELECT doc_id, px, unnest(range({_VID_N})) AS j FROM m) f,
+           (SELECT unnest(range({_VID_FRAME_BYTES})) AS i) ii
+    )
+    SELECT doc_id,
+           CAST(j AS BIGINT)                 AS frame_idx,
+           CAST({_VID_W} AS BIGINT)          AS width,
+           CAST({_VID_H} AS BIGINT)          AS height,
+           CAST(25 AS BIGINT)                AS fps_rate,
+           CAST(1 AS BIGINT)                 AS fps_scale,
+           CAST(count(*) AS BIGINT)          AS n_px,
+           CAST(sum(v) AS BIGINT)            AS sum_b,
+           CAST(max(v) AS BIGINT)            AS max_b,
+           round(CAST(sum(v) AS DOUBLE) * 1000000.0
+                 / {255 * _VID_FRAME_BYTES}.0) / 1000000.0 AS mean_b,
+           CAST(max(CASE WHEN i = {_VID_FIRST_R} THEN v END) AS BIGINT)
+                                             AS first_px_r
+    FROM b GROUP BY doc_id, j
+    """,
+    doc="""Video decode through the REAL stdlib AVI demuxer: each
+    document's bytes become the frame payloads of a {n}-frame
+    {w}x{h} BI_RGB AVI whose entire RIFF skeleton (avih/strh/strf
+    headers, movi chunk headers) is synthesized as pure Catalyst
+    expressions from TWO constant hex literals (every container size
+    is fixed), decode_video_frames (sources/avi.py inside
+    Arrow-batched mapInPandas) walks the container and emits one row
+    per frame — the UDTF fan-out shape of video — and per-frame
+    features (byte sum/max, 6dp-synced mean, the flip-and-channel-
+    pinning first_px_r) are column expressions over the returned
+    array. first_px_r reads RGB-raveled pixel (0,0).R, which lives at
+    file offset stride·(h−1)+2 of the bottom-up BGR payload: the
+    oracle replays that index arithmetic, so the demuxer's row flip
+    and BGR→RGB swap are hash-checked byte-exactly, not just its
+    sums. The same demuxer also plays MJPG (per-frame JPEG via
+    sources/jpeg.py, tests/test_avi_codec.py) — the container walk
+    under test here is codec-independent.
+
+    Scale shape: one mapInPandas pass (constant memory per worker,
+    payloads never cross the driver), frame fan-out is {n}x row
+    growth inside the generator, features fused in codegen, NO
+    shuffle at all. NULL/empty text filtered on both sides (the real
+    codec raises on torn containers by contract).""".format(
+        n=_VID_N, w=_VID_W, h=_VID_H
+    ),
+    tags=("multimodal",),
+)
+def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    docs = (
+        documents.where(
+            F.col("text").isNotNull() & (F.octet_length(payload) > 0)
+        )
+        .withColumn("_hx", F.hex(payload))
+        .withColumn("_px", F.expr(f"rpad(_hx, {_VID_PAD}, _hx)"))
+    )
+    parts = [F.unhex(F.lit(_AVI_PREFIX_HEX))]
+    for j in range(_VID_N):
+        if j:
+            parts.append(F.unhex(F.lit(_AVI_SEP_HEX)))
+        parts.append(
+            F.unhex(F.substring(F.col("_px"), 1 + _VID_HEX * j, _VID_HEX))
+        )
+    decoded = MM.decode_video_frames(
+        docs.select("doc_id", F.concat(*parts).alias("content"))
+    )
+    # recover exact integer bytes from the /255 doubles (x*255 exact)
+    q = F.expr("transform(pixels, x -> cast(round(x * 255.0) as bigint))")
+    stats = decoded.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("fps_rate").cast("long").alias("fps_rate"),
+        F.col("fps_scale").cast("long").alias("fps_scale"),
+        F.size("pixels").cast("long").alias("n_px"),
+        q.alias("q"),
+    )
+    return stats.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "fps_rate",
+        "fps_scale",
+        "n_px",
+        F.expr("aggregate(q, 0L, (a, x) -> a + x)").alias("sum_b"),
+        F.expr("array_max(q)").alias("max_b"),
+        (
+            F.round(
+                F.expr("aggregate(q, 0L, (a, x) -> a + x)").cast("double")
+                * 1000000.0
+                / float(255 * _VID_FRAME_BYTES)
+            )
+            / 1000000.0
+        ).alias("mean_b"),
+        F.element_at("q", 1).alias("first_px_r"),
+    )
