@@ -343,8 +343,12 @@ def ivf_assign(
             )
         ).alias("_cs")
     )
-    # same 6dp-rounded cosine + (affinity DESC, cid ASC) order as the
-    # n_probe=1 branch and the DuckDB oracles' row_number window
+    # same 6dp-rounded cosine + (affinity DESC NULLS LAST, cid ASC)
+    # order as the n_probe=1 branch (max_by treats NULL as smallest)
+    # and the DuckDB oracles' row_number window (NULLS LAST default) —
+    # without the explicit NULL arms a zero-norm/NULL centroid would
+    # TIE with every real affinity and fall through to cid order,
+    # outranking genuine matches
     ordered = F.expr(
         """
         slice(array_sort(
@@ -354,7 +358,9 @@ def ivf_assign(
                         0D, (acc, x) -> acc + x),
               _nv * c.ncv), 6) AS a,
             c.cid AS cid)),
-          (l, r) -> CASE WHEN l.a > r.a THEN -1 WHEN l.a < r.a THEN 1
+          (l, r) -> CASE WHEN l.a IS NULL AND r.a IS NOT NULL THEN 1
+                         WHEN r.a IS NULL AND l.a IS NOT NULL THEN -1
+                         WHEN l.a > r.a THEN -1 WHEN l.a < r.a THEN 1
                          WHEN l.cid < r.cid THEN -1
                          WHEN l.cid > r.cid THEN 1 ELSE 0 END
         ), 1, {np})
@@ -371,6 +377,74 @@ def ivf_assign(
     )
 
 
+def hier_codebook(
+    centroids: DataFrame,
+    coarse: DataFrame,
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    ccid_col: str = "ccid",
+) -> DataFrame:
+    """The ONE-row nested two-level codebook :func:`ivf_assign_hier`
+    broadcasts (coarse struct → its fine structs, both pre-normed).
+    Build it once and pass it to multiple ``ivf_assign_hier`` calls via
+    ``codebook=`` — corpus assignment and query probing then share a
+    single f2c bucketing join instead of recomputing the k·sqrt(k)
+    setup per call."""
+    f2c = ivf_assign(
+        centroids.select(F.col(cid_col), F.col(cvec_col).alias("vec")),
+        coarse,
+        id_col=cid_col,
+        vec_col="vec",
+        cid_col=ccid_col,
+        cvec_col=cvec_col,
+        n_probe=1,
+    ).select(cid_col, ccid_col)
+    fines = (
+        centroids.select(
+            F.col(cid_col),
+            F.col(cvec_col).alias("_fv"),
+            norm(F.col(cvec_col)).alias("_nfv"),
+        )
+        .join(F.broadcast(f2c), cid_col)
+        .groupBy(ccid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(cid_col).alias("cid"),
+                        F.col("_fv").alias("cv"),
+                        F.col("_nfv").alias("ncv"),
+                    )
+                )
+            ).alias("fines")
+        )
+    )
+    # LEFT join: a coarse cell no fine centroid mapped to still ranks
+    # in the per-vector coarse ordering (with zero probeable fines) —
+    # matching the oracle, which ranks ALL coarse cells before joining
+    # fines in. The probe's flatten coalesces its NULL fines to empty.
+    return (
+        coarse.select(
+            F.col(ccid_col),
+            F.col(cvec_col).alias("_gv"),
+            norm(F.col(cvec_col)).alias("_ngv"),
+        )
+        .join(fines, ccid_col, "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ccid_col).alias("ccid"),
+                        F.col("_gv").alias("gv"),
+                        F.col("_ngv").alias("ngv"),
+                        F.col("fines").alias("fines"),
+                    )
+                )
+            ).alias("_gs")
+        )
+    )
+
+
 def ivf_assign_hier(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -382,6 +456,7 @@ def ivf_assign_hier(
     ccid_col: str = "ccid",
     n_probe_coarse: int = 1,
     n_probe: int = 1,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Hierarchical (two-level) IVF coarse quantization — the IMI-style
     assignment that fixes the flat quantizer's measured n^1.5 cost
@@ -417,59 +492,12 @@ def ivf_assign_hier(
     (SURVEY.md §2 extension table).
     """
     # fine → coarse bucketing: |centroids| rows scored against the
-    # broadcast coarse table — k*sqrt(k) work on bounded relations
-    f2c = ivf_assign(
-        centroids.select(F.col(cid_col), F.col(cvec_col).alias("vec")),
-        coarse,
-        id_col=cid_col,
-        vec_col="vec",
-        cid_col=ccid_col,
-        cvec_col=cvec_col,
-        n_probe=1,
-    ).select(cid_col, ccid_col)
-    fines = (
-        centroids.select(
-            F.col(cid_col),
-            F.col(cvec_col).alias("_fv"),
-            norm(F.col(cvec_col)).alias("_nfv"),
-        )
-        .join(F.broadcast(f2c), cid_col)
-        .groupBy(ccid_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(cid_col).alias("cid"),
-                        F.col("_fv").alias("cv"),
-                        F.col("_nfv").alias("ncv"),
-                    )
-                )
-            ).alias("fines")
-        )
-    )
-    # LEFT join: a coarse cell no fine centroid mapped to still ranks
-    # in the per-vector coarse ordering (with zero probeable fines) —
-    # matching the oracle, which ranks ALL coarse cells before joining
-    # fines in. The flatten below coalesces its NULL fines to empty.
+    # broadcast coarse table — k*sqrt(k) work on bounded relations,
+    # built ONCE and shareable across calls via ``codebook=``
     garr = (
-        coarse.select(
-            F.col(ccid_col),
-            F.col(cvec_col).alias("_gv"),
-            norm(F.col(cvec_col)).alias("_ngv"),
-        )
-        .join(fines, ccid_col, "left")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(ccid_col).alias("ccid"),
-                        F.col("_gv").alias("gv"),
-                        F.col("_ngv").alias("ngv"),
-                        F.col("fines").alias("fines"),
-                    )
-                )
-            ).alias("_gs")
-        )
+        codebook
+        if codebook is not None
+        else hier_codebook(centroids, coarse, cid_col, cvec_col, ccid_col)
     )
     v = vectors.select(
         F.col(id_col), F.col(vec_col).alias("_v")
@@ -482,8 +510,12 @@ def ivf_assign_hier(
         "aggregate(zip_with(_v, {vec}, (x, y) -> x * y),"
         " 0D, (acc, x) -> acc + x), _nv * {nrm}), 6)"
     )
+    # NULL affinity sorts LAST (matches the oracles' NULLS LAST
+    # row_number windows and ivf_assign's comparator)
     _cmp = (
-        "(l, r) -> CASE WHEN l.a > r.a THEN -1 WHEN l.a < r.a THEN 1 "
+        "(l, r) -> CASE WHEN l.a IS NULL AND r.a IS NOT NULL THEN 1 "
+        "WHEN r.a IS NULL AND l.a IS NOT NULL THEN -1 "
+        "WHEN l.a > r.a THEN -1 WHEN l.a < r.a THEN 1 "
         "WHEN l.{id} < r.{id} THEN -1 WHEN l.{id} > r.{id} THEN 1 "
         "ELSE 0 END"
     )
@@ -606,9 +638,12 @@ def ivf_topk_hier(
     coarse cells and the best ``n_probe`` fine cells within them.
     """
     v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    # the two-level codebook is built ONCE and shared by corpus
+    # assignment and query probing (it is the same broadcast row)
+    garr = hier_codebook(centroids, coarse)
     assign = ivf_assign_hier(
         v, centroids, coarse, id_col=id_col,
-        n_probe_coarse=1, n_probe=1,
+        n_probe_coarse=1, n_probe=1, codebook=garr,
     ).select(F.col(id_col).alias("neighbor_id"), "cid")
     q_probes = ivf_assign_hier(
         queries.select(F.col(id_col), as_double(vec_col).alias("vec")),
@@ -617,6 +652,7 @@ def ivf_topk_hier(
         id_col=id_col,
         n_probe_coarse=n_probe_coarse,
         n_probe=n_probe,
+        codebook=garr,
     ).select(F.col(id_col).alias("query_id"), "cid")
     c = v.select(
         F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv")

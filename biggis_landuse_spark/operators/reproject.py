@@ -360,6 +360,8 @@ def _laea_consts(p: LaeaParams) -> tuple[float, float, float, float, float]:
 
     def q(phi: float) -> float:
         s = math.sin(phi)
+        if e == 0.0:  # spherical limit of the authalic latitude
+            return 2.0 * s
         return (1 - e2) * (
             s / (1 - e2 * s * s)
             - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
@@ -527,6 +529,8 @@ def _aea_consts(p: AeaParams) -> tuple[float, float, float, float, float]:
 
     def q(phi: float) -> float:
         s = math.sin(phi)
+        if e == 0.0:  # spherical limit of the authalic latitude
+            return 2.0 * s
         return (1 - e2) * (
             s / (1 - e2 * s * s)
             - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
@@ -641,11 +645,14 @@ def _cea_consts(p: CeaParams) -> tuple[float, float, float]:
     f = 1.0 / p.f_inv
     e2 = f * (2 - f)
     e = math.sqrt(e2)
-    s = math.sin(math.pi / 2)
-    qp = (1 - e2) * (
-        s / (1 - e2 * s * s)
-        - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
-    )
+    if e == 0.0:  # spherical limit of the authalic latitude
+        qp = 2.0
+    else:
+        s = math.sin(math.pi / 2)
+        qp = (1 - e2) * (
+            s / (1 - e2 * s * s)
+            - (1 / (2 * e)) * math.log((1 - e * s) / (1 + e * s))
+        )
     phi_ts = math.radians(p.lat_ts)
     k0 = math.cos(phi_ts) / math.sqrt(1 - e2 * math.sin(phi_ts) ** 2)
     return e, qp, k0
@@ -902,14 +909,31 @@ def parse_proj4(
         return float(v)
 
     def ellipsoid() -> tuple[float, float]:
-        name = (kv.get("ellps") or kv.get("datum") or "WGS84").upper()
+        # explicit numeric definitions take precedence over names; a
+        # SPHERE comes back as f_inv = inf (e = 0 downstream — every
+        # consts function takes the exact spherical limit). Without
+        # this, '+proj=merc +a=6378137 +b=6378137' (the canonical
+        # EPSG:3857 expansion) would silently parse as ELLIPSOIDAL
+        # WGS84 — ~35 km of northing error at 60°, the exact silent
+        # wrong-warp the module's contract forbids.
+        if "R" in kv:
+            return num("R"), math.inf
         if "a" in kv and "rf" in kv:
             return num("a"), num("rf")
+        if "a" in kv and "b" in kv:
+            a, b = num("a"), num("b")
+            if not 0 < b <= a:
+                raise ValueError(f"+b must be in (0, a]: {proj4!r}")
+            return a, math.inf if b == a else a / (a - b)
+        if "a" in kv and "ellps" not in kv and "datum" not in kv:
+            return num("a"), math.inf  # PROJ: a bare +a is a sphere
+        name = (kv.get("ellps") or kv.get("datum") or "WGS84").upper()
         if name in _ELLPS:
             return _ELLPS[name]
         raise ValueError(
             f"unsupported ellipsoid {name!r} "
-            f"({'/'.join(sorted(_ELLPS))} or explicit +a/+rf): {proj4!r}"
+            f"({'/'.join(sorted(_ELLPS))} or explicit +a/+rf, +a/+b, "
+            f"+R): {proj4!r}"
         )
 
     if proj == "longlat":
@@ -1064,6 +1088,12 @@ def parse_wkt_crs(
     if not sph:
         raise ValueError(f"WKT without SPHEROID: {wkt[:60]!r}")
     a, rf = float(sph.group(1)), float(sph.group(2))
+    if rf == 0.0:
+        # ESRI writes inverse flattening 0 for a SPHERE; represent it
+        # as f_inv = inf so every consts function takes the exact
+        # spherical (e = 0) limit instead of dividing by zero. The
+        # Sinusoidal branch below keeps its own rf == 0 contract.
+        rf = math.inf
     # projected units must be metres (our false eastings/northings are)
     unit = re.findall(r'UNIT\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', wkt)
     if unit:
@@ -1249,8 +1279,9 @@ def parse_wkt_crs(
         )
     if proj == "sinusoidal":
         # spherical only (the MODIS shape): the SPHEROID must carry
-        # inverse flattening 0 (ESRI writes 0.0 for a sphere)
-        if rf != 0.0:
+        # inverse flattening 0 (ESRI's sphere spelling, normalized to
+        # inf above)
+        if rf != math.inf:
             raise ValueError(
                 "Sinusoidal is supported on a sphere only (SPHEROID "
                 f"inverse flattening must be 0; MODIS is spherical): "

@@ -325,7 +325,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_CENTROIDS_H = 64  # fine cells
-COARSE_K = 8  # coarse cells over the fine codebook (~sqrt of fine)
+# coarse cells over the fine codebook — derived by the same sizing
+# rule production uses (max(4, ceil(sqrt(k))) = 8 here), so the
+# constant cannot drift from the helper it mirrors
+COARSE_K = S.ivf_coarse_count(N_CENTROIDS_H)
 
 
 @register(

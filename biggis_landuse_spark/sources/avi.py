@@ -56,6 +56,8 @@ def decode_avi(
     rate, scale = 0, 1
     bitcount = compression = None
     handler = b""
+    stream_idx = 0  # strl lists appear in stream order (spec)
+    vids_idx: int | None = None
     frame_chunks: list[bytes] = []
     for tag, body, size in _walk_chunks(data, 12, len(data)):
         if tag != b"LIST":
@@ -68,25 +70,37 @@ def decode_avi(
                         "<II", data[b2 + 32 : b2 + 40]
                     )
                 elif t2 == b"LIST" and data[b2 : b2 + 4] == b"strl":
+                    is_vids = False
                     for t3, b3, s3 in _walk_chunks(
                         data, b2 + 4, b2 + s2
                     ):
                         if t3 == b"strh" and s3 >= 28:
-                            if data[b3 : b3 + 4] != b"vids":
-                                continue  # audio/other streams: skip
+                            # audio/other streams: remember only the
+                            # FIRST vids stream; their strf is a
+                            # WAVEFORMATEX, not a BITMAPINFOHEADER
+                            if (
+                                data[b3 : b3 + 4] != b"vids"
+                                or vids_idx is not None
+                            ):
+                                continue
+                            is_vids = True
+                            vids_idx = stream_idx
                             handler = data[b3 + 4 : b3 + 8]
                             scale, rate = struct.unpack(
                                 "<II", data[b3 + 20 : b3 + 28]
                             )
-                        elif t3 == b"strf" and s3 >= 20:
+                        elif t3 == b"strf" and s3 >= 20 and is_vids:
                             bitcount, compression = struct.unpack(
                                 "<HI", data[b3 + 14 : b3 + 20]
                             )
+                    stream_idx += 1
         elif kind == b"movi":
+            sid = b"%02d" % (vids_idx if vids_idx is not None else 0)
             for t2, b2, s2 in _walk_chunks(data, body + 4, body + size):
-                # first video stream: '00db' (uncompressed) / '00dc'
-                # (compressed) frame chunks
-                if t2[:2] == b"00" and t2[2:4] in (b"db", b"dc"):
+                # the vids stream's '##db' (uncompressed) / '##dc'
+                # (compressed) frame chunks — matched by the stream
+                # index its strl occupies, not a hardcoded 00
+                if t2[:2] == sid and t2[2:4] in (b"db", b"dc"):
                     frame_chunks.append(data[b2 : b2 + s2])
     if width is None or height is None:
         raise AviFormatError("missing avih header")

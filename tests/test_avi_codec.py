@@ -170,3 +170,53 @@ def test_media_video_frames_total_on_empty_and_null_text(spark, tmp_path):
         ).count() == 0
     finally:
         release_caches()
+
+
+def test_audio_stream_first_video_is_stream_one():
+    # r7 review fix: the audio strl's strf (a WAVEFORMATEX) must not
+    # clobber the video BITMAPINFOHEADER, and frame chunks must be
+    # matched by the vids stream's INDEX ('01db' here), not by a
+    # hardcoded '00'
+    import struct
+
+    frames = _frames(2, 4, n=2)
+    data = encode_avi(frames)
+    # rebuild: insert an audio strl BEFORE the video strl and renumber
+    # the frame chunks to stream 01
+    auds_strh = (
+        b"auds" + b"\x00" * 4
+        + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, 1, 8000, 0, 0, 0,
+                      -1, 1, 0, 0, 0, 0)
+    )
+    # a 20-byte WAVEFORMATEX-ish strf whose fields would parse as a
+    # nonsense BITMAPINFOHEADER if the guard were missing
+    auds_strf = struct.pack("<HHIIHHI", 85, 2, 8000, 16000, 2, 16, 0)[:20]
+    auds_strl = (
+        b"strl"
+        + b"strh" + struct.pack("<I", len(auds_strh)) + auds_strh
+        + b"strf" + struct.pack("<I", len(auds_strf)) + auds_strf
+    )
+    hdrl_at = data.index(b"hdrl")
+    strl_at = data.index(b"LIST", hdrl_at)
+    patched = (
+        data[:strl_at]
+        + b"LIST" + struct.pack("<I", len(auds_strl)) + auds_strl
+        + data[strl_at:]
+    ).replace(b"00db", b"01db")
+    # fix the RIFF and hdrl LIST sizes the insertion grew
+    grown = 8 + len(auds_strl)
+    patched = bytearray(patched)
+    patched[4:8] = struct.pack(
+        "<I", struct.unpack("<I", patched[4:8])[0] + grown
+    )
+    hdrl_size_at = patched.index(b"hdrl") - 4
+    patched[hdrl_size_at:hdrl_size_at + 4] = struct.pack(
+        "<I",
+        struct.unpack("<I", patched[hdrl_size_at:hdrl_size_at + 4])[0]
+        + grown,
+    )
+    width, height, rate, scale, out = decode_avi(bytes(patched))
+    assert (width, height) == (4, 2)
+    assert len(out) == 2
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)

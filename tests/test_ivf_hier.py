@@ -143,3 +143,49 @@ def test_assignment_is_single_pass_no_window(vectors, fine, coarse):
     # (fine→coarse groupBy + the one-row collect_list agg) and their
     # broadcast — never a hash exchange keyed on the vector id
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_multiprobe_null_affinity_centroid_ranks_last(spark):
+    # r7 review fix: a zero-norm/NULL centroid yields NULL cosine via
+    # try_divide; the array_sort comparator must push it LAST (like
+    # the oracles' NULLS LAST row_number and the n_probe=1 max_by),
+    # not let it tie and win on the lowest cid
+    from pyspark.sql import functions as F
+
+    from biggis_landuse_spark.functions.similarity import (
+        hier_codebook,
+        ivf_assign,
+        ivf_assign_hier,
+    )
+
+    vecs = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.9, 0.1]), (102, [0.0, 1.0])],
+        "vec_id long, vec array<double>",
+    )
+    # cid 0 is the all-zero (NULL-affinity) centroid with the LOWEST id
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "cid long, cv array<double>",
+    )
+    got = {
+        (r["vec_id"], r["probe_rank"]): r["cid"]
+        for r in ivf_assign(vecs, cents, n_probe=2).collect()
+    }
+    # rank 1 and 2 are the REAL centroids for every vector; the
+    # zero-norm cell never occupies a probe slot while real ones exist
+    assert got[(100, 1)] == 1 and got[(100, 2)] == 2
+    assert got[(102, 1)] == 2 and got[(102, 2)] == 1
+
+    coarse = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "ccid long, cv array<double>",
+    )
+    hier = {
+        (r["vec_id"], r["probe_rank"]): r["cid"]
+        for r in ivf_assign_hier(
+            vecs, cents, coarse, n_probe_coarse=2, n_probe=2,
+            codebook=hier_codebook(cents, coarse),
+        ).collect()
+    }
+    assert hier[(100, 1)] == 1
+    assert hier[(102, 1)] == 2

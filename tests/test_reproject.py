@@ -2064,3 +2064,156 @@ def test_merc_eqc_moll_pipeline_equivalence(spark):
                 )
             )
         assert outs[0] == outs[1] and len(outs[0]) == 64, code
+
+
+# ---------------------------------------------------------------------------
+# Spherical CRSs (+R, +a=+b, WKT SPHEROID rf=0) — r7 review fix: these
+# previously either raised (honest) or, worse, silently parsed as
+# ellipsoidal WGS84 in the merc/cea/eqc families
+# ---------------------------------------------------------------------------
+
+
+def _sph_inv(spark, fn, p, e, n):
+    df = spark.createDataFrame([(float(e), float(n))], "e double, n double")
+    lon_c, lat_c = fn(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    return r["lat"], r["lon"]
+
+
+def test_spherical_merc_3857_expansion_is_webmercator(spark):
+    # the canonical EPSG:3857 proj4 expansion must parse as a SPHERE
+    # (f_inv = inf → e = 0) and invert exactly like the WebMercator
+    # closed form — NOT as ellipsoidal WGS84 (~35 km off at 60°)
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        R_EARTH,
+        merc_to_lonlat,
+        parse_crs,
+    )
+
+    kind, p = parse_crs(
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+        "+x_0=0 +y_0=0 +k=1 +units=m +no_defs"
+    )
+    assert kind == "merc" and p.f_inv == math.inf
+    for lat, lon in ((51.5, -0.13), (60.0, 25.0), (-33.9, 18.4)):
+        x = R_EARTH * math.radians(lon)
+        y = R_EARTH * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2))
+        la, lo = _sph_inv(spark, merc_to_lonlat, p, x, y)
+        assert la == pytest.approx(lat, abs=1e-9)
+        assert lo == pytest.approx(lon, abs=1e-9)
+
+
+def test_spherical_cea_ease1_round_trip(spark):
+    # NSIDC EASE-Grid 1.0 is the SPHERICAL cylindrical equal-area
+    # (a = b = 6371228, lat_ts 30): x = R·λ·cosφs, y = R·sinφ/cosφs
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        cea_to_lonlat,
+        parse_crs,
+    )
+
+    kind, p = parse_crs("+proj=cea +a=6371228 +b=6371228 +lat_ts=30 +lon_0=0")
+    assert kind == "cea" and p.f_inv == math.inf
+    R, cts = 6371228.0, math.cos(math.radians(30))
+    for lat, lon in ((42.5, 17.0), (0.0, 0.0), (-60.0, -170.0)):
+        x = R * math.radians(lon) * cts
+        y = R * math.sin(math.radians(lat)) / cts
+        la, lo = _sph_inv(spark, cea_to_lonlat, p, x, y)
+        assert la == pytest.approx(lat, abs=1e-9)
+        assert lo == pytest.approx(lon, abs=1e-9)
+
+
+def test_spherical_eqc_plus_r(spark):
+    # '+proj=eqc +R=…' (NCEP/climate grids): pure linear degrees
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        eqc_to_lonlat,
+        parse_crs,
+    )
+
+    kind, p = parse_crs("+proj=eqc +R=6371229 +lat_ts=0 +lon_0=0")
+    assert kind == "eqc" and p.f_inv == math.inf and p.a == 6371229.0
+    la, lo = _sph_inv(
+        spark, eqc_to_lonlat, p,
+        6371229.0 * math.radians(10.0), 6371229.0 * math.radians(55.0),
+    )
+    assert la == pytest.approx(55.0, abs=1e-9)
+    assert lo == pytest.approx(10.0, abs=1e-9)
+
+
+def test_spherical_laea_us_atlas_round_trip(spark):
+    # US National Atlas LAEA is spherical (a = b = 6370997); the
+    # authalic q() must take its e→0 limit (2·sinφ), not divide by 0
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        laea_to_lonlat,
+        parse_crs,
+    )
+
+    kind, p = parse_crs(
+        "+proj=laea +a=6370997 +b=6370997 +lat_0=45 +lon_0=-100 "
+        "+x_0=0 +y_0=0"
+    )
+    assert kind == "laea" and p.f_inv == math.inf
+    R = 6370997.0
+    phi1, lam0 = math.radians(45.0), math.radians(-100.0)
+    for lat, lon in ((33.0, -117.0), (45.0, -100.0), (60.0, -60.0)):
+        phi, lam = math.radians(lat), math.radians(lon)
+        kp = math.sqrt(
+            2 / (1 + math.sin(phi1) * math.sin(phi)
+                 + math.cos(phi1) * math.cos(phi) * math.cos(lam - lam0))
+        )
+        x = R * kp * math.cos(phi) * math.sin(lam - lam0)
+        y = R * kp * (
+            math.cos(phi1) * math.sin(phi)
+            - math.sin(phi1) * math.cos(phi) * math.cos(lam - lam0)
+        )
+        la, lo = _sph_inv(spark, laea_to_lonlat, p, x, y)
+        assert la == pytest.approx(lat, abs=1e-9)
+        assert lo == pytest.approx(lon, abs=1e-9)
+
+
+def test_wkt_spheroid_rf0_is_sphere_not_crash(spark):
+    # ESRI writes SPHEROID[...,0] for spheres: the Mercator/TM/CEA
+    # branches must take the spherical limit, not ZeroDivisionError
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        R_EARTH,
+        merc_to_lonlat,
+        parse_wkt_crs,
+    )
+
+    wkt = (
+        'PROJCS["Sphere_Mercator",GEOGCS["GCS_Sphere",DATUM["D_Sphere",'
+        'SPHEROID["Sphere",6378137,0]],PRIMEM["Greenwich",0],'
+        'UNIT["Degree",0.0174532925199433]],PROJECTION["Mercator"],'
+        'PARAMETER["standard_parallel_1",0],'
+        'PARAMETER["central_meridian",0],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["Meter",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt)
+    assert kind == "merc" and p.f_inv == math.inf
+    y = R_EARTH * math.log(math.tan(math.pi / 4 + math.radians(51.5) / 2))
+    la, lo = _sph_inv(spark, merc_to_lonlat, p, 0.0, y)
+    assert la == pytest.approx(51.5, abs=1e-9)
+    # Transverse_Mercator on a sphere parses too (e = 0 series)
+    wkt_tm = wkt.replace('PROJECTION["Mercator"]',
+                         'PROJECTION["Transverse_Mercator"]').replace(
+        'PARAMETER["standard_parallel_1",0]',
+        'PARAMETER["latitude_of_origin",0],PARAMETER["scale_factor",1]')
+    kind, p = parse_wkt_crs(wkt_tm)
+    assert kind == "tm" and p.f_inv == math.inf
+
+
+def test_proj4_bad_b_raises():
+    from biggis_landuse_spark.operators.reproject import parse_proj4
+
+    with pytest.raises(ValueError, match=r"\+b must be"):
+        parse_proj4("+proj=merc +a=6378137 +b=7000000 +lon_0=0")
