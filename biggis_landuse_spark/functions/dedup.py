@@ -322,6 +322,85 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+SIMHASH_BITS = 32       # fingerprint width produced by simhash32
+SIMHASH_BANDS = 4       # pigeonhole blocks: 4 bands × 8 bits
+SIMHASH_HAMMING_T = SIMHASH_BANDS - 1  # exactness bound of the blocking
+
+
+def simhash_band_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str = "simhash",
+    threshold: int = SIMHASH_HAMMING_T,
+    cap: int = BAND_GROUP_CAP,
+) -> DataFrame:
+    """EXACT Hamming-ball near-dup pairs via pigeonhole band blocking.
+
+    Split the 32-bit fingerprint into 4 disjoint 8-bit bands; any pair
+    within Hamming distance ≤ 3 differs in at most 3 bit positions, so
+    at least one band is bit-identical (pigeonhole) — candidate
+    generation is therefore an equi-join on (band_id, band value) that
+    PROVABLY misses nothing at the default threshold, unlike the
+    probabilistic MinHash/LSH family. Candidates are then verified
+    with the exact distance bit_count(a XOR b) <= threshold, so every
+    emitted pair is a true near-dup (the Manku/Jain/Sarma web-dedup
+    construction; production widens to a 64-bit fingerprint and
+    t+1 bands for threshold t — same constant, same plan).
+
+    Scale shape: 4 band rows per doc, ONE shuffle on (band_id, band)
+    reused by the hot-group sub-split window (subsplit_band_groups
+    discipline — pair volume stays ≤ n·4·cap under any skew), and the
+    fingerprints ride INSIDE the collected structs so no join-back to
+    the signature relation is ever needed. Pairs sharing several bands
+    dedupe in the final per-pair aggregate — the same exchange the
+    distinct would need anyway.
+    """
+    from pyspark.sql import Window as W
+
+    per_band = SIMHASH_BITS // SIMHASH_BANDS
+    banded = sig.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> struct("
+                f"  b AS band_id,"
+                f"  CAST(shiftright({hash_col}, b * {per_band})"
+                f"       & {(1 << per_band) - 1} AS STRING) AS sig))"
+            )
+        ).alias("band"),
+    ).select("band.band_id", "band.sig", id_col, hash_col)
+    pop = F.count(F.lit(1)).over(W.partitionBy("band_id", "sig"))
+    nsub = F.ceil(pop / F.lit(float(cap))).cast("long")
+    mix = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    bsub = banded.withColumn("sub", F.pmod(mix, nsub).cast("long"))
+    grouped = (
+        bsub.groupBy("band_id", "sig", "sub")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("i"), F.col(hash_col).alias("h")))
+            ).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(xs, (a, i) -> "
+        "  transform(slice(xs, i + 2, size(xs)), b -> "
+        "    struct(a.i AS doc_a, b.i AS doc_b, "
+        "           CAST(bit_count(a.h ^ b.h) AS INT) AS hamming))))"
+    )
+    pairs = grouped.select(F.explode(F.expr(pair_expr)).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.hamming"
+    )
+    return (
+        pairs.where(F.col("hamming") <= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
+    )
+
+
 def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-digest groupBy: survivors keep min id."""
     groups = (

@@ -379,6 +379,30 @@ def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wav_le32(n):
+    """Little-endian 32-bit size field as Catalyst expressions."""
+    h = F.lpad(F.hex(n), 8, "0")
+    return F.unhex(
+        F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        )
+    )
+
+
+def _wav_content(payload, plen):
+    """8-bit PCM mono RIFF/WAV container around ``payload`` bytes."""
+    return F.concat(
+        F.unhex(F.lit("52494646")),       # RIFF
+        _wav_le32(plen + 36),
+        F.unhex(F.lit(_WAV_FIXED_HEX)),
+        _wav_le32(plen),
+        payload,
+    )
+
+
 # 8-bit PCM mono WAV header pieces (RIFF spec). After "RIFF" + the
 # LE32 riff size comes this fixed 32-byte run: "WAVE", "fmt ", LE32(16),
 # the <HHIIHH fmt chunk (PCM=1, mono, 8000 Hz, byte rate 8000,
@@ -471,25 +495,7 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode(F.col("text"), "UTF-8")
     plen = F.octet_length(payload)
     docs = documents.where(F.col("text").isNotNull() & (plen > 0))
-
-    def le32(n):
-        h = F.lpad(F.hex(n), 8, "0")
-        return F.unhex(
-            F.concat(
-                F.substring(h, 7, 2),
-                F.substring(h, 5, 2),
-                F.substring(h, 3, 2),
-                F.substring(h, 1, 2),
-            )
-        )
-
-    content = F.concat(
-        F.unhex(F.lit("52494646")),       # RIFF
-        le32(plen + 36),
-        F.unhex(F.lit(_WAV_FIXED_HEX)),
-        le32(plen),
-        payload,
-    )
+    content = _wav_content(payload, plen)
     decoded = MM.decode_media(
         docs.select("doc_id", content.alias("content")), codec="wav"
     )
@@ -543,6 +549,92 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000.0,
         ).alias("zero_cross_rate"),
+    )
+
+
+# audio analysis frame: 64 samples = 8 ms at the container's 8 kHz
+_FRAME_SAMPLES = 64
+
+
+@register(
+    "media_audio_frames",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS len
+      FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+    ),
+    idx AS (SELECT doc_id, len, hx, unnest(range(len)) AS i FROM m),
+    s AS (
+      SELECT doc_id, CAST(i // {_FRAME_SAMPLES} AS INT) AS frame_id,
+             {_byte_sql("hx", "i")} - 128 AS q
+      FROM idx
+    )
+    SELECT doc_id, frame_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           round(CAST(max(abs(q)) AS DOUBLE) / 128.0 * 1000000.0)
+                 / 1000000.0 AS peak_amp,
+           round(sqrt(CAST(sum(q * q) AS DOUBLE)
+                      / (16384.0 * CAST(count(*) AS DOUBLE))) * 1000000.0)
+                 / 1000000.0 AS rms_amp
+    FROM s GROUP BY 1, 2
+    """,
+    doc="""Short-time audio analysis frames through the REAL stdlib WAV
+    codec: the decoded sample array is sliced into fixed 64-sample
+    (8 ms at 8 kHz) windows ENTIRELY inside codegen — transform over a
+    frame-index sequence + slice + posexplode, no second decode, no
+    Python — and each frame reports peak and RMS amplitude, the
+    short-time energy series VAD / silence-trimming / loudness
+    normalization pipelines run before feeding audio to a trainer.
+    The tail frame keeps its true (shorter) length rather than being
+    padded, so frame statistics never mix synthesized zeros into real
+    audio. Same integer-exact float discipline as media_audio_stats:
+    per-frame statistics aggregate EXACT integer q=byte-128 sums and
+    both engines apply the identical round(x*1e6)/1e6 sync expression.
+    Scale shape: one mapInPandas decode pass, frames fused in codegen,
+    the per-(doc, frame) aggregate is already grouped by construction
+    (posexplode emits each frame exactly once) — NO shuffle at all;
+    the frame relation stays co-partitioned with the input splits.""",
+    tags=("multimodal",),
+)
+def media_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    plen = F.octet_length(payload)
+    docs = documents.where(F.col("text").isNotNull() & (plen > 0))
+    decoded = MM.decode_media(
+        docs.select("doc_id", _wav_content(payload, plen).alias("content")),
+        codec="wav",
+    )
+    n = _FRAME_SAMPLES
+    qs = F.expr("transform(pixels, x -> cast(round(x * 128.0) as bigint))")
+    frames = F.expr(
+        f"transform(sequence(0, cast(ceil(size(q) / {n}.0) as int) - 1), "
+        f"j -> slice(q, j * {n} + 1, {n}))"
+    )
+    per_frame = decoded.select("doc_id", qs.alias("q")).select(
+        "doc_id", F.posexplode(frames).alias("frame_id", "f")
+    )
+    nf = F.size("f").cast("long")
+    energy = F.expr("aggregate(f, 0L, (a, x) -> a + x * x)")
+    peak = F.expr("array_max(transform(f, x -> abs(x)))")
+    return per_frame.select(
+        "doc_id",
+        "frame_id",
+        nf.alias("n_samples"),
+        (F.round(peak.cast("double") / 128.0 * 1000000.0) / 1000000.0).alias(
+            "peak_amp"
+        ),
+        (
+            F.round(
+                F.sqrt(
+                    energy.cast("double") / (16384.0 * nf.cast("double"))
+                )
+                * 1000000.0
+            )
+            / 1000000.0
+        ).alias("rms_amp"),
     )
 
 

@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from biggis_landuse_spark.functions import dedup as D
+from biggis_landuse_spark.functions import similarity as SIM
 from biggis_landuse_spark.functions import text as TX
 from biggis_landuse_spark.queries import load_tables, register, spread
 
@@ -320,6 +321,17 @@ _BM25_TERMS = ("spark", "join", "stream")
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
+    return (
+        _bm25_scored(documents)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+def _bm25_scored(documents: DataFrame) -> DataFrame:
+    """(doc_id, score): every positive-scoring doc's Okapi BM25 against
+    the fixed _BM25_TERMS query — the scoring core shared by
+    bm25_search (top-10) and hybrid_retrieval (shortlist stage)."""
     toks = F.filter(F.split("text", " "), lambda x: x != "")
 
     def tf_of(term: str):
@@ -366,8 +378,141 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.join(F.broadcast(stats))
         .select("doc_id", F.round(score, 6).alias("score"))
         .where(F.col("score") > 0)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(10)
+    )
+
+
+# BM25 scored relation (doc_id, score) — identical math to the
+# bm25_search oracle, factored for the hybrid-retrieval oracle
+_BM25_SCORED_CTE = f"""
+    dl AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+    ),
+    bstats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, dl, term,
+             len(list_filter(toks, x -> x = term)) AS tf
+      FROM dl, (SELECT unnest(['spark', 'join', 'stream']) AS term)
+      WHERE len(list_filter(toks, x -> x = term)) > 0
+    ),
+    tdf AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+    scored AS (
+      SELECT doc_id, round(score, 6) AS score
+      FROM (
+        SELECT p.doc_id,
+               sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1)
+                   * p.tf * ({_BM25_K1} + 1)
+                   / (p.tf + {_BM25_K1} * (1 - {_BM25_B}
+                      + {_BM25_B} * p.dl / s.avgdl))) AS score
+        FROM posting p
+        JOIN tdf d USING (term)
+        CROSS JOIN bstats s
+        GROUP BY p.doc_id
+      )
+      WHERE round(score, 6) > 0
+    )
+"""
+
+_HR_SHORTLIST = 20  # BM25 candidates handed to the reranker
+_HR_FEEDBACK = 3    # pseudo-relevance docs averaged into the query vector
+_HR_K = 10          # final reranked results
+_HR_DIM = 64        # embedding dimensionality (TESTDATA.md)
+
+
+@register(
+    "hybrid_retrieval",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTE},
+    short AS (
+      SELECT doc_id, score FROM scored
+      ORDER BY score DESC, doc_id LIMIT {_HR_SHORTLIST}
+    ),
+    fb AS (
+      SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+      FROM embeddings e
+      JOIN (SELECT doc_id FROM scored
+            ORDER BY score DESC, doc_id LIMIT {_HR_FEEDBACK}) t
+        ON e.vec_id = t.doc_id
+    ),
+    gather AS (SELECT list(v ORDER BY doc_id) AS xs FROM fb),
+    cent AS (
+      SELECT list_transform(range(0, {_HR_DIM}),
+               i -> list_reduce(list_transform(xs, x -> x[i + 1]),
+                                (a, b) -> a + b) / len(xs)) AS qv
+      FROM gather WHERE len(xs) > 0
+    ),
+    rer AS (
+      SELECT s.doc_id, s.score AS bm25,
+             round(list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv))
+                      * sqrt(list_dot_product(cv, cv))), 6) AS cos_sim
+      FROM short s
+      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings) e ON e.vec_id = s.doc_id
+      CROSS JOIN cent
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, doc_id, bm25, cos_sim
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+      FROM rer
+    )
+    WHERE rank <= {_HR_K}
+    """,
+    doc="""Two-stage hybrid retrieval — the RAG-serving shape: a cheap
+    lexical BM25 pass shortlists 20 candidates, the top-3 candidates'
+    embeddings are averaged into a Rocchio pseudo-relevance query
+    vector (no runtime encoder needed — the classic blind-feedback
+    trick), and the shortlist is reranked by dense cosine against that
+    centroid. Scale shape: stage 1 is bm25_search's two-scan
+    zero-wide-shuffle plan with TakeOrderedAndProject shortlisting;
+    the feedback join touches ONLY 3 embedding rows (broadcast of a
+    TakeOrdered result, never the corpus); the centroid is a 1-row
+    64-float relation broadcast onto the 20-row shortlist, so the
+    expensive dense scoring runs on exactly SHORTLIST rows regardless
+    of corpus size — the funnel a production retrieval stack uses to
+    keep ANN/rerank cost independent of 100 TB. Element sums fold in
+    explicit doc_id order on both engines (deterministic float
+    reduction); a corpus with no BM25 hits yields an empty result,
+    not a degenerate centroid (len(xs) > 0 guard).""",
+    tags=("TEXT", "ANN", "PIPELINE"),
+    bench=True,
+)
+def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents, embeddings = load_tables(spark, sf_dir, "documents", "embeddings")
+    scored = _bm25_scored(documents)
+    short = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HR_SHORTLIST)
+    fb_ids = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HR_FEEDBACK)
+    emb = embeddings.select(
+        F.col("vec_id").alias("doc_id"), SIM.as_double("embedding").alias("cv")
+    )
+    gather = (
+        fb_ids.join(emb, "doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id").alias("d"), F.col("cv").alias("v")))
+            ).alias("xs")
+        )
+        .where(F.size("xs") > 0)
+    )
+    cent = gather.select(
+        F.expr(
+            f"transform(sequence(0, {_HR_DIM - 1}), "
+            "i -> aggregate(xs, 0D, (a, x) -> a + x.v[i]) / size(xs))"
+        ).alias("qv")
+    )
+    rer = short.join(emb, "doc_id").crossJoin(F.broadcast(cent))
+    cos = F.round(SIM.cosine(F.col("qv"), F.col("cv")), 6)
+    ranked = rer.select(
+        F.col("doc_id"),
+        F.col("score").alias("bm25"),
+        cos.alias("cos_sim"),
+    ).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .cast("long"),
+    )
+    return ranked.where(F.col("rank") <= _HR_K).select(
+        "rank", "doc_id", "bm25", "cos_sim"
     )
 
 
@@ -501,6 +646,82 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     documents = spread(documents)
     return D.simhash32(documents, "doc_id", "text")
+
+
+# the simhash fingerprint relation (doc_id, simhash) — identical math to
+# the `simhash` oracle above, factored for the Hamming-pair query
+_SIMHASH_FP_CTE = """
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM tok),
+    digit AS (
+      SELECT doc_id, p AS pos,
+             instr('0123456789abcdef', substr(h8, p + 1, 1)) - 1 AS dval
+      FROM h, (SELECT unnest(generate_series(0, 7)) AS p)
+    ),
+    sbits AS (
+      SELECT doc_id, pos * 4 + b AS j,
+             CASE WHEN ((dval >> b) & 1) = 1 THEN 1 ELSE -1 END AS contrib
+      FROM digit, (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    per_bit AS (SELECT doc_id, j, sum(contrib) AS s FROM sbits GROUP BY 1, 2),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM per_bit GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTE},
+    sbands AS (
+      SELECT doc_id, simhash, b AS band_id,
+             CAST((simhash >> (b * 8)) & 255 AS VARCHAR) AS sig
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+    ),
+    ssub AS (
+      SELECT doc_id, simhash, band_id, sig,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+               % CAST(ceil((count(*) OVER (PARTITION BY band_id, sig))
+                           / {D.BAND_GROUP_CAP}.0) AS BIGINT) AS sub
+      FROM sbands
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM ssub a JOIN ssub b
+      ON a.band_id = b.band_id AND a.sig = b.sig AND a.sub = b.sub
+      AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_HAMMING_T}
+    """,
+    doc="""EXACT Hamming-ball near-dup pairs from the SimHash fingerprint
+    via pigeonhole band blocking (Manku/Jain/Sarma's web-scale dedup
+    construction): the 32-bit fingerprint splits into 4 disjoint 8-bit
+    bands, any pair within Hamming distance 3 is bit-identical in ≥1
+    band, so candidate generation is an equi-join on (band_id, band
+    value) that provably misses nothing — unlike the probabilistic
+    MinHash path — and each candidate is verified with the exact
+    bit_count(a XOR b) distance. Scale shape: 4 band rows per doc, ONE
+    shuffle on the band key (reused by the hot-group sub-split window
+    — pair volume ≤ n·4·cap under any skew), fingerprints ride inside
+    the collected structs so there is NO join-back to the signature
+    relation; production widens to a 64-bit fingerprint with t+1
+    bands for threshold t — the same constants, the same plan. See
+    functions/dedup.py:simhash_band_pairs.""",
+    tags=("DEDUP",),
+    bench=True,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    sig = D.simhash32(documents, "doc_id", "text")
+    return D.simhash_band_pairs(sig, "doc_id")
 
 
 _HEX = "0123456789abcdef"

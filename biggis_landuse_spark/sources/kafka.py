@@ -22,7 +22,11 @@ from biggis_landuse_spark.sources.codecs import decode_sample, encode_sample
 
 
 def read_sample_stream_kafka(
-    spark: SparkSession, bootstrap: str, topic: str, fmt: str = "kafka"
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    fmt: str = "kafka",
+    **options: str,
 ) -> DataFrame:
     """Streaming pixel-sample source: Kafka value = the reference's
     delimited codec (S15, realizing the commented plan).
@@ -32,13 +36,18 @@ def read_sample_stream_kafka(
     double registers under its own): tests/test_kafka_wrappers.py runs
     THIS function end-to-end against a wire-schema-identical file
     source, so every line here except the default format string is
-    executed — options, the value cast, the codec."""
-    raw = (
+    executed — options, the value cast, the codec. Extra ``options``
+    pass through to the source (e.g. startingOffsets="earliest";
+    tests/test_kafka_integration.py needs it to replay a pre-filled
+    topic against a real broker)."""
+    reader = (
         spark.readStream.format(fmt)
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
-        .load()
     )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     return decode_stream(raw.selectExpr("CAST(value AS STRING) AS value"))
 
 

@@ -39,6 +39,8 @@ PROBES = [
     "dsir_select",
     "ndvi_shape",
     "media_metadata",
+    "hybrid_retrieval",  # empty shortlist → empty centroid row, not a crash
+    "simhash_hamming_pairs",
 ]
 
 
@@ -112,6 +114,8 @@ NULL_PROBES = [
     "document_chunking",
     "sequence_packing",
     "pca_power",
+    "hybrid_retrieval",  # NULL text scores NULL → dropped before shortlist
+    "simhash_hamming_pairs",
 ]
 
 
@@ -220,6 +224,9 @@ NULLED_ORACLE_PROBES = [
     "media_resize_stats",
     "media_phash_dedup",
     "media_metadata",  # total over all docs on BOTH sides — no filter
+    "media_audio_frames",  # frame generator vs oracle: both gate NULL/empty
+    "simhash_hamming_pairs",  # NULL-text docs get no fingerprint on either side
+    "hybrid_retrieval",  # NULL text never reaches the shortlist on either side
 ]
 
 

@@ -284,6 +284,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "above_avg_parts",  # 1-row scalar-subquery stat
         "tfidf_top_terms",  # 1-row corpus size N
         "bm25_search",  # 1-row (n_docs, avgdl, per-term df) broadcast
+        "hybrid_retrieval",  # bm25's 1-row stats + 1-row feedback centroid
         "collocations_pmi",  # two 1-row token/bigram total broadcasts
         "nb_lang_confusion",  # 5-row lang-stats + 1-row vocab/ndocs broadcasts
         "funnel_stages",  # 1-row × 1-row × 1-row summary
