@@ -740,6 +740,7 @@ def pq_encode(
     m: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ encoding: each vector → ``m`` small code ids (argmin squared
     L2 to the subspace codebook, 6dp-rounded, ties to the lower code).
@@ -752,31 +753,40 @@ def pq_encode(
     partial-agged groupBy. The output is the compressed corpus — m
     bytes-ish per vector instead of the full float array, which is the
     artifact a 100 TB ANN store persists.
+
+    ``carry``: id-functional columns to ride through the two groupBys
+    (via first()) instead of costing a corpus-sized join-back — e.g.
+    the IVF cell id in :func:`ivfpq_topk`.
     """
     dsub = F.floor(F.size("_v") / m).cast("int")
     sub = vectors.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         as_double(vec_col).alias("_v"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
     ).select(
         id_col,
+        *carry,
         "s",
         F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
     )
     dist = sub.join(F.broadcast(codebooks), "s").select(
         id_col,
+        *carry,
         "s",
         "c",
         F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
     )
     per_sub = dist.groupBy(id_col, "s").agg(
-        F.min_by("c", F.struct("d", "c")).alias("code")
+        *[F.first(c).alias(c) for c in carry],
+        F.min_by("c", F.struct("d", "c")).alias("code"),
     )
     return per_sub.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in carry],
         F.transform(
             F.sort_array(F.collect_list(F.struct("s", "code"))),
             lambda x: x.getField("code"),
-        ).alias("codes")
+        ).alias("codes"),
     )
 
 
@@ -849,6 +859,144 @@ def pq_topk(
                 6,
             ).alias("approx_dist"),
         )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    ncode: int,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF+PQ composite ANN with RESIDUAL encoding — the FAISS IVFPQ
+    index shape, end-to-end relational.
+
+    Corpus vectors are coarse-quantized to their nearest IVF cell and
+    the PQ codebooks are trained on (here: deterministically derived
+    from) the cell RESIDUALS r = v - centroid(v), which carry far less
+    variance than raw vectors — the trick that makes m tiny codes per
+    vector usable at recall. Queries probe their ``n_probe`` nearest
+    cells and build ONE asymmetric distance table PER PROBED CELL from
+    the query's residual against that cell's centroid; candidate
+    scoring is then a lookup-sum over candidate codes, entirely in the
+    compressed domain.
+
+    Scale shape (the 100 TB index): the centroid table and the m×ncode
+    residual codebooks broadcast; corpus assignment and encoding are
+    map-side (shuffles carry one row per vector, partial-agged);
+    candidates come from the cell-id equi-join (at scale the CODE
+    table is written partitioned by cid so probes are partition-pruned
+    scans of ~m bytes/vector — the float corpus never scans at query
+    time); the per-(query, cell) distance tables are nq·n_probe rows
+    broadcast into an ordinary BroadcastHashJoin. Ref: Jégou/Douze/
+    Schmid, "Product quantization for nearest neighbor search" (IVFADC).
+    """
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    assign = ivf_assign(v, centroids, id_col=id_col, n_probe=1).select(
+        F.col(id_col), "cid"
+    )
+    cent = centroids.select("cid", F.col("cv").alias("_cent"))
+    # corpus residuals vs the assigned centroid (map-side: broadcast
+    # centroid join + zip_with projection)
+    resid = (
+        v.join(assign, id_col)
+        .join(F.broadcast(cent), "cid")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.zip_with("vec", "_cent", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    # residual codebooks: first `ncode` residuals in id order stand in
+    # for per-subspace k-means over residuals (plumbing identical)
+    codebooks = pq_codebooks(
+        resid.select(id_col, F.col("rv")), m, ncode, id_col=id_col, vec_col="rv"
+    )
+    codes = pq_encode(
+        resid.select(id_col, "cid", F.col("rv")), codebooks, m,
+        id_col=id_col, vec_col="rv", carry=("cid",),
+    ).select(F.col(id_col).alias("neighbor_id"), "cid", "codes")
+    # query probes + per-(query, probed cell) residuals
+    q = queries.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    q_probes = ivf_assign(q, centroids, id_col=id_col, n_probe=n_probe).select(
+        F.col(id_col).alias("query_id"), "cid"
+    )
+    qresid = (
+        q_probes.join(
+            q.select(F.col(id_col).alias("query_id"), "vec"), "query_id"
+        )
+        .join(F.broadcast(cent), "cid")
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with("vec", "_cent", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    dsub = F.floor(F.size("_v") / m).cast("int")
+    qsub = qresid.select(
+        "query_id",
+        "cid",
+        F.col("rv").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    ).select(
+        "query_id",
+        "cid",
+        "s",
+        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
+    )
+    dt_entries = qsub.join(F.broadcast(codebooks), "s").select(
+        "query_id",
+        "cid",
+        "s",
+        "c",
+        F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+    )
+    per_sub = dt_entries.groupBy("query_id", "cid", "s").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("c", "d"))),
+            lambda x: x.getField("d"),
+        ).alias("row")
+    )
+    dtable = per_sub.groupBy("query_id", "cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s", "row"))),
+            lambda x: x.getField("row"),
+        ).alias("dt")
+    )
+    # candidates: the cell-id equi-join; each corpus vector lives in
+    # exactly one cell, so (query, neighbor) pairs are already unique
+    cand = (
+        codes.join(F.broadcast(q_probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+    )
+    scored = cand.join(F.broadcast(dtable), ["query_id", "cid"]).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.element_at("dt", s + 1),
+                    (F.element_at("codes", s + 1) + 1).cast("int"),
+                ),
+            ),
+            6,
+        ).alias("approx_dist"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")

@@ -692,6 +692,132 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk(queries, embeddings, codebooks, m=PQ_M, k=K)
 
 
+_PQ_L2 = (
+    "round(list_sum(list_transform(range({d}), "
+    "i -> ({a}[i+1] - {b}[i+1]) * ({a}[i+1] - {b}[i+1]))), 6)"
+)
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    aff AS (
+      SELECT v.vec_id, cid,
+             {_IVF_COS.format(a="vec", b="cv")} AS a
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS pr
+      FROM aff
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM ranked
+      WHERE pr <= {N_PROBE} AND vec_id < {PQ_NQ}
+    ),
+    resid AS (
+      SELECT v.vec_id, a.cid,
+             list_transform(range({DIM}), i -> vec[i+1] - cv[i+1]) AS rv
+      FROM v JOIN assign a USING (vec_id) JOIN cent USING (cid)
+    ),
+    sub AS (
+      SELECT vec_id, s,
+             list_slice(rv, s*{PQ_DSUB} + 1, s*{PQ_DSUB} + {PQ_DSUB}) AS sv
+      FROM resid, (SELECT unnest(range({PQ_M})) AS s)
+    ),
+    cb AS (SELECT s, vec_id AS c, sv AS cv FROM sub WHERE vec_id < {PQ_NCODE}),
+    dist AS (
+      SELECT sub.vec_id, sub.s, cb.c,
+             {_PQ_L2.format(d=PQ_DSUB, a="sv", b="cb.cv")} AS d
+      FROM sub JOIN cb USING (s)
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    qresid AS (
+      SELECT p.query_id, p.cid,
+             list_transform(range({DIM}), i -> vec[i+1] - cv[i+1]) AS rv
+      FROM probes p
+      JOIN v ON v.vec_id = p.query_id
+      JOIN cent ON cent.cid = p.cid
+    ),
+    qsub AS (
+      SELECT query_id, cid, s,
+             list_slice(rv, s*{PQ_DSUB} + 1, s*{PQ_DSUB} + {PQ_DSUB}) AS sv
+      FROM qresid, (SELECT unnest(range({PQ_M})) AS s)
+    ),
+    qdist AS (
+      SELECT query_id, cid, qsub.s, cb.c,
+             {_PQ_L2.format(d=PQ_DSUB, a="sv", b="cb.cv")} AS d
+      FROM qsub JOIN cb USING (s)
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cid
+      FROM probes p JOIN assign a USING (cid)
+      WHERE a.vec_id <> p.query_id
+    ),
+    score AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(sum(qd.d), 6) AS approx_dist
+      FROM cand
+      JOIN codes co ON co.vec_id = cand.neighbor_id
+      JOIN qdist qd ON qd.query_id = cand.query_id AND qd.cid = cand.cid
+                   AND qd.s = co.s AND qd.c = co.c
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rank
+      FROM score
+    )
+    WHERE rank <= {K}
+    """,
+    doc="""IVF+PQ composite ANN with residual encoding — the FAISS IVFADC
+    index (Jégou/Douze/Schmid) as a relational pipeline: corpus vectors
+    coarse-quantize to 16 IVF cells, PQ codebooks derive from the cell
+    RESIDUALS v - centroid (the low-variance signal that makes 4 tiny
+    codes usable), queries probe their 2 nearest cells with ONE
+    asymmetric distance table per probed cell built from the query's
+    per-cell residual, and scoring is a compressed-domain lookup-sum
+    over candidate codes. Combines ann_ivf_topk's cell confinement
+    (candidates from a cid equi-join — at 100 TB the code table is
+    written partitioned by cid so probes are partition-pruned scans)
+    with ann_pq_topk's compressed scan (the float corpus never scans
+    at query time); the nq×n_probe distance tables broadcast into an
+    ordinary BroadcastHashJoin. See functions.similarity.ivfpq_topk.""",
+    tags=("ANN",),
+    bench=True,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    queries = embeddings.where(F.col("vec_id") < PQ_NQ)
+    return S.ivfpq_topk(
+        queries,
+        embeddings,
+        centroids,
+        m=PQ_M,
+        ncode=PQ_NCODE,
+        k=K,
+        n_probe=N_PROBE,
+    )
+
+
 SEMDEDUP_TAU = 0.3  # within-cell cosine threshold
 CELL_CAP = 64  # hard per-cell pair-block cap (see S.subsplit_cells)
 # multiprobe on the BLOCKED similarity paths (semantic_dedup /

@@ -116,6 +116,7 @@ NULL_PROBES = [
     "pca_power",
     "hybrid_retrieval",  # NULL text scores NULL → dropped before shortlist
     "simhash_hamming_pairs",
+    "ann_ivfpq_topk",  # NULL embeddings must not crash assignment/encoding
 ]
 
 
