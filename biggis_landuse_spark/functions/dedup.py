@@ -286,14 +286,26 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fingerprint sets bit j iff the position-j sum is positive. Pure
     built-in functions (explode + groupBy), engine-portable.
     """
+    return simhash_fp(df, id_col, text_col, n_hex=8)
+
+
+def simhash_fp(
+    df: DataFrame, id_col: str, text_col: str, n_hex: int = 8
+) -> DataFrame:
+    """SimHash fingerprint of ``4*n_hex`` bits (simhash32 generalized):
+    the first ``n_hex`` hex digits of md5(token) contribute ±1 per bit
+    position; the fingerprint sets bit j iff the position-j sum is
+    positive. ``n_hex`` must stay ≤ 15 so the fingerprint fits a
+    signed BIGINT without touching the sign bit (both engines would
+    otherwise overflow-check the power-of-two sum)."""
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h8", F.substring(F.md5("tok"), 1, 8))
-    # explode 8 hex digit positions × 4 bits each
+    ).withColumn("h8", F.substring(F.md5("tok"), 1, n_hex))
+    # explode n_hex hex digit positions × 4 bits each
     digit = toks.select(
         id_col,
         F.posexplode(
-            F.expr("transform(sequence(1, 8), i -> substring(h8, i, 1))")
+            F.expr(f"transform(sequence(1, {n_hex}), i -> substring(h8, i, 1))")
         ).alias("pos", "digit"),
     ).withColumn("dval", F.expr("instr('0123456789abcdef', digit) - 1"))
     bits = digit.select(
@@ -322,8 +334,8 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-SIMHASH_BITS = 32       # fingerprint width produced by simhash32
-SIMHASH_BANDS = 4       # pigeonhole blocks: 4 bands × 8 bits
+SIMHASH_BITS = 60       # fingerprint width for Hamming pairing (15 hex digits)
+SIMHASH_BANDS = 4       # pigeonhole blocks: 4 bands × 15 bits
 SIMHASH_HAMMING_T = SIMHASH_BANDS - 1  # exactness bound of the blocking
 
 
@@ -334,18 +346,29 @@ def simhash_band_pairs(
     threshold: int = SIMHASH_HAMMING_T,
     cap: int = BAND_GROUP_CAP,
 ) -> DataFrame:
-    """EXACT Hamming-ball near-dup pairs via pigeonhole band blocking.
+    """Hamming-ball near-dup pairs via pigeonhole band blocking.
 
-    Split the 32-bit fingerprint into 4 disjoint 8-bit bands; any pair
-    within Hamming distance ≤ 3 differs in at most 3 bit positions, so
-    at least one band is bit-identical (pigeonhole) — candidate
-    generation is therefore an equi-join on (band_id, band value) that
-    PROVABLY misses nothing at the default threshold, unlike the
-    probabilistic MinHash/LSH family. Candidates are then verified
-    with the exact distance bit_count(a XOR b) <= threshold, so every
-    emitted pair is a true near-dup (the Manku/Jain/Sarma web-dedup
-    construction; production widens to a 64-bit fingerprint and
-    t+1 bands for threshold t — same constant, same plan).
+    Split the 60-bit fingerprint into 4 disjoint 15-bit bands; any
+    pair within Hamming distance ≤ 3 differs in at most 3 bit
+    positions, so at least one band is bit-identical (pigeonhole) —
+    candidate generation is an equi-join on (band_id, band value) that
+    misses nothing at the default threshold WHILE band groups stay
+    under ``cap``, unlike the probabilistic MinHash/LSH family.
+    Candidates are verified with the exact distance
+    bit_count(a XOR b) <= threshold, so every emitted pair is a true
+    near-dup (the Manku/Jain/Sarma web-dedup construction).
+
+    Width matters: SimHash bits over a shared vocabulary are heavily
+    CORRELATED (per-bit majority votes agree across similar bags of
+    words), so an 8-bit band saturates — measured on the sf0.01
+    fixture, one 8-bit band value held 140 of 500 docs, engaging the
+    sub-split cap and silently dropping true pairs. 15-bit bands keep
+    the hottest fixture group at 27 (< cap, exactness intact, pinned
+    by tests/test_dedup_ops.py). At corpus sizes where even 15-bit
+    groups exceed the cap, the md5 sub-split bounds pair volume at the
+    documented recall cost (mirrored op-for-op in the oracle);
+    production-exact at any scale means Manku's permuted sorted-table
+    scheme — the relational shape here is its equi-join core.
 
     Scale shape: 4 band rows per doc, ONE shuffle on (band_id, band)
     reused by the hot-group sub-split window (subsplit_band_groups

@@ -648,19 +648,23 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash32(documents, "doc_id", "text")
 
 
-# the simhash fingerprint relation (doc_id, simhash) — identical math to
-# the `simhash` oracle above, factored for the Hamming-pair query
-_SIMHASH_FP_CTE = """
+# the 60-bit simhash fingerprint relation (doc_id, simhash) — the
+# `simhash` query's math widened to 15 hex digits (D.simhash_fp): wide
+# enough that the 15-bit pigeonhole bands below stay under the
+# sub-split cap on the fixture's correlated-bit corpus
+_SIMHASH_HEX = D.SIMHASH_BITS // 4
+_SIMHASH_PER_BAND = D.SIMHASH_BITS // D.SIMHASH_BANDS
+_SIMHASH_FP_CTE = f"""
     tok AS (
       SELECT doc_id,
              unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
       FROM documents
     ),
-    h AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM tok),
+    h AS (SELECT doc_id, substr(md5(tok), 1, {_SIMHASH_HEX}) AS h8 FROM tok),
     digit AS (
       SELECT doc_id, p AS pos,
              instr('0123456789abcdef', substr(h8, p + 1, 1)) - 1 AS dval
-      FROM h, (SELECT unnest(generate_series(0, 7)) AS p)
+      FROM h, (SELECT unnest(generate_series(0, {_SIMHASH_HEX - 1})) AS p)
     ),
     sbits AS (
       SELECT doc_id, pos * 4 + b AS j,
@@ -683,8 +687,9 @@ _SIMHASH_FP_CTE = """
     WITH {_SIMHASH_FP_CTE},
     sbands AS (
       SELECT doc_id, simhash, b AS band_id,
-             CAST((simhash >> (b * 8)) & 255 AS VARCHAR) AS sig
-      FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+             CAST((simhash >> (b * {_SIMHASH_PER_BAND}))
+                  & {(1 << _SIMHASH_PER_BAND) - 1} AS VARCHAR) AS sig
+      FROM fp, (SELECT unnest(generate_series(0, {D.SIMHASH_BANDS - 1})) AS b)
     ),
     ssub AS (
       SELECT doc_id, simhash, band_id, sig,
@@ -700,27 +705,30 @@ _SIMHASH_FP_CTE = """
       AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {D.SIMHASH_HAMMING_T}
     """,
-    doc="""EXACT Hamming-ball near-dup pairs from the SimHash fingerprint
+    doc="""Hamming-ball near-dup pairs from a 60-bit SimHash fingerprint
     via pigeonhole band blocking (Manku/Jain/Sarma's web-scale dedup
-    construction): the 32-bit fingerprint splits into 4 disjoint 8-bit
+    construction): the fingerprint splits into 4 disjoint 15-bit
     bands, any pair within Hamming distance 3 is bit-identical in ≥1
     band, so candidate generation is an equi-join on (band_id, band
-    value) that provably misses nothing — unlike the probabilistic
-    MinHash path — and each candidate is verified with the exact
-    bit_count(a XOR b) distance. Scale shape: 4 band rows per doc, ONE
-    shuffle on the band key (reused by the hot-group sub-split window
-    — pair volume ≤ n·4·cap under any skew), fingerprints ride inside
-    the collected structs so there is NO join-back to the signature
-    relation; production widens to a 64-bit fingerprint with t+1
-    bands for threshold t — the same constants, the same plan. See
-    functions/dedup.py:simhash_band_pairs.""",
+    value) — never a pair product — and each candidate is verified
+    with the exact bit_count(a XOR b) distance, so no false positives
+    ever. The width is measured, not guessed: SimHash bits are
+    correlated over a shared vocabulary, and 8-bit bands saturated on
+    the fixture (one band value held 140/500 docs — the sub-split cap
+    then drops true pairs); 15-bit bands keep the hottest group at 27,
+    under the cap, so the pigeonhole exactness is intact (pinned by a
+    brute-force-equality unit test). Scale shape: 4 band rows per doc,
+    ONE shuffle on the band key (reused by the hot-group sub-split
+    window — pair volume ≤ n·4·cap under any skew), fingerprints ride
+    inside the collected structs so there is NO join-back to the
+    signature relation. See functions/dedup.py:simhash_band_pairs.""",
     tags=("DEDUP",),
     bench=True,
 )
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     documents = spread(documents)
-    sig = D.simhash32(documents, "doc_id", "text")
+    sig = D.simhash_fp(documents, "doc_id", "text", n_hex=_SIMHASH_HEX)
     return D.simhash_band_pairs(sig, "doc_id")
 
 

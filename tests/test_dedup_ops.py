@@ -189,3 +189,47 @@ def test_dedup_bloom_no_false_negatives(spark, sf_dir):
         assert b["n_hit"] >= hit, doc_id  # no false negatives
         if hit * 1.0 / n >= 0.5:
             assert b["flagged"], doc_id
+
+
+def test_simhash_band_pairs_exact_at_default_threshold(spark, sf_dir):
+    """The pigeonhole guarantee, verified against brute force: with 4
+    disjoint 15-bit bands, EVERY pair within Hamming distance 3 shares
+    at least one band, so simhash_band_pairs must return exactly the
+    brute-force Hamming-ball pair set — no miss, no false positive.
+    (This test CAUGHT the 8-bit-band design: correlated SimHash bits
+    put 140/500 fixture docs behind one band value, engaging the
+    sub-split cap and dropping 62 true pairs — hence the 60-bit
+    fingerprint with 15-bit bands.)"""
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    sig = D.simhash_fp(
+        documents, "doc_id", "text", n_hex=D.SIMHASH_BITS // 4
+    ).cache()
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_band_pairs(sig, "doc_id").collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    sig.unpersist()
+    ids = sorted(fps)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= D.SIMHASH_HAMMING_T:
+                want[(a, b)] = h
+    assert got == want
+
+
+def test_simhash_band_pairs_fanout_capped_on_identical_corpus(spark):
+    """Hot-band guard: a corpus where every doc has the SAME fingerprint
+    puts everyone behind one band value in all 4 bands; the md5
+    sub-split must cap per-block population so pair volume stays
+    ~linear (<= 4 bands * n * cap) instead of n^2/2."""
+    n, cap = 600, 8
+    sig = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(12345).cast("long").alias("simhash")
+    )
+    pairs = D.simhash_band_pairs(sig, "doc_id", threshold=32, cap=cap)
+    n_pairs = pairs.count()
+    assert n_pairs <= 4 * n * cap, n_pairs
+    assert n_pairs < n * (n - 1) / 2 / 4, n_pairs  # far from all-pairs

@@ -137,3 +137,83 @@ def test_trained_pq_codebooks_recall_floor(spark, embeddings):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.08, recall  # random top-5 of 500 ≈ 0.01
+
+
+def test_trained_codebooks_reduce_distortion(spark, embeddings):
+    """Per-subspace Lloyd training must not increase total quantization
+    distortion (sum of squared distances to the chosen code) versus the
+    untrained first-NCODE seed — the monotone-improvement property of
+    k-means, here as the acceptance gate for pq_codebooks_trained."""
+    from biggis_landuse_spark.functions.similarity import (
+        pq_codebooks_trained,
+    )
+
+    def distortion(cb):
+        sub = embeddings.select(
+            F.col("vec_id"),
+            as_double("embedding").alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("s"),
+        ).select(
+            "vec_id",
+            "s",
+            F.slice("_v", F.col("s") * (64 // M) + 1, 64 // M).alias("sv"),
+        )
+        d = sub.join(F.broadcast(cb), "s").select(
+            "vec_id", "s", F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d")
+        )
+        best = d.groupBy("vec_id", "s").agg(F.min("d").alias("d"))
+        return best.agg(F.sum("d")).collect()[0][0]
+
+    seed = pq_codebooks(embeddings, m=M, ncode=NCODE)
+    trained = pq_codebooks_trained(embeddings, m=M, ncode=NCODE, iters=2)
+    assert distortion(trained) <= distortion(seed) + 1e-6
+
+
+def test_trained_codebook_centroids_are_member_means(spark, embeddings):
+    """Every trained code vector must be the 6dp-rounded mean of the
+    subvectors assigned to it in the final round — the Lloyd update
+    contract (checked by re-running one assignment against the
+    returned codebook)."""
+    from biggis_landuse_spark.functions.similarity import (
+        pq_codebooks_trained,
+    )
+
+    iters = 2
+    cb_prev = pq_codebooks_trained(embeddings, m=M, ncode=NCODE, iters=iters - 1)
+    cb = pq_codebooks_trained(embeddings, m=M, ncode=NCODE, iters=iters)
+    dsub = 64 // M
+    sub = embeddings.select(
+        F.col("vec_id"),
+        as_double("embedding").alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("s"),
+    ).select(
+        "vec_id", "s", F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv")
+    )
+    dist = F.round(l2sq(F.col("sv"), F.col("cv")), 6)
+    assign = (
+        sub.join(F.broadcast(cb_prev), "s")
+        .select(
+            "vec_id", "s", "sv",
+            F.struct(dist.alias("d"), F.col("c")).alias("dc"),
+        )
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by("dc", "dc").getField("c").alias("c"),
+            F.first("sv").alias("sv"),
+        )
+    )
+    means = (
+        assign.select("s", "c", F.posexplode("sv").alias("dim", "x"))
+        .groupBy("s", "c", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("val"))
+        .groupBy("s", "c")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "val"))),
+                lambda x: x.getField("val"),
+            ).alias("cv")
+        )
+    )
+    want = {(r["s"], r["c"]): r["cv"] for r in means.collect()}
+    got = {(r["s"], r["c"]): r["cv"] for r in cb.collect()}
+    assert got == want
