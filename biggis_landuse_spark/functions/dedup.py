@@ -278,6 +278,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairwise ASYMMETRIC n-gram containment via inverted-index
+    equi-join: containment(a in b) = |sh(a) ∩ sh(b)| / |sh(a)|.
+
+    The subset-duplication signal Jaccard misses: a short document
+    quoted verbatim inside a long one has high containment but low
+    Jaccard (the union is dominated by the long doc), so quote
+    extraction / boilerplate-inclusion dedup thresholds on containment
+    instead. Pairs are kept when EITHER direction clears ``threshold``
+    and both directions are reported. Same plan as ngram_jaccard_pairs
+    (shingle equi-join, one grouped intersection count, size joins);
+    ``max_doc_freq`` is the same hot-shingle scale lever.
+    """
+    sh = exploded_shingles(df, id_col, text_col)
+    if max_doc_freq is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            df_counts.where(F.col("df") <= max_doc_freq).select("shingle"),
+            "shingle",
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_shingles").alias("nb"))
+    ca = F.col("c") / F.col("na")
+    cb = F.col("c") / F.col("nb")
+    # threshold on the UNROUNDED greatest (oracle parity), round in output
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.greatest(ca, cb) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 6).alias("containment_a"),
+            F.round(cb, 6).alias("containment_b"),
+        )
+    )
+
+
 def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit SimHash per document from md5 token hashes.
 

@@ -9,6 +9,7 @@ oracle reproduces the exact same buckets.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from biggis_landuse_spark.functions import similarity as S
@@ -134,6 +135,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     queries = embeddings.where(F.col("vec_id") < N_QUERIES)
     return S.lsh_topk(queries, embeddings, dim=DIM, k=K)
+
+
+
 
 
 NEAR_DUP_TAU = 0.35
@@ -321,6 +325,152 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = embeddings.where(F.col("vec_id") < N_QUERIES)
     return S.ivf_topk(
         queries, embeddings, centroids, k=K, n_probe=N_PROBE
+    )
+
+
+_RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+
+
+@register(
+    "rrf_fusion",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {{n_centroids}}
+    ),
+    aff AS (
+      SELECT v.vec_id, cid,
+             {{ivf_cos_vc}} AS a
+      FROM v CROSS JOIN cent
+    ),
+    aranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS pr
+      FROM aff
+    ),
+    assign AS (SELECT vec_id AS neighbor_id, cid FROM aranked WHERE pr = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM aranked
+      WHERE pr <= {{n_probe}} AND vec_id < {{n_queries}}
+    ),
+    icand AS (
+      SELECT DISTINCT query_id, neighbor_id
+      FROM probes JOIN assign USING (cid)
+      WHERE neighbor_id <> query_id
+    ),
+    isim AS (
+      SELECT query_id, neighbor_id,
+             {{ivf_cos_qc}} AS cos_sim
+      FROM icand
+      JOIN v q ON icand.query_id = q.vec_id
+      JOIN v c ON icand.neighbor_id = c.vec_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM isim
+      ) WHERE rnk <= {{k}}
+    ),
+    lq AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             {{bucket_sql}} AS bucket
+      FROM embeddings WHERE vec_id < {{n_queries}}
+    ),
+    lc AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+             {{bucket_sql}} AS bucket
+      FROM embeddings
+    ),
+    lsim AS (
+      SELECT query_id, neighbor_id, {{lsh_cos}} AS cos_sim
+      FROM lc JOIN lq USING (bucket)
+      WHERE query_id <> neighbor_id
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM lsim
+      ) WHERE rnk <= {{k}}
+    ),
+    allpairs AS (
+      SELECT query_id, neighbor_id FROM ivf
+      UNION
+      SELECT query_id, neighbor_id FROM lsh
+    ),
+    fused AS (
+      SELECT p.query_id, p.neighbor_id,
+             round(coalesce(1.0 / ({{rrf_k}} + i.rnk), 0)
+                   + coalesce(1.0 / ({{rrf_k}} + l.rnk), 0), 6) AS rrf_score
+      FROM allpairs p
+      LEFT JOIN ivf i ON p.query_id = i.query_id
+                     AND p.neighbor_id = i.neighbor_id
+      LEFT JOIN lsh l ON p.query_id = l.query_id
+                     AND p.neighbor_id = l.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, rrf_score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id) AS rank
+      FROM fused
+    )
+    WHERE rank <= {{k}}
+    """.format(
+        n_centroids=N_CENTROIDS,
+        n_probe=N_PROBE,
+        n_queries=N_QUERIES,
+        k=K,
+        rrf_k=_RRF_K,
+        ivf_cos_vc=_IVF_COS.format(a="vec", b="cv"),
+        ivf_cos_qc=_IVF_COS.format(a="q.vec", b="c.vec"),
+        bucket_sql=_bucket_sql("CAST(embedding AS DOUBLE[])"),
+        lsh_cos=_COS,
+    ),
+    doc="""Reciprocal-rank fusion (Cormack's RRF, the standard
+    ensemble-retrieval combiner) of the two ANN index paths: each
+    query's IVF top-k and LSH-bucket top-k lists fuse by
+    Σ 1/(60 + rank), which rewards agreement between independent
+    candidate generators without comparing their incomparable raw
+    scores — the fusion step every production multi-index retrieval
+    stack (and RAG reranker ensemble) runs. Scale shape: both input
+    lists are k-rows-per-query relations (their own plans are the
+    cell/bucket equi-joins already pinned); fusion is a full-outer
+    join of two bounded lists + one ranking window over ≤2k rows per
+    query — cost independent of corpus size.""",
+    tags=("ANN",),
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    ivf = S.ivf_topk(
+        queries, embeddings, centroids, k=K, n_probe=N_PROBE
+    ).select("query_id", "neighbor_id", F.col("rank").alias("r1"))
+    lsh = S.lsh_topk(queries, embeddings, dim=DIM, k=K).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r2")
+    )
+    fused = ivf.join(lsh, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r2")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= K)
+        .select("query_id", "neighbor_id", "rank", "rrf_score")
     )
 
 

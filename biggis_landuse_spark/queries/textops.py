@@ -612,6 +612,49 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(documents, "doc_id", "text", threshold=0.1)
 
 
+_CONTAIN_T = 0.1
+
+
+@register(
+    "ngram_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / sa.n, 6) AS containment_a,
+           round(CAST(c AS DOUBLE) / sb.n, 6) AS containment_b
+    FROM common
+    JOIN sizes sa ON common.doc_a = sa.doc_id
+    JOIN sizes sb ON common.doc_b = sb.doc_id
+    WHERE greatest(CAST(c AS DOUBLE) / sa.n, CAST(c AS DOUBLE) / sb.n)
+          >= {_CONTAIN_T}
+    """,
+    doc="""Asymmetric n-gram containment pairs — the subset-duplication
+    signal Jaccard structurally misses: a short document quoted
+    verbatim inside a long one scores |sh(a)∩sh(b)|/|sh(a)| ≈ 1 even
+    though the union-normalized Jaccard is tiny, so quote-extraction /
+    boilerplate-inclusion dedup (the FineWeb-style containment gate)
+    thresholds on this measure. Both directions are reported per pair;
+    a pair survives when either clears the threshold. Plan: the
+    ngram_jaccard inverted-index shape — shingle equi-join (never a
+    pair product), one grouped intersection count, two broadcast-able
+    size joins; the per-shingle doc-freq cap bounds hot boilerplate
+    shingles at 100 TB (functions/dedup.py:ngram_containment_pairs).""",
+    tags=("TEXT", "DEDUP", "PIPELINE"),
+)
+def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    return D.ngram_containment_pairs(
+        documents, "doc_id", "text", threshold=_CONTAIN_T
+    )
+
+
 @register(
     "simhash",
     oracle="""

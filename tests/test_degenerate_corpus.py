@@ -117,6 +117,8 @@ NULL_PROBES = [
     "hybrid_retrieval",  # NULL text scores NULL → dropped before shortlist
     "simhash_hamming_pairs",
     "ann_ivfpq_topk",  # NULL embeddings must not crash assignment/encoding
+    "rrf_fusion",  # NULL-affinity rows must not crash either input list
+    "ngram_containment",
 ]
 
 
