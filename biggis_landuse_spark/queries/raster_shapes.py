@@ -3727,3 +3727,61 @@ def moll_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("lat"), 4).alias("avg_lat"),
         F.round(F.avg("lon"), 4).alias("avg_lon"),
     )
+
+
+_PROX_R = 4  # proximity search radius (cells)
+
+
+@register(
+    "proximity_grid",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(p_partkey % 24 AS INT) AS gx,
+             CAST(p_partkey // 24 AS INT) AS gy,
+             p_partkey AS k
+      FROM part WHERE p_partkey < 576
+    ),
+    targets AS (SELECT gx, gy FROM cells WHERE k % 23 = 0),
+    offs AS (
+      SELECT dx, dy, dx*dx + dy*dy AS d2
+      FROM (SELECT unnest(range(-{_PROX_R}, {_PROX_R + 1})) AS dx),
+           (SELECT unnest(range(-{_PROX_R}, {_PROX_R + 1})) AS dy)
+      WHERE dx*dx + dy*dy <= {_PROX_R * _PROX_R}
+    ),
+    disc AS (SELECT t.gx + dx AS gx, t.gy + dy AS gy, d2 FROM targets t, offs),
+    best AS (
+      SELECT gx, gy, CAST(min(d2) AS BIGINT) AS min_d2
+      FROM disc GROUP BY 1, 2
+    )
+    SELECT c.gx, c.gy, b.min_d2,
+           round(sqrt(CAST(b.min_d2 AS DOUBLE)), 4) AS dist
+    FROM cells c LEFT JOIN best b ON c.gx = b.gx AND c.gy = b.gy
+    """,
+    doc="""Bounded-radius Euclidean proximity transform (GDAL
+    gdal_proximity / GRASS r.grow.distance / the GeoTrellis focal-
+    distance family): per grid cell, the distance to the nearest
+    TARGET cell within radius 4, NODATA (NULL) beyond — the buffering/
+    accessibility primitive of land-use analysis ("distance to nearest
+    road/water"). Scale shape (operators/proximity.py): work keys to
+    the SPARSE target side — each target explodes a constant
+    (2R+1)²-bounded disc (fan-out of the small relation, never the
+    grid), the per-cell minimum partial-aggregates on EXACT integer
+    squared distances (no float ordering anywhere), and the full grid
+    attaches with one hash equi-join on the cell key; sqrt only in the
+    final projection. No window, no pixel self-join, no UDF.""",
+    tags=("W1", "SPATIAL"),
+    bench=True,
+)
+def proximity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.proximity import proximity
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    base = part.where(k < 576).select(
+        (k % 24).cast("int").alias("gx"),
+        (k / 24).cast("int").alias("gy"),
+        k.alias("k"),
+    )
+    cells = base.select("gx", "gy")
+    targets = base.where(F.col("k") % 23 == 0).select("gx", "gy")
+    return proximity(cells, targets, radius=_PROX_R)

@@ -41,6 +41,7 @@ PROBES = [
     "media_metadata",
     "hybrid_retrieval",  # empty shortlist → empty centroid row, not a crash
     "simhash_hamming_pairs",
+    "proximity_grid",  # no cells, no targets → empty grid, not a crash
 ]
 
 

@@ -90,6 +90,15 @@ SHOWCASE = {
         "hot-group sub-split Window share the one corpus exchange, and "
         "no self-join or all-pairs product appears in the plan"
     ),
+    "ann_ivfpq_topk": (
+        "trained IVFADC: the Lloyd rounds and the residual pipeline are "
+        "broadcast-join + partial-agg chains (corpus shuffles carry one "
+        "row per (vector, subspace), codebook relations are m×ncode and "
+        "cached); candidates come from the cell-id equi-join over the "
+        "CODE table and the per-probe distance tables enter through an "
+        "ordinary BroadcastHashJoin — no SortMergeJoin, no corpus-sized "
+        "join-back (the cell id rides the encode groupBys via first())"
+    ),
     "hybrid_retrieval": (
         "retrieval funnel: the BM25 stage is two corpus scans with a "
         "1-row stats broadcast and TakeOrderedAndProject shortlists; the "

@@ -38,6 +38,7 @@ PROBES = (
     "knn_graph",
     "dedup_minhash",
     "simhash",
+    "simhash_hamming_pairs",
 )
 
 
@@ -116,6 +117,13 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.md",
     )
+    # the table is generated; any hand-written analysis sections after
+    # it ("## ..." onward) are preserved across regenerations
+    if os.path.exists(out_md):
+        old = open(out_md).read()
+        i = old.find("\n## ")
+        if i != -1:
+            lines.append(old[i + 1:])
     with open(out_md, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {out_md}")
