@@ -3785,3 +3785,83 @@ def proximity_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = base.select("gx", "gy")
     targets = base.where(F.col("k") % 23 == 0).select("gx", "gy")
     return proximity(cells, targets, radius=_PROX_R)
+
+
+_VS_OX, _VS_OY, _VS_MAST = 12, 12, 10
+
+
+@register(
+    "viewshed_grid",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(p_partkey % 24 AS INT) AS gx,
+             CAST(p_partkey // 24 AS INT) AS gy,
+             CAST((p_partkey * 11) % 97 AS BIGINT) AS elev
+      FROM part WHERE p_partkey < 576
+    ),
+    obs AS (
+      SELECT elev + {_VS_MAST} AS h0 FROM cells
+      WHERE gx = {_VS_OX} AND gy = {_VS_OY}
+    ),
+    targets AS (
+      SELECT gx, gy, elev,
+             gx - {_VS_OX} AS dx, gy - {_VS_OY} AS dy,
+             greatest(abs(gx - {_VS_OX}), abs(gy - {_VS_OY})) AS s
+      FROM cells
+    ),
+    steps AS (SELECT unnest(range(1, 24)) AS i),
+    rays AS (
+      SELECT t.gx AS tx, t.gy AS ty, t.elev AS h_t, t.s, steps.i,
+             CAST({_VS_OX} + floor((2.0 * t.dx * steps.i + t.s)
+                                   / (2.0 * t.s)) AS INT) AS gx,
+             CAST({_VS_OY} + floor((2.0 * t.dy * steps.i + t.s)
+                                   / (2.0 * t.s)) AS INT) AS gy
+      FROM targets t JOIN steps ON steps.i <= t.s - 1
+      WHERE t.s >= 2
+    ),
+    sampled AS (
+      SELECT r.tx, r.ty, r.h_t, r.s, r.i, c.elev AS h_i, obs.h0
+      FROM rays r JOIN cells c ON c.gx = r.gx AND c.gy = r.gy
+      CROSS JOIN obs
+    ),
+    per_target AS (
+      SELECT tx AS gx, ty AS gy,
+             CAST(sum(CASE WHEN (h_i - h0) * s >= (h_t - h0) * i
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_blockers
+      FROM sampled GROUP BY 1, 2
+    )
+    SELECT t.gx, t.gy, t.elev,
+           CAST(t.s AS BIGINT) AS n_steps,
+           coalesce(p.n_blockers, 0) AS n_blockers,
+           coalesce(p.n_blockers, 0) = 0 AS visible
+    FROM targets t
+    LEFT JOIN per_target p ON t.gx = p.gx AND t.gy = p.gy
+    """,
+    doc="""Line-of-sight viewshed from a fixed observer (GRASS
+    r.viewshed / GDAL viewshed, the R3 per-cell sight-line form) over a
+    synthetic integer terrain: a cell is visible iff NO intermediate
+    terrain sample along its ray subtends an equal-or-larger vertical
+    angle. The visibility decision is the exact integer
+    cross-multiplication (h_i - h0)·S >= (h_t - h0)·i over Chebyshev
+    step counts — no float ever enters it — and sample cells snap with
+    a shared floor((2·d·i + S)/(2·S)) round-half-up, so the oracle
+    replays the geometry bit-for-bit. Scale shape
+    (operators/viewshed.py): the per-(target, step) ray relation is a
+    bounded explode (n·diameter rows), terrain attaches with ONE hash
+    equi-join on the grid key, the blocking test partial-aggregates
+    per target, and the observer is a 1-row broadcast — no window, no
+    iteration, no pixel self-join.""",
+    tags=("W1", "SPATIAL"),
+    bench=True,
+)
+def viewshed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.viewshed import viewshed
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    cells = part.where(k < 576).select(
+        (k % 24).cast("int").alias("gx"),
+        (k / 24).cast("int").alias("gy"),
+        ((k * 11) % 97).cast("long").alias("elev"),
+    )
+    return viewshed(cells, _VS_OX, _VS_OY, _VS_MAST)

@@ -42,6 +42,7 @@ PROBES = [
     "hybrid_retrieval",  # empty shortlist → empty centroid row, not a crash
     "simhash_hamming_pairs",
     "proximity_grid",  # no cells, no targets → empty grid, not a crash
+    "viewshed_grid",  # empty grid → empty observer row, not a crash
 ]
 
 

@@ -276,6 +276,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "ann_ivfpq_topk",  # broadcast 16-centroid codebook + nq·n_probe dts
         "ann_ivfpq_recall_eval",  # same broadcasts + knn_cosine's query side
         "rrf_fusion",  # ivf_topk's centroid/query-side bounded broadcasts
+        "viewshed_grid",  # 1-row observer-height broadcast
         "ann_ivf_topk",  # broadcast 16-centroid codebook
         "ann_ivf2_topk",  # broadcast 1-row two-level codebook (hier IVF)
         "ann_recall_eval",  # knn_cosine's query broadcast + the codebook
