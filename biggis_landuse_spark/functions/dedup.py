@@ -483,6 +483,93 @@ def simhash_band_pairs(
     )
 
 
+def simhash_band_index(
+    snapshot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The static near-dup admission index: every snapshot document's
+    60-bit fingerprint exploded into its 4 pigeonhole bands —
+    (band_id, sig, snap_id, snap_hash). Built once per crawl snapshot
+    (out-of-band, like the Bloom bits relation) and probed by
+    :func:`simhash_near_dup_flags`; ~4 rows per snapshot doc."""
+    per_band = SIMHASH_BITS // SIMHASH_BANDS
+    sig = simhash_fp(snapshot, id_col, text_col, n_hex=SIMHASH_BITS // 4)
+    return sig.select(
+        F.col(id_col).alias("snap_id"),
+        F.col("simhash").alias("snap_hash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> struct("
+                f"  b AS band_id,"
+                f"  CAST(shiftright(simhash, b * {per_band})"
+                f"       & {(1 << per_band) - 1} AS STRING) AS sig))"
+            )
+        ).alias("band"),
+    ).select("band.band_id", "band.sig", "snap_id", "snap_hash")
+
+
+def simhash_near_dup_flags(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: int = SIMHASH_HAMMING_T,
+) -> DataFrame:
+    """Score an incoming batch against a snapshot's simhash band index:
+    per document, the minimum Hamming distance to any band-colliding
+    snapshot doc (NULL when no band collides), the nearest snapshot id,
+    and ``flagged`` = near-dup within ``threshold``.
+
+    The incremental/admission form of :func:`simhash_band_pairs`:
+    batch-internal pairs are never generated, the probe is an
+    equi-join on (band_id, band value) against the prebuilt index, and
+    the per-doc minimum partial-aggregates — linear in the batch, the
+    rolling-crawl contract (dedup_incremental's shape for the
+    Hamming metric). Pigeonhole exactness holds per collision: a
+    batch/snapshot pair within the threshold always shares a band, so
+    a NULL min_hamming genuinely means "no snapshot doc within
+    distance 3" (no sub-split is applied on the admission path — the
+    probe fan-out is bounded by index collisions per band, and the
+    flag needs only the MINIMUM, aggregated before any pair list
+    materializes)."""
+    per_band = SIMHASH_BITS // SIMHASH_BANDS
+    sig = simhash_fp(batch, id_col, text_col, n_hex=SIMHASH_BITS // 4)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BANDS - 1}), b -> struct("
+                f"  b AS band_id,"
+                f"  CAST(shiftright(simhash, b * {per_band})"
+                f"       & {(1 << per_band) - 1} AS STRING) AS sig))"
+            )
+        ).alias("band"),
+    ).select("band.band_id", "band.sig", id_col, "simhash")
+    hits = banded.join(index, ["band_id", "sig"]).select(
+        id_col,
+        F.expr("CAST(bit_count(simhash ^ snap_hash) AS INT)").alias("h"),
+        "snap_id",
+    )
+    best = hits.groupBy(id_col).agg(
+        F.min("h").alias("min_hamming"),
+        F.min_by("snap_id", F.struct("h", "snap_id")).alias("nearest_snap_id"),
+    )
+    return (
+        sig.join(best, id_col, "left")
+        .select(
+            id_col,
+            "simhash",
+            "min_hamming",
+            "nearest_snap_id",
+            (F.coalesce("min_hamming", F.lit(SIMHASH_BITS)) <= threshold).alias(
+                "flagged"
+            ),
+        )
+    )
+
+
 def exact_dedup_summary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content-digest groupBy: survivors keep min id."""
     groups = (

@@ -775,6 +775,71 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_band_pairs(sig, "doc_id")
 
 
+@register(
+    "simhash_incremental",
+    oracle=f"""
+    WITH {_SIMHASH_FP_CTE},
+    snapb AS (
+      SELECT doc_id AS snap_id, simhash AS snap_hash, b AS band_id,
+             CAST((simhash >> (b * {_SIMHASH_PER_BAND}))
+                  & {(1 << _SIMHASH_PER_BAND) - 1} AS VARCHAR) AS sig
+      FROM fp, (SELECT unnest(generate_series(0, {D.SIMHASH_BANDS - 1})) AS b)
+      WHERE doc_id % 2 = 0
+    ),
+    newb AS (
+      SELECT doc_id, simhash, b AS band_id,
+             CAST((simhash >> (b * {_SIMHASH_PER_BAND}))
+                  & {(1 << _SIMHASH_PER_BAND) - 1} AS VARCHAR) AS sig
+      FROM fp, (SELECT unnest(generate_series(0, {D.SIMHASH_BANDS - 1})) AS b)
+      WHERE doc_id % 2 = 1
+    ),
+    hits AS (
+      SELECT DISTINCT n.doc_id,
+             CAST(bit_count(xor(n.simhash, s.snap_hash)) AS INT) AS h,
+             s.snap_id
+      FROM newb n JOIN snapb s ON n.band_id = s.band_id AND n.sig = s.sig
+    ),
+    best AS (
+      SELECT doc_id, h AS min_hamming, snap_id AS nearest_snap_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY h, snap_id) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )
+    SELECT f.doc_id, b.min_hamming, b.nearest_snap_id,
+           coalesce(b.min_hamming, {D.SIMHASH_BITS})
+             <= {D.SIMHASH_HAMMING_T} AS flagged
+    FROM fp f LEFT JOIN best b ON f.doc_id = b.doc_id
+    WHERE f.doc_id % 2 = 1
+    """,
+    doc="""Incremental NEAR-dup admission against a snapshot index — the
+    Hamming twin of dedup_incremental/dedup_bloom: odd doc_ids are the
+    incoming batch, even doc_ids the crawl snapshot, and each incoming
+    doc reports its minimum Hamming distance to any band-colliding
+    snapshot fingerprint (NULL = no snapshot doc within the pigeonhole
+    reach), the nearest snapshot id (ties to the lower id), and the
+    flagged admission verdict at distance ≤ 3. Snapshot-internal and
+    batch-internal pairs are NEVER generated — the probe is an
+    equi-join on (band, value) against the prebuilt index
+    (functions/dedup.py:simhash_band_index) and the per-doc minimum
+    partial-aggregates before any pair list materializes, so cost is
+    linear in the batch (the rolling-crawl contract). The streaming
+    twin (streaming/dedup.py:stream_simhash_admit) scores micro-
+    batches against the SAME index with identical per-doc output,
+    pinned by tests/test_streaming_bloom.py parity.""",
+    tags=("DEDUP", "PIPELINE"),
+)
+def simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    documents = spread(documents)
+    snap = documents.where(F.col("doc_id") % 2 == 0)
+    batch = documents.where(F.col("doc_id") % 2 == 1)
+    index = D.simhash_band_index(snap)
+    return D.simhash_near_dup_flags(batch, index).select(
+        "doc_id", "min_hamming", "nearest_snap_id", "flagged"
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

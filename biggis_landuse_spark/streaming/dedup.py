@@ -64,3 +64,49 @@ def stream_bloom_admit(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def stream_simhash_admit(
+    doc_stream: DataFrame,
+    index: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: int | None = None,
+    admitted_only: bool = False,
+):
+    """NEAR-duplicate admission for a document stream: each micro-batch
+    scores against a static simhash band index
+    (functions.dedup.simhash_band_index — the snapshot artifact the
+    crawl refreshes out-of-band, exactly like the Bloom bits relation)
+    and the scored rows append to ``out_path``.
+
+    The Hamming twin of :func:`stream_bloom_admit`: Bloom flags
+    shingle-level CONTAINMENT, this flags fingerprint-level NEAR-dups
+    (small edits, boilerplate rewraps) within Hamming distance 3 —
+    a crawl gate usually runs both. Scoring is per-document and
+    batch-local (simhash_near_dup_flags), so stream output equals the
+    batch twin on the union of all micro-batches; state beyond the
+    checkpoint is the index relation only, O(1) in stream length.
+    """
+    from biggis_landuse_spark.functions.dedup import (
+        SIMHASH_HAMMING_T,
+        simhash_near_dup_flags,
+    )
+
+    t = SIMHASH_HAMMING_T if threshold is None else threshold
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = simhash_near_dup_flags(
+            batch_df, index, id_col=id_col, text_col=text_col, threshold=t
+        )
+        if admitted_only:
+            scored = scored.where(~scored.flagged)
+        scored.write.mode("append").parquet(out_path)
+
+    return (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -121,6 +121,7 @@ NULL_PROBES = [
     "ann_ivfpq_topk",  # NULL embeddings must not crash assignment/encoding
     "rrf_fusion",  # NULL-affinity rows must not crash either input list
     "ngram_containment",
+    "simhash_incremental",  # NULL-text docs must not crash either side
 ]
 
 
