@@ -776,6 +776,94 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lexical_diversity",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    tk AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '),
+                                           x -> x <> ''))) AS n_distinct
+      FROM base
+    ),
+    chars AS (
+      SELECT doc_id, substr(text, i + 1, 1) AS ch
+      FROM (SELECT doc_id, text, unnest(range(length(text))) AS i FROM base)
+    ),
+    freq AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(c) AS n FROM freq GROUP BY 1),
+    ent AS (
+      SELECT f.doc_id,
+             round(-sum((c / CAST(n AS DOUBLE))
+                        * log2(c / CAST(n AS DOUBLE))), 6) AS char_entropy
+      FROM freq f JOIN tot USING (doc_id) GROUP BY 1
+    )
+    SELECT tk.doc_id,
+           CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+           CAST(tk.n_distinct AS BIGINT) AS n_distinct,
+           CASE WHEN tk.n_tokens > 0
+                THEN round(CAST(tk.n_distinct AS DOUBLE) / tk.n_tokens, 6)
+           END AS ttr,
+           ent.char_entropy
+    FROM tk LEFT JOIN ent ON tk.doc_id = ent.doc_id
+    """,
+    doc="""Per-document lexical-diversity quality signals: type-token
+    ratio (distinct/total tokens — collapses on keyword-stuffed or
+    looped text) and character-level Shannon entropy (collapses on
+    gibberish runs and inflates on binary-ish noise) — two of the
+    standard cheap gates (Gopher/C4-family rules) a corpus pipeline
+    applies before any model-based scoring. Scale shape: the token
+    metrics are a pure scan-local projection (higher-order array
+    functions, zero shuffle); the entropy needs one (doc, char)
+    partial-aggregated shuffle + a doc-keyed join — all counts exact
+    integers, the single transcendental sum rounds at 6dp with ~8
+    orders of reordering margin (SCALING float discipline). NULL text
+    never reaches either side; empty text keeps its row with
+    n_tokens=0 and NULL ttr/entropy (ANSI totality).""",
+    tags=("TEXT", "PIPELINE"),
+)
+def lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    base = documents.where(F.col("text").isNotNull())
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    tk = base.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+    # length guard: Spark sequence(1, 0) DESCENDS ([1, 0]) instead of
+    # yielding empty, so an empty-text doc would fabricate two '' chars
+    # and a 0.0 entropy where the oracle's range(0) yields NULL
+    chars = base.where(F.length("text") > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    ent = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("char_entropy"))
+    )
+    return tk.join(ent, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6),
+        ).alias("ttr"),
+        "char_entropy",
+    )
+
+
+@register(
     "simhash_incremental",
     oracle=f"""
     WITH {_SIMHASH_FP_CTE},

@@ -122,6 +122,7 @@ NULL_PROBES = [
     "rrf_fusion",  # NULL-affinity rows must not crash either input list
     "ngram_containment",
     "simhash_incremental",  # NULL-text docs must not crash either side
+    "lexical_diversity",  # NULL filtered, empty text keeps a NULL-metric row
 ]
 
 
@@ -233,6 +234,7 @@ NULLED_ORACLE_PROBES = [
     "media_audio_frames",  # frame generator vs oracle: both gate NULL/empty
     "simhash_hamming_pairs",  # NULL-text docs get no fingerprint on either side
     "hybrid_retrieval",  # NULL text never reaches the shortlist on either side
+    "lexical_diversity",  # empty text: n_tokens=0 + NULL entropy on BOTH sides
 ]
 
 
