@@ -526,13 +526,26 @@ def simhash_near_dup_flags(
     equi-join on (band_id, band value) against the prebuilt index, and
     the per-doc minimum partial-aggregates — linear in the batch, the
     rolling-crawl contract (dedup_incremental's shape for the
-    Hamming metric). Pigeonhole exactness holds per collision: a
-    batch/snapshot pair within the threshold always shares a band, so
-    a NULL min_hamming genuinely means "no snapshot doc within
-    distance 3" (no sub-split is applied on the admission path — the
-    probe fan-out is bounded by index collisions per band, and the
-    flag needs only the MINIMUM, aggregated before any pair list
-    materializes)."""
+    Hamming metric). Pigeonhole exactness holds per collision: with
+    ``SIMHASH_BANDS`` bands, a pair within Hamming distance
+    ``SIMHASH_BANDS - 1`` always shares a band, so a NULL min_hamming
+    genuinely means "no snapshot doc within the threshold" (no
+    sub-split is applied on the admission path — the probe fan-out is
+    bounded by index collisions per band, and the flag needs only the
+    MINIMUM, aggregated before any pair list materializes). The
+    no-miss guarantee therefore requires ``threshold <=
+    SIMHASH_BANDS - 1``; larger thresholds would silently under-flag
+    pairs at distances SIMHASH_BANDS..threshold that collide in no
+    band, so they are rejected here (honest bound)."""
+    if threshold > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"threshold={threshold} exceeds the pigeonhole no-miss "
+            f"bound ({SIMHASH_BANDS} bands ⇒ exact only for "
+            f"threshold <= {SIMHASH_BANDS - 1}); pairs at larger "
+            "distances can collide in no band and would be silently "
+            "missed — use simhash_band_pairs (batch path) or more "
+            "bands instead"
+        )
     per_band = SIMHASH_BITS // SIMHASH_BANDS
     sig = simhash_fp(batch, id_col, text_col, n_hex=SIMHASH_BITS // 4)
     banded = sig.select(

@@ -715,10 +715,19 @@ def pq_codebooks(
     per-subspace k-means (at scale each subspace codebook comes from
     pyspark.ml KMeans over the subvectors; the plumbing downstream is
     identical). ``m`` subspaces must divide the dimension evenly.
+
+    Seeding is by RANK (orderBy + limit → TakeOrderedAndProject, a
+    per-partition top-k, no global sort), not ``id < ncode`` — an
+    offset or sparse id space yields the same ``ncode`` seeds instead
+    of a silently short (possibly empty) codebook (r8, ADVICE fix).
+    For dense 0-based ids the seeds are identical to the old
+    predicate, so every oracle replay is unchanged.
     """
     dsub = F.floor(F.size("_v") / m).cast("int")
     return (
-        corpus.where(F.col(id_col) < ncode)
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(id_col)
+        .limit(ncode)
         .select(
             F.col(id_col).alias("c"),
             as_double(vec_col).alias("_v"),
@@ -744,9 +753,12 @@ def pq_codebooks_trained(
 ) -> DataFrame:
     """Per-subspace k-means PQ codebooks: ``iters`` unrolled Lloyd
     rounds over the subvectors, seeded from the first ``ncode``
-    subvectors in id order — kmeans_lloyd's training discipline run
-    independently in each of the ``m`` subspaces (the actual PQ
-    training step; pq_codebooks is the untrained seed).
+    vectors BY RANK in id order (orderBy + limit, so offset/sparse id
+    spaces still yield ``ncode`` seeds — r8 ADVICE fix; identical
+    seeds to the old ``id < ncode`` predicate on dense 0-based ids,
+    so oracle replays are unchanged) — kmeans_lloyd's training
+    discipline run independently in each of the ``m`` subspaces (the
+    actual PQ training step; pq_codebooks is the untrained seed).
 
     Assignment is an argmin over the BROADCAST (m × ncode) codebook
     (map-side min_by — the corpus never shuffles for assignment); the
@@ -767,8 +779,19 @@ def pq_codebooks_trained(
         "s",
         F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
     )
-    cb = sub.where(F.col(id_col) < ncode).select(
-        "s", F.col(id_col).alias("c"), F.col("sv").alias("cv")
+    seed = (
+        vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .orderBy(id_col)
+        .limit(ncode)
+    )
+    cb = seed.select(
+        F.col(id_col).alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "_v",
+    ).select(
+        "s",
+        "c",
+        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("cv"),
     )
     for _ in range(iters):
         dist = F.round(l2sq(F.col("sv"), F.col("cv")), 6)

@@ -16,6 +16,13 @@ Scoring is per-document and batch-local
 (:func:`biggis_landuse_spark.functions.dedup.bloom_containment`), so
 stream output is IDENTICAL to running the batch twin on the union of
 all micro-batches — pinned by test_streaming_bloom parity tests.
+
+Sink semantics (r8, ADVICE): each micro-batch writes to a
+``batch_id=<id>`` partition directory with overwrite mode, so a
+micro-batch RETRY after a sink failure replaces its own directory
+instead of appending duplicate rows — exactly-once at the sink, the
+same contract the engine's spool DataSource proves for the Kafka
+path. Readers see the batch_id as an ordinary partition column.
 """
 
 from __future__ import annotations
@@ -27,6 +34,16 @@ from biggis_landuse_spark.functions.dedup import (
     BLOOM_M,
     bloom_containment,
 )
+
+
+def _write_scored_batch(
+    scored: DataFrame, out_path: str, batch_id: int
+) -> None:
+    """Idempotent foreachBatch sink: overwrite THIS batch's partition
+    directory (retries replace, never duplicate)."""
+    scored.write.mode("overwrite").parquet(
+        f"{out_path}/batch_id={batch_id}"
+    )
 
 
 def stream_bloom_admit(
@@ -57,7 +74,7 @@ def stream_bloom_admit(
         )
         if admitted_only:
             scored = scored.where(~scored.flagged)
-        scored.write.mode("append").parquet(out_path)
+        _write_scored_batch(scored, out_path, batch_id)
 
     return (
         doc_stream.writeStream.foreachBatch(write_batch)
@@ -89,13 +106,25 @@ def stream_simhash_admit(
     batch-local (simhash_near_dup_flags), so stream output equals the
     batch twin on the union of all micro-batches; state beyond the
     checkpoint is the index relation only, O(1) in stream length.
+
+    ``threshold`` is validated EAGERLY against the pigeonhole no-miss
+    bound (``SIMHASH_BANDS - 1``; see simhash_near_dup_flags) so a
+    too-loose gate fails at plan time, not inside the first
+    micro-batch.
     """
     from biggis_landuse_spark.functions.dedup import (
+        SIMHASH_BANDS,
         SIMHASH_HAMMING_T,
         simhash_near_dup_flags,
     )
 
     t = SIMHASH_HAMMING_T if threshold is None else threshold
+    if t > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"threshold={t} exceeds the pigeonhole no-miss bound "
+            f"({SIMHASH_BANDS} bands ⇒ exact only for threshold <= "
+            f"{SIMHASH_BANDS - 1})"
+        )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         scored = simhash_near_dup_flags(
@@ -103,7 +132,7 @@ def stream_simhash_admit(
         )
         if admitted_only:
             scored = scored.where(~scored.flagged)
-        scored.write.mode("append").parquet(out_path)
+        _write_scored_batch(scored, out_path, batch_id)
 
     return (
         doc_stream.writeStream.foreachBatch(write_batch)

@@ -129,6 +129,50 @@ def test_stream_simhash_matches_batch_twin(spark, sf_dir, tmp_path):
     index.unpersist()
 
 
+def test_stream_admit_sink_is_idempotent_on_retry(spark, sf_dir, tmp_path):
+    # r8 (ADVICE): the foreachBatch sink writes each micro-batch to a
+    # batch_id-keyed partition directory with overwrite mode, so a
+    # retried micro-batch REPLACES its own output instead of
+    # appending duplicates (exactly-once at the sink)
+    from biggis_landuse_spark.streaming.dedup import _write_scored_batch
+
+    scored = spark.createDataFrame(
+        [(1, True), (2, False)], "doc_id long, flagged boolean"
+    )
+    out = str(tmp_path / "retry_sink")
+    _write_scored_batch(scored, out, 0)
+    _write_scored_batch(scored, out, 0)  # simulated retry
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # not 4
+    assert {r["batch_id"] for r in rows} == {0}
+    _write_scored_batch(scored, out, 1)  # next batch adds its own dir
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_stream_simhash_rejects_unsound_threshold(spark, sf_dir, tmp_path):
+    # r8 (ADVICE): thresholds beyond the pigeonhole no-miss bound
+    # (SIMHASH_BANDS - 1) would silently under-flag; both the batch
+    # scorer and the stream gate refuse them eagerly
+    import pytest
+
+    from biggis_landuse_spark.functions.dedup import (
+        SIMHASH_BANDS,
+        simhash_near_dup_flags,
+    )
+    from biggis_landuse_spark.streaming.dedup import stream_simhash_admit
+
+    batch, index, src = _setup_simhash(spark, sf_dir, tmp_path, n_files=1)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup_flags(batch, index, threshold=SIMHASH_BANDS)
+    stream = spark.readStream.schema(DOC_DDL).parquet(src)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        stream_simhash_admit(
+            stream, index, str(tmp_path / "o"), str(tmp_path / "c"),
+            threshold=SIMHASH_BANDS,
+        )
+    index.unpersist()
+
+
 def test_stream_simhash_admitted_only_drops_near_dups(spark, sf_dir, tmp_path):
     from biggis_landuse_spark.streaming.dedup import stream_simhash_admit
 

@@ -74,3 +74,25 @@ def test_simhash_is_deterministic_and_32bit(spark, doc):
     else:
         assert out[1] == out[2]
         assert 0 <= out[1] < 2**32
+
+
+def test_bpe_train_checkpoint_invariance(spark, sf_dir, monkeypatch):
+    # r8 (VERDICT r7 wrong-#2): the per-round lineage truncation
+    # (vocab-sized localCheckpoint every _BPE_CHECKPOINT_EVERY merges)
+    # must not change the learned merge table — run the trainer with
+    # checkpointing forced ON every round and compare to the plain run
+    import biggis_landuse_spark.queries.textops as TXQ
+    from biggis_landuse_spark.queries import load_tables, release_caches
+
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    docs = documents.limit(40).cache()
+    try:
+        base_rules, _ = TXQ._bpe_train(docs)
+        release_caches()
+        monkeypatch.setattr(TXQ, "_BPE_CHECKPOINT_EVERY", 1)
+        ck_rules, _ = TXQ._bpe_train(docs)
+        release_caches()
+    finally:
+        docs.unpersist()
+    assert base_rules == ck_rules
+    assert len(base_rules) == TXQ._BPE_TRAIN_ROUNDS
