@@ -7,6 +7,19 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed with a count() action (full plan, no driver
 collect of data rows). A warmup run of the first query absorbs JVM/
 codegen startup so the numbers measure the plans, not the JIT.
+
+Environment-drift attribution (r8, VERDICT r7 #4): the output also
+carries ``load_avg`` (1/5/15-min system load before and after the run)
+and ``canary`` — the timings of three pinned-plan trivial queries
+(pricing_summary, media_metadata, pyramid_level) whose code and plans
+never change round-to-round. Uniform canary drift ⇒ machine noise;
+canary-stable drift in other queries ⇒ a real regression. Earlier
+rounds argued this distinction in prose; now it is machine-readable.
+
+Streaming visibility (r8, VERDICT r7 #6): a deterministic streaming
+micro-bench (tumbling window, session window, stateful tile
+reassembly — see streaming/bench.py) reports rows/s under a
+``streaming`` key. Disable with SPARK_GRAFT_STREAMING=0.
 """
 
 from __future__ import annotations
@@ -18,6 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# trivial pinned-plan queries used as environment canaries
+CANARY_QUERIES = ("pricing_summary", "media_metadata", "pyramid_level")
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,6 +42,7 @@ def main() -> None:
     from biggis_landuse_spark.queries import bench_queries, release_caches
     from biggis_landuse_spark.session import get_spark
 
+    load_before = os.getloadavg()
     spark = get_spark(app_name="biggis-bench")
 
     specs = bench_queries()
@@ -54,6 +71,17 @@ def main() -> None:
         finally:
             release_caches()
 
+    streaming: dict | None = None
+    if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
+        try:
+            from biggis_landuse_spark.streaming.bench import (
+                run_streaming_bench,
+            )
+
+            streaming = run_streaming_bench(spark)
+        except Exception as exc:  # noqa: BLE001 — survive and report
+            errors["__streaming__"] = f"{type(exc).__name__}: {exc}"[:200]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -61,7 +89,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "load_avg": {
+            "before": [round(x, 2) for x in load_before],
+            "after": [round(x, 2) for x in os.getloadavg()],
+        },
+        "canary": {
+            name: timings[name] for name in CANARY_QUERIES if name in timings
+        },
     }
+    if streaming is not None:
+        out["streaming"] = streaming
     if errors:
         # a partial total is NOT comparable to a full-suite total — a
         # slow query erroring out would read as a speedup. Null the

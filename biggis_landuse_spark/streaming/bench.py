@@ -1,0 +1,171 @@
+"""Streaming micro-benchmark: rows/s through the engine's stateful
+streaming operators, driven to completion with processAllAvailable.
+
+VERDICT r7 #6: no streaming query was in the bench set, so a state-
+store regression (a slow applyInPandasWithState kernel, a watermark
+misconfiguration that balloons state) would have been invisible in
+BENCH_r{N}.json. This module gives bench.py three deterministic legs:
+
+- ``tumbling``: file-source event stream → tumbling_counts (window
+  aggregation state)
+- ``session``: same stream → session_counts (session-window state
+  merge)
+- ``tile_reassembly``: pixel stream → reassemble_tiles_stream
+  (applyInPandasWithState custom state, Arrow-batched)
+
+Each leg synthesizes its input ONCE as K parquet files (K micro-
+batches via maxFilesPerTrigger=1), runs the stream with a foreachBatch
+count sink (full plan execution, no driver data collection), and
+reports rows/s of source rows. Deterministic sizing — no rate source
+clock dependency — so numbers are comparable round over round.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+EVENT_DDL = "user_id long, event_type string, value double, ts timestamp"
+PIXEL_DDL = (
+    "tile_col int, tile_row int, band int, px int, py int, "
+    "value double, event_ts timestamp"
+)
+
+
+def _write_event_files(spark, src: str, n_rows: int, n_files: int) -> None:
+    """n_rows synthetic events spread over n_files parquet files:
+    200 users/row-mod (so session state holds hundreds of concurrent
+    sessions, not a handful of giant merges), 4 event types, one
+    event per 2 seconds of event time."""
+    base = spark.range(n_rows).select(
+        (F.col("id") % 200).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 4).cast("string")).alias(
+            "event_type"
+        ),
+        ((F.col("id") % 97) * 1.5).alias("value"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2).alias(
+            "ts"
+        ),
+        (F.col("id") % n_files).alias("f"),
+    )
+    for i in range(n_files):
+        base.where(F.col("f") == i).drop("f").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+
+def _write_pixel_files(
+    spark, src: str, n_tiles: int, size: int, n_files: int
+) -> None:
+    """n_tiles complete size×size tiles, pixels shuffled across
+    n_files so most tiles span micro-batches (real state carry)."""
+    n_rows = n_tiles * size * size
+    base = spark.range(n_rows).select(
+        ((F.col("id") / (size * size)).cast("int") % 64).alias("tile_col"),
+        ((F.col("id") / (size * size * 64)).cast("int")).alias("tile_row"),
+        F.lit(0).alias("band"),
+        ((F.col("id") % (size * size)) % size).cast("int").alias("px"),
+        ((F.col("id") % (size * size)) / size).cast("int").alias("py"),
+        (F.col("id") % 251).cast("double").alias("value"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % 600)
+        ).alias("event_ts"),
+        # interleave: consecutive pixels land in different files, so
+        # every tile needs cross-batch state before it completes
+        (F.col("id") % n_files).alias("f"),
+    )
+    for i in range(n_files):
+        base.where(F.col("f") == i).drop("f").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+
+def _drive(stream_df, ckpt: str, mode: str = "update") -> float:
+    """Run a streaming DataFrame to exhaustion through a foreachBatch
+    count sink; return wall seconds. ``mode``: session-window and
+    applyInPandasWithState plans require append; plain windowed
+    aggregation benches as update (per-batch state emission)."""
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, _bid: (df.count(), None)[1]
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode(mode)
+        .start()
+    )
+    t0 = time.perf_counter()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return time.perf_counter() - t0
+
+
+def run_streaming_bench(
+    spark: SparkSession,
+    n_events: int = 60_000,
+    n_tiles: int = 64,
+    tile_size: int = 16,
+    n_files: int = 4,
+) -> dict:
+    """Run the three legs; return {leg: {rows, sec, rows_per_sec}}."""
+    from biggis_landuse_spark.streaming.pixels import (
+        reassemble_tiles_stream,
+    )
+    from biggis_landuse_spark.streaming.windows import (
+        session_counts,
+        tumbling_counts,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_bench_")
+    out: dict[str, dict] = {}
+    try:
+        ev_src = f"{root}/events"
+        _write_event_files(spark, ev_src, n_events, n_files)
+
+        def ev_stream():
+            return (
+                spark.readStream.schema(EVENT_DDL)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(ev_src)
+            )
+
+        sec = _drive(tumbling_counts(ev_stream()), f"{root}/ck_tumble")
+        out["tumbling"] = {
+            "rows": n_events,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(n_events / sec),
+        }
+        sec = _drive(
+            session_counts(ev_stream()), f"{root}/ck_session", "append"
+        )
+        out["session"] = {
+            "rows": n_events,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(n_events / sec),
+        }
+
+        px_src = f"{root}/pixels"
+        n_px = n_tiles * tile_size * tile_size
+        _write_pixel_files(spark, px_src, n_tiles, tile_size, n_files)
+        px_stream = (
+            spark.readStream.schema(PIXEL_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(px_src)
+        )
+        tiles = reassemble_tiles_stream(
+            px_stream, cols=tile_size, rows=tile_size
+        )
+        sec = _drive(tiles, f"{root}/ck_tiles", "append")
+        out["tile_reassembly"] = {
+            "rows": n_px,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(n_px / sec),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
