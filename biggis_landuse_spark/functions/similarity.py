@@ -445,6 +445,231 @@ def hier_codebook(
     )
 
 
+def lloyd_centroids(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """K-means training (Lloyd's) as DataFrame composition → (cid, cv)
+    with cid densely 0..k-1 from rank-ordered seeds: the reusable form
+    of the kmeans_lloyd registry query's loop (assignment = min_by
+    over a BROADCAST centroid table, map-side; update = posexplode +
+    per-dim mean rounded at 6dp per round so both engines feed
+    bit-identical centroids into the next iteration). Seeds are the
+    first ``k`` vectors BY RANK in id order (TakeOrderedAndProject),
+    so offset/sparse id spaces train the same as dense ones. Cells
+    that lose all members drop out (standard Lloyd behavior)."""
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_lv"))
+    seed_w = W.orderBy(id_col)  # bounded: k rows after the limit
+    cent = (
+        v.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(seed_w) - 1).cast("long").alias("cid"),
+            F.col("_lv").alias("cv"),
+        )
+    )
+    for _ in range(iters):
+        dist = F.round(l2sq(F.col("_lv"), F.col("cv")), 6)
+        assign = (
+            v.crossJoin(F.broadcast(cent))
+            .select(
+                id_col,
+                "_lv",
+                F.struct(dist.alias("d"), F.col("cid")).alias("dc"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.min_by("dc", "dc").getField("cid").alias("cid"),
+                F.first("_lv").alias("_lv"),
+            )
+        )
+        long = (
+            assign.select("cid", F.posexplode("_lv").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+        )
+        cent = long.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("cv")
+        )
+    return cent
+
+
+def hier_codebook_trained(
+    corpus: DataFrame,
+    kc: int,
+    kf: int,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+) -> tuple[DataFrame, DataFrame]:
+    """TRAINED two-level IVF codebook (r8, VERDICT r7 #2): Lloyd
+    coarse cells over the corpus, then per-cell Lloyd fine cells over
+    the RESIDUALS (v − coarse centroid, the FAISS residual-training
+    discipline), fine centroids stored as ABSOLUTE vectors
+    (coarse + residual center) with their parent ccid EXPLICIT — the
+    parent is known by construction, not recovered by a nearest-join,
+    so a vector's nearest fine cell lives under its nearest coarse
+    cells far more often than with the untrained first-N codebook
+    (the r7 recall gap).
+
+    Returns ``(fines, coarse)``: fines (cid, cv, ccid) with cid
+    densely re-indexed over (ccid, code) order; coarse (cid→ccid, cv)
+    from :func:`lloyd_centroids`.
+
+    Every stage is vocab/model-sized or map-side: coarse training is
+    the kmeans_lloyd loop; the residual join broadcasts the kc-row
+    coarse table; fine training's only shuffle keys are
+    (ccid, code, dim) — bounded by the codebook, not the corpus. At
+    100 TB this runs on the deterministic hash sample exactly like
+    ml/ivf.train_codebook; at oracle scale it is replayed CTE-for-CTE
+    by DuckDB. All means/residuals round at 6dp — the cross-engine
+    sync discipline."""
+    v = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    coarse = lloyd_centroids(v, kc, iters=iters, vec_col="_v").select(
+        F.col("cid").alias("ccid"), F.col("cv").alias("_gcv")
+    )
+    # final coarse assignment + per-element 6dp residuals
+    dist = F.round(l2sq(F.col("_v"), F.col("_gcv")), 6)
+    members = (
+        v.crossJoin(F.broadcast(coarse))
+        .select(
+            id_col,
+            "_v",
+            F.struct(
+                dist.alias("d"), F.col("ccid"), F.col("_gcv")
+            ).alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min_by("dc", "dc").getField("ccid").alias("ccid"),
+            F.zip_with(
+                F.first("_v"),
+                F.min_by("dc", "dc").getField("_gcv"),
+                lambda x, y: F.round(x - y, 6),
+            ).alias("_r"),
+        )
+    )
+    # per-cell seeds: first kf members by id rank within the cell
+    cell_w = W.partitionBy("ccid").orderBy(id_col)
+    fcb = (
+        members.select(
+            "ccid", F.row_number().over(cell_w).alias("_rn"), "_r"
+        )
+        .where(F.col("_rn") <= kf)
+        .select("ccid", (F.col("_rn") - 1).cast("long").alias("code"),
+                F.col("_r").alias("fcv"))
+    )
+    for _ in range(iters):
+        fdist = F.round(l2sq(F.col("_r"), F.col("fcv")), 6)
+        fassign = (
+            members.join(F.broadcast(fcb), "ccid")
+            .select(
+                id_col,
+                "ccid",
+                "_r",
+                F.struct(fdist.alias("d"), F.col("code")).alias("dc"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.any_value("ccid").alias("ccid"),
+                F.min_by("dc", "dc").getField("code").alias("code"),
+                F.first("_r").alias("_r"),
+            )
+        )
+        flong = (
+            fassign.select(
+                "ccid", "code", F.posexplode("_r").alias("dim", "x")
+            )
+            .groupBy("ccid", "code", "dim")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+        )
+        fcb = flong.groupBy("ccid", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("fcv")
+        )
+    # absolute fine centroids + dense (ccid, code)-ordered fine cids;
+    # the window is codebook-sized (≤ kc·kf rows), not corpus-sized
+    fine_w = W.orderBy("ccid", "code")
+    fines = (
+        fcb.join(F.broadcast(coarse), "ccid")
+        .select(
+            "ccid",
+            "code",
+            F.zip_with(
+                F.col("_gcv"), F.col("fcv"), lambda x, y: x + y
+            ).alias("cv"),
+        )
+        .select(
+            (F.row_number().over(fine_w) - 1).cast("long").alias("cid"),
+            "cv",
+            "ccid",
+        )
+    )
+    return fines, coarse.select("ccid", F.col("_gcv").alias("cv"))
+
+
+def hier_codebook_from_parents(
+    fines: DataFrame,
+    coarse: DataFrame,
+    cid_col: str = "cid",
+    cvec_col: str = "cv",
+    ccid_col: str = "ccid",
+) -> DataFrame:
+    """:func:`hier_codebook` for a fine codebook whose parent mapping
+    is EXPLICIT (a ``ccid`` column on the fines — the trained path,
+    where each fine centroid was fitted inside one coarse cell), so no
+    nearest-centroid f2c join is needed or wanted. Same one-row nested
+    broadcast shape ``ivf_assign_hier`` consumes via ``codebook=``."""
+    fine_groups = (
+        fines.select(
+            F.col(ccid_col),
+            F.col(cid_col),
+            F.col(cvec_col).alias("_fv"),
+            norm(F.col(cvec_col)).alias("_nfv"),
+        )
+        .groupBy(ccid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(cid_col).alias("cid"),
+                        F.col("_fv").alias("cv"),
+                        F.col("_nfv").alias("ncv"),
+                    )
+                )
+            ).alias("fines")
+        )
+    )
+    return (
+        coarse.select(
+            F.col(ccid_col),
+            F.col(cvec_col).alias("_gv"),
+            norm(F.col(cvec_col)).alias("_ngv"),
+        )
+        .join(fine_groups, ccid_col, "left")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ccid_col).alias("ccid"),
+                        F.col("_gv").alias("gv"),
+                        F.col("_ngv").alias("ngv"),
+                        F.col("fines").alias("fines"),
+                    )
+                )
+            ).alias("_gs")
+        )
+    )
+
+
 def ivf_assign_hier(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -682,6 +907,91 @@ def ivf_topk_hier(
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def ivf_topk_hier_trained(
+    queries: DataFrame,
+    corpus: DataFrame,
+    kc: int,
+    kf: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_assign_coarse: int = 2,
+    n_probe_coarse: int | None = None,
+    n_probe: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Two-level IVF top-k over a TRAINED hierarchical codebook (r8,
+    VERDICT r7 #2): Lloyd coarse + per-cell residual-Lloyd fines
+    (:func:`hier_codebook_trained`), explicit parent mapping, then the
+    standard fine-cell equi-join candidate contract.
+
+    Asymmetric probing — the design point the r7 measurement forced:
+    CORPUS assignment (the n-row, cost-dominant side) prunes
+    hierarchically (``n_assign_coarse`` of kc coarse cells → best fine
+    within them: ~(kc + n_assign_coarse·kf) dots per row, the
+    n^1.25 path). QUERY probing (a handful of rows) defaults to ALL
+    coarse cells (``n_probe_coarse=None`` → kc) and ``n_probe`` fine
+    cells — query-side selectivity costs recall precisely where the
+    hierarchy cannot afford it at small kc, and costs nothing
+    meaningful in compute (queries ≪ corpus). At production kc (~1e2+
+    coarse cells over ~1e5 fines) set ``n_probe_coarse`` to a small
+    constant and the same plan prunes both sides."""
+    npc = kc if n_probe_coarse is None else n_probe_coarse
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    fines, coarse = hier_codebook_trained(
+        v, kc=kc, kf=kf, iters=iters, vec_col="vec"
+    )
+    garr = hier_codebook_from_parents(fines, coarse)
+    assign = ivf_assign_hier(
+        v, fines, coarse, id_col=id_col,
+        n_probe_coarse=n_assign_coarse, n_probe=1, codebook=garr,
+    ).select(F.col(id_col).alias("neighbor_id"), "cid")
+    q_probes = ivf_assign_hier(
+        queries.select(F.col(id_col), as_double(vec_col).alias("vec")),
+        fines,
+        coarse,
+        id_col=id_col,
+        n_probe_coarse=npc,
+        n_probe=n_probe,
+        codebook=garr,
+    ).select(F.col(id_col).alias("query_id"), "cid")
+    c = v.select(
+        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv")
+    ).withColumn("nc", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    ).withColumn("nq", norm(F.col("qv")))
+    cand = (
+        assign.join(F.broadcast(q_probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    sim = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("cv")),
+                    F.col("nq") * F.col("nc"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
     return (
         sim.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
