@@ -356,40 +356,70 @@ def simhash_fp(
     position; the fingerprint sets bit j iff the position-j sum is
     positive. ``n_hex`` must stay ≤ 15 so the fingerprint fits a
     signed BIGINT without touching the sign bit (both engines would
-    otherwise overflow-check the power-of-two sum)."""
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    ).withColumn("h8", F.substring(F.md5("tok"), 1, n_hex))
-    # explode n_hex hex digit positions × 4 bits each
-    digit = toks.select(
-        id_col,
-        F.posexplode(
-            F.expr(f"transform(sequence(1, {n_hex}), i -> substring(h8, i, 1))")
-        ).alias("pos", "digit"),
-    ).withColumn("dval", F.expr("instr('0123456789abcdef', digit) - 1"))
-    bits = digit.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bit_in_digit"),
-        "pos",
-        "dval",
-    ).select(
-        id_col,
-        (F.col("pos") * 4 + F.col("bit_in_digit")).alias("j"),
-        F.when(
-            F.expr("(shiftright(dval, bit_in_digit) & 1) = 1"),
-            F.lit(1),
-        )
-        .otherwise(F.lit(-1))
-        .alias("contrib"),
+    otherwise overflow-check the power-of-two sum).
+
+    Execution (r8, VERDICT r7 #3): the whole fingerprint folds inside
+    ONE projection via array higher-order functions — md5 once per
+    token (transform), ±1 vote sums per bit (aggregate + zip_with,
+    exact integer arithmetic in any order), bit assembly (aggregate)
+    — so fingerprinting is MAP-SIDE with zero shuffle and stays in
+    whole-stage codegen. The previous form exploded tokens × n_hex ×
+    4 rows (60 rows per token at the 60-bit width) through a
+    (doc, bit) groupBy shuffle: the dominant data-proportional cost
+    in the simhash scale probe. Values are bit-identical (integer
+    votes), so every DuckDB oracle replay is unchanged. Token-less
+    (or NULL-text) docs carry no signature, matching the old
+    explode-drop semantics."""
+    nbits = 4 * n_hex
+    toks = tokens(text_col)
+    hashes = F.transform(
+        toks, lambda t: F.substring(F.md5(t), 1, n_hex)
     )
-    per_bit = bits.groupBy(id_col, "j").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-            .otherwise(F.lit(0))
+    seq = F.sequence(F.lit(0), F.lit(nbits - 1))
+
+    def vote(h8, j):
+        # bit j lives in hex digit j//4, bit j%4 (the oracle's layout)
+        dval = (
+            F.conv(
+                h8.substr((j / 4).cast("int") + 1, F.lit(1)), 16, 10
+            ).cast("int")
         )
-        .cast("long")
-        .alias("simhash")
+        return (
+            F.when(
+                F.call_function("shiftright", dval, (j % 4).cast("int"))
+                .bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.transform(seq, lambda j: F.lit(0)),
+        lambda acc, h8: F.zip_with(
+            acc,
+            F.transform(seq, lambda j: vote(h8, j)),
+            lambda a, b: a + b,
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            seq,
+            lambda s, j: F.when(
+                s > 0,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), j.cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        df.where(F.size(toks) > 0)
+        .select(F.col(id_col), fp.alias("simhash"))
     )
 
 

@@ -56,6 +56,55 @@ class GeoTiffDecoder:
         return georef_of(payload)
 
 
+class RasterioDecoder(GeoTiffDecoder):
+    """Optional C-backed fast path (r8, VERDICT r7 #5): decode through
+    rasterio/GDAL when the library is importable. The pure-Python
+    baseline codec is correct but ~single-digit MB/s/core on
+    LZW/JPEG segments (measured, tools/codec_throughput.py +
+    SCALING.md); GDAL decodes the same formats at hundreds of MB/s.
+    Output contract is IDENTICAL to GeoTiffDecoder — per-band float64
+    (height, width) arrays and the (x0, y0, dx, dy) affine — pinned by
+    the parity test on the shared fixtures
+    (tests/test_geotiff_fastpath.py, env-gated on rasterio).
+    Construction raises ImportError when rasterio is missing; use
+    :func:`best_decoder` to auto-select."""
+
+    def __init__(self) -> None:
+        import rasterio  # noqa: F401 — fail fast at plug time
+
+    def _open(self, payload: bytes):
+        import rasterio
+        from rasterio.io import MemoryFile
+
+        return rasterio, MemoryFile(payload)
+
+    def decode(self, path: str, payload: bytes):
+        _, mem = self._open(payload)
+        with mem as m, m.open() as src:
+            return [
+                src.read(b + 1).astype("float64")
+                for b in range(src.count)
+            ]
+
+    def georef(self, path: str, payload: bytes):
+        _, mem = self._open(payload)
+        with mem as m, m.open() as src:
+            t = src.transform
+            return (t.c, t.f, t.a, -t.e)
+
+
+def best_decoder() -> GeoTiffDecoder:
+    """Auto-select the decode step: rasterio/GDAL when importable
+    (the C fast path — same outputs, parity-tested), else the
+    pure-Python baseline codec. Callers that need a SPECIFIC codec
+    behavior (e.g. the honest-bounds TiffFormatError taxonomy)
+    should instantiate GeoTiffDecoder directly."""
+    try:
+        return RasterioDecoder()
+    except ImportError:
+        return GeoTiffDecoder()
+
+
 class FakeRampDecoder(GeoTiffDecoder):
     """Deterministic fake: interprets the first 8 bytes of the payload
     as (width, height) uint32 little-endian and synthesizes a ramp
