@@ -103,10 +103,21 @@ class LayerCatalog:
             .option("partitionOverwriteMode", "dynamic")
             .parquet(self.tiles_path)
         )
-        meta = self._infer_metadata(keyed, layer, zoom, crs)
+        # metadata + histogram read BACK from the written parquet
+        # (r8, found by the scene-scale e2e): computing them from the
+        # input relation re-executed the whole upstream pipeline —
+        # with the lazy ingest chain (decode → warp → reassembly)
+        # that made one write_layer cost ~4 full passes (range-
+        # partitioner sampling + write + metadata + histogram). The
+        # written layer is byte-identical input for both, and the
+        # post-write scans are cheap columnar reads.
+        written = self.read_layer(layer, zoom).withColumn(
+            "layer", F.lit(layer)
+        ).withColumn("zoom", F.lit(zoom))
+        meta = self._infer_metadata(written, layer, zoom, crs)
         self._upsert_layer_row(meta)
         self.write_attribute(
-            layer, zoom, "histogramData", self._histogram_json(keyed)
+            layer, zoom, "histogramData", self._histogram_json(written)
         )
 
     def _infer_metadata(

@@ -69,12 +69,30 @@ def pixels_to_tiles(
 
     One shuffle on the tile key with map-side partial collect_list
     (plus, for n_bands=None, a tiny parallel max reduce).
+
+    Assembly cost (r8, found by the scene-scale e2e): the previous
+    form probed ``m[b*size + i]`` per cell — Spark's GetMapValue is a
+    LINEAR scan of the map array, so a 256² tile with ~42k entries
+    did ~2.7e9 comparisons PER TILE. The dense array now builds by
+    sorting the (deduplicated) entries once and flattening explicit
+    NULL gap runs between consecutive keys — O(m log m + N) per tile,
+    still pure Catalyst expressions, and values are identical (the
+    same map_from_entries last-wins dedup feeds the sort).
     """
-    per_tile = F.col("band") * (cols * rows) + F.col("py") * cols + F.col("px")
+    size = cols * rows
+    per_tile = F.col("band") * size + F.col("py") * cols + F.col("px")
     entries = pixels.groupBy(*KEY_COLS).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(per_tile.alias("k"), F.col("value").alias("v")))
-        ).alias("m"),
+        F.array_sort(
+            F.map_entries(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.struct(
+                            per_tile.alias("k"), F.col("value").alias("v")
+                        )
+                    )
+                )
+            )
+        ).alias("_s"),
     )
     if n_bands is None:
         gnb = pixels.agg((F.max("band") + 1).cast("int").alias("_gnb"))
@@ -82,12 +100,30 @@ def pixels_to_tiles(
         hi_band = "_gnb - 1"
     else:
         hi_band = f"{n_bands - 1}"
+    n_total = f"((({hi_band}) + 1) * {size})"
+    # keys outside the addressable range never matched a lookup in
+    # the old form; drop them before the positional fill
+    s_valid = f"filter(_s, e -> e.key >= 0 AND e.key < {n_total})"
+    fill = (
+        "flatten(transform(_sv, (e, j) -> concat("
+        "array_repeat(CAST(NULL AS DOUBLE), CAST(e.key - (CASE WHEN j = 0 "
+        "THEN -1 ELSE element_at(_sv, j).key END) - 1 AS INT)), "
+        "array(e.value))))"
+    )
+    dense = (
+        f"CASE WHEN size(_sv) = 0 "
+        f"THEN array_repeat(CAST(NULL AS DOUBLE), CAST({n_total} AS INT)) "
+        f"ELSE concat({fill}, array_repeat(CAST(NULL AS DOUBLE), "
+        f"CAST({n_total} - 1 - element_at(_sv, -1).key AS INT))) END"
+    )
+    staged = entries.withColumn("_sv", F.expr(s_valid)).withColumn(
+        "_dense", F.expr(dense)
+    )
     band_expr = (
         f"transform(sequence(0, {hi_band}), b -> "
-        f"transform(sequence(0, {cols * rows - 1}), i -> "
-        f"m[b * {cols * rows} + i]))"
+        f"slice(_dense, b * {size} + 1, {size}))"
     )
-    return entries.select(
+    return staged.select(
         *KEY_COLS,
         F.lit(None).cast("timestamp").alias("ts"),
         F.struct(

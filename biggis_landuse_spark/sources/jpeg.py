@@ -616,6 +616,10 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # stuffing
+        # bounded accumulator: unmasked it grows into a stream-length
+        # Python int and every shift costs O(n) — O(n²) encode
+        # (r8 codec-throughput finding, twin of the TIFF LZW bug)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:

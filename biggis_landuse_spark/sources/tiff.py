@@ -151,6 +151,10 @@ def _lzw_decode(seg: bytes) -> bytes:
             nbits += 8
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        # keep the accumulator bounded: without this mask acc grows
+        # into a stream-length Python int and every shift costs O(n)
+        # — measured O(n²) decode (r8 codec-throughput finding)
+        acc &= (1 << nbits) - 1
         if code == EOI:
             return bytes(out)
         if code == CLEAR:
@@ -339,6 +343,9 @@ def _lzw_encode(raw: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        # bounded accumulator (see _lzw_decode: unmasked it grows
+        # into a stream-length int → O(n²) encode)
+        acc &= (1 << nbits) - 1
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258

@@ -1,0 +1,174 @@
+"""Scene-scale end-to-end smoke (r8, VERDICT r7 #7): the reference's
+flagship workload shape — a Landsat-size multiband scene through
+ingest → cloud-masked NDVI → layer write → pyramid → serve
+(GettingStarted.scala:45-75, ~8000×8000 px per band).
+
+Synthesizes a 3-band UTM-georeferenced deflate GeoTIFF with the
+repo's OWN encoder (B4/B5/BQA analog, 30 m cells), ingests through
+the REAL WebMercator reproject path (UTM inverse + zoomed-layout
+re-keying), and asserts output-layer statistics and wall-time
+budgets. Gated behind SPARK_GRAFT_SCENE_E2E=1 — it moves ~10⁸ pixel
+rows through the ingest shuffle and is a multi-minute test by
+design; recorded timings live in BASELINE.md (r8 scene-scale note).
+Run: SPARK_GRAFT_SCENE_E2E=1 pytest tests/test_scene_scale_e2e.py
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCENE_E2E") != "1",
+    reason="scene-scale e2e is opt-in (SPARK_GRAFT_SCENE_E2E=1): "
+    "multi-minute by design; timings recorded in BASELINE.md",
+)
+
+# Landsat-ish scene: SIZE² px/band, 30 m cells, UTM zone 32N.
+# 2048² (12.6M pixel rows through the real warp + reassembly shuffle)
+# keeps the default run in low single-digit minutes on local[32]; set
+# SPARK_GRAFT_SCENE_PX=8192 for the full reference-size scene
+# (recorded timings in BASELINE.md, r8 scene-scale note).
+SIZE = int(os.environ.get("SPARK_GRAFT_SCENE_PX", "2048"))
+CLOUD_BIT = 0x10
+UTM_X0, UTM_Y0, CELL = 399960.0, 5_300_040.0, 30.0
+
+
+def _scene_bands():
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    red = (500 + (yy * 7 + xx * 3) % 2500).astype(np.uint16)
+    nir = (3000 + (yy * 5 + xx * 11) % 3000).astype(np.uint16)
+    qa = np.zeros((SIZE, SIZE), dtype=np.uint16)
+    qa[SIZE // 8 : SIZE // 4, SIZE // 8 : SIZE // 4] = CLOUD_BIT
+    return red, nir, qa
+
+
+def test_scene_scale_ndvi_pipeline(spark, tmp_path):
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.operators.local import mask_bits, ndvi
+    from biggis_landuse_spark.operators.pyramid import build_pyramid
+    from biggis_landuse_spark.operators.reproject import (
+        ingest_geotiff_webmercator,
+    )
+    from biggis_landuse_spark.serving import render_tiles_png
+    from biggis_landuse_spark.sources.tiff import encode_tiff
+
+    red, nir, qa = _scene_bands()
+    t0 = time.perf_counter()
+    for name, band in (("b4", red), ("b5", nir), ("bqa", qa)):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "scene.tif").write_bytes(
+            encode_tiff(
+                [band],
+                compression="deflate",
+                tile_size=512,
+                georef=(UTM_X0, UTM_Y0, CELL, CELL),
+            )
+        )
+    t_encode = time.perf_counter() - t0
+    print(f"encode {t_encode:.1f}s", flush=True)
+
+    # 1. ingest each band through the real reproject path (UTM 32N →
+    #    WebMercator zoomed layout — GeotiffTilingExample.scala:56-60).
+    #    zoom passes explicitly: the decode step is a lazy
+    #    mapInPandas, so zoom INFERENCE (zoom=None → a .first() probe)
+    #    re-executes a full decode pass per action — at scene scale
+    #    that triples ingest cost. 30 m cells → zoom-12 (38 m/cell).
+    from biggis_landuse_spark.operators.reproject import (
+        zoom_for_resolution_m,
+    )
+
+    t0 = time.perf_counter()
+    cat = LayerCatalog(spark, str(tmp_path / "cat"))
+    zoom = zoom_for_resolution_m(CELL)
+    assert zoom == 12
+    for name in ("b4", "b5", "bqa"):
+        tiles = ingest_geotiff_webmercator(
+            spark,
+            str(tmp_path / name),
+            name,
+            zoom=zoom,
+            src_crs="EPSG:32632",
+        )
+        cat.write_layer(tiles.drop("layer", "zoom"), name, zoom)
+    t_ingest = time.perf_counter() - t0
+    print(f"ingest {t_ingest:.1f}s", flush=True)
+
+    # 2. 3-layer tile join + cloud mask + NDVI, written as a layer
+    t0 = time.perf_counter()
+    j = (
+        cat.read_layer("b5", zoom)
+        .select("tile_col", "tile_row", F.col("tile").alias("t_nir"))
+        .join(
+            cat.read_layer("b4", zoom).select(
+                "tile_col", "tile_row", F.col("tile").alias("t_red")
+            ),
+            ["tile_col", "tile_row"],
+        )
+        .join(
+            cat.read_layer("bqa", zoom).select(
+                "tile_col", "tile_row", F.col("tile").alias("t_qa")
+            ),
+            ["tile_col", "tile_row"],
+        )
+    )
+    result = j.select(
+        "tile_col",
+        "tile_row",
+        F.lit(None).cast("timestamp").alias("ts"),
+        ndvi(
+            mask_bits(F.col("t_nir"), F.col("t_qa"), CLOUD_BIT),
+            mask_bits(F.col("t_red"), F.col("t_qa"), CLOUD_BIT),
+        ).alias("tile"),
+    )
+    cat.write_layer(result, "ndvi", zoom)
+    t_ndvi = time.perf_counter() - t0
+    print(f"ndvi {t_ndvi:.1f}s", flush=True)
+
+    # 3. pyramid two levels up + serve one rendered tile
+    t0 = time.perf_counter()
+    build_pyramid(cat, "ndvi", from_zoom=zoom, to_zoom=zoom - 2)
+    t_pyramid = time.perf_counter() - t0
+    print(f"pyramid {t_pyramid:.1f}s", flush=True)
+    n_base = cat.read_layer("ndvi", zoom).count()
+    n_up = cat.read_layer("ndvi", zoom - 1).count()
+    assert n_base > (SIZE * SIZE) / (256 * 256) * 0.5  # real coverage
+    assert 0 < n_up <= n_base / 2  # 2x2 collapse (edge tiles allowed)
+
+    # 4. output-layer stats: NDVI in (0, 1) on this scene (nir > red
+    #    everywhere), cloud patch produces genuine NODATA holes
+    stats = (
+        cat.read_layer("ndvi", zoom)
+        .select(F.explode(F.flatten(F.col("tile.bands"))).alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.count("v").alias("n_valid"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .first()
+    )
+    assert stats["n_valid"] < stats["n_cells"]  # clouds + warp edges
+    assert 0.0 < stats["vmin"] and stats["vmax"] < 1.0
+    rendered = render_tiles_png(
+        cat.read_layer("ndvi", zoom).limit(1),
+        breaks=[0.3],
+        palette=[0xFF0000FF, 0x00FF00FF],
+    ).collect()
+    assert bytes(rendered[0]["png"])[:8] == b"\x89PNG\r\n\x1a\n"
+
+    total = t_encode + t_ingest + t_ndvi + t_pyramid
+    print(
+        f"\nscene {SIZE}x{SIZE}x3: encode {t_encode:.1f}s, "
+        f"ingest {t_ingest:.1f}s, ndvi {t_ndvi:.1f}s, "
+        f"pyramid {t_pyramid:.1f}s, total {total:.1f}s"
+    )
+    # wall budget: generous 3x headroom over the recorded BASELINE.md
+    # timing — catches order-of-magnitude regressions, not noise
+    budget = 600 if SIZE <= 2048 else 3600
+    assert total < budget, f"scene e2e took {total:.0f}s > {budget}s"
