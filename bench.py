@@ -58,7 +58,14 @@ def main() -> None:
         # between queries so they never accumulate across the suite.
         # A failing query is RECORDED, not fatal: one regression must
         # never cost the whole round's numbers (BENCH_r03 lesson).
+        # The explicit JVM GC before each query's timed loop removes
+        # RUN-ORDER noise: without it, heap garbage left by earlier
+        # queries triggers collections inside later timed runs —
+        # measured up to 2.2× on untouched queries (r8: stack_join
+        # 1.38 s in-suite vs 0.73 s isolated, identical plans). With
+        # it, in-suite numbers match isolated reruns.
         try:
+            spark._jvm.System.gc()
             spec.spark(spark, sf_dir).count()
             best = float("inf")
             for _ in range(2):

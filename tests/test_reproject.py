@@ -190,8 +190,10 @@ def test_parse_crs():
     assert kind == "tm" and (p.fe, p.fn) == (400000.0, -100000.0)
     kind, p = parse_crs("EPSG:31468")  # Gauss-Krüger zone 4
     assert kind == "tm" and (p.lon0, p.fe) == (12.0, 4500000.0)
-    with pytest.raises(ValueError, match="unsupported source CRS"):
-        parse_crs("EPSG:2056")  # Swiss oblique Mercator: honest refusal
+    kind, p = parse_crs("EPSG:2056")  # Swiss LV95 (r8: was a refusal)
+    assert kind == "somerc" and (p.fe, p.fn) == (2600000.0, 1200000.0)
+    kind, p = parse_crs("EPSG:28992")  # Dutch RD New (r8)
+    assert kind == "sterea" and (p.fe, p.fn) == (155000.0, 463000.0)
 
 
 def test_reproject_utm_pixels_land_at_expected_lonlat(spark):
@@ -587,7 +589,7 @@ def test_parse_proj4_honest_bounds():
     from biggis_landuse_spark.operators.reproject import parse_proj4
 
     for bad in (
-        "+proj=sinu +lon_0=0",               # unimplemented projection
+        "+proj=omerc +lonc=7 +alpha=30",     # general Hotine: unimplemented
         "+proj=utm +zone=0",                 # zone out of range
         "+proj=lcc +lat_1=44",               # missing lat_0/lon_0
         "+proj=laea +lat_0=52 +lon_0=10 +ellps=evrst30",  # odd ellipsoid
@@ -690,14 +692,14 @@ def test_parse_wkt_crs_honest_bounds():
             'PROJECTION["Robinson"],PARAMETER["central_meridian",0],'
             'UNIT["metre",1]]'
         )
-    # Sinusoidal is now a supported family — but only on a sphere;
-    # the ellipsoidal variant stays a typed refusal (late r6)
-    with pytest.raises(ValueError, match="sphere"):
-        parse_wkt_crs(
-            'PROJCS["x",GEOGCS["y",DATUM["d",SPHEROID["s",6378137,298.25]]],'
-            'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],'
-            'UNIT["metre",1]]'
-        )
+    # ellipsoidal Sinusoidal parses as the rectifying-series family
+    # (r8: was a typed refusal through r7)
+    kind, _ = parse_wkt_crs(
+        'PROJCS["x",GEOGCS["y",DATUM["d",SPHEROID["s",6378137,298.25]]],'
+        'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],'
+        'UNIT["metre",1]]'
+    )
+    assert kind == "sinu_ell"
     with pytest.raises(ValueError, match="metres only"):
         parse_wkt_crs(WKT_UTM32.replace('UNIT["metre",1]', 'UNIT["foot",0.3048]'))
     # a non-zone central meridian is no longer a refusal — it drops
@@ -1054,7 +1056,9 @@ def test_parse_proj4_ps_aea_families():
     assert (p.a, p.f_inv, p.lat0, p.lon0, p.lat1, p.lat2, p.fe, p.fn) == (
         ref.a, ref.f_inv, ref.lat0, ref.lon0, ref.lat1, ref.lat2, ref.fe, ref.fn
     )
-    # oblique stereographic stays an honest error
+    # oblique +proj=stere (the NON-double-projection variant) stays an
+    # honest error — the Dutch grid ships as +proj=sterea (EPSG 9809,
+    # the double stereographic), which IS supported (r8)
     with pytest.raises(ValueError, match="polar aspect"):
         parse_proj4("+proj=stere +lat_0=52.15 +lon_0=5.38 +k=0.9999079")
 
@@ -1235,9 +1239,11 @@ def test_parse_proj4_sinu_and_pipeline(spark):
     assert p.r == MODIS_SINU.r and p.lon0 == 0.0
     kind2, p2 = parse_crs("+proj=sinu +R=6371007.181")
     assert kind2 == "sinu" and p2.r == MODIS_SINU.r
-    # ellipsoidal sinusoidal is an honest typed error, not a wrong warp
-    with pytest.raises(ValueError, match="sphere"):
-        parse_proj4("+proj=sinu +ellps=WGS84 +a=6378137 +b=6356752.3")
+    # ellipsoidal sinusoidal routes to the rectifying-series family
+    # (r8: was an honest refusal through r7)
+    kind3, p3 = parse_proj4("+proj=sinu +a=6378137 +b=6356752.3")
+    assert kind3 == "sinu_ell"
+    assert p3.a == 6378137.0 and 298.0 < p3.f_inv < 298.5
 
 
 def test_sinu_pole_division_is_nodata_not_error(spark):
@@ -1285,10 +1291,17 @@ def test_parse_wkt_sinusoidal():
     kind, prm = parse_wkt_crs(wkt)
     assert kind == "sinu"
     assert prm.r == MODIS_SINU.r and prm.lon0 == 0.0
-    # ellipsoidal sinusoidal WKT is a typed error
-    bad = wkt.replace("6371007.181,0.0", "6378137.0,298.257223563")
-    with pytest.raises(ValueError, match="sphere"):
-        parse_wkt_crs(bad)
+    # ellipsoidal sinusoidal WKT routes to the rectifying-series
+    # family (r8: was an honest refusal through r7); the unknown
+    # non-WGS84 datum stays DATUM_UNKNOWN so the WARP still refuses
+    from biggis_landuse_spark.operators.reproject import DATUM_UNKNOWN
+
+    ell = wkt.replace("6371007.181,0.0", "6378137.0,298.257223563")
+    kind2, prm2 = parse_wkt_crs(ell)
+    assert kind2 == "sinu_ell"
+    assert prm2.a == 6378137.0 and prm2.f_inv == 298.257223563
+    # SPHEROID is exactly WGS84 → null shift, warp allowed
+    assert getattr(prm2, "helmert", None) is not DATUM_UNKNOWN
 
 
 # ---------------------------------------------------------------------------
@@ -1629,22 +1642,43 @@ def test_dhdn_datum_shift_direction_and_twin(spark):
     dlon_m = (r["lon"] - lon_d) * 111_320.0 * math.cos(math.radians(lat_d))
     assert -200 < dlat_m < -80  # south
     assert -120 < dlon_m < -20  # west
-    # round-trip through the inverse Helmert closes to < 1 mm
+    # round-trip of the HELMERT STEP in ECEF space: the negated-
+    # parameter (small-angle) inverse returns the original vector to
+    # the second-order cross terms — dominated by ds·|dx| ≈ 4 mm for
+    # this parameter set. (A geodetic round-trip would need the
+    # ECEF→geodetic step on the BESSEL ellipsoid on the way back —
+    # interpreting the back-shifted vector on WGS84 absorbs the
+    # ellipsoid difference, ~65 m of latitude, which is exactly the
+    # silent-datum-confusion this module exists to prevent.)
     hi = type(p.helmert)(
         -p.helmert.dx, -p.helmert.dy, -p.helmert.dz,
         -p.helmert.rx, -p.helmert.ry, -p.helmert.rz, -p.helmert.ds,
     )
-    # (small-angle inverse: exact to O(r², ds·r) ≪ 1 mm here)
-    back_lat, back_lon = _helmert_scalar(slat, slon, 6378137.0,
-                                         298.257223563, hi)
-    # note: exact round-trip needs the Bessel ellipsoid on the way
-    # back; with WGS84 both ways the residual is the ellipsoid
-    # difference (~740 m) — so assert only the Helmert step inverts:
-    # forward shift ≈ -(backward shift) to first order
-    fwd = (slat - lat_d, slon - lon_d)
-    bwd = (back_lat - slat, back_lon - slon)
-    assert fwd[0] == pytest.approx(-bwd[0], abs=3e-5)
-    assert fwd[1] == pytest.approx(-bwd[1], abs=3e-5)
+
+    def _ecef(lat_deg, lon_deg, a, f_inv):
+        f = 1.0 / f_inv
+        e2 = f * (2 - f)
+        la, lo = math.radians(lat_deg), math.radians(lon_deg)
+        nn = a / math.sqrt(1 - e2 * math.sin(la) ** 2)
+        return (
+            nn * math.cos(la) * math.cos(lo),
+            nn * math.cos(la) * math.sin(lo),
+            nn * (1 - e2) * math.sin(la),
+        )
+
+    def _helm(v, h):
+        s = math.pi / (180 * 3600)
+        m = 1 + h.ds * 1e-6
+        x, y, z = v
+        return (
+            h.dx + m * (x - h.rz * s * y + h.ry * s * z),
+            h.dy + m * (h.rz * s * x + y - h.rx * s * z),
+            h.dz + m * (-h.ry * s * x + h.rx * s * y + z),
+        )
+
+    v0 = _ecef(lat_d, lon_d, p.a, p.f_inv)
+    v2 = _helm(_helm(v0, p.helmert), hi)
+    assert all(abs(c0 - c2) < 2e-2 for c0, c2 in zip(v0, v2))
 
 
 def test_warp_refuses_unshifted_legacy_datums(spark):
@@ -2461,3 +2495,417 @@ def test_proj4_bad_b_raises():
 
     with pytest.raises(ValueError, match=r"\+b must be"):
         parse_proj4("+proj=merc +a=6378137 +b=7000000 +lon_0=0")
+
+
+# ---------------------------------------------------------------------------
+# Swiss oblique Mercator (somerc), oblique stereographic (sterea),
+# ellipsoidal sinusoidal — r8 (VERDICT r7 "missing #2")
+# ---------------------------------------------------------------------------
+
+
+def _somerc_forward_scalar(lon_deg, lat_deg, p):
+    """Independent scalar FORWARD Swiss projection per the swisstopo
+    rigorous formulas (the published iterative/direct spec, sharing
+    only the documented constants with the engine inverse): ellipsoid
+    → conformal sphere via the direct isometric-latitude formula,
+    pseudo-equator rotation, cylinder unrolling."""
+    from biggis_landuse_spark.operators.reproject import _somerc_consts
+
+    e, r, alpha, b0, k = _somerc_consts(p)
+    phi = math.radians(lat_deg)
+    s = (
+        alpha * math.log(math.tan(math.pi / 4 + phi / 2))
+        - alpha * e / 2
+        * math.log((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)))
+        + k
+    )
+    b = 2 * (math.atan(math.exp(s)) - math.pi / 4)
+    l = alpha * math.radians(lon_deg - p.lon0)
+    lbar = math.atan2(
+        math.sin(l),
+        math.sin(b0) * math.tan(b) + math.cos(b0) * math.cos(l),
+    )
+    bbar = math.asin(
+        math.cos(b0) * math.sin(b)
+        - math.sin(b0) * math.cos(b) * math.cos(l)
+    )
+    y = r * lbar
+    x = r / 2 * math.log((1 + math.sin(bbar)) / (1 - math.sin(bbar)))
+    return p.fe + y, p.fn + x
+
+
+def _sterea_forward_scalar(lon_deg, lat_deg, p):
+    """Independent scalar FORWARD oblique stereographic per EPSG
+    Guidance Note 7-2 (the published formulas, sharing only the
+    documented constants with the engine inverse)."""
+    from biggis_landuse_spark.operators.reproject import _sterea_consts
+
+    e, n, c, rr, chi0 = _sterea_consts(p)
+    phi = math.radians(lat_deg)
+    sp = math.sin(phi)
+    sa = (1 + sp) / (1 - sp)
+    sb = (1 - e * sp) / (1 + e * sp)
+    w = c * (sa * sb**e) ** n
+    chi = math.asin((w - 1) / (w + 1))
+    dlam = n * math.radians(lon_deg - p.lon0)
+    bb = (
+        1
+        + math.sin(chi) * math.sin(chi0)
+        + math.cos(chi) * math.cos(chi0) * math.cos(dlam)
+    )
+    ee = p.fe + 2 * rr * p.k0 * math.cos(chi) * math.sin(dlam) / bb
+    nn = p.fn + 2 * rr * p.k0 * (
+        math.sin(chi) * math.cos(chi0)
+        - math.cos(chi) * math.sin(chi0) * math.cos(dlam)
+    ) / bb
+    return ee, nn
+
+
+def _sinu_ell_forward_scalar(lon_deg, lat_deg, p):
+    """Independent scalar FORWARD ellipsoidal sinusoidal (Snyder 1987
+    eqs. 30-1..30-2): x from the local parallel radius, y from the
+    FULL meridional-arc integral form (eq. 3-21) — no shared series
+    with the engine's rectifying-series inverse."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    phi = math.radians(lat_deg)
+    m = p.a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024)
+        * math.sin(2 * phi)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+        - (35 * e2**3 / 3072) * math.sin(6 * phi)
+    )
+    x = (
+        p.a
+        * math.cos(phi)
+        * math.radians(lon_deg - p.lon0)
+        / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    )
+    return p.fe + x, p.fn + m
+
+
+def _inv_scalar(spark, fn, p, e, n):
+    df = spark.createDataFrame([(float(e), float(n))], "e double, n double")
+    lon_c, lat_c = fn(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    return r["lon"], r["lat"]
+
+
+def test_somerc_swisstopo_rigi_published_anchor(spark):
+    # swisstopo's published reference point ("Rigi", the numerical
+    # example of the approximate-formulas document): LV03
+    # y 679520.05 / x 212273.44 ↔ CH1903 47°03'28.9566"N
+    # 8°29'11.1113"E. Validates the full double projection (cylinder →
+    # conformal sphere → Bessel) to the publication's 0.0001"
+    # rounding (~3 mm).
+    from biggis_landuse_spark.operators.reproject import (
+        _SOMERC_CRS,
+        somerc_to_lonlat,
+    )
+
+    lon, lat = _inv_scalar(
+        spark, somerc_to_lonlat, _SOMERC_CRS[21781], 679520.05, 212273.44
+    )
+    want_lat = 47 + 3 / 60 + 28.9566 / 3600
+    want_lon = 8 + 29 / 60 + 11.1113 / 3600
+    assert lat == pytest.approx(want_lat, abs=3e-8)
+    assert lon == pytest.approx(want_lon, abs=3e-8)
+    # projection centre maps exactly to the false origin (Bern)
+    p = _SOMERC_CRS[21781]
+    lon0, lat0 = _inv_scalar(
+        spark, somerc_to_lonlat, p, 600000.0, 200000.0
+    )
+    assert lat0 == pytest.approx(p.lat0, abs=1e-9)
+    assert lon0 == pytest.approx(p.lon0, abs=1e-9)
+    # LV95 is the same projection under a +2,000km/+1,000km offset
+    lon95, lat95 = _inv_scalar(
+        spark, somerc_to_lonlat, _SOMERC_CRS[2056], 2679520.05, 1212273.44
+    )
+    assert lat95 == pytest.approx(lat, abs=1e-12)
+    assert lon95 == pytest.approx(lon, abs=1e-12)
+
+
+def test_sterea_epsg_worked_example(spark):
+    # EPSG Guidance Note 7-2 oblique-stereographic worked example
+    # (Amersfoort / RD New): 53°N 6°E ↔ E 196105.283 / N 557057.739.
+    # The published E/N round to mm; the engine inverse must recover
+    # the exact round-number geodetic input.
+    from biggis_landuse_spark.operators.reproject import (
+        _STEREA_CRS,
+        sterea_to_lonlat,
+    )
+
+    p = _STEREA_CRS[28992]
+    lon, lat = _inv_scalar(
+        spark, sterea_to_lonlat, p, 196105.283, 557057.739
+    )
+    assert lat == pytest.approx(53.0, abs=1e-7)
+    assert lon == pytest.approx(6.0, abs=1e-7)
+    # projection centre maps exactly to the false origin
+    lon0, lat0 = _inv_scalar(spark, sterea_to_lonlat, p, 155000.0, 463000.0)
+    assert lat0 == pytest.approx(p.lat0, abs=1e-9)
+    assert lon0 == pytest.approx(p.lon0, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "e,n",
+    [(2485000.0, 1075000.0), (2834000.0, 1296000.0),
+     (2679520.05, 1212273.44), (2600000.0, 1200000.0),
+     (2550000.0, 1150000.0)],
+)
+def test_somerc_inverse_roundtrips_independent_forward(spark, e, n):
+    # inverse ∘ (independent iterative-spec forward) = identity over
+    # the Swiss domain, sub-0.1 mm — catches any shared-constant or
+    # series error the anchor point alone would miss
+    from biggis_landuse_spark.operators.reproject import (
+        _SOMERC_CRS,
+        somerc_to_lonlat,
+    )
+
+    p = _SOMERC_CRS[2056]
+    lon, lat = _inv_scalar(spark, somerc_to_lonlat, p, e, n)
+    e2, n2 = _somerc_forward_scalar(lon, lat, p)
+    assert e2 == pytest.approx(e, abs=1e-4)
+    assert n2 == pytest.approx(n, abs=1e-4)
+
+
+@pytest.mark.parametrize(
+    "e,n",
+    [(15000.0, 305000.0), (280000.0, 620000.0), (155000.0, 463000.0),
+     (196105.283, 557057.739), (80000.0, 500000.0)],
+)
+def test_sterea_inverse_roundtrips_independent_forward(spark, e, n):
+    from biggis_landuse_spark.operators.reproject import (
+        _STEREA_CRS,
+        sterea_to_lonlat,
+    )
+
+    p = _STEREA_CRS[28992]
+    lon, lat = _inv_scalar(spark, sterea_to_lonlat, p, e, n)
+    e2, n2 = _sterea_forward_scalar(lon, lat, p)
+    assert e2 == pytest.approx(e, abs=1e-4)
+    assert n2 == pytest.approx(n, abs=1e-4)
+
+
+@pytest.mark.parametrize(
+    "e,n",
+    [(0.0, 0.0), (-3600000.0, -4400000.0), (3600000.0, 4400000.0),
+     (1234567.0, 6543210.0), (-2000000.0, 7800000.0)],
+)
+def test_sinu_ell_inverse_roundtrips_independent_forward(spark, e, n):
+    # the engine's rectifying-series inverse against the FULL
+    # meridional-arc forward (Snyder eq. 3-21) — independent math
+    from biggis_landuse_spark.operators.reproject import (
+        SinuEllParams,
+        sinu_ell_to_lonlat,
+    )
+
+    p = SinuEllParams(6378137.0, 298.257223563, 0.0, 0.0, 0.0)
+    lon, lat = _inv_scalar(spark, sinu_ell_to_lonlat, p, e, n)
+    e2, n2 = _sinu_ell_forward_scalar(lon, lat, p)
+    # 2 mm: the rectifying e1 series and the arc e2 series truncate
+    # at different orders; the residual peaks ~0.8 mm at 70° lat
+    assert e2 == pytest.approx(e, abs=2e-3)
+    assert n2 == pytest.approx(n, abs=2e-3)
+
+
+def test_swiss_datum_shift_direction_and_twin(spark):
+    # a Swiss LV95 pixel lands in the same WebMercator cell as its
+    # WGS84 twin computed through the independent scalar Helmert —
+    # i.e. the ingest applies the CH1903→WGS84 shift (EPSG 1766
+    # translations) before keying — and the shift is material
+    # (~2-3 z13 cells; CH1903 is ~100-200 m off WGS84)
+    from biggis_landuse_spark.operators.reproject import _SOMERC_CRS
+
+    z = 13
+    p = _SOMERC_CRS[2056]
+    e, n = 2683000.0, 1248000.0  # Zurich-ish
+    lon03, lat03 = None, None
+    df = spark.createDataFrame([(e, n)], "e double, n double")
+    from biggis_landuse_spark.operators.reproject import somerc_to_lonlat
+
+    lon_c, lat_c = somerc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    lon03, lat03 = r["lon"], r["lat"]  # CH1903 geodetic
+    lat84, lon84 = _helmert_scalar(lat03, lon03, p.a, p.f_inv, p.helmert)
+    # shift magnitude sanity: 50-400 m
+    dm = math.hypot(
+        (lat84 - lat03) * 111_320.0,
+        (lon84 - lon03) * 111_320.0 * math.cos(math.radians(lat84)),
+    )
+    assert 50.0 < dm < 400.0
+    px_ch = spark.createDataFrame(
+        [(0, 0, 0, 5.0, e - 15.0, n + 15.0, 30.0, 30.0)], PIX_DDL
+    )
+    px_ll = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lon84 - 0.0001, lat84 + 0.0001, 0.0002, 0.0002)],
+        PIX_DDL,
+    )
+    px_raw = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lon03 - 0.0001, lat03 + 0.0001, 0.0002, 0.0002)],
+        PIX_DDL,
+    )
+    out_ch = reproject_pixels_to_webmercator(
+        px_ch, zoom=z, layer="s", src_crs="EPSG:2056"
+    ).first()
+    out_ll = reproject_pixels_to_webmercator(
+        px_ll, zoom=z, layer="s", src_crs="EPSG:4326"
+    ).first()
+    out_raw = reproject_pixels_to_webmercator(
+        px_raw, zoom=z, layer="s", src_crs="EPSG:4326"
+    ).first()
+    key = lambda r: (  # noqa: E731
+        r["tile_col"] * 256 + r["px"], r["tile_row"] * 256 + r["py"]
+    )
+    assert key(out_ch) == key(out_ll)
+    assert key(out_ch) != key(out_raw)
+
+
+def test_dutch_datum_shift_direction_and_twin(spark):
+    # same contract for RD New: Amersfoort→WGS84 7-parameter shift
+    # applied before keying; twin through the independent scalar
+    # Helmert; material vs unshifted (~100 m)
+    from biggis_landuse_spark.operators.reproject import (
+        _STEREA_CRS,
+        sterea_to_lonlat,
+    )
+
+    z = 13
+    p = _STEREA_CRS[28992]
+    e, n = 121000.0, 487000.0  # Amsterdam-ish
+    df = spark.createDataFrame([(e, n)], "e double, n double")
+    lon_c, lat_c = sterea_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    lonA, latA = r["lon"], r["lat"]  # Amersfoort-datum geodetic
+    lat84, lon84 = _helmert_scalar(latA, lonA, p.a, p.f_inv, p.helmert)
+    dm = math.hypot(
+        (lat84 - latA) * 111_320.0,
+        (lon84 - lonA) * 111_320.0 * math.cos(math.radians(lat84)),
+    )
+    assert 30.0 < dm < 300.0
+    px_rd = spark.createDataFrame(
+        [(0, 0, 0, 5.0, e - 15.0, n + 15.0, 30.0, 30.0)], PIX_DDL
+    )
+    px_ll = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lon84 - 0.0001, lat84 + 0.0001, 0.0002, 0.0002)],
+        PIX_DDL,
+    )
+    px_raw = spark.createDataFrame(
+        [(0, 0, 0, 5.0, lonA - 0.0001, latA + 0.0001, 0.0002, 0.0002)],
+        PIX_DDL,
+    )
+    out_rd = reproject_pixels_to_webmercator(
+        px_rd, zoom=z, layer="d", src_crs="EPSG:28992"
+    ).first()
+    out_ll = reproject_pixels_to_webmercator(
+        px_ll, zoom=z, layer="d", src_crs="EPSG:4326"
+    ).first()
+    out_raw = reproject_pixels_to_webmercator(
+        px_raw, zoom=z, layer="d", src_crs="EPSG:4326"
+    ).first()
+    key = lambda r: (  # noqa: E731
+        r["tile_col"] * 256 + r["px"], r["tile_row"] * 256 + r["py"]
+    )
+    assert key(out_rd) == key(out_ll)
+    assert key(out_rd) != key(out_raw)
+
+
+def test_parse_somerc_sterea_proj4_wkt():
+    from biggis_landuse_spark.operators.reproject import (
+        _SOMERC_CRS,
+        _STEREA_CRS,
+        parse_proj4,
+        parse_wkt_crs,
+    )
+
+    ref = _SOMERC_CRS[2056]
+    kind, p = parse_proj4(
+        "+proj=somerc +lat_0=46.95240555555556 "
+        "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+        "+ellps=bessel +towgs84=674.374,15.056,405.346 +units=m +no_defs"
+    )
+    assert kind == "somerc"
+    assert (p.a, p.f_inv) == (ref.a, ref.f_inv)
+    assert p.lat0 == pytest.approx(ref.lat0, abs=1e-12)
+    assert (p.fe, p.fn) == (ref.fe, ref.fn)
+    assert (p.helmert.dx, p.helmert.dy, p.helmert.dz) == (
+        674.374, 15.056, 405.346
+    )
+    # ESRI .prj for CH1903+ / LV95 (Hotine azimuth-center, azimuth 90)
+    wkt_ch = (
+        'PROJCS["CH1903+_LV95",GEOGCS["GCS_CH1903+",DATUM["D_CH1903+",'
+        'SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+        'PARAMETER["False_Easting",2600000],'
+        'PARAMETER["False_Northing",1200000],'
+        'PARAMETER["Scale_Factor",1],'
+        'PARAMETER["Azimuth",90],'
+        'PARAMETER["Longitude_Of_Center",7.43958333333333],'
+        'PARAMETER["Latitude_Of_Center",46.9524055555556],'
+        'UNIT["Meter",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt_ch)
+    assert kind == "somerc"
+    assert (p.fe, p.fn) == (2600000.0, 1200000.0)
+    assert p.helmert.dx == 674.374  # D_CH1903+ resolves the registry set
+    # a general Hotine azimuth stays an honest refusal
+    with pytest.raises(ValueError, match="azimuth-90"):
+        parse_wkt_crs(wkt_ch.replace('PARAMETER["Azimuth",90]',
+                                     'PARAMETER["Azimuth",45]'))
+    # RD New proj4 and ESRI Double_Stereographic WKT
+    refd = _STEREA_CRS[28992]
+    kind, p = parse_proj4(
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel "
+        "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,"
+        "4.0725 +units=m +no_defs"
+    )
+    assert kind == "sterea"
+    assert (p.a, p.f_inv, p.k0) == (refd.a, refd.f_inv, refd.k0)
+    assert p.lat0 == pytest.approx(refd.lat0, abs=1e-9)
+    assert p.helmert.rz == pytest.approx(-1.8774)
+    wkt_rd = (
+        'PROJCS["RD_New",GEOGCS["GCS_Amersfoort",DATUM["D_Amersfoort",'
+        'SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Double_Stereographic"],'
+        'PARAMETER["False_Easting",155000],'
+        'PARAMETER["False_Northing",463000],'
+        'PARAMETER["Central_Meridian",5.38763888888889],'
+        'PARAMETER["Scale_Factor",0.9999079],'
+        'PARAMETER["Latitude_Of_Origin",52.1561605555556],'
+        'UNIT["Meter",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt_rd)
+    assert kind == "sterea"
+    assert (p.fe, p.fn) == (155000.0, 463000.0)
+    assert p.helmert.ds == pytest.approx(4.0725)  # D_Amersfoort registry
+
+
+def test_somerc_sterea_without_datum_refuse_warp(spark):
+    # named Bessel ellipsoid with NO towgs84 → parse succeeds, warp
+    # refuses (the module's silent-wrong-warp contract)
+    from biggis_landuse_spark.operators.reproject import (
+        DATUM_UNKNOWN,
+        parse_proj4,
+    )
+
+    kind, p = parse_proj4(
+        "+proj=somerc +lat_0=46.9524055555556 +lon_0=7.43958333333333 "
+        "+k_0=1 +x_0=2600000 +y_0=1200000 +ellps=bessel"
+    )
+    assert kind == "somerc" and p.helmert is DATUM_UNKNOWN
+    px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, 2600000.0, 1200000.0, 30.0, 30.0)], PIX_DDL
+    )
+    with pytest.raises(ValueError, match="towgs84"):
+        reproject_pixels_to_webmercator(
+            px, zoom=12, layer="x",
+            src_crs=(
+                "+proj=somerc +lat_0=46.9524055555556 "
+                "+lon_0=7.43958333333333 +k_0=1 +x_0=2600000 "
+                "+y_0=1200000 +ellps=bessel"
+            ),
+        )
