@@ -2542,3 +2542,191 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("caught") / F.count(F.lit(1)).cast("double"), 6
         ).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style chunk-level dedup strip + PII scrub — r8
+# ---------------------------------------------------------------------------
+
+
+_PARA_W = 10          # words per chunk ("paragraph" unit)
+_PARA_BOILER_K = 3    # chunk appearing in >= K distinct docs = boilerplate
+
+
+@register(
+    "paragraph_dedup_strip",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, i AS cidx,
+             md5(array_to_string(
+               ws[i * {_PARA_W} + 1 : i * {_PARA_W} + {_PARA_W}], ' '
+             )) AS h
+      FROM d, (SELECT unnest(range(64)) AS i) g
+      WHERE i * {_PARA_W} < len(ws)
+    ),
+    freq AS (
+      SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM c GROUP BY h
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs < {_PARA_BOILER_K} THEN 1 ELSE 0 END)
+                AS BIGINT)          AS n_kept,
+           round(sum(CASE WHEN f.n_docs < {_PARA_BOILER_K} THEN 1 ELSE 0 END)
+                 * 1e6 / count(*)) / 1e6 AS retention
+    FROM c JOIN freq f USING (h)
+    GROUP BY source
+    """,
+    doc=f"""Chunk-level (paragraph) dedup strip — the CCNet/RefinedWeb
+    boilerplate-removal pass: documents split into non-overlapping
+    {_PARA_W}-word chunks, each md5-hashed; a chunk whose hash appears
+    in ≥{_PARA_BOILER_K} distinct documents is boilerplate (nav bars,
+    license footers, quoted headers) and is stripped; per-source
+    retention ratios are the pipeline's data-loss accounting. Finer
+    grain than whole-doc dedup_exact and cheaper than MinHash — the
+    standard first pass of a web-corpus pipeline (CCNet dedups at the
+    paragraph hash level before model-based filtering). Scale shape:
+    one narrow map (split+slice+hash inside codegen — chunking via
+    slice() on the split array, no per-word explode), then a groupBy
+    and an equi-join BOTH keyed on the chunk hash — the shuffle
+    partitioning is reused across the two stages, so the corpus pays
+    one hash-keyed redistribution. Retention rounds at 6dp from exact
+    integer counts (cross-engine sync).""",
+    tags=("TEXT", "DEDUP"),
+    bench=True,
+)
+def paragraph_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(arr) / F.lit(_PARA_W)).cast("int")
+    chunks = documents.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nch - 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice(arr, i * _PARA_W + 1, _PARA_W), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    freq = chunks.groupBy("h").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    kept = F.when(F.col("n_docs") < _PARA_BOILER_K, 1).otherwise(0)
+    return (
+        chunks.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (
+                F.round(F.sum(kept) * F.lit(1e6) / F.count(F.lit(1)))
+                / F.lit(1e6)
+            ).alias("retention"),
+        )
+    )
+
+
+_PII_PHONE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_EMAIL = "[A-Za-z0-9]+@[A-Za-z0-9.]+"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    WITH lines AS (
+      SELECT c_mktsegment,
+             c_name
+               || CASE WHEN c_custkey % 3 <> 0
+                  THEN ' call ' || printf('%02d-%03d-%03d-%04d',
+                         c_custkey % 89 + 10, c_custkey % 887 + 100,
+                         (c_custkey * 7) % 853 + 100,
+                         (c_custkey * 31) % 8963 + 1000)
+                  ELSE ' nophone 12-34' END
+               || CASE WHEN c_custkey % 2 = 0
+                  THEN ' mail user' || CAST(c_custkey AS VARCHAR)
+                       || '@example.com'
+                  ELSE ' nomail at example com' END AS line
+      FROM customer
+    ),
+    scrubbed AS (
+      SELECT c_mktsegment, line,
+             regexp_replace(
+               regexp_replace(line, '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_EMAIL}', '[EMAIL]', 'g'
+             ) AS red
+      FROM lines
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(len(regexp_extract_all(line, '{_PII_PHONE}')))
+                AS BIGINT)          AS n_phones,
+           CAST(sum(len(regexp_extract_all(line, '{_PII_EMAIL}')))
+                AS BIGINT)          AS n_emails,
+           CAST(sum(length(line) - length(red)) AS BIGINT)
+                                    AS chars_redacted
+    FROM scrubbed
+    GROUP BY c_mktsegment
+    """,
+    doc="""PII scrub accounting — the redaction pass every
+    training-data pipeline runs before tokenization: detect and
+    replace phone numbers and email addresses, and account for what
+    was removed (counts + redacted character volume per segment).
+    The corpus is synthesized from the customer table: a
+    deterministic xx-xxx-xxx-xxxx phone (printf over custkey residues
+    — identical printf semantics on both engines) on 2/3 of rows, a
+    per-customer email on half, plus decoy fragments ('12-34',
+    'at example com') that the detectors must NOT match.
+    Patterns are dialect-portable (plain character classes — same
+    semantics in Java regex and RE2); counting via
+    size(regexp_extract_all(...)) on both engines; DuckDB's
+    regexp_replace needs the 'g' flag to match Spark's replace-all
+    default. Scale shape: pure map-side regex inside codegen + one
+    partial-aggregated groupBy on a 5-value key — no data-sized
+    shuffle.""",
+    tags=("TEXT", "QUALITY"),
+    bench=True,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (ck % 89 + 10).cast("int"), (ck % 887 + 100).cast("int"),
+        ((ck * 7) % 853 + 100).cast("int"),
+        ((ck * 31) % 8963 + 1000).cast("int"),
+    )
+    line = F.concat(
+        F.col("c_name"),
+        F.when(ck % 3 != 0, F.concat(F.lit(" call "), phone))
+        .otherwise(F.lit(" nophone 12-34")),
+        F.when(ck % 2 == 0, F.concat(
+            F.lit(" mail user"), ck.cast("string"), F.lit("@example.com")
+        )).otherwise(F.lit(" nomail at example com")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(line, _PII_PHONE, "[PHONE]"),
+        _PII_EMAIL, "[EMAIL]",
+    )
+    return (
+        customer.select(
+            "c_mktsegment",
+            line.alias("line"),
+            red.alias("red"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.size(F.regexp_extract_all(F.col("line"), F.lit(_PII_PHONE), 0)))
+            .cast("long").alias("n_phones"),
+            F.sum(F.size(F.regexp_extract_all(F.col("line"), F.lit(_PII_EMAIL), 0)))
+            .cast("long").alias("n_emails"),
+            F.sum(F.length("line") - F.length("red"))
+            .cast("long").alias("chars_redacted"),
+        )
+    )
