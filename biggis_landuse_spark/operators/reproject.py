@@ -1192,6 +1192,127 @@ def sterea_to_lonlat(
     return lon, F.degrees(_conformal_to_geodetic(chie, e2))
 
 
+# -- Hotine oblique Mercator (omerc, general azimuth) -------------------------
+# EPSG methods 9812 (variant A, FE/FN at the natural origin) and 9815
+# (variant B, FE/FN at the projection centre) — the rotated-grid
+# family behind the Borneo RSO grids (Timbalai 1948 EPSG:29873, the
+# GDM2000 RSO zones), Alaska zone 1, and the Madagascar/Laborde
+# shape. The azimuth-90 special case is the Swiss somerc above; this
+# is the GENERAL azimuth. Inverse per EPSG Guidance Note 7-2 §3.2.6
+# (Hotine's aposphere construction), with the closing φ iteration
+# replaced by the same closed-form conformal-latitude series — pure
+# column expressions, no iteration, no UDF. Validated against the
+# GN7-2 Timbalai worked example (tests/test_reproject.py).
+
+
+class OmercParams:
+    """Hotine oblique Mercator definition (angles in degrees).
+    ``variant`` is "A" (EPSG 9812, false origin at the natural
+    origin — PROJ ``+no_uoff``) or "B" (EPSG 9815, false origin at
+    the projection centre — PROJ default)."""
+
+    def __init__(self, a, f_inv, latc, lonc, alpha, gamma, k0, fe, fn,
+                 variant="B"):
+        if variant not in ("A", "B"):
+            raise ValueError(f"omerc variant must be A or B: {variant!r}")
+        if abs(math.cos(math.radians(alpha))) < 1e-9:
+            raise ValueError(
+                "omerc with azimuth ±90° is the Swiss/Hungarian "
+                "azimuth-center special case — use the somerc family "
+                "(EPSG:21781/2056 or +proj=somerc)"
+            )
+        self.a, self.f_inv = a, f_inv
+        self.latc, self.lonc = latc, lonc
+        self.alpha, self.gamma = alpha, gamma
+        self.k0 = k0
+        self.fe, self.fn = fe, fn
+        self.variant = variant
+
+
+_OMERC_CRS = {
+    # Timbalai 1948 / RSO Borneo (m) — Everest 1830 (1967 definition)
+    29873: OmercParams(
+        6377298.556, 300.8017,
+        4.0, 115.0,
+        53 + 18 / 60 + 56.9537 / 3600, 53 + 7 / 60 + 48.3685 / 3600,
+        0.99984, 590476.87, 442857.65, variant="B",
+    ),
+}
+
+# Timbalai 1948 → WGS84 (the proj4/proj4j epsg-file translations)
+_TOWGS84["TIMBALAI"] = HelmertParams(-679.0, 669.0, -48.0)
+_OMERC_CRS[29873].helmert = _TOWGS84["TIMBALAI"]
+
+
+def _omerc_consts(
+    p: OmercParams,
+) -> tuple[float, float, float, float, float, float, float]:
+    """Driver-side projection constants (e, B, A, H, gamma0, lam0_rad,
+    uc) per EPSG Guidance Note 7-2 §3.2.6."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    pc = math.radians(p.latc)
+    sp = math.sin(pc)
+    bb = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+    aa = p.a * bb * p.k0 * math.sqrt(1 - e2) / (1 - e2 * sp * sp)
+    t0 = math.tan(math.pi / 4 - pc / 2) / (
+        (1 - e * sp) / (1 + e * sp)
+    ) ** (e / 2)
+    d = bb * math.sqrt(1 - e2) / (
+        math.cos(pc) * math.sqrt(1 - e2 * sp * sp)
+    )
+    d2 = max(d * d, 1.0)
+    ff = d + math.sqrt(d2 - 1) * (1.0 if p.latc >= 0 else -1.0)
+    h = ff * t0**bb
+    g = (ff - 1 / ff) / 2
+    g0 = math.asin(math.sin(math.radians(p.alpha)) / d)
+    lam0 = math.radians(p.lonc) - math.asin(g * math.tan(g0)) / bb
+    uc = (
+        (aa / bb)
+        * math.atan2(math.sqrt(d2 - 1), math.cos(math.radians(p.alpha)))
+        * (1.0 if p.latc >= 0 else -1.0)
+    )
+    return e, bb, aa, h, g0, lam0, uc
+
+
+def omerc_to_lonlat(
+    easting: Column, northing: Column, p: OmercParams
+) -> tuple[Column, Column]:
+    """Inverse Hotine oblique Mercator (EPSG 9812/9815) as pure
+    column expressions → (lon_deg, lat_deg). Sub-millimeter inside
+    the CRS's domain (closed-form conformal series replaces GN7-2's
+    φ iteration; anchored to the GN7-2 Timbalai worked example)."""
+    e, bb, aa, h, g0, lam0, uc = _omerc_consts(p)
+    e2 = e * e
+    gr = math.radians(p.gamma)
+    cg, sg = math.cos(gr), math.sin(gr)
+    sg0, cg0 = math.sin(g0), math.cos(g0)
+    ep = easting - F.lit(p.fe)
+    npr = northing - F.lit(p.fn)
+    vp = ep * F.lit(cg) - npr * F.lit(sg)
+    up = npr * F.lit(cg) + ep * F.lit(sg)
+    if p.variant == "B":
+        up = up + F.lit(abs(uc) * (1.0 if p.latc >= 0 else -1.0))
+    qp = F.exp(-(F.lit(bb) * vp / F.lit(aa)))
+    sp_ = (qp - 1 / qp) / 2
+    tp = (qp + 1 / qp) / 2
+    bua = F.lit(bb) * up / F.lit(aa)
+    vp_ = F.sin(bua)
+    upp = (vp_ * F.lit(cg0) + sp_ * F.lit(sg0)) / tp
+    tt = F.pow(
+        F.lit(h) / F.sqrt((1 + upp) / (1 - upp)), F.lit(1.0 / bb)
+    )
+    chi = F.lit(math.pi / 2) - 2 * F.atan(tt)
+    lat = F.degrees(_conformal_to_geodetic(chi, e2))
+    lon = F.degrees(
+        F.lit(lam0)
+        - F.atan2(sp_ * F.lit(cg0) - vp_ * F.lit(sg0), F.cos(bua))
+        / F.lit(bb)
+    )
+    return lon, lat
+
+
 # -- Ellipsoidal sinusoidal ---------------------------------------------------
 # The spherical fast path above covers the MODIS grid; legacy
 # continental deliveries (e.g. the old GIHLS/Africa sinusoidal grids)
@@ -1247,6 +1368,7 @@ _ELLPS = {
     "INTL": (6378388.0, 297.0),              # ED50
     "CLRK66": (6378206.4, 294.9786982),      # NAD27
     "KRASS": (6378245.0, 298.3),             # Pulkovo
+    "EVRSTSS": (6377298.556, 300.8017),      # Everest Sabah/Sarawak
     # datum → ellipsoid aliases
     "OSGB36": (6377563.396, 299.3249646),
     "POTSDAM": (6377397.155, 299.1528128),
@@ -1522,11 +1644,29 @@ def _parse_proj4_family(
             a, rf, num("lat_0"), num("lon_0"),
             num("k", num("k_0", 1.0)), num("x_0", 0.0), num("y_0", 0.0),
         )
+    if proj == "omerc":
+        # general-azimuth Hotine; +no_uoff = variant A (EPSG 9812),
+        # default = variant B (EPSG 9815). The two-point form
+        # (+lon_1/+lat_1/+lon_2/+lat_2) is not supported — +alpha is
+        # required (num raises a typed error when absent).
+        a, rf = ellipsoid()
+        if "no_rot" in kv:
+            raise ValueError(
+                f"+proj=omerc +no_rot (unrotated u/v output) is not "
+                f"supported: {proj4!r}"
+            )
+        alpha = num("alpha")
+        return "omerc", OmercParams(
+            a, rf, num("lat_0"), num("lonc"), alpha,
+            num("gamma", alpha), num("k", num("k_0", 1.0)),
+            num("x_0", 0.0), num("y_0", 0.0),
+            variant="A" if "no_uoff" in kv else "B",
+        )
     raise ValueError(
         f"unsupported +proj={proj}: longlat, utm, tmerc (any "
         f"ellipsoid/false origin), lcc, laea, stere (polar), sterea, "
-        f"somerc, aea, cea, merc, eqc, moll, sinu are supported — "
-        f"{proj4!r}"
+        f"somerc, omerc, aea, cea, merc, eqc, moll, sinu are "
+        f"supported — {proj4!r}"
     )
 
 
@@ -1557,6 +1697,8 @@ def _wkt_datum(wkt: str, a: float, rf: float):
         return _TOWGS84["CH1903"]
     if "AMERSFOORT" in name:
         return _TOWGS84["AMERSFOORT"]
+    if "TIMBALAI" in name:
+        return _TOWGS84["TIMBALAI"]
     if any(
         g in name
         for g in ("WGS_1984", "WGS84", "WGS 1984", "ETRS", "GRS80",
@@ -1860,18 +2002,16 @@ def _parse_wkt_family(
             p("false_easting", 0.0), p("false_northing", 0.0),
         )
     if proj in ("hotine_oblique_mercator_azimuth_center",
+                "hotine_oblique_mercator",
+                "hotine_oblique_mercator_azimuth_natural_origin",
+                "hotine_oblique_mercator_(variant_a)",
+                "hotine_oblique_mercator_(variant_b)",
                 "swiss_oblique_cylindrical", "swiss_oblique_mercator"):
-        # the azimuth-90/rectified-90 case IS the Swiss somerc; any
-        # other azimuth is the general Hotine — an honest refusal,
-        # not a wrong warp
+        # the azimuth-90/rectified-90 azimuth-center case IS the
+        # Swiss somerc; any other azimuth is the general Hotine
+        # (omerc, r8) — variant from the projection name
         az = p("azimuth", 90.0)
         rga = p("rectified_grid_angle", az)
-        if abs(az) != 90.0 or abs(rga) != 90.0:
-            raise ValueError(
-                "Hotine oblique Mercator is supported only in the "
-                f"azimuth-90 (Swiss somerc) aspect — azimuth={az}, "
-                f"rectified_grid_angle={rga}: {wkt[:60]!r}"
-            )
         lat0 = params.get(
             "latitude_of_center", params.get("latitude_of_origin")
         )
@@ -1880,9 +2020,24 @@ def _parse_wkt_family(
         )
         if lat0 is None or lon0 is None:
             raise ValueError(f"WKT {proj!r} missing center parameters")
-        return "somerc", SomercParams(
-            a, rf, lat0, lon0, p("scale_factor", 1.0),
+        if abs(az) == 90.0 and abs(rga) == 90.0 and proj in (
+            "hotine_oblique_mercator_azimuth_center",
+            "swiss_oblique_cylindrical", "swiss_oblique_mercator",
+        ):
+            return "somerc", SomercParams(
+                a, rf, lat0, lon0, p("scale_factor", 1.0),
+                p("false_easting", 0.0), p("false_northing", 0.0),
+            )
+        variant = "A" if (
+            "natural_origin" in proj or proj in (
+                "hotine_oblique_mercator",
+                "hotine_oblique_mercator_(variant_a)",
+            )
+        ) else "B"
+        return "omerc", OmercParams(
+            a, rf, lat0, lon0, az, rga, p("scale_factor", 1.0),
             p("false_easting", 0.0), p("false_northing", 0.0),
+            variant=variant,
         )
     raise ValueError(
         f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator "
@@ -1937,6 +2092,8 @@ def parse_crs(
         return "somerc", _SOMERC_CRS[int(code)]
     if code.isdigit() and int(code) in _STEREA_CRS:
         return "sterea", _STEREA_CRS[int(code)]
+    if code.isdigit() and int(code) in _OMERC_CRS:
+        return "omerc", _OMERC_CRS[int(code)]
     if code.isdigit() and len(code) == 5:
         num = int(code)
         if 32601 <= num <= 32660:
@@ -1956,8 +2113,9 @@ def parse_crs(
         "Global), EPSG:3395 (World Mercator), EPSG:4087 (World "
         "Equidistant Cylindrical), ESRI:54009 (World Mollweide), "
         "Swiss oblique Mercator (EPSG:21781 LV03, EPSG:2056 LV95), "
-        "and EPSG:28992 (Amersfoort / RD New oblique stereographic) "
-        "are supported"
+        "EPSG:28992 (Amersfoort / RD New oblique stereographic), and "
+        "EPSG:29873 (Timbalai 1948 / RSO Borneo Hotine oblique "
+        "Mercator) are supported"
     )
 
 
@@ -2065,6 +2223,8 @@ def reproject_pixels_to_webmercator(
         lon, lat = somerc_to_lonlat(sx, sy, crs_info)
     elif kind == "sterea":
         lon, lat = sterea_to_lonlat(sx, sy, crs_info)
+    elif kind == "omerc":
+        lon, lat = omerc_to_lonlat(sx, sy, crs_info)
     else:
         zone, north = crs_info
         lon, lat = utm_to_lonlat(sx, sy, zone, north)

@@ -3689,6 +3689,130 @@ def sinu_ell_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _omerc_grid_oracle() -> str:
+    """DuckDB replay of omerc_to_lonlat (Hotine oblique Mercator
+    variant B, Timbalai 1948 / RSO Borneo EPSG:29873 parameters on
+    Everest 1830-1967) with the SAME driver-side constants and
+    operation association as the engine's column expressions (libm
+    trig ULPs absorbed by round(avg, 4))."""
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        _OMERC_CRS,
+        _omerc_consts,
+    )
+
+    p = _OMERC_CRS[29873]
+    e, bb, aa, h, g0, lam0, uc = _omerc_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    gr = math.radians(p.gamma)
+    cg, sg = math.cos(gr), math.sin(gr)
+    sg0, cg0 = math.sin(g0), math.cos(g0)
+    ucs = abs(uc) * (1.0 if p.latc >= 0 else -1.0)
+    c2 = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    c4 = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    c6 = 7 * e6 / 120 + 81 * e8 / 1120
+    c8 = 4279 * e8 / 161280
+    hpi = math.pi / 2
+    inv_b = 1.0 / bb
+    return f"""
+    WITH src AS (
+      SELECT CAST(380000.0 + (p_partkey % 540) * 1000.0 AS DOUBLE) AS ee,
+             CAST(300000.0 + (p_partkey % 810) * 1000.0 AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT ee - {p.fe!r} AS ep, nn - {p.fn!r} AS npr FROM src
+    ),
+    s2 AS (
+      SELECT ep * {cg!r} - npr * {sg!r}            AS vp,
+             npr * {cg!r} + ep * {sg!r} + {ucs!r}  AS up
+      FROM s1
+    ),
+    s3 AS (
+      SELECT up, exp(-({bb!r} * vp / {aa!r})) AS qp FROM s2
+    ),
+    s4 AS (
+      SELECT (qp - 1 / qp) / 2      AS sp,
+             (qp + 1 / qp) / 2      AS tp,
+             {bb!r} * up / {aa!r}   AS bua
+      FROM s3
+    ),
+    s5 AS (
+      SELECT sp, bua,
+             (sin(bua) * {cg0!r} + sp * {sg0!r}) / tp AS upp
+      FROM s4
+    ),
+    s6 AS (
+      SELECT sp, bua,
+             {hpi!r} - 2 * atan(
+               pow({h!r} / sqrt((1 + upp) / (1 - upp)), {inv_b!r})
+             ) AS chi
+      FROM s5
+    ),
+    s7 AS (
+      SELECT degrees(chi + {c2!r} * sin(2 * chi) + {c4!r} * sin(4 * chi)
+                         + {c6!r} * sin(6 * chi) + {c8!r} * sin(8 * chi))
+               AS lat,
+             degrees({lam0!r} - atan2(
+               sp * {cg0!r} - sin(bua) * {sg0!r}, cos(bua)
+             ) / {bb!r}) AS lon
+      FROM s6
+    )
+    SELECT CAST(floor(lat * 2) AS BIGINT) AS lat_cell,
+           CAST(floor(lon * 2) AS BIGINT) AS lon_cell,
+           CAST(count(*) AS BIGINT)       AS n_px,
+           round(avg(lat), 4)             AS avg_lat,
+           round(avg(lon), 4)             AS avg_lon
+    FROM s7 GROUP BY 1, 2
+    """
+
+
+@register(
+    "omerc_grid",
+    oracle=_omerc_grid_oracle(),
+    doc="""Borneo RSO grid → lat/lon inverse warp
+    (operators.reproject.omerc_to_lonlat) with the Timbalai 1948 /
+    RSO Borneo EPSG:29873 parameters — Everest 1830-1967 ellipsoid,
+    Hotine oblique Mercator variant B (EPSG method 9815, general
+    azimuth 53.3°) — over synthesized easting/northing points
+    spanning the Borneo domain, re-keyed onto 0.5°×0.5° cells and
+    aggregated. The rotated-grid family behind the Malaysian RSO
+    zones and Alaska zone 1 (the azimuth-90 special case is the
+    somerc family). GN7-2's closing φ iteration is replaced by the
+    closed-form conformal-latitude series — whole-stage codegen, one
+    shuffle; same staged-projection plan pin as utm_grid. Anchored to
+    the GN7-2 Timbalai worked example.""",
+    tags=("REPROJECT", "OMERC"),
+    bench=True,
+)
+def omerc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _OMERC_CRS,
+        omerc_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (380000.0 + (F.col("p_partkey") % 540) * 1000.0).alias("ee"),
+        (300000.0 + (F.col("p_partkey") % 810) * 1000.0).alias("nn"),
+    )
+    lon, lat = omerc_to_lonlat(F.col("ee"), F.col("nn"), _OMERC_CRS[29873])
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat") * 2).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon") * 2).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Space-time layer (SpaceTimeKey) through the REAL catalog — r7
 # ---------------------------------------------------------------------------

@@ -589,7 +589,8 @@ def test_parse_proj4_honest_bounds():
     from biggis_landuse_spark.operators.reproject import parse_proj4
 
     for bad in (
-        "+proj=omerc +lonc=7 +alpha=30",     # general Hotine: unimplemented
+        "+proj=omerc +lonc=7 +alpha=30",     # omerc missing +lat_0
+        "+proj=robin +lon_0=0",              # Robinson: unimplemented
         "+proj=utm +zone=0",                 # zone out of range
         "+proj=lcc +lat_1=44",               # missing lat_0/lon_0
         "+proj=laea +lat_0=52 +lon_0=10 +ellps=evrst30",  # odd ellipsoid
@@ -2850,10 +2851,12 @@ def test_parse_somerc_sterea_proj4_wkt():
     assert kind == "somerc"
     assert (p.fe, p.fn) == (2600000.0, 1200000.0)
     assert p.helmert.dx == 674.374  # D_CH1903+ resolves the registry set
-    # a general Hotine azimuth stays an honest refusal
-    with pytest.raises(ValueError, match="azimuth-90"):
-        parse_wkt_crs(wkt_ch.replace('PARAMETER["Azimuth",90]',
-                                     'PARAMETER["Azimuth",45]'))
+    # a general Hotine azimuth routes to the omerc family (r8)
+    kind_g, p_g = parse_wkt_crs(
+        wkt_ch.replace('PARAMETER["Azimuth",90]',
+                       'PARAMETER["Azimuth",45]')
+    )
+    assert kind_g == "omerc" and p_g.alpha == 45.0 and p_g.variant == "B"
     # RD New proj4 and ESRI Double_Stereographic WKT
     refd = _STEREA_CRS[28992]
     kind, p = parse_proj4(
@@ -2909,3 +2912,124 @@ def test_somerc_sterea_without_datum_refuse_warp(spark):
                 "+y_0=1200000 +ellps=bessel"
             ),
         )
+
+
+# ---------------------------------------------------------------------------
+# Hotine oblique Mercator (omerc, general azimuth) — r8
+# ---------------------------------------------------------------------------
+
+
+def _omerc_forward_scalar(lon_deg, lat_deg, p):
+    """Independent scalar FORWARD Hotine oblique Mercator per EPSG
+    Guidance Note 7-2 §3.2.6 (the published forward, sharing only the
+    documented constants with the engine inverse)."""
+    from biggis_landuse_spark.operators.reproject import _omerc_consts
+
+    e, bb, aa, h, g0, lam0, uc = _omerc_consts(p)
+    pr = math.radians(lat_deg)
+    t = math.tan(math.pi / 4 - pr / 2) / (
+        (1 - e * math.sin(pr)) / (1 + e * math.sin(pr))
+    ) ** (e / 2)
+    q = h / t**bb
+    s = (q - 1 / q) / 2
+    tt = (q + 1 / q) / 2
+    dl = bb * (math.radians(lon_deg) - lam0)
+    v_ = math.sin(dl)
+    u_ = (-v_ * math.cos(g0) + s * math.sin(g0)) / tt
+    v = aa * math.log((1 - u_) / (1 + u_)) / (2 * bb)
+    u = aa * math.atan2(
+        s * math.cos(g0) + v_ * math.sin(g0), math.cos(dl)
+    ) / bb
+    if p.variant == "B":
+        u -= abs(uc) * (1.0 if p.latc >= 0 else -1.0)
+    gr = math.radians(p.gamma)
+    return (
+        v * math.cos(gr) + u * math.sin(gr) + p.fe,
+        u * math.cos(gr) - v * math.sin(gr) + p.fn,
+    )
+
+
+def test_omerc_epsg_timbalai_worked_example(spark):
+    # EPSG Guidance Note 7-2 Hotine-variant-B worked example
+    # (Timbalai 1948 / RSO Borneo): 5°23'14.1129"N 115°48'19.8196"E ↔
+    # E 679245.73 / N 596562.78. The published E/N round to cm, so
+    # the inverse recovers the geodetic input to ~3e-8 deg.
+    from biggis_landuse_spark.operators.reproject import (
+        _OMERC_CRS,
+        omerc_to_lonlat,
+    )
+
+    p = _OMERC_CRS[29873]
+    df = spark.createDataFrame([(679245.73, 596562.78)], "e double, n double")
+    lon_c, lat_c = omerc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    want_lat = 5 + 23 / 60 + 14.1129 / 3600
+    want_lon = 115 + 48 / 60 + 19.8196 / 3600
+    assert r["lat"] == pytest.approx(want_lat, abs=1e-7)
+    assert r["lon"] == pytest.approx(want_lon, abs=1e-7)
+
+
+@pytest.mark.parametrize(
+    "e,n",
+    [(400000.0, 300000.0), (900000.0, 1100000.0),
+     (679245.73, 596562.78), (590476.87, 442857.65)],
+)
+def test_omerc_inverse_roundtrips_independent_forward(spark, e, n):
+    from biggis_landuse_spark.operators.reproject import (
+        _OMERC_CRS,
+        omerc_to_lonlat,
+    )
+
+    p = _OMERC_CRS[29873]
+    df = spark.createDataFrame([(float(e), float(n))], "e double, n double")
+    lon_c, lat_c = omerc_to_lonlat(F.col("e"), F.col("n"), p)
+    r = df.select(lon_c.alias("lon"), lat_c.alias("lat")).first()
+    e2, n2 = _omerc_forward_scalar(r["lon"], r["lat"], p)
+    assert e2 == pytest.approx(e, abs=1e-4)
+    assert n2 == pytest.approx(n, abs=1e-4)
+
+
+def test_parse_omerc_proj4_wkt_epsg():
+    from biggis_landuse_spark.operators.reproject import (
+        _OMERC_CRS,
+        parse_crs,
+        parse_proj4,
+        parse_wkt_crs,
+    )
+
+    ref = _OMERC_CRS[29873]
+    kind, p = parse_crs("EPSG:29873")
+    assert kind == "omerc" and p.variant == "B"
+    assert (p.helmert.dx, p.helmert.dy, p.helmert.dz) == (-679.0, 669.0, -48.0)
+    kind, p = parse_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+        "+y_0=442857.65 +ellps=evrstSS +towgs84=-679,669,-48 +units=m"
+    )
+    assert kind == "omerc" and p.variant == "B"
+    assert (p.a, p.f_inv) == (ref.a, ref.f_inv)
+    assert p.alpha == pytest.approx(ref.alpha, abs=1e-9)
+    # +no_uoff = variant A (EPSG 9812)
+    kind, p = parse_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.3158 +k=0.99984 +no_uoff"
+    )
+    assert kind == "omerc" and p.variant == "A"
+    # azimuth ±90 belongs to somerc — typed redirection, not a warp
+    with pytest.raises(ValueError, match="somerc"):
+        parse_proj4("+proj=omerc +lat_0=46.95 +lonc=7.44 +alpha=90 +k=1")
+    # ESRI natural-origin spelling = variant A
+    wkt = (
+        'PROJCS["Timbalai_1948_RSO_Borneo_Meters",GEOGCS["GCS_Timbalai_1948",'
+        'DATUM["D_Timbalai_1948",SPHEROID["Everest_Definition_1967",'
+        '6377298.556,300.8017]],PRIMEM["Greenwich",0],'
+        'UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Natural_Origin"],'
+        'PARAMETER["False_Easting",0],PARAMETER["False_Northing",0],'
+        'PARAMETER["Scale_Factor",0.99984],'
+        'PARAMETER["Azimuth",53.31582047222222],'
+        'PARAMETER["Longitude_Of_Center",115],'
+        'PARAMETER["Latitude_Of_Center",4],UNIT["Meter",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt)
+    assert kind == "omerc" and p.variant == "A"
+    assert p.gamma == pytest.approx(53.31582047222222)  # defaults to azimuth

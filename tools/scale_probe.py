@@ -81,9 +81,14 @@ def main() -> None:
         spec = REGISTRY[name]
         times[name] = {}
         for f in FACTORS:
+            # GC before the timed loop: heap garbage from earlier
+            # probes otherwise triggers collections inside later timed
+            # runs, and with 1-8 s absolutes the RATIOS swing by ±0.7
+            # run-to-run (same lesson as bench.py's r8 GC settle)
+            spark._jvm.System.gc()
             spec.spark(spark, dirs[f]).count()  # warm up plan + JIT
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 spec.spark(spark, dirs[f]).count()
                 best = min(best, time.perf_counter() - t0)
@@ -101,7 +106,7 @@ def main() -> None:
         "near 16 would be the quadratic blow-up.",
         "",
         "Regenerate: `python tools/scale_probe.py` (numbers below from",
-        "an otherwise idle local[32]; min-of-2 after warmup).",
+        "an otherwise idle local[32]; min-of-3 after warmup + GC).",
         "",
         "| query | t(1x) s | t(4x) s | t(16x) s | 4x/1x | 16x/4x |",
         "|---|---|---|---|---|---|",
