@@ -10,7 +10,9 @@ Supported subset — what real-world writers emit:
 - decode: SOF0/SOF1 (baseline + extended sequential) AND SOF2
   (progressive: spectral selection, successive approximation, EOB
   runs — T.81 §G; web-scraped training images are very often
-  progressive), Huffman, 8-bit, grayscale and 3-component YCbCr,
+  progressive), Huffman, 8-bit, grayscale, 3-component YCbCr (or
+  Adobe-flagged raw RGB), and 4-component CMYK/YCCK (Adobe APP14
+  transform 0/2 — the print/Photoshop deliveries; r8),
   sampling factors 1 or 2 per axis (4:4:4, 4:2:2, 4:4:0, 4:2:0),
   non-interleaved multi-scan sequential files, restart intervals
   (DRI/RSTn), byte stuffing, multi-table DQT/DHT segments, and
@@ -20,12 +22,17 @@ Supported subset — what real-world writers emit:
   one vectorized dequantize→IDCT pass runs at EOI. Validated against
   Java ImageIO as an independent decoder on third-party-written
   progressive and baseline files (tests/test_jpeg_codec.py).
-- encode: baseline 4:4:4 or 4:2:0 YCbCr / grayscale with the spec's
-  Annex K quantization (libjpeg quality scaling) and Annex K Huffman
-  tables — enough to generate real test payloads and TIFF segments.
+  4-component output is returned AS STORED (the libjpeg contract:
+  CMYK/YCCK → 4 channels, color management left to the caller —
+  Adobe writers store the ink values inverted, and that convention
+  travels with the file, not the codec).
+- encode: baseline 4:4:4 or 4:2:0 YCbCr / grayscale, plus
+  4-component pass-through with an Adobe APP14 (transform 0) for
+  CMYK test payloads, with the spec's Annex K quantization (libjpeg
+  quality scaling) and Annex K Huffman tables.
 - anything outside (arithmetic coding, 12-bit, lossless/hierarchical
-  SOFs, CMYK/Adobe transforms) raises ``JpegFormatError`` — an
-  honest bound, never a garbled image.
+  SOFs) raises ``JpegFormatError`` — an honest bound, never a
+  garbled image.
 
 Runs executor-side inside Arrow-batched ``mapInPandas`` like the
 PNG/BMP/GIF codecs; per-image cost is numpy block IDCTs.
@@ -320,6 +327,7 @@ def decode_jpeg(
     nblocks: dict = {}  # cid → (by, bx) for NON-interleaved scans
     mcux = mcuy = 0
     seen_scan = False
+    adobe_transform = None  # APP14: 0=raw RGB/CMYK, 1=YCbCr, 2=YCCK
     pos = 2
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -339,6 +347,8 @@ def decode_jpeg(
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
             _read_dqt(seg, qt)
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]
         elif marker == 0xC4:
             _read_dht(seg, huff_dc, huff_ac)
         elif marker == 0xDD:
@@ -347,7 +357,7 @@ def decode_jpeg(
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegFormatError(f"{prec}-bit JPEG not supported (8 only)")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise JpegFormatError(f"{nc}-component JPEG not supported")
             comps = []
             for c in range(nc):
@@ -400,7 +410,7 @@ def decode_jpeg(
         pos += 2 + seglen
     if frame is None or not seen_scan:
         raise JpegFormatError("no scan data (missing SOS)")
-    return _finish(frame, coefs, qt)
+    return _finish(frame, coefs, qt, adobe_transform)
 
 
 def _decode_block(br, coef, ss, se, ah, al, dctab, actab, pred, ci, eobrun):
@@ -563,8 +573,16 @@ def _decode_scan_into(
     return n
 
 
-def _finish(frame, coefs, qt):
-    """Dequantize → batched IDCT → upsample → color convert."""
+def _finish(frame, coefs, qt, adobe_transform=None):
+    """Dequantize → batched IDCT → upsample → color convert.
+
+    Color interpretation follows the Adobe APP14 transform flag when
+    present (libjpeg's color_deconvert rules): 3 components are YCbCr
+    unless APP14 says transform 0 (raw RGB); 4 components are CMYK as
+    stored unless transform 2 (YCCK — the first three channels pass
+    through the YCbCr inverse, K passes through untouched). 4-channel
+    data is returned AS STORED: ink inversion is a writer convention
+    (Adobe stores inverted), not a codec transform."""
     w, h, comps, hmax, vmax = frame
     out_planes = []
     for cid, ch, cv, tq in comps:
@@ -586,12 +604,29 @@ def _finish(frame, coefs, qt):
     if len(out_planes) == 1:
         gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+
+    def _ycc_inverse(y, cb, cr):
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return r, g, b
+
+    if len(out_planes) == 4:
+        if adobe_transform == 2:  # YCCK: YCbCr inverse on 1-3, K as-is
+            c, m, ye = _ycc_inverse(*out_planes[:3])
+            planes = (c, m, ye, out_planes[3])
+        else:  # transform 0 / absent: CMYK stored directly
+            planes = tuple(out_planes)
+        cmyk = np.stack(
+            [np.clip(np.rint(x), 0, 255) for x in planes], axis=-1
+        ).astype(np.uint8)
+        return w, h, 4, cmyk.tobytes()
+    if adobe_transform == 0:  # Adobe-flagged raw RGB (no transform)
+        planes = tuple(out_planes)
+    else:
+        planes = _ycc_inverse(*out_planes)
     rgb = np.stack(
-        [np.clip(np.rint(x), 0, 255) for x in (r, g, b)], axis=-1
+        [np.clip(np.rint(x), 0, 255) for x in planes], axis=-1
     ).astype(np.uint8)
     return w, h, 3, rgb.tobytes()
 
@@ -702,8 +737,10 @@ def encode_jpeg(
     JFIF bytes. ``subsample=True`` emits 4:2:0 chroma;
     ``restart_interval=N`` emits DRI + RSTn markers every N MCUs (the
     error-resilience layout large writers use)."""
-    if channels not in (1, 3):
-        raise JpegFormatError("encode supports 1 (gray) or 3 (RGB) channels")
+    if channels not in (1, 3, 4):
+        raise JpegFormatError(
+            "encode supports 1 (gray), 3 (RGB), or 4 (CMYK) channels"
+        )
     if len(pixels) != width * height * channels:
         raise JpegFormatError("pixel buffer size mismatch")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(
@@ -712,13 +749,22 @@ def encode_jpeg(
     qy = _quality_scale(_QT_LUMA, quality).reshape(8, 8)
     qc = _quality_scale(_QT_CHROMA, quality).reshape(8, 8)
     out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if channels == 4:
+        # JFIF only defines 1/3-component streams; 4-component CMYK
+        # travels under the Adobe APP14 marker (transform 0 = values
+        # stored directly, no color transform)
+        out += _seg(0xEE, b"Adobe\x00\x64\x00\x00\x00\x00\x00")
+    else:
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _dqt_seg(0, qy)
     if channels == 3:
         out += _dqt_seg(1, qc)
     sub = 2 if (subsample and channels == 3) else 1
     if channels == 1:
         comp_spec = [(1, 1, 1, 0)]
+    elif channels == 4:
+        comp_spec = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0),
+                     (4, 1, 1, 0)]
     else:
         comp_spec = [(1, sub, sub, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
     sof = struct.pack(">BHHB", 8, height, width, channels)
@@ -741,6 +787,10 @@ def encode_jpeg(
     if channels == 1:
         planes = [arr[:, :, 0]]
         qtabs = [qy]
+    elif channels == 4:
+        # CMYK pass-through: no color transform (APP14 transform 0)
+        planes = [arr[:, :, i] for i in range(4)]
+        qtabs = [qy] * 4
     else:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
