@@ -1184,9 +1184,12 @@ def sterea_to_lonlat(
     )
     lon = F.lit(p.lon0) + F.degrees(j + 2 * i) / F.lit(n)
     # conformal-sphere latitude → ellipsoid isometric latitude ψ,
-    # then the same series the somerc inverse uses
+    # then the same series the somerc inverse uses. try_divide: a
+    # garbage-georeferenced pixel can land chi exactly on π/2 where
+    # the denominator is 0.0 — NULL (NODATA) there, never an ANSI
+    # divide error killing the job (same contract as sinu/moll).
     psi = F.log(
-        (1 + F.sin(chi)) / (F.lit(c) * (1 - F.sin(chi)))
+        F.try_divide(1 + F.sin(chi), F.lit(c) * (1 - F.sin(chi)))
     ) / F.lit(2 * n)
     chie = 2 * F.atan(F.exp(psi)) - F.lit(math.pi / 2)
     return lon, F.degrees(_conformal_to_geodetic(chie, e2))
@@ -1294,14 +1297,20 @@ def omerc_to_lonlat(
     up = npr * F.lit(cg) + ep * F.lit(sg)
     if p.variant == "B":
         up = up + F.lit(abs(uc) * (1.0 if p.latc >= 0 else -1.0))
+    # try_divide throughout: far-out-of-domain (garbage-georeferenced)
+    # coordinates can underflow exp to 0.0 or land the U' term exactly
+    # on ±1 — NULL (NODATA) there, never an ANSI divide error killing
+    # the job (same contract as sinu/moll).
     qp = F.exp(-(F.lit(bb) * vp / F.lit(aa)))
-    sp_ = (qp - 1 / qp) / 2
-    tp = (qp + 1 / qp) / 2
+    qinv = F.try_divide(F.lit(1.0), qp)
+    sp_ = (qp - qinv) / 2
+    tp = (qp + qinv) / 2
     bua = F.lit(bb) * up / F.lit(aa)
     vp_ = F.sin(bua)
-    upp = (vp_ * F.lit(cg0) + sp_ * F.lit(sg0)) / tp
+    upp = F.try_divide(vp_ * F.lit(cg0) + sp_ * F.lit(sg0), tp)
     tt = F.pow(
-        F.lit(h) / F.sqrt((1 + upp) / (1 - upp)), F.lit(1.0 / bb)
+        F.try_divide(F.lit(h), F.sqrt(F.try_divide(1 + upp, 1 - upp))),
+        F.lit(1.0 / bb),
     )
     chi = F.lit(math.pi / 2) - 2 * F.atan(tt)
     lat = F.degrees(_conformal_to_geodetic(chi, e2))

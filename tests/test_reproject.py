@@ -3033,3 +3033,25 @@ def test_parse_omerc_proj4_wkt_epsg():
     kind, p = parse_wkt_crs(wkt)
     assert kind == "omerc" and p.variant == "A"
     assert p.gamma == pytest.approx(53.31582047222222)  # defaults to azimuth
+
+
+def test_sterea_omerc_degenerate_inputs_are_nodata_not_error(spark):
+    # ANSI mode: garbage-georeferenced coordinates (absurd E/N) can
+    # zero the conformal denominators (chi on pi/2, exp underflow,
+    # U' exactly +-1) — must yield NULL/NaN (NODATA), never a
+    # job-killing DIVIDE_BY_ZERO on one bad pixel in 100 TB
+    from biggis_landuse_spark.operators.reproject import (
+        _OMERC_CRS,
+        _STEREA_CRS,
+        omerc_to_lonlat,
+        sterea_to_lonlat,
+    )
+
+    bad = [(1e10, 1e10), (-1e10, 1e10), (5e9, -5e9), (1e16, 0.0),
+           (0.0, 1e16)]
+    df = spark.createDataFrame(bad, "e double, n double")
+    for fn, p in ((sterea_to_lonlat, _STEREA_CRS[28992]),
+                  (omerc_to_lonlat, _OMERC_CRS[29873])):
+        lon_c, lat_c = fn(F.col("e"), F.col("n"), p)
+        rows = df.select(lon_c.alias("lon"), lat_c.alias("lat")).collect()
+        assert len(rows) == len(bad)  # evaluated without ANSI errors
