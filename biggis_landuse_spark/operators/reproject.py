@@ -1269,8 +1269,23 @@ def _omerc_consts(
     ff = d + math.sqrt(d2 - 1) * (1.0 if p.latc >= 0 else -1.0)
     h = ff * t0**bb
     g = (ff - 1 / ff) / 2
-    g0 = math.asin(math.sin(math.radians(p.alpha)) / d)
-    lam0 = math.radians(p.lonc) - math.asin(g * math.tan(g0)) / bb
+
+    def _asin_guard(x, what):
+        # equatorial-ish centres can push these arguments past 1 by a
+        # float ulp (clamp), or genuinely for inconsistent parameters
+        # (typed error, not a driver-side math-domain crash)
+        if abs(x) > 1.0 + 1e-12:
+            raise ValueError(
+                f"omerc parameters are inconsistent ({what} = {x!r} "
+                "outside [-1, 1]): the azimuth cannot be realized at "
+                "this latitude of centre"
+            )
+        return math.asin(min(1.0, max(-1.0, x)))
+
+    g0 = _asin_guard(math.sin(math.radians(p.alpha)) / d, "sin(alpha)/D")
+    lam0 = math.radians(p.lonc) - _asin_guard(
+        g * math.tan(g0), "G*tan(gamma0)"
+    ) / bb
     uc = (
         (aa / bb)
         * math.atan2(math.sqrt(d2 - 1), math.cos(math.radians(p.alpha)))
