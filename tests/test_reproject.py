@@ -3055,3 +3055,40 @@ def test_sterea_omerc_degenerate_inputs_are_nodata_not_error(spark):
         lon_c, lat_c = fn(F.col("e"), F.col("n"), p)
         rows = df.select(lon_c.alias("lon"), lat_c.alias("lat")).collect()
         assert len(rows) == len(bad)  # evaluated without ANSI errors
+
+
+def test_somerc_sterea_proj4_epsg_pipeline_equivalence(spark):
+    # a pixel georeferenced via the proj4 STRING lands in the same
+    # WebMercator cell as via the EPSG code — the arbitrary-CRS
+    # ingest path for the r8 families (UtilsShape.scala:54-59 parity)
+    cases = [
+        (
+            "EPSG:2056",
+            "+proj=somerc +lat_0=46.95240555555556 "
+            "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+            "+ellps=bessel +towgs84=674.374,15.056,405.346",
+            (2683000.0, 1248000.0),
+        ),
+        (
+            "EPSG:28992",
+            "+proj=sterea +lat_0=52.15616055555555 "
+            "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 "
+            "+y_0=463000 +ellps=bessel +towgs84=565.417,50.3319,"
+            "465.552,-0.398957,0.343988,-1.8774,4.0725",
+            (121000.0, 487000.0),
+        ),
+    ]
+    for code, proj4, (e, n) in cases:
+        px = spark.createDataFrame(
+            [(0, 0, 0, 5.0, e - 15.0, n + 15.0, 30.0, 30.0)], PIX_DDL
+        )
+        a = reproject_pixels_to_webmercator(
+            px, zoom=13, layer="x", src_crs=code
+        ).first()
+        b = reproject_pixels_to_webmercator(
+            px, zoom=13, layer="x", src_crs=proj4
+        ).first()
+        key = lambda r: (  # noqa: E731
+            r["tile_col"] * 256 + r["px"], r["tile_row"] * 256 + r["py"]
+        )
+        assert key(a) == key(b), code
