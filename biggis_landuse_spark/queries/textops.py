@@ -2632,8 +2632,8 @@ def paragraph_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PII_PHONE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
-_PII_EMAIL = "[A-Za-z0-9]+@[A-Za-z0-9.]+"
+_SCRUB_PHONE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_SCRUB_EMAIL = "[A-Za-z0-9]+@[A-Za-z0-9.]+"
 
 
 @register(
@@ -2657,26 +2657,27 @@ _PII_EMAIL = "[A-Za-z0-9]+@[A-Za-z0-9.]+"
     scrubbed AS (
       SELECT c_mktsegment, line,
              regexp_replace(
-               regexp_replace(line, '{_PII_PHONE}', '[PHONE]', 'g'),
-               '{_PII_EMAIL}', '[EMAIL]', 'g'
+               regexp_replace(line, '{_SCRUB_PHONE}', '[PHONE]', 'g'),
+               '{_SCRUB_EMAIL}', '[EMAIL]', 'g'
              ) AS red
       FROM lines
     )
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(len(regexp_extract_all(line, '{_PII_PHONE}')))
+           CAST(sum(len(regexp_extract_all(line, '{_SCRUB_PHONE}')))
                 AS BIGINT)          AS n_phones,
-           CAST(sum(len(regexp_extract_all(line, '{_PII_EMAIL}')))
+           CAST(sum(len(regexp_extract_all(line, '{_SCRUB_EMAIL}')))
                 AS BIGINT)          AS n_emails,
            CAST(sum(length(line) - length(red)) AS BIGINT)
                                     AS chars_redacted
     FROM scrubbed
     GROUP BY c_mktsegment
     """,
-    doc="""PII scrub accounting — the redaction pass every
-    training-data pipeline runs before tokenization: detect and
-    replace phone numbers and email addresses, and account for what
-    was removed (counts + redacted character volume per segment).
+    doc="""PII scrub accounting — complements pii_redaction (the
+    per-document scan-local redact+digest pass) with the AGGREGATE
+    side a pipeline reports on: per-segment redaction counts and
+    redacted character volume, over a corpus that contains decoy
+    near-matches the detectors must reject.
     The corpus is synthesized from the customer table: a
     deterministic xx-xxx-xxx-xxxx phone (printf over custkey residues
     — identical printf semantics on both engines) on 2/3 of rows, a
@@ -2710,8 +2711,8 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )).otherwise(F.lit(" nomail at example com")),
     )
     red = F.regexp_replace(
-        F.regexp_replace(line, _PII_PHONE, "[PHONE]"),
-        _PII_EMAIL, "[EMAIL]",
+        F.regexp_replace(line, _SCRUB_PHONE, "[PHONE]"),
+        _SCRUB_EMAIL, "[EMAIL]",
     )
     return (
         customer.select(
@@ -2722,9 +2723,9 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum(F.size(F.regexp_extract_all(F.col("line"), F.lit(_PII_PHONE), 0)))
+            F.sum(F.size(F.regexp_extract_all(F.col("line"), F.lit(_SCRUB_PHONE), 0)))
             .cast("long").alias("n_phones"),
-            F.sum(F.size(F.regexp_extract_all(F.col("line"), F.lit(_PII_EMAIL), 0)))
+            F.sum(F.size(F.regexp_extract_all(F.col("line"), F.lit(_SCRUB_EMAIL), 0)))
             .cast("long").alias("n_emails"),
             F.sum(F.length("line") - F.length("red"))
             .cast("long").alias("chars_redacted"),

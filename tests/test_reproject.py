@@ -762,13 +762,18 @@ def test_sidecar_crs_honest_bounds(tmp_path):
     (d2 / "x.proj4").write_text("+proj=robin +lon_0=0")
     with pytest.raises(ValueError, match="unsupported"):
         sidecar_crs(str(d2))
-    # sinu without a radius is also a fail-fast parse error (late r6:
-    # sinu itself is now a supported spherical family)
-    d3 = tmp_path / "sinu_no_r"
+    # "+proj=sinu" with no ellipsoid now parses (r8: PROJ's default is
+    # the WGS84 ELLIPSOID, i.e. the rectifying-series family); a
+    # malformed parameter still fails fast
+    d3 = tmp_path / "sinu_default"
     d3.mkdir()
     (d3 / "x.proj4").write_text("+proj=sinu +lon_0=0")
-    with pytest.raises(ValueError, match=r"needs \+a"):
-        sidecar_crs(str(d3))
+    assert sidecar_crs(str(d3)).startswith("+proj=sinu")
+    d4 = tmp_path / "omerc_missing"
+    d4.mkdir()
+    (d4 / "x.proj4").write_text("+proj=omerc +lonc=7 +alpha=30")
+    with pytest.raises(ValueError, match=r"needs \+lat_0"):
+        sidecar_crs(str(d4))
 
 
 def _ps_forward(lat, lon, p):
