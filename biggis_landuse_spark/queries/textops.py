@@ -2564,7 +2564,11 @@ _PARA_BOILER_K = 3    # chunk appearing in >= K distinct docs = boilerplate
              md5(array_to_string(
                ws[i * {_PARA_W} + 1 : i * {_PARA_W} + {_PARA_W}], ' '
              )) AS h
-      FROM d, (SELECT unnest(range(64)) AS i) g
+      FROM d, (SELECT unnest(range(256)) AS i) g
+      -- fixed grid (DuckDB range() can't be a lateral): 256 chunks
+      -- covers docs to 2560 words; fixture max is 100 words, and the
+      -- WHERE filter makes any grid >= ceil(len/W) exactly equal to
+      -- the Spark side's exact-length sequence()
       WHERE i * {_PARA_W} < len(ws)
     ),
     freq AS (
