@@ -510,6 +510,304 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+# Appendix A1.1) — the PUBLISHED thresholds, not tuned to the fixture:
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MAX_SYMBOL = 0.1  # '#' + '...' per word
+_GOPHER_MAX_BULLET = 0.9  # frac lines starting with a bullet
+_GOPHER_MAX_ELLIPSIS = 0.3  # frac lines ending with '...'
+_GOPHER_MIN_ALPHA = 0.8  # frac words containing a letter
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_STOP = 2  # distinct required stop words present
+
+
+@register(
+    "gopher_rules",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             coalesce(n BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS},
+                      FALSE) AS r_words,
+             coalesce(mwl >= {_GOPHER_MIN_MWL} AND mwl <= {_GOPHER_MAX_MWL},
+                      FALSE) AS r_word_len,
+             coalesce((n_hash + n_ell) / CAST(greatest(n, 1) AS DOUBLE)
+                      <= {_GOPHER_MAX_SYMBOL}, FALSE) AS r_symbol,
+             coalesce(len(list_filter(lines, l -> ltrim(l) LIKE '•%'
+                                                OR ltrim(l) LIKE '- %'))
+                      / CAST(greatest(len(lines), 1) AS DOUBLE)
+                      <= {_GOPHER_MAX_BULLET}, FALSE) AS r_bullet,
+             coalesce(len(list_filter(lines, l -> l LIKE '%...'))
+                      / CAST(greatest(len(lines), 1) AS DOUBLE)
+                      <= {_GOPHER_MAX_ELLIPSIS}, FALSE) AS r_ellipsis,
+             coalesce(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+                      / CAST(greatest(n, 1) AS DOUBLE)
+                      >= {_GOPHER_MIN_ALPHA}, FALSE) AS r_alpha,
+             coalesce(len(list_filter(
+                        [{", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)}],
+                        w -> list_contains(t, w)))
+                      >= {_GOPHER_MIN_STOP}, FALSE) AS r_stopword
+      FROM (
+        SELECT source, t, len(t) AS n,
+               list_aggregate(list_transform(t, x -> len(x)), 'sum')
+                 / CAST(greatest(len(t), 1) AS DOUBLE)         AS mwl,
+               length(text) - length(replace(text, '#', ''))   AS n_hash,
+               (length(text) - length(replace(text, '...', ''))) // 3
+                                                               AS n_ell,
+               string_split(text, chr(10))                     AS lines
+        FROM (SELECT source, text, {_TOKS} AS t FROM documents)
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                            AS n_docs,
+           CAST(count(*) FILTER (NOT r_words) AS BIGINT)       AS n_fail_word_count,
+           CAST(count(*) FILTER (NOT r_word_len) AS BIGINT)    AS n_fail_word_len,
+           CAST(count(*) FILTER (NOT r_symbol) AS BIGINT)      AS n_fail_symbol,
+           CAST(count(*) FILTER (NOT r_bullet) AS BIGINT)      AS n_fail_bullet,
+           CAST(count(*) FILTER (NOT r_ellipsis) AS BIGINT)    AS n_fail_ellipsis,
+           CAST(count(*) FILTER (NOT r_alpha) AS BIGINT)       AS n_fail_alpha,
+           CAST(count(*) FILTER (NOT r_stopword) AS BIGINT)    AS n_fail_stopword,
+           CAST(count(*) FILTER (r_words AND r_word_len AND r_symbol
+                 AND r_bullet AND r_ellipsis AND r_alpha AND r_stopword)
+                AS BIGINT)                                     AS n_pass
+    FROM d
+    GROUP BY source
+    """,
+    doc="""The Gopher document-quality rule suite (Rae et al. 2021,
+    arXiv:2112.11446 A1.1) at the PUBLISHED thresholds: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    ('#' + '...') <= 0.1, <=90% bullet-started lines, <=30%
+    ellipsis-ended lines, >=80% words containing a letter, >=2 of the
+    8 required English stop words. One corpus scan, all predicates
+    scan-local array expressions over one materialized token array,
+    conditional aggregation to a |source|-row result — the same
+    one-pass shape as quality_funnel, so at 100 TB this is a pure
+    map-side reduce. Every ratio is a single IEEE division of exact
+    integers, bit-identical across engines. NULL text coalesces to
+    rule failure (degenerate-corpus totality).""",
+    tags=("TEXT", "A"),
+    bench=True,
+)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    tokd = spread(documents).select(
+        "source",
+        "text",
+        tokens("text").alias("_t"),
+        F.split("text", "\n").alias("_lines"),
+    )
+    n = F.size("_t")
+    n1 = F.greatest(n, F.lit(1)).cast("double")
+    nl1 = F.greatest(F.size("_lines"), F.lit(1)).cast("double")
+    mwl = (
+        F.aggregate(F.col("_t"), F.lit(0), lambda acc, t: acc + F.length(t))
+        / n1
+    )
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ell = F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
+    bullet = F.size(
+        F.filter(
+            F.col("_lines"),
+            lambda l: F.ltrim(l).like("•%") | F.ltrim(l).like("- %"),
+        )
+    )
+    ell_end = F.size(F.filter(F.col("_lines"), lambda l: l.like("%...")))
+    alpha = F.size(F.filter(F.col("_t"), lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(F.col("_t"), w),
+        )
+    )
+    rb = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    flags = tokd.select(
+        "source",
+        rb(
+            (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
+        ).alias("r_words"),
+        rb((mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)).alias(
+            "r_word_len"
+        ),
+        rb(((n_hash + n_ell) / n1) <= _GOPHER_MAX_SYMBOL).alias("r_symbol"),
+        rb((bullet / nl1) <= _GOPHER_MAX_BULLET).alias("r_bullet"),
+        rb((ell_end / nl1) <= _GOPHER_MAX_ELLIPSIS).alias("r_ellipsis"),
+        rb((alpha / n1) >= _GOPHER_MIN_ALPHA).alias("r_alpha"),
+        rb(stop_hits >= _GOPHER_MIN_STOP).alias("r_stopword"),
+    )
+    fail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        fail("r_words").alias("n_fail_word_count"),
+        fail("r_word_len").alias("n_fail_word_len"),
+        fail("r_symbol").alias("n_fail_symbol"),
+        fail("r_bullet").alias("n_fail_bullet"),
+        fail("r_ellipsis").alias("n_fail_ellipsis"),
+        fail("r_alpha").alias("n_fail_alpha"),
+        fail("r_stopword").alias("n_fail_stopword"),
+        F.sum(
+            (
+                F.col("r_words")
+                & F.col("r_word_len")
+                & F.col("r_symbol")
+                & F.col("r_bullet")
+                & F.col("r_ellipsis")
+                & F.col("r_alpha")
+                & F.col("r_stopword")
+            ).cast("long")
+        ).alias("n_pass"),
+    )
+
+
+# Deterministic synthetic URL per document (the documents table carries
+# no URL column): mixed-case scheme/host, sometimes an explicit :443,
+# sometimes a trailing slash, query params in varying order with utm_*
+# tracking noise, sometimes a fragment — the exact variation families a
+# crawl-frontier canonicalizer must collapse. Pure integer arithmetic
+# on doc_id, so both engines synthesize byte-identical raw URLs.
+_RAW_URL = """
+    concat(
+      CASE doc_id % 3 WHEN 0 THEN 'HTTPS://WWW.'
+                      WHEN 1 THEN 'https://www.'
+                      ELSE 'https://' END,
+      source, '.Example.COM',
+      CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+      '/docs/', CAST(doc_id % 40 AS VARCHAR),
+      CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+      CASE WHEN doc_id % 2 = 0
+           THEN concat('?id=', CAST(doc_id % 11 AS VARCHAR),
+                       '&utm_source=feed')
+           ELSE concat('?utm_source=feed&id=',
+                       CAST(doc_id % 11 AS VARCHAR)) END,
+      CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END
+    )
+"""
+
+
+@register(
+    "url_canonicalize",
+    oracle=f"""
+    WITH raw AS (
+      SELECT source, {_RAW_URL} AS url FROM documents
+    ),
+    parts AS (
+      SELECT source, url,
+             split_part(split_part(url, '#', 1), '?', 1) AS base,
+             split_part(split_part(url, '#', 1), '?', 2) AS q
+      FROM raw
+    ),
+    hostpath AS (
+      SELECT source, url, q,
+             lower(split_part(base, '://', 1)) AS scheme,
+             substr(base, length(split_part(base, '://', 1)) + 4) AS rest
+      FROM parts
+    ),
+    canon AS (
+      SELECT source, url,
+             concat(
+               scheme, '://',
+               lower(regexp_replace(split_part(rest, '/', 1), ':443$', '')),
+               CASE WHEN regexp_replace(
+                      substr(rest, length(split_part(rest, '/', 1)) + 1),
+                      '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(
+                      substr(rest, length(split_part(rest, '/', 1)) + 1),
+                      '/+$', '') END,
+               CASE WHEN len(list_filter(string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p, '^utm_')))
+                         > 0
+                    THEN concat('?', array_to_string(
+                      list_sort(list_filter(string_split(q, '&'),
+                        p -> p <> '' AND NOT regexp_matches(p, '^utm_'))),
+                      '&'))
+                    ELSE '' END
+             ) AS canonical
+      FROM hostpath
+    ),
+    groups AS (
+      SELECT source, canonical, CAST(count(*) AS BIGINT) AS n
+      FROM canon GROUP BY source, canonical
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT)                            AS n_urls,
+           CAST(count(*) AS BIGINT)                          AS n_canonical,
+           CAST(coalesce(sum(n) FILTER (n > 1), 0) AS BIGINT) AS n_dup_urls,
+           CAST(max(n) AS BIGINT)                            AS max_group,
+           min(canonical)                                    AS sample_canonical
+    FROM groups
+    GROUP BY source
+    """,
+    doc="""Crawl-frontier URL canonicalization + duplicate-URL
+    accounting: lowercase scheme/host, strip default :443 port, strip
+    the fragment, strip trailing slashes (root stays '/'), drop utm_*
+    tracking params, sort the surviving query params — then count how
+    many raw URL variants collapse onto each canonical form, per
+    source. All string/array column expressions (split_part /
+    regexp_replace / array_sort), one groupBy(source, canonical)
+    shuffle then a |source|-row rollup — the canonical key is
+    high-cardinality and hash-partitions evenly at 100 TB (no hot
+    key: the group size is the per-page variant count, bounded by the
+    synthesis families, and in a real crawl by per-page mirror
+    count). The URLs themselves are synthesized deterministically
+    from doc_id (the fixture has no URL column) with the exact
+    variation families the canonicalizer must collapse, so the oracle
+    replays synthesis + canonicalization byte-identically.""",
+    tags=("TEXT",),
+    bench=True,
+)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    raw = documents.select(
+        "source", F.expr(_RAW_URL.replace("VARCHAR", "STRING")).alias("url")
+    )
+    parts = raw.select(
+        "source",
+        F.expr("split_part(split_part(url, '#', 1), '?', 1)").alias("base"),
+        F.expr("split_part(split_part(url, '#', 1), '?', 2)").alias("q"),
+    )
+    hostpath = parts.select(
+        "source",
+        "q",
+        F.expr("lower(split_part(base, '://', 1))").alias("scheme"),
+        F.expr(
+            "substr(base, length(split_part(base, '://', 1)) + 4)"
+        ).alias("rest"),
+    )
+    kept = (
+        "filter(split(q, '&'), p -> p <> '' AND NOT p rlike '^utm_')"
+    )
+    cpath = (
+        "regexp_replace(substr(rest, length(split_part(rest, '/', 1)) + 1),"
+        " '/+$', '')"
+    )
+    canon = hostpath.select(
+        "source",
+        F.expr(
+            f"""concat(
+              scheme, '://',
+              lower(regexp_replace(split_part(rest, '/', 1), ':443$', '')),
+              CASE WHEN {cpath} = '' THEN '/' ELSE {cpath} END,
+              CASE WHEN size({kept}) > 0
+                   THEN concat('?', array_join(array_sort({kept}), '&'))
+                   ELSE '' END
+            )"""
+        ).alias("canonical"),
+    )
+    groups = canon.groupBy("source", "canonical").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.coalesce(F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_dup_urls"),
+        F.max("n").cast("long").alias("max_group"),
+        F.min("canonical").alias("sample_canonical"),
+    )
+
+
 @register(
     "temperature_mix",
     oracle="""

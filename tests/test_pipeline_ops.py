@@ -109,3 +109,103 @@ def test_sequence_packing_windows_are_shard_local(plan_of):
     assert "Window" in plan
     assert "hashpartitioning(lang" in plan
     assert "SinglePartition" not in plan
+
+
+# -- gopher_rules ----------------------------------------------------------
+
+
+def test_gopher_rules_one_scan_no_joins(plan_of):
+    plan = plan_of("gopher_rules")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    # partial → final aggregate (map-side reduce at 100 TB)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gopher_rules_count_invariants(spark, run):
+    rows = run("gopher_rules").collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        for c in (
+            "n_fail_word_count",
+            "n_fail_word_len",
+            "n_fail_symbol",
+            "n_fail_bullet",
+            "n_fail_ellipsis",
+            "n_fail_alpha",
+            "n_fail_stopword",
+        ):
+            assert 0 <= r[c] <= r["n_docs"]
+            # a doc failing rule X cannot be in the all-rules-pass set
+            assert r["n_pass"] <= r["n_docs"] - r[c]
+
+
+def _write_documents(spark, tmp_path, rows):
+    out = str(tmp_path / "gopher_docs")
+    spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_gopher_rules_each_rule_fires(spark, tmp_path):
+    """One crafted violator per rule, one clean doc — each rule must
+    fire exactly where intended (the published-threshold semantics,
+    pinned independently of the fixture corpus)."""
+    good = "the dog and cat have fun with food that they love " * 6  # 60 words
+    crafted = [
+        ("ok", good),
+        ("short", "the and of with that"),  # < 50 words
+        ("longwords", " ".join(["the", "and", "that", "with"] + ["supercalifragilistic"] * 56)),
+        ("symbols", good + " " + " ".join(["#"] * 12)),  # >0.1 '#'/word
+        ("bullets", "• " + good + "\n• x\n• y\n• z\n• w\n• v\n• u\n• t\n• s\n• r"),
+        ("ellipsis", good + "...\nmore words here...\nand more..."),
+        ("nonalpha", "the and of with " + " ".join(str(i) for i in range(56))),
+        ("nostop", " ".join(["dog cat fox hen cow owl bat elk"] * 8)),
+    ]
+    d = _write_documents(spark, tmp_path, crafted)
+    got = {r["source"]: r for r in REGISTRY["gopher_rules"].spark(spark, d).collect()}
+    assert got["ok"]["n_pass"] == 1
+    expect_fail = {
+        "short": "n_fail_word_count",
+        "longwords": "n_fail_word_len",
+        "symbols": "n_fail_symbol",
+        "bullets": "n_fail_bullet",
+        "ellipsis": "n_fail_ellipsis",
+        "nonalpha": "n_fail_alpha",
+        "nostop": "n_fail_stopword",
+    }
+    for src, col in expect_fail.items():
+        assert got[src][col] == 1, f"{src} should fail {col}"
+        assert got[src]["n_pass"] == 0
+
+
+# -- url_canonicalize ------------------------------------------------------
+
+
+def test_url_canonicalize_no_joins_two_phase_agg(plan_of):
+    plan = plan_of("url_canonicalize")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan  # rollup stays per-source
+
+
+def test_url_canonicalize_collapses_variant_families(spark, tmp_path):
+    """doc_ids 0 and 880 synthesize DIFFERENT raw URLs (case, :443,
+    trailing slash, fragment all differ) whose canonical forms are
+    identical — the collapse the canonicalizer exists for."""
+    d = _write_documents(spark, tmp_path, [("src0", "a"), ("src0", "b")])
+    # overwrite with controlled doc_ids
+    spark.createDataFrame(
+        [(0, "a", "en", "src0", 1), (880, "b", "en", "src0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = REGISTRY["url_canonicalize"].spark(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_urls"] == 2
+    assert r["n_canonical"] == 1
+    assert r["n_dup_urls"] == 2
+    assert r["max_group"] == 2
+    assert r["sample_canonical"] == "https://www.src0.example.com/docs/0?id=0"
