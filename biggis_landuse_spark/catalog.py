@@ -42,6 +42,73 @@ def zorder_key(col: str = "tile_col", row: str = "tile_row") -> F.Column:
     return F.expr(terms)
 
 
+def with_hilbert_key(
+    df: DataFrame,
+    col: str = "tile_col",
+    row: str = "tile_row",
+    out: str = "_hk",
+    bits: int = Z_BITS,
+) -> DataFrame:
+    """Append the Hilbert-curve index of (col, row) on a 2^bits grid —
+    the reference's `HilbertKeyIndexMethod` key order
+    (api/package.scala:152-164); `zorder_key` is the engine's default
+    (documented-equivalent range pruning), this is the exact-parity
+    alternative.
+
+    The classic quadrant-recursive descent (MSB → LSB: consume the top
+    bit of each axis, reduce into the quadrant, reflect+transpose on
+    the lower two quadrants) expressed as ONE STAGED PROJECTION PER
+    BIT LEVEL. The state (x, y) feeds the next level through several
+    references, so a single closed-form expression would grow 4^bits
+    nodes; per-level projections keep the plan linear in `bits` and
+    each stage inside whole-stage codegen — the same staging
+    discipline as the warp families (BASELINE.md r6 note). Hilbert
+    beats Z-order on range-query locality (no long diagonal jumps),
+    identical cost at write time: still a pure column pipeline feeding
+    repartitionByRange.
+    """
+    x, y = "_hx", "_hy"
+    df = (
+        df.withColumn(x, F.col(col).cast("long"))
+        .withColumn(y, F.col(row).cast("long"))
+        .withColumn(out, F.lit(0).cast("long"))
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        df = (
+            df.withColumn("_rx", F.expr(f"CAST(({x} & {s}) > 0 AS BIGINT)"))
+            .withColumn("_ry", F.expr(f"CAST(({y} & {s}) > 0 AS BIGINT)"))
+            .withColumn(
+                out,
+                F.expr(
+                    f"{out} + CAST({s} AS BIGINT) * {s}"
+                    f" * ((3 * _rx) ^ _ry)"
+                ),
+            )
+            # reduce into the quadrant, then reflect+transpose the
+            # lower-left (rx=0,ry=0) and lower-right (rx=1,ry=0) cases
+            .withColumn("_qx", F.expr(f"{x} & {s - 1}"))
+            .withColumn("_qy", F.expr(f"{y} & {s - 1}"))
+            .withColumn(
+                x,
+                F.expr(
+                    f"CASE WHEN _ry = 0 THEN"
+                    f" (CASE WHEN _rx = 1 THEN {s - 1} - _qy ELSE _qy END)"
+                    f" ELSE _qx END"
+                ),
+            )
+            .withColumn(
+                y,
+                F.expr(
+                    f"CASE WHEN _ry = 0 THEN"
+                    f" (CASE WHEN _rx = 1 THEN {s - 1} - _qx ELSE _qx END)"
+                    f" ELSE _qy END"
+                ),
+            )
+        )
+    return df.drop("_hx", "_hy", "_rx", "_ry", "_qx", "_qy")
+
+
 class LayerCatalog:
     """Catalog service over a base directory (local FS or HDFS/S3 URI)."""
 
@@ -61,10 +128,16 @@ class LayerCatalog:
         zoom: int,
         crs: str = "EPSG:3857",
         target_files: int | None = None,
+        index_method: str = "zorder",
     ) -> None:
-        """Write a tile DataFrame as (layer, zoom), globally Z-ordered
+        """Write a tile DataFrame as (layer, zoom), globally SFC-ordered
         across ``target_files`` files, and upsert the inferred
         metadata row.
+
+        ``index_method``: "zorder" (default, Morton interleave) or
+        "hilbert" (exact parity with the reference's
+        HilbertKeyIndexMethod, api/package.scala:152 — better range
+        locality, same disjoint-file-range write contract).
 
         Reference: writeRddToLayer (api/package.scala:130-180) = SFC
         index + Avro write + histogram attribute; here the SFC is a
@@ -87,7 +160,15 @@ class LayerCatalog:
         # each instant, so Parquet row-group min/max stats prune BOTH a
         # time-range filter and a spatial-range filter. Spatial-only
         # layers (ts all NULL) keep the pure Z-order.
-        keyed = keyed.withColumn("_zk", zorder_key())
+        if index_method == "hilbert":
+            keyed = with_hilbert_key(keyed, out="_zk")
+        elif index_method == "zorder":
+            keyed = keyed.withColumn("_zk", zorder_key())
+        else:
+            raise ValueError(
+                f"index_method must be 'zorder' or 'hilbert', got "
+                f"{index_method!r}"
+            )
         sort_keys = ["ts", "_zk"] if "ts" in keyed.columns else ["_zk"]
         n_files = (
             target_files

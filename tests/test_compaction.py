@@ -72,3 +72,74 @@ def test_compact_layer_shrinks_files_preserves_data(catalog, grid):
     # metadata row and attributes survive the rewrite
     assert ("lay", 3) in catalog.layer_ids()
     assert catalog.read_attribute("lay", 3, "histogramData") is not None
+
+
+# -- Hilbert SFC keying (reference HilbertKeyIndexMethod parity) -----------
+
+
+def test_hilbert_key_is_a_hilbert_curve(spark):
+    """Bijectivity + unit-step adjacency on the full 8×8 grid: every
+    index 0..63 appears exactly once and consecutive indices are
+    Manhattan-distance-1 neighbors — the defining Hilbert property
+    (Z-order fails this: its diagonal jumps are what Hilbert's range
+    locality improves on)."""
+    from biggis_landuse_spark.catalog import with_hilbert_key
+
+    n = 8
+    grid = spark.createDataFrame(
+        [(c, r) for c in range(n) for r in range(n)],
+        "tile_col int, tile_row int",
+    )
+    rows = (
+        with_hilbert_key(grid, out="hk", bits=3)
+        .orderBy("hk")
+        .collect()
+    )
+    assert [r["hk"] for r in rows] == list(range(n * n))
+    for a, b in zip(rows, rows[1:]):
+        step = abs(a["tile_col"] - b["tile_col"]) + abs(
+            a["tile_row"] - b["tile_row"]
+        )
+        assert step == 1, (a, b)
+
+
+def test_hilbert_matches_zorder_bit_budget(spark):
+    """Full-width (16-bit) keys stay within the same non-negative
+    63-bit budget as zorder_key, and remain bijective on a sparse
+    high-coordinate sample."""
+    from biggis_landuse_spark.catalog import Z_BITS, with_hilbert_key
+
+    hi = (1 << Z_BITS) - 1
+    pts = [(c, r) for c in (0, 1, 777, hi - 1, hi) for r in (0, 5, hi)]
+    df = spark.createDataFrame(pts, "tile_col int, tile_row int")
+    rows = with_hilbert_key(df, out="hk").collect()
+    keys = [r["hk"] for r in rows]
+    assert len(set(keys)) == len(pts)
+    assert all(0 <= k < (1 << (2 * Z_BITS)) for k in keys)
+
+
+def test_write_layer_hilbert_files_have_disjoint_key_ranges(
+    spark, catalog, grid
+):
+    from biggis_landuse_spark.catalog import with_hilbert_key
+
+    catalog.write_layer(grid, "lay", 3, target_files=4, index_method="hilbert")
+    per_file = (
+        with_hilbert_key(
+            spark.read.parquet(f"{catalog.tiles_path}/layer=lay/zoom=3"),
+            out="_hk",
+        )
+        .withColumn("_f", F.input_file_name())
+        .groupBy("_f")
+        .agg(F.min("_hk").alias("lo"), F.max("_hk").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(per_file) > 1
+    for a, b in zip(per_file, per_file[1:]):
+        assert a["hi"] <= b["lo"], (a, b)
+
+
+def test_write_layer_rejects_unknown_index_method(catalog, grid):
+    with pytest.raises(ValueError, match="index_method"):
+        catalog.write_layer(grid, "lay", 3, index_method="peano")
