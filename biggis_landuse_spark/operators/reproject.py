@@ -160,6 +160,9 @@ _TOWGS84 = {
     "AMERSFOORT": HelmertParams(
         565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774, 4.0725
     ),
+    # S-JTSK (Bessel 1841) → WGS84 (EPSG 1622, the Czech 7-parameter
+    # set proj4 ships for EPSG:5514; ~1 m across CZ/SK)
+    "SJTSK": HelmertParams(570.8, 85.7, 462.8, 4.998, 1.587, 5.261, 3.56),
 }
 
 
@@ -1337,6 +1340,137 @@ def omerc_to_lonlat(
     return lon, lat
 
 
+# -- Krovak (S-JTSK) ----------------------------------------------------------
+# EPSG method 9819 — the Czech/Slovak national grid (S-JTSK on Bessel
+# 1841): Gauss conformal sphere → oblique cone with its axis through
+# a pseudo pole, scaled at the pseudo standard parallel 78°30'. The
+# reference ingests it through GeoTrellis/proj4j's krovak
+# (UtilsShape.scala:54-59); an honest typed refusal here through r8
+# session 1. Same double-projection skeleton as the Swiss somerc: the
+# Gauss-sphere latitude U maps linearly in ISOMETRIC latitude
+# (ψ_sph = B·ψ_ell + K), so GN7-2's closing φ iteration collapses to
+# the closed-form conformal-latitude series — pure column
+# expressions, no iteration, no UDF. Validated against the EPSG
+# GN7-2 worked example (X=1050538.63, Y=568991.00 ↔
+# 50°12'32.442"N 16°50'59.179"E) to <5 mm (tests/test_reproject.py).
+
+
+class KrovakParams:
+    """Krovak oblique conformal conic definition (angles in degrees;
+    ``lon0`` is the longitude of origin EAST OF GREENWICH — the EPSG
+    registry states 42°30' east of Ferro, i.e. 24°50' Greenwich).
+
+    ``axes``: "EN" (EPSG:5514 Krovak East North — X easting, Y
+    northing, both NEGATIVE over the CRS domain) or "SW" (EPSG:2065
+    S-JTSK (Ferro) / Krovak — X southing, Y westing, both positive;
+    PROJ's ``+czech`` flag)."""
+
+    def __init__(self, a, f_inv, latc, lon0, alpha, latp, k0, fe, fn,
+                 axes="EN"):
+        if axes not in ("EN", "SW"):
+            raise ValueError(f"krovak axes must be EN or SW: {axes!r}")
+        self.a, self.f_inv = a, f_inv
+        self.latc, self.lon0 = latc, lon0
+        self.alpha, self.latp = alpha, latp
+        self.k0 = k0
+        self.fe, self.fn = fe, fn
+        self.axes = axes
+
+
+_SJTSK_ARGS = (
+    6377397.155, 299.15281,  # Bessel 1841 (EPSG GN7-2 value)
+    49.5,                    # latitude of projection centre
+    24.0 + 50.0 / 60,        # longitude of origin (Greenwich)
+    30.0 + 17.0 / 60 + 17.3031 / 3600,  # co-latitude of cone axis
+    78.5,                    # pseudo standard parallel
+    0.9999, 0.0, 0.0,
+)
+
+_KROVAK_CRS = {
+    # S-JTSK / Krovak East North (the modern negative-axes CRS)
+    5514: KrovakParams(*_SJTSK_ARGS, axes="EN"),
+    # S-JTSK (Ferro) / Krovak (positive southing/westing)
+    2065: KrovakParams(*_SJTSK_ARGS, axes="SW"),
+}
+
+for _code in (5514, 2065):
+    _KROVAK_CRS[_code].helmert = _TOWGS84["SJTSK"]
+
+
+def _krovak_consts(
+    p: KrovakParams,
+) -> tuple[float, float, float, float, float, float]:
+    """Driver-side projection constants (e, B, gamma0, K, n, r0):
+    B the sphere/ellipsoid meridian-convergence ratio, gamma0 the
+    Gauss-sphere latitude of the centre, K the isometric-latitude
+    offset (ψ_sph = B·ψ_ell + K — the somerc discipline), n the cone
+    constant sin(φP), r0 the cone radius at the pseudo standard
+    parallel."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    e = math.sqrt(e2)
+    pc = math.radians(p.latc)
+    sp = math.sin(pc)
+    bb = math.sqrt(1 + e2 * math.cos(pc) ** 4 / (1 - e2))
+    gamma0 = math.asin(sp / bb)
+    psi_c = math.log(math.tan(math.pi / 4 + pc / 2)) - e / 2 * math.log(
+        (1 + e * sp) / (1 - e * sp)
+    )
+    k = math.log(math.tan(math.pi / 4 + gamma0 / 2)) - bb * psi_c
+    n = math.sin(math.radians(p.latp))
+    abar = p.a * math.sqrt(1 - e2) / (1 - e2 * sp * sp)
+    r0 = p.k0 * abar / math.tan(math.radians(p.latp))
+    return e, bb, gamma0, k, n, r0
+
+
+def krovak_to_lonlat(
+    x: Column, y: Column, p: KrovakParams
+) -> tuple[Column, Column]:
+    """Inverse Krovak (EPSG method 9819) as pure column expressions →
+    (lon_deg, lat_deg), longitudes east of Greenwich. Sub-centimeter
+    inside the CRS's domain (closed-form conformal series replaces
+    GN7-2's φ iteration; anchored to the GN7-2 worked example).
+
+    ``(x, y)`` follow ``p.axes``: EN (EPSG:5514) easting/northing,
+    both negative over the domain; SW (EPSG:2065) southing/westing,
+    both positive."""
+    e, bb, gamma0, k, n, r0 = _krovak_consts(p)
+    e2 = e * e
+    ca, sa = math.cos(math.radians(p.alpha)), math.sin(math.radians(p.alpha))
+    if p.axes == "EN":
+        southing = -(y - F.lit(p.fn))
+        westing = -(x - F.lit(p.fe))
+    else:
+        southing = x - F.lit(p.fe)
+        westing = y - F.lit(p.fn)
+    r = F.sqrt(southing * southing + westing * westing)
+    theta = F.atan2(westing, southing)
+    dd = theta / F.lit(n)
+    # cone → Gauss sphere: r = r0·(tan(π/4+φP/2)/tan(π/4+S/2))^n.
+    # try_divide: the cone apex (r = 0) and the antipodal pole
+    # (|U'| = π/2) are off-domain for any real scene — NULL (NODATA)
+    # there, never an ANSI divide error killing the job (same
+    # contract as sinu/moll/sterea).
+    tanp = math.tan(math.pi / 4 + math.radians(p.latp) / 2)
+    ss = 2 * (
+        F.atan(F.lit(tanp) * F.pow(F.try_divide(F.lit(r0), r),
+                                   F.lit(1.0 / n)))
+        - F.lit(math.pi / 4)
+    )
+    # unrotate the oblique cone axis (the somerc pseudo-equator step
+    # with the general axis co-latitude alphaC)
+    u = F.asin(F.lit(ca) * F.sin(ss) - F.lit(sa) * F.cos(ss) * F.cos(dd))
+    v = F.asin(F.try_divide(F.cos(ss) * F.sin(dd), F.cos(u)))
+    lon = F.lit(p.lon0) - F.degrees(v) / F.lit(bb)
+    # Gauss sphere → ellipsoid: ψ = (ln tan(π/4+U/2) − K)/B is the
+    # ISOMETRIC latitude of φ, so χ = 2·atan(eᵠ) − π/2 + series
+    psi = (
+        F.log(F.tan(F.lit(math.pi / 4) + u / 2)) - F.lit(k)
+    ) / F.lit(bb)
+    chi = 2 * F.atan(F.exp(psi)) - F.lit(math.pi / 2)
+    return lon, F.degrees(_conformal_to_geodetic(chi, e2))
+
+
 # -- Ellipsoidal sinusoidal ---------------------------------------------------
 # The spherical fast path above covers the MODIS grid; legacy
 # continental deliveries (e.g. the old GIHLS/Africa sinusoidal grids)
@@ -1686,10 +1820,24 @@ def _parse_proj4_family(
             num("x_0", 0.0), num("y_0", 0.0),
             variant="A" if "no_uoff" in kv else "B",
         )
+    if proj == "krovak":
+        # S-JTSK oblique conformal conic (EPSG 9819). PROJ semantics:
+        # +lon_0 is east of GREENWICH (the registry's 42°30' east of
+        # Ferro = 24°50' Greenwich is the default), +czech flips to
+        # the positive southing/westing axes of EPSG:2065; the
+        # default matches EPSG:5514's negative easting/northing.
+        a, rf = ellipsoid()
+        return "krovak", KrovakParams(
+            a, rf, num("lat_0", 49.5), num("lon_0", 24.0 + 50.0 / 60),
+            num("alpha", 30.0 + 17.0 / 60 + 17.3031 / 3600),
+            num("lat_1", 78.5), num("k", num("k_0", 0.9999)),
+            num("x_0", 0.0), num("y_0", 0.0),
+            axes="SW" if "czech" in kv else "EN",
+        )
     raise ValueError(
         f"unsupported +proj={proj}: longlat, utm, tmerc (any "
         f"ellipsoid/false origin), lcc, laea, stere (polar), sterea, "
-        f"somerc, omerc, aea, cea, merc, eqc, moll, sinu are "
+        f"somerc, omerc, krovak, aea, cea, merc, eqc, moll, sinu are "
         f"supported — {proj4!r}"
     )
 
@@ -1723,6 +1871,9 @@ def _wkt_datum(wkt: str, a: float, rf: float):
         return _TOWGS84["AMERSFOORT"]
     if "TIMBALAI" in name:
         return _TOWGS84["TIMBALAI"]
+    if "JTSK" in name or "JEDNOTNE" in name:
+        # D_S_JTSK / System_Jednotne_Trigonometricke_Site_Katastralni
+        return _TOWGS84["SJTSK"]
     if any(
         g in name
         for g in ("WGS_1984", "WGS84", "WGS 1984", "ETRS", "GRS80",
@@ -2063,13 +2214,39 @@ def _parse_wkt_family(
             p("false_easting", 0.0), p("false_northing", 0.0),
             variant=variant,
         )
+    if proj == "krovak":
+        # EPSG-style WKT (method 9819) emits southing/westing axes;
+        # the East-North variants spell the flip either as ESRI's
+        # X_Scale=-1 / Y_Scale=-1 / XY_Plane_Rotation=90 parameters
+        # (S-JTSK_Krovak_East_North) or as OGC AXIS["X",EAST] elements
+        # (the GDAL EPSG:5514 WKT)
+        lat0 = params.get(
+            "latitude_of_center", params.get("latitude_of_centre", 49.5)
+        )
+        lon0 = params.get(
+            "longitude_of_center", params.get("longitude_of_centre",
+                                              24.0 + 50.0 / 60)
+        )
+        axes = "SW"
+        if params.get("x_scale") == -1.0 or re.search(
+            r'AXIS\s*\[\s*"[^"]*"\s*,\s*EAST', wkt, re.IGNORECASE
+        ):
+            axes = "EN"
+        return "krovak", KrovakParams(
+            a, rf, lat0, lon0,
+            p("azimuth", 30.0 + 17.0 / 60 + 17.3031 / 3600),
+            p("pseudo_standard_parallel_1", 78.5),
+            p("scale_factor", 0.9999),
+            p("false_easting", 0.0), p("false_northing", 0.0),
+            axes=axes,
+        )
     raise ValueError(
         f"unsupported WKT PROJECTION {proj!r}: Transverse_Mercator "
         "(any ellipsoid/false origin), Lambert_Conformal_Conic(_2SP), "
         "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
         "Oblique/Double_Stereographic, "
         "Hotine_Oblique_Mercator_Azimuth_Center (azimuth 90), "
-        "Albers_Conic_Equal_Area, Cylindrical_Equal_Area, "
+        "Krovak, Albers_Conic_Equal_Area, Cylindrical_Equal_Area, "
         "Mercator(_1SP/_2SP), Equidistant_Cylindrical, Mollweide, "
         "Sinusoidal are supported"
     )
@@ -2118,6 +2295,8 @@ def parse_crs(
         return "sterea", _STEREA_CRS[int(code)]
     if code.isdigit() and int(code) in _OMERC_CRS:
         return "omerc", _OMERC_CRS[int(code)]
+    if code.isdigit() and int(code) in _KROVAK_CRS:
+        return "krovak", _KROVAK_CRS[int(code)]
     if code.isdigit() and len(code) == 5:
         num = int(code)
         if 32601 <= num <= 32660:
@@ -2137,9 +2316,10 @@ def parse_crs(
         "Global), EPSG:3395 (World Mercator), EPSG:4087 (World "
         "Equidistant Cylindrical), ESRI:54009 (World Mollweide), "
         "Swiss oblique Mercator (EPSG:21781 LV03, EPSG:2056 LV95), "
-        "EPSG:28992 (Amersfoort / RD New oblique stereographic), and "
+        "EPSG:28992 (Amersfoort / RD New oblique stereographic), "
         "EPSG:29873 (Timbalai 1948 / RSO Borneo Hotine oblique "
-        "Mercator) are supported"
+        "Mercator), and Krovak (EPSG:5514 East North, EPSG:2065 "
+        "southing/westing) are supported"
     )
 
 
@@ -2249,6 +2429,8 @@ def reproject_pixels_to_webmercator(
         lon, lat = sterea_to_lonlat(sx, sy, crs_info)
     elif kind == "omerc":
         lon, lat = omerc_to_lonlat(sx, sy, crs_info)
+    elif kind == "krovak":
+        lon, lat = krovak_to_lonlat(sx, sy, crs_info)
     else:
         zone, north = crs_info
         lon, lat = utm_to_lonlat(sx, sy, zone, north)

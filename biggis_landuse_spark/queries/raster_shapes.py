@@ -3813,6 +3813,130 @@ def omerc_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _krovak_grid_oracle() -> str:
+    """DuckDB replay of krovak_to_lonlat (Krovak oblique conformal
+    conic, S-JTSK / Krovak East North EPSG:5514 parameters on Bessel
+    1841) with the SAME driver-side constants and operation
+    association as the engine's column expressions (libm trig ULPs
+    absorbed by round(avg, 4))."""
+    import math
+
+    from biggis_landuse_spark.operators.reproject import (
+        _KROVAK_CRS,
+        _krovak_consts,
+    )
+
+    p = _KROVAK_CRS[5514]
+    e, bb, gamma0, k, n, r0 = _krovak_consts(p)
+    e2 = e * e
+    e4, e6, e8 = e2 * e2, e2 * e2 * e2, e2 * e2 * e2 * e2
+    ca = math.cos(math.radians(p.alpha))
+    sa = math.sin(math.radians(p.alpha))
+    tanp = math.tan(math.pi / 4 + math.radians(p.latp) / 2)
+    c2 = e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360
+    c4 = 7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520
+    c6 = 7 * e6 / 120 + 81 * e8 / 1120
+    c8 = 4279 * e8 / 161280
+    qpi, hpi = math.pi / 4, math.pi / 2
+    return f"""
+    WITH src AS (
+      SELECT CAST(-(435000.0 + (p_partkey % 470) * 1000.0) AS DOUBLE) AS ee,
+             CAST(-(940000.0 + (p_partkey % 290) * 1000.0) AS DOUBLE) AS nn
+      FROM part
+    ),
+    s1 AS (
+      SELECT -nn AS southing, -ee AS westing FROM src
+    ),
+    s2 AS (
+      SELECT sqrt(southing * southing + westing * westing) AS r,
+             atan2(westing, southing) / {n!r}              AS dd
+      FROM s1
+    ),
+    s3 AS (
+      SELECT dd,
+             2 * (atan({tanp!r} * pow({r0!r} / r, {1.0 / n!r})) - {qpi!r})
+               AS ss
+      FROM s2
+    ),
+    s4 AS (
+      SELECT dd, ss,
+             asin({ca!r} * sin(ss) - {sa!r} * cos(ss) * cos(dd)) AS u
+      FROM s3
+    ),
+    s5 AS (
+      SELECT u,
+             {p.lon0!r} - degrees(asin(cos(ss) * sin(dd) / cos(u)))
+               / {bb!r}                                          AS lon
+      FROM s4
+    ),
+    s6 AS (
+      SELECT lon,
+             2 * atan(exp((ln(tan({qpi!r} + u / 2)) - {k!r})
+                          / {bb!r})) - {hpi!r} AS chi
+      FROM s5
+    ),
+    s7 AS (
+      SELECT lon,
+             degrees(chi + {c2!r} * sin(2 * chi) + {c4!r} * sin(4 * chi)
+                         + {c6!r} * sin(6 * chi) + {c8!r} * sin(8 * chi))
+               AS lat
+      FROM s6
+    )
+    SELECT CAST(floor(lat * 2) AS BIGINT)  AS lat_cell,
+           CAST(floor(lon * 2) AS BIGINT)  AS lon_cell,
+           CAST(count(*) AS BIGINT)        AS n_px,
+           round(avg(lat), 4)              AS avg_lat,
+           round(avg(lon), 4)              AS avg_lon
+    FROM s7 GROUP BY 1, 2
+    """
+
+
+@register(
+    "krovak_grid",
+    oracle=_krovak_grid_oracle(),
+    doc="""Czech/Slovak S-JTSK grid → lat/lon inverse warp
+    (operators.reproject.krovak_to_lonlat) with the Krovak East North
+    EPSG:5514 parameters — Bessel 1841, the EPSG method 9819 oblique
+    conformal conic through a Gauss sphere — over synthesized
+    negative easting/northing points spanning the CZ/SK domain,
+    re-keyed onto 0.5°×0.5° cells and aggregated. Closes the
+    VERDICT r7 "missing #2" long tail further: Krovak was an honest
+    typed refusal; the reference ingests it via proj4j's krovak
+    (UtilsShape.scala:54-59). Same double-projection skeleton as
+    somerc_grid with a general cone instead of the cylinder; GN7-2's
+    closing φ iteration replaced by the closed-form conformal-
+    latitude series, anchored to the GN7-2 worked example — whole-
+    stage codegen, one shuffle; same staged-projection plan pin as
+    utm_grid / somerc_grid.""",
+    tags=("REPROJECT", "KROVAK"),
+    bench=True,
+)
+def krovak_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.reproject import (
+        _KROVAK_CRS,
+        krovak_to_lonlat,
+    )
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    src = part.select(
+        (-(435000.0 + (F.col("p_partkey") % 470) * 1000.0)).alias("ee"),
+        (-(940000.0 + (F.col("p_partkey") % 290) * 1000.0)).alias("nn"),
+    )
+    lon, lat = krovak_to_lonlat(F.col("ee"), F.col("nn"), _KROVAK_CRS[5514])
+    ll = src.select(lat.alias("lat"), lon.alias("lon"))
+    keyed = ll.select(
+        F.floor(F.col("lat") * 2).cast("long").alias("lat_cell"),
+        F.floor(F.col("lon") * 2).cast("long").alias("lon_cell"),
+        "lat",
+        "lon",
+    )
+    return keyed.groupBy("lat_cell", "lon_cell").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.round(F.avg("lat"), 4).alias("avg_lat"),
+        F.round(F.avg("lon"), 4).alias("avg_lon"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Space-time layer (SpaceTimeKey) through the REAL catalog — r7
 # ---------------------------------------------------------------------------

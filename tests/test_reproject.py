@@ -3097,3 +3097,195 @@ def test_somerc_sterea_proj4_epsg_pipeline_equivalence(spark):
             r["tile_col"] * 256 + r["px"], r["tile_row"] * 256 + r["py"]
         )
         assert key(a) == key(b), code
+
+
+# ---------------------------------------------------------------------------
+# Krovak (S-JTSK oblique conformal conic) — r8 session 2
+# ---------------------------------------------------------------------------
+
+
+def _krovak_forward_scalar(lon_deg, lat_deg, p):
+    """Independent scalar FORWARD Krovak per EPSG Guidance Note 7-2
+    (method 9819 — the published forward, sharing only the documented
+    constants with the engine inverse)."""
+    from biggis_landuse_spark.operators.reproject import _krovak_consts
+
+    e, bb, gamma0, k, n, r0 = _krovak_consts(p)
+    phi = math.radians(lat_deg)
+    sp = math.sin(phi)
+    psi = math.log(math.tan(math.pi / 4 + phi / 2)) - e / 2 * math.log(
+        (1 + e * sp) / (1 - e * sp)
+    )
+    u = 2 * math.atan(math.exp(bb * psi + k)) - math.pi / 2
+    v = bb * math.radians(p.lon0 - lon_deg)
+    ca, sa = math.cos(math.radians(p.alpha)), math.sin(math.radians(p.alpha))
+    s = math.asin(ca * math.sin(u) + sa * math.cos(u) * math.cos(v))
+    d = math.asin(math.cos(u) * math.sin(v) / math.cos(s))
+    theta = n * d
+    r = r0 * (
+        math.tan(math.pi / 4 + math.radians(p.latp) / 2)
+        / math.tan(math.pi / 4 + s / 2)
+    ) ** n
+    southing, westing = r * math.cos(theta), r * math.sin(theta)
+    if p.axes == "EN":
+        return p.fe - westing, p.fn - southing
+    return p.fe + southing, p.fn + westing
+
+
+def test_krovak_epsg_worked_example(spark):
+    # EPSG Guidance Note 7-2 Krovak worked example (S-JTSK (Ferro) /
+    # Krovak EPSG:2065): Southing X 1050538.63 / Westing Y 568991.00
+    # ↔ 50°12'32.442"N 16°50'59.179"E (Greenwich). The published X/Y
+    # round to cm; the engine inverse must recover the geodetic input
+    # within that rounding (~1 cm ⇒ 1e-7 deg).
+    from biggis_landuse_spark.operators.reproject import (
+        _KROVAK_CRS,
+        krovak_to_lonlat,
+    )
+
+    lon, lat = _inv_scalar(
+        spark, krovak_to_lonlat, _KROVAK_CRS[2065], 1050538.63, 568991.00
+    )
+    want_lat = 50 + 12 / 60 + 32.442 / 3600
+    want_lon = 16 + 50 / 60 + 59.179 / 3600
+    assert lat == pytest.approx(want_lat, abs=1e-7)
+    assert lon == pytest.approx(want_lon, abs=1e-7)
+    # EPSG:5514 (Krovak East North) is the same projection under
+    # negated, swapped axes: x_EN = -westing, y_EN = -southing
+    lon_en, lat_en = _inv_scalar(
+        spark, krovak_to_lonlat, _KROVAK_CRS[5514], -568991.00, -1050538.63
+    )
+    assert lat_en == pytest.approx(lat, abs=1e-12)
+    assert lon_en == pytest.approx(lon, abs=1e-12)
+
+
+@pytest.mark.parametrize(
+    "e,n",
+    [(-745000.0, -1045000.0),   # Prague
+     (-600000.0, -1160000.0),   # Brno
+     (-565000.0, -1280000.0),   # Bratislava
+     (-470000.0, -1100000.0),   # Ostrava
+     (-880000.0, -1010000.0)],  # Cheb (western edge)
+)
+def test_krovak_inverse_roundtrips_independent_forward(spark, e, n):
+    # inverse ∘ (published GN7-2 forward) = identity over the CZ/SK
+    # domain, sub-0.1 mm — catches any shared-constant or series
+    # error the anchor point alone would miss
+    from biggis_landuse_spark.operators.reproject import (
+        _KROVAK_CRS,
+        krovak_to_lonlat,
+    )
+
+    p = _KROVAK_CRS[5514]
+    lon, lat = _inv_scalar(spark, krovak_to_lonlat, p, e, n)
+    e2, n2 = _krovak_forward_scalar(lon, lat, p)
+    assert e2 == pytest.approx(e, abs=1e-4)
+    assert n2 == pytest.approx(n, abs=1e-4)
+
+
+def test_parse_krovak_proj4_wkt():
+    from biggis_landuse_spark.operators.reproject import (
+        parse_crs,
+        parse_proj4,
+        parse_wkt_crs,
+    )
+
+    # EPSG codes: 5514 East North, 2065 southing/westing
+    kind, p = parse_crs("EPSG:5514")
+    assert kind == "krovak" and p.axes == "EN"
+    assert p.helmert is not None and p.helmert.dx == 570.8
+    kind, p = parse_crs("EPSG:2065")
+    assert kind == "krovak" and p.axes == "SW"
+    # the canonical proj4 expansion of EPSG:5514 (PROJ: lon_0 east of
+    # Greenwich, default axes EN, +czech flips to southing/westing)
+    kind, p = parse_proj4(
+        "+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 "
+        "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 "
+        "+ellps=bessel +towgs84=570.8,85.7,462.8,4.998,1.587,5.261,3.56"
+    )
+    assert kind == "krovak" and p.axes == "EN"
+    assert p.lon0 == pytest.approx(24 + 50 / 60, abs=1e-9)
+    assert p.helmert is not None and p.helmert.rz == 5.261
+    kind, p = parse_proj4("+proj=krovak +czech +ellps=bessel "
+                          "+towgs84=589,76,480")
+    assert kind == "krovak" and p.axes == "SW"
+    # GDAL-style OGC WKT: D_S_JTSK datum name resolves the registry
+    # shift, AXIS["X",EAST] selects the East-North orientation
+    wkt_en = (
+        'PROJCS["S-JTSK / Krovak East North",GEOGCS["S-JTSK",'
+        'DATUM["System_Jednotne_Trigonometricke_Site_Katastralni",'
+        'SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Krovak"],PARAMETER["latitude_of_center",49.5],'
+        'PARAMETER["longitude_of_center",24.83333333333333],'
+        'PARAMETER["azimuth",30.28813972222222],'
+        'PARAMETER["pseudo_standard_parallel_1",78.5],'
+        'PARAMETER["scale_factor",0.9999],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1],AXIS["X",EAST],AXIS["Y",NORTH]]'
+    )
+    kind, p = parse_wkt_crs(wkt_en)
+    assert kind == "krovak" and p.axes == "EN"
+    assert p.helmert is not None and p.helmert.ds == 3.56
+    # without AXIS elements the EPSG method's southing/westing stands
+    kind, p = parse_wkt_crs(wkt_en[: wkt_en.index(',AXIS')] + "]")
+    assert kind == "krovak" and p.axes == "SW"
+    # ESRI East-North spelling: X_Scale=-1/Y_Scale=-1/XY_Plane_Rotation
+    wkt_esri = (
+        'PROJCS["S-JTSK_Krovak_East_North",GEOGCS["GCS_S_JTSK",'
+        'DATUM["D_S_JTSK",SPHEROID["Bessel_1841",6377397.155,'
+        '299.1528128]],PRIMEM["Greenwich",0],'
+        'UNIT["Degree",0.0174532925199433]],PROJECTION["Krovak"],'
+        'PARAMETER["False_Easting",0],PARAMETER["False_Northing",0],'
+        'PARAMETER["Pseudo_Standard_Parallel_1",78.5],'
+        'PARAMETER["Scale_Factor",0.9999],'
+        'PARAMETER["Azimuth",30.28813975277778],'
+        'PARAMETER["Longitude_Of_Center",24.83333333333333],'
+        'PARAMETER["Latitude_Of_Center",49.5],'
+        'PARAMETER["X_Scale",-1],PARAMETER["Y_Scale",-1],'
+        'PARAMETER["XY_Plane_Rotation",90],UNIT["Meter",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt_esri)
+    assert kind == "krovak" and p.axes == "EN"
+
+
+def test_krovak_without_datum_refuses_warp(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        DATUM_UNKNOWN,
+        parse_proj4,
+    )
+
+    kind, p = parse_proj4("+proj=krovak +ellps=bessel")
+    assert kind == "krovak" and p.helmert is DATUM_UNKNOWN
+    px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, -745000.0, -1045000.0, 30.0, 30.0)], PIX_DDL
+    )
+    with pytest.raises(ValueError, match="towgs84"):
+        reproject_pixels_to_webmercator(
+            px, zoom=12, layer="x", src_crs="+proj=krovak +ellps=bessel"
+        )
+
+
+def test_krovak_proj4_epsg_pipeline_equivalence(spark):
+    # a pixel georeferenced via the proj4 STRING lands in the same
+    # WebMercator cell as via EPSG:5514 — the arbitrary-CRS ingest
+    # path (UtilsShape.scala:54-59 parity)
+    px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, -745000.0, -1045000.0, 30.0, 30.0)], PIX_DDL
+    )
+    a = reproject_pixels_to_webmercator(
+        px, zoom=13, layer="x", src_crs="EPSG:5514"
+    ).first()
+    b = reproject_pixels_to_webmercator(
+        px, zoom=13, layer="x",
+        src_crs=(
+            "+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 "
+            "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 "
+            "+ellps=bessel "
+            "+towgs84=570.8,85.7,462.8,4.998,1.587,5.261,3.56"
+        ),
+    ).first()
+    key = lambda r: (  # noqa: E731
+        r["tile_col"] * 256 + r["px"], r["tile_row"] * 256 + r["py"]
+    )
+    assert key(a) == key(b)
