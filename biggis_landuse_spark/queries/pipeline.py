@@ -808,6 +808,162 @@ def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# C4 line synthesis: the fixture documents are flat word streams (no
+# newlines, no punctuation), so the line structure C4 filters operate
+# on is synthesized deterministically from doc_id — token runs of
+# (5 + doc_id % 7) words per line, ~2/3 of lines closed with a
+# terminal '.', and the paper's three page-poison markers
+# ('javascript' line, 'lorem ipsum', '{') injected on fixed doc_id
+# residues. The FILTERS then run as real string predicates over the
+# built lines (LIKE / split / lower), exactly what they'd do on real
+# crawl text; the oracle replays synthesis + filtering byte-identically.
+_C4_LINES_SPARK = """
+    transform(
+      CASE WHEN _nl > 0 THEN sequence(0, _nl - 1) ELSE array() END,
+      i -> concat(
+        array_join(slice(_t, CAST(i * _L + 1 AS INT), CAST(_L AS INT)), ' '),
+        CASE WHEN doc_id % 41 = 0 AND i = 0 THEN ' javascript' ELSE '' END,
+        CASE WHEN doc_id % 43 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
+        CASE WHEN doc_id % 47 = 0 AND i = 2 THEN ' {' ELSE '' END,
+        CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+      )
+    )
+"""
+
+_C4_LINES_DUCK = """
+    list_transform(
+      range(CAST(_nl AS BIGINT)),
+      i -> concat(
+        array_to_string(_t[CAST(i * _L + 1 AS BIGINT)
+                           : CAST((i + 1) * _L AS BIGINT)], ' '),
+        CASE WHEN doc_id % 41 = 0 AND i = 0 THEN ' javascript' ELSE '' END,
+        CASE WHEN doc_id % 43 = 0 AND i = 1 THEN ' lorem ipsum' ELSE '' END,
+        CASE WHEN doc_id % 47 = 0 AND i = 2 THEN ' {' ELSE '' END,
+        CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+      )
+    )
+"""
+
+# a C4-kept line: terminal punctuation, >= 3 words, no 'javascript'
+_C4_MIN_LINE_WORDS = 3
+_C4_MIN_SENTENCES = 5
+
+
+@register(
+    "c4_line_filters",
+    oracle=f"""
+    WITH lined AS (
+      SELECT source, doc_id, {_C4_LINES_DUCK} AS lines
+      FROM (
+        SELECT source, doc_id, _t, _L, (len(_t) + _L - 1) // _L AS _nl
+        FROM (SELECT source, doc_id, {_TOKS} AS _t,
+                     5 + doc_id % 7 AS _L
+              FROM documents)
+      )
+    ),
+    filtered AS (
+      SELECT source,
+             len(lines) AS n_lines,
+             list_filter(lines, l ->
+               (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+               AND len(list_filter(string_split(l, ' '), x -> x <> ''))
+                   >= {_C4_MIN_LINE_WORDS}
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+             len(list_filter(lines, l ->
+                 contains(lower(l), 'lorem ipsum'))) > 0 AS has_lorem,
+             len(list_filter(lines, l -> contains(l, '{{'))) > 0 AS has_brace
+      FROM lined
+    ),
+    flags AS (
+      SELECT source, n_lines, kept,
+             NOT has_lorem AND NOT has_brace
+               AND len(kept) >= {_C4_MIN_SENTENCES} AS page_kept
+      FROM filtered
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                     AS n_docs,
+           CAST(sum(n_lines) AS BIGINT)                 AS n_lines,
+           CAST(count(*) FILTER (page_kept) AS BIGINT)  AS n_docs_kept,
+           CAST(coalesce(sum(len(kept)) FILTER (page_kept), 0) AS BIGINT)
+             AS n_lines_kept,
+           CAST(coalesce(sum(
+                 list_aggregate(list_transform(kept, l ->
+                   len(list_filter(string_split(l, ' '), x -> x <> ''))),
+                   'sum')) FILTER (page_kept), 0) AS BIGINT)
+             AS n_words_kept
+    FROM flags
+    GROUP BY source
+    """,
+    doc="""The C4 cleaning-rule suite (Raffel et al. 2020, the T5
+    corpus pipeline): keep only lines ending in terminal punctuation
+    with >= 3 words and no 'javascript'; drop whole pages containing
+    'lorem ipsum' or a curly brace, or with fewer than 5 surviving
+    sentences. Line structure is synthesized deterministically from
+    doc_id (the fixture is a flat word stream), then the filters run
+    as REAL string predicates (LIKE / split / contains) over the
+    built lines. One corpus scan, scan-local array expressions,
+    conditional aggregation to a |source|-row result — map-side
+    reduce at 100 TB, the same one-pass shape as gopher_rules.""",
+    tags=("TEXT", "A"),
+    bench=True,
+)
+def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    prepped = spread(documents).select(
+        "source",
+        "doc_id",
+        tokens("text").alias("_t"),
+        (F.lit(5) + F.col("doc_id") % 7).alias("_L"),
+    ).withColumn(
+        "_nl", F.expr("(size(_t) + _L - 1) div _L")
+    )
+    lined = prepped.select(
+        "source", F.expr(_C4_LINES_SPARK).alias("lines")
+    )
+    nw = (
+        "size(filter(split({l}, ' '), x -> x <> ''))"
+    )
+    kept_expr = (
+        "filter(lines, l -> "
+        "(l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"') "
+        f"AND {nw.format(l='l')} >= {_C4_MIN_LINE_WORDS} "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    filtered = lined.select(
+        "source",
+        F.size("lines").alias("n_lines"),
+        F.expr(kept_expr).alias("kept"),
+        F.expr(
+            "exists(lines, l -> contains(lower(l), 'lorem ipsum'))"
+        ).alias("has_lorem"),
+        F.expr("exists(lines, l -> contains(l, '{'))").alias("has_brace"),
+    )
+    flags = filtered.select(
+        "source",
+        "n_lines",
+        "kept",
+        (
+            ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & (F.size("kept") >= _C4_MIN_SENTENCES)
+        ).alias("page_kept"),
+    )
+    kept_words = F.expr(
+        f"aggregate(kept, 0, (acc, l) -> acc + {nw.format(l='l')})"
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_lines").cast("long").alias("n_lines"),
+        F.sum(F.col("page_kept").cast("long")).alias("n_docs_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("page_kept"), F.size("kept"))), F.lit(0)
+        ).cast("long").alias("n_lines_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("page_kept"), kept_words)), F.lit(0)
+        ).cast("long").alias("n_words_kept"),
+    )
+
+
 @register(
     "temperature_mix",
     oracle="""

@@ -142,6 +142,7 @@ def test_gopher_rules_count_invariants(spark, run):
 
 
 def _write_documents(spark, tmp_path, rows):
+    _ensure_loaded()
     out = str(tmp_path / "gopher_docs")
     spark.createDataFrame(
         [(i, t, "en", s, len(t)) for i, (s, t) in enumerate(rows)],
@@ -209,3 +210,90 @@ def test_url_canonicalize_collapses_variant_families(spark, tmp_path):
     assert r["n_dup_urls"] == 2
     assert r["max_group"] == 2
     assert r["sample_canonical"] == "https://www.src0.example.com/docs/0?id=0"
+
+
+# -- c4_line_filters -------------------------------------------------------
+
+
+def _c4_reference(doc_id, words):
+    """Pure-Python replica of the C4 synthesis + filter semantics —
+    independent of both engines' expressions."""
+    L = 5 + doc_id % 7
+    lines = []
+    for i in range(0, (len(words) + L - 1) // L):
+        l = " ".join(words[i * L : (i + 1) * L])
+        if doc_id % 41 == 0 and i == 0:
+            l += " javascript"
+        if doc_id % 43 == 0 and i == 1:
+            l += " lorem ipsum"
+        if doc_id % 47 == 0 and i == 2:
+            l += " {"
+        if (doc_id + i) % 3 != 0:
+            l += "."
+        lines.append(l)
+    kept = [
+        l
+        for l in lines
+        if l.endswith((".", "!", "?", '"'))
+        and len([w for w in l.split(" ") if w]) >= 3
+        and "javascript" not in l.lower()
+    ]
+    page_kept = (
+        not any("lorem ipsum" in l.lower() for l in lines)
+        and not any("{" in l for l in lines)
+        and len(kept) >= 5
+    )
+    return {
+        "n_lines": len(lines),
+        "n_docs_kept": int(page_kept),
+        "n_lines_kept": len(kept) if page_kept else 0,
+        "n_words_kept": sum(
+            len([w for w in l.split(" ") if w]) for l in kept
+        )
+        if page_kept
+        else 0,
+    }
+
+
+def test_c4_line_filters_match_python_reference(spark, tmp_path):
+    """Crafted doc_ids isolate each rule: 1 = clean kept page, 2 =
+    too few sentences, 43 = lorem-ipsum poison, 47 = brace poison,
+    82 = javascript line excluded but page survives. Expected counts
+    come from an independent pure-Python replica."""
+    crafted = [
+        (1, "clean", 60),
+        (2, "short", 12),
+        (43, "lorem", 90),
+        (47, "brace", 100),
+        (82, "js", 150),
+    ]
+    rows = [
+        (d, " ".join(f"w{k}" for k in range(n)), "en", src, n)
+        for d, src, n in crafted
+    ]
+    _ensure_loaded()
+    out = str(tmp_path / "c4docs")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {
+        r["source"]: r
+        for r in REGISTRY["c4_line_filters"].spark(spark, out).collect()
+    }
+    for d, src, n in crafted:
+        want = _c4_reference(d, [f"w{k}" for k in range(n)])
+        for col, v in want.items():
+            assert got[src][col] == v, (src, col, got[src], want)
+    # rule isolation: the poisoned pages died for their OWN reason
+    assert got["clean"]["n_docs_kept"] == 1
+    assert got["short"]["n_docs_kept"] == 0
+    assert got["lorem"]["n_docs_kept"] == 0
+    assert got["brace"]["n_docs_kept"] == 0
+    assert got["js"]["n_docs_kept"] == 1  # page survives minus the js line
+
+
+def test_c4_line_filters_one_scan_no_joins(plan_of):
+    plan = plan_of("c4_line_filters")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial → final
