@@ -26,13 +26,20 @@ Supported subset — what real-world writers emit:
   CMYK/YCCK → 4 channels, color management left to the caller —
   Adobe writers store the ink values inverted, and that convention
   travels with the file, not the codec).
+- decode: SOF3 lossless sequential (T.81 annex H; r8 session 2 —
+  the DNG / old-medical-TIFF payload): DPCM with all 7 predictors,
+  2-16 bit precision, 1x1 sampling. 8-bit frames ride the normal
+  ``decode_jpeg`` byte contract; higher precisions return uint16
+  sample arrays via ``decode_jpeg_lossless``.
 - encode: baseline 4:4:4 or 4:2:0 YCbCr / grayscale, plus
   4-component pass-through with an Adobe APP14 (transform 0) for
   CMYK test payloads, with the spec's Annex K quantization (libjpeg
-  quality scaling) and Annex K Huffman tables.
-- anything outside (arithmetic coding, 12-bit, lossless/hierarchical
-  SOFs) raises ``JpegFormatError`` — an honest bound, never a
-  garbled image.
+  quality scaling) and Annex K Huffman tables; bit-exact SOF3
+  lossless via ``encode_jpeg_lossless``.
+- anything outside (arithmetic coding, 12-bit DCT, hierarchical
+  SOFs, subsampled/point-transformed/restart-interval lossless)
+  raises ``JpegFormatError`` — an honest bound, never a garbled
+  image.
 
 Runs executor-side inside Arrow-batched ``mapInPandas`` like the
 PNG/BMP/GIF codecs; per-image cost is numpy block IDCTs.
@@ -44,7 +51,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["JpegFormatError", "decode_jpeg", "encode_jpeg"]
+__all__ = [
+    "JpegFormatError",
+    "decode_jpeg",
+    "decode_jpeg_lossless",
+    "encode_jpeg",
+    "encode_jpeg_lossless",
+]
 
 
 class JpegFormatError(ValueError):
@@ -300,7 +313,7 @@ def _read_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
 
 
 def decode_jpeg(
-    data: bytes, tables: bytes | None = None
+    data: bytes, tables: bytes | None = None, _return16: bool = False
 ) -> tuple[int, int, int, bytes]:
     """→ (width, height, channels, pixels): row-major interleaved uint8
     (gray or RGB). ``tables`` holds a TIFF JPEGTables (tag 347)
@@ -328,6 +341,8 @@ def decode_jpeg(
     mcux = mcuy = 0
     seen_scan = False
     adobe_transform = None  # APP14: 0=raw RGB/CMYK, 1=YCbCr, 2=YCCK
+    lossless = None  # SOF3: (w, h, precision, [cid, ...])
+    samples: dict = {}  # SOF3: cid → (h, w) uint16 sample array
     pos = 2
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
@@ -381,12 +396,58 @@ def decode_jpeg(
                 compw = -(-(w * ch) // hmax)
                 comph = -(-(h * cv) // vmax)
                 nblocks[cid] = (-(-comph // 8), -(-compw // 8))
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # lossless sequential (T.81 annex H)
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if not 2 <= prec <= 16:
+                raise JpegFormatError(f"SOF3 precision {prec} out of range")
+            if nc not in (1, 2, 3, 4):
+                raise JpegFormatError(f"{nc}-component JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, _tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise JpegFormatError(
+                        "SOF3 with subsampled components is not supported "
+                        "(1x1 only)"
+                    )
+                comps.append(cid)
+            lossless = (w, h, prec, comps)
+            samples = {cid: np.zeros((h, w), np.uint16) for cid in comps}
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                f"SOF{marker - 0xC0}: only sequential (SOF0/1) and "
-                "progressive (SOF2) Huffman JPEG is supported"
+                f"SOF{marker - 0xC0}: only sequential (SOF0/1), "
+                "progressive (SOF2), and lossless (SOF3) Huffman JPEG "
+                "is supported"
             )
+        elif marker == 0xDA and lossless is not None:  # lossless scan
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tds = seg[1 + 2 * c], seg[2 + 2 * c]
+                if cs not in samples:
+                    raise JpegFormatError("scan references unknown component")
+                scan.append((cs, tds >> 4))
+            predictor = seg[1 + 2 * ns]  # Ss carries the predictor
+            pt = seg[3 + 2 * ns] & 0x0F  # Al carries the point transform
+            if not 1 <= predictor <= 7:
+                raise JpegFormatError(
+                    f"SOF3 predictor {predictor} out of range (1-7)"
+                )
+            if pt != 0:
+                raise JpegFormatError(
+                    "SOF3 point transform (Al > 0) is not supported"
+                )
+            if restart:
+                raise JpegFormatError(
+                    "SOF3 with restart intervals is not supported"
+                )
+            pos = _decode_lossless_scan(
+                data, pos + 2 + seglen, lossless, scan, predictor,
+                huff_dc, samples,
+            )
+            seen_scan = True
+            continue
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
@@ -408,9 +469,94 @@ def decode_jpeg(
             seen_scan = True
             continue
         pos += 2 + seglen
+    if lossless is not None:
+        if not seen_scan:
+            raise JpegFormatError("no scan data (missing SOS)")
+        w, h, prec, comps = lossless
+        arr = np.stack([samples[cid] for cid in comps], axis=-1)
+        arr &= (1 << prec) - 1  # corrupt streams stay in [0, 2^P)
+        if _return16:
+            return w, h, len(comps), arr
+        if prec > 8:
+            raise JpegFormatError(
+                f"{prec}-bit lossless JPEG does not fit the 8-bit pixel "
+                "contract — use decode_jpeg_lossless for uint16 samples"
+            )
+        return w, h, len(comps), arr.astype(np.uint8).tobytes()
     if frame is None or not seen_scan:
         raise JpegFormatError("no scan data (missing SOS)")
     return _finish(frame, coefs, qt, adobe_transform)
+
+
+def decode_jpeg_lossless(
+    data: bytes, tables: bytes | None = None
+) -> tuple[int, int, int, np.ndarray]:
+    """Lossless (SOF3) JPEG → (width, height, channels, samples):
+    row-major (h, w, c) uint16 — the full 2-16 bit sample precision
+    (DNG / old medical TIFF payloads exceed 8 bits, which the byte
+    contract of :func:`decode_jpeg` cannot carry)."""
+    w, h, c, arr = decode_jpeg(data, tables, _return16=True)
+    if not isinstance(arr, np.ndarray):
+        raise JpegFormatError(
+            "not a lossless (SOF3) JPEG — use decode_jpeg"
+        )
+    return w, h, c, arr
+
+
+def _decode_lossless_scan(
+    data: bytes, pos: int, lossless, scan, predictor, huff_dc, samples
+) -> int:
+    """One SOF3 entropy-coded scan (T.81 annex H): Huffman category +
+    extend bits give the prediction DIFFERENCE per sample; prediction
+    runs over the causal neighbors Ra (left), Rb (above), Rc
+    (above-left) with the scan-selected predictor, modulo 2^16. First
+    sample predicts 2^(P-1); the rest of the first line predicts Ra;
+    the first sample of later lines predicts Rb (H.1.2.1)."""
+    w, h, prec, _comps = lossless
+    tabs = []
+    for cs, td in scan:
+        t = huff_dc.get(td)
+        if t is None:
+            raise JpegFormatError(f"missing DC Huffman table {td}")
+        tabs.append(t)
+    br = _BitReader(data, pos)
+    default = 1 << (prec - 1)
+    for y in range(h):
+        for x in range(w):
+            for (cs, _td), tab in zip(scan, tabs):
+                plane = samples[cs]
+                t = _decode_huff(br, tab)
+                if t == 16:  # T.81 H.2: 32768, no extension bits
+                    diff = 32768
+                elif t > 16:
+                    raise JpegFormatError(f"SOF3 category {t} invalid")
+                else:
+                    diff = _extend(br.read_bits(t), t) if t else 0
+                if y == 0:
+                    pred = default if x == 0 else int(plane[0, x - 1])
+                elif x == 0:
+                    pred = int(plane[y - 1, 0])
+                else:
+                    ra = int(plane[y, x - 1])
+                    rb = int(plane[y - 1, x])
+                    rc = int(plane[y - 1, x - 1])
+                    if predictor == 1:
+                        pred = ra
+                    elif predictor == 2:
+                        pred = rb
+                    elif predictor == 3:
+                        pred = rc
+                    elif predictor == 4:
+                        pred = ra + rb - rc
+                    elif predictor == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    else:
+                        pred = (ra + rb) >> 1
+                plane[y, x] = (pred + diff) & 0xFFFF
+    # drop any partial byte, then report the resume position
+    return br.pos
 
 
 def _decode_block(br, coef, ss, se, ah, al, dctab, actab, pred, ci, eobrun):
@@ -848,6 +994,112 @@ def encode_jpeg(
                             enc_ac[min(ci, len(enc_ac) - 1)],
                             pred[ci],
                         )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -- lossless (SOF3) encoder --------------------------------------------------
+
+# canonical Huffman table covering every lossless category 0..16:
+# three 2-bit codes for the small categories that dominate DPCM
+# residuals, then one code per length (Kraft sum 3/4 + 2^-2 - 2^-16 < 1)
+_LL_DC_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1],
+    list(range(17)),
+)
+
+
+def encode_jpeg_lossless(
+    width: int,
+    height: int,
+    samples,
+    precision: int = 8,
+    predictor: int = 1,
+) -> bytes:
+    """Lossless (SOF3, T.81 annex H) JPEG encoder: bit-exact DPCM with
+    the selected predictor (1-7), 2-16 bit precision, 1x1 sampling.
+
+    ``samples``: (h, w) or (h, w, c) array-like of unsigned ints below
+    2^precision (or flat bytes for precision <= 8). The decoder twin
+    (:func:`decode_jpeg_lossless` / :func:`decode_jpeg` for 8-bit)
+    round-trips exactly — the property the codec tests pin."""
+    if not 2 <= precision <= 16:
+        raise JpegFormatError(f"precision {precision} out of range (2-16)")
+    if not 1 <= predictor <= 7:
+        raise JpegFormatError(f"predictor {predictor} out of range (1-7)")
+    arr = np.asarray(samples)
+    if arr.dtype == np.dtype("uint8") and arr.ndim == 1:
+        nc = arr.size // (width * height)
+        arr = arr.reshape(height, width, nc)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[:2] != (height, width):
+        raise JpegFormatError(
+            f"sample array {arr.shape} does not match {height}x{width}"
+        )
+    nc = arr.shape[2]
+    if nc > 4:
+        raise JpegFormatError(f"{nc}-component JPEG not supported")
+    if int(arr.max(initial=0)) >= (1 << precision):
+        raise JpegFormatError(
+            f"sample exceeds {precision}-bit precision"
+        )
+    a = arr.astype(np.int64)
+    out = bytearray(b"\xff\xd8")
+    out += _dht_seg(0, 0, _LL_DC_SPEC)
+    sof = bytearray(struct.pack(">BHHB", precision, height, width, nc))
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC3, bytes(sof))
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])  # all components share DC table 0
+    sos += bytes([predictor, 0, 0])  # Ss=predictor, Se=0, Ah/Al=0
+    out += _seg(0xDA, bytes(sos))
+    enc = _huff_encode_table(*_LL_DC_SPEC)
+    bw = _BitWriter()
+    default = 1 << (precision - 1)
+    for y in range(height):
+        for x in range(width):
+            for ci in range(nc):
+                v = int(a[y, x, ci])
+                if y == 0:
+                    pred = default if x == 0 else int(a[0, x - 1, ci])
+                elif x == 0:
+                    pred = int(a[y - 1, 0, ci])
+                else:
+                    ra = int(a[y, x - 1, ci])
+                    rb = int(a[y - 1, x, ci])
+                    rc = int(a[y - 1, x - 1, ci])
+                    if predictor == 1:
+                        pred = ra
+                    elif predictor == 2:
+                        pred = rb
+                    elif predictor == 3:
+                        pred = rc
+                    elif predictor == 4:
+                        pred = ra + rb - rc
+                    elif predictor == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    else:
+                        pred = (ra + rb) >> 1
+                # T.81 H.1.2: differences are computed modulo 2^16 and
+                # coded in [-32767, 32768] (32768 = category 16, no
+                # extension bits)
+                diff = ((v - pred + 32768) & 0xFFFF) - 32768
+                if diff == -32768:
+                    code, length = enc[16]
+                    bw.write(code, length)
+                    continue
+                t = _category(diff)
+                code, length = enc[t]
+                bw.write(code, length)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -615,3 +615,108 @@ def test_progressive_jpeg_inside_tiff_compression7(spark):
     assert len(bands) == 3 and bands[0].shape == (h, w)
     got = np.stack(bands, axis=-1)
     assert np.abs(got - rgb.astype(float)).max() <= 0.0  # same decoder
+
+
+# -- lossless (SOF3) — r8 session 2 ----------------------------------------
+
+
+class TestLosslessSOF3:
+    def test_roundtrip_all_predictors_8bit_rgb(self):
+        import numpy as np
+
+        from biggis_landuse_spark.sources.jpeg import (
+            decode_jpeg,
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, size=(9, 13, 3)).astype(np.uint16)
+        for pred in range(1, 8):
+            blob = encode_jpeg_lossless(13, 9, img, precision=8,
+                                        predictor=pred)
+            w, h, c, arr = decode_jpeg_lossless(blob)
+            assert (w, h, c) == (13, 9, 3)
+            assert np.array_equal(arr, img), pred
+            # the byte contract decodes the same pixels
+            w2, h2, c2, px = decode_jpeg(blob)
+            assert np.array_equal(
+                np.frombuffer(px, np.uint8).reshape(9, 13, 3), img
+            ), pred
+
+    def test_roundtrip_high_precision_gray(self):
+        import numpy as np
+
+        from biggis_landuse_spark.sources.jpeg import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        rng = np.random.default_rng(13)
+        for prec in (2, 12, 16):
+            img = rng.integers(0, 1 << prec, size=(17, 7)).astype(np.uint16)
+            blob = encode_jpeg_lossless(7, 17, img, precision=prec,
+                                        predictor=4)
+            w, h, c, arr = decode_jpeg_lossless(blob)
+            assert (w, h, c) == (7, 17, 1)
+            assert np.array_equal(arr[:, :, 0], img), prec
+
+    def test_gradient_compresses_under_predictor(self):
+        # a smooth ramp under predictor 1 emits near-zero diffs — the
+        # stream must be much smaller than the flat sample mass (the
+        # point of DPCM), and still exact
+        import numpy as np
+
+        from biggis_landuse_spark.sources.jpeg import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        img = (np.arange(64)[None, :] + np.arange(64)[:, None]).astype(
+            np.uint16
+        )
+        blob = encode_jpeg_lossless(64, 64, img, precision=8, predictor=7)
+        assert len(blob) < 64 * 64 // 2
+        _, _, _, arr = decode_jpeg_lossless(blob)
+        assert np.array_equal(arr[:, :, 0], img)
+
+    def test_extreme_diff_category_16(self):
+        # alternating 0 / 65535 samples force the wrap-around -32768
+        # difference (category 16, no extension bits — T.81 H.2)
+        import numpy as np
+
+        from biggis_landuse_spark.sources.jpeg import (
+            decode_jpeg_lossless,
+            encode_jpeg_lossless,
+        )
+
+        img = np.zeros((2, 8), np.uint16)
+        img[:, 1::2] = 65535
+        blob = encode_jpeg_lossless(8, 2, img, precision=16, predictor=1)
+        _, _, _, arr = decode_jpeg_lossless(blob)
+        assert np.array_equal(arr[:, :, 0], img)
+
+    def test_honest_bounds(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from biggis_landuse_spark.sources.jpeg import (
+            JpegFormatError,
+            decode_jpeg,
+            decode_jpeg_lossless,
+            encode_jpeg,
+            encode_jpeg_lossless,
+        )
+
+        img12 = np.full((4, 4), 4000, np.uint16)
+        blob12 = encode_jpeg_lossless(4, 4, img12, precision=12)
+        with _pytest.raises(JpegFormatError, match="decode_jpeg_lossless"):
+            decode_jpeg(blob12)  # 12-bit samples can't ride the byte path
+        with _pytest.raises(JpegFormatError, match="precision"):
+            encode_jpeg_lossless(4, 4, img12, precision=8)
+        with _pytest.raises(JpegFormatError, match="predictor"):
+            encode_jpeg_lossless(4, 4, img12, precision=12, predictor=8)
+        # a DCT stream through the lossless reader is a typed error
+        dct = encode_jpeg(8, 8, bytes(64), channels=1)
+        with _pytest.raises(JpegFormatError, match="not a lossless"):
+            decode_jpeg_lossless(dct)
