@@ -10,8 +10,9 @@ baseline plus the GeoTIFF georeferencing tags:
 - stripped (RowsPerStrip) and tiled (TileWidth/TileLength) layouts;
 - compression: none (1), zlib/deflate (8, 32946), LZW (5), PackBits
   (32773) and new-style JPEG (7, sources/jpeg.py — baseline streams
-  per segment, abbreviated JPEGTables tag 347 honored); old-style
-  JPEG (6) raises;
+  per segment for 8-bit samples, LOSSLESS SOF3 streams for 16-bit
+  (the DNG/medical shape, r8 s2), abbreviated JPEGTables tag 347
+  honored); old-style JPEG (6) raises;
 - horizontal-differencing predictor (2) for integer samples;
 - chunky (PlanarConfiguration=1) and planar (2) sample layout;
 - sample types: uint8/16/32, int8/16/32, float32/64 (BitsPerSample ×
@@ -200,7 +201,12 @@ def _packbits_decode(seg: bytes) -> bytes:
     return bytes(out)
 
 
-def _decompress(seg: bytes, comp: int, jpeg_tables: bytes | None = None) -> bytes:
+def _decompress(
+    seg: bytes,
+    comp: int,
+    jpeg_tables: bytes | None = None,
+    dt: np.dtype | None = None,
+) -> bytes:
     if comp == 1:
         return seg
     if comp in (8, 32946):  # zlib / deflate (old code)
@@ -213,6 +219,16 @@ def _decompress(seg: bytes, comp: int, jpeg_tables: bytes | None = None) -> byte
         # abbreviated when a JPEGTables tag (347) carries the tables
         from biggis_landuse_spark.sources.jpeg import decode_jpeg
 
+        if dt is not None and dt.itemsize == 2:
+            # 16-bit samples ride a LOSSLESS (SOF3) payload — the
+            # DNG/medical-TIFF shape (r8 session 2); serialized in the
+            # container's byte order like every other segment codec
+            from biggis_landuse_spark.sources.jpeg import (
+                decode_jpeg_lossless,
+            )
+
+            _w, _h, _c, arr = decode_jpeg_lossless(seg, tables=jpeg_tables)
+            return arr.astype(dt).tobytes()
         _w, _h, _c, buf = decode_jpeg(seg, tables=jpeg_tables)
         return buf
     if comp == 6:
@@ -257,8 +273,11 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     dt = _np_dtype(order, bits[0], fmts[0])
     jpeg_tables = None
     if comp == 7:
-        if bits[0] != 8 or fmts[0] != 1:
-            raise TiffFormatError("JPEG compression carries 8-bit unsigned samples only")
+        if bits[0] not in (8, 16) or fmts[0] != 1:
+            raise TiffFormatError(
+                "JPEG compression carries 8-bit (DCT) or 16-bit "
+                "(lossless SOF3) unsigned samples only"
+            )
         jt = tags.get(JPEG_TABLES)
         jpeg_tables = jt[0] if jt else None
 
@@ -271,7 +290,7 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
         per_plane = across * down
         chans = spp if planar == 1 else 1
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decompress(data[o : o + c], comp, jpeg_tables)
+            raw = _decompress(data[o : o + c], comp, jpeg_tables, dt)
             seg = np.frombuffer(raw, dtype=dt, count=th * tw * chans).reshape(
                 th, tw, chans
             )
@@ -298,7 +317,7 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
                 band0, idx = i // per_plane, i % per_plane
             y0 = idx * rps
             rows = min(rps, h - y0)
-            raw = _decompress(data[o : o + c], comp, jpeg_tables)
+            raw = _decompress(data[o : o + c], comp, jpeg_tables, dt)
             seg = np.frombuffer(raw, dtype=dt, count=rows * w * chans).reshape(
                 rows, w, chans
             )
@@ -438,8 +457,17 @@ def encode_tiff(
     arrs = [np.ascontiguousarray(b, dtype=dt) for b in bands]
     comp_code = {
         "none": 1, "deflate": 8, "lzw": 5, "packbits": 32773, "jpeg": 7,
+        "jpeg_lossless": 7,
     }[compression]
-    if comp_code == 7:
+    jpeg_lossless = compression == "jpeg_lossless"
+    if jpeg_lossless:
+        # 16-bit SOF3 segments — the DNG/medical-TIFF shape (r8 s2)
+        if dt != np.dtype("<u2") or planar or predictor or spp > 4:
+            raise ValueError(
+                "jpeg_lossless compression requires uint16 chunky data "
+                "(<=4 bands) without predictor"
+            )
+    elif comp_code == 7:
         if dt != np.dtype("<u1") or planar or predictor or spp not in (1, 3):
             raise ValueError(
                 "jpeg compression requires uint8 chunky 1- or 3-band data "
@@ -447,6 +475,17 @@ def encode_tiff(
             )
 
     def pack(seg: np.ndarray) -> bytes:
+        if jpeg_lossless:
+            from biggis_landuse_spark.sources.jpeg import (
+                encode_jpeg_lossless,
+            )
+
+            if seg.ndim == 2:
+                seg = seg[:, :, None]
+            rows, cols, _chans = seg.shape
+            return encode_jpeg_lossless(
+                cols, rows, seg, precision=16, predictor=1
+            )
         if comp_code == 7:
             from biggis_landuse_spark.sources.jpeg import encode_jpeg
 

@@ -302,3 +302,52 @@ def test_bigtiff_ingest_through_spark(spark, tmp_path):
             np.array(vals, dtype=np.float64).reshape(16, 16),
             want.astype(np.float64),
         )
+
+
+# -- 16-bit lossless JPEG-in-TIFF (SOF3 segments) — r8 session 2 ------------
+
+
+class TestJpegLosslessInTiff:
+    def test_roundtrip_stripped_and_tiled(self):
+        import numpy as np
+
+        from biggis_landuse_spark.sources.tiff import (
+            decode_tiff,
+            encode_tiff,
+        )
+
+        rng = np.random.default_rng(31)
+        bands = [
+            rng.integers(0, 65536, (37, 23)).astype(np.uint16)
+            for _ in range(3)
+        ]
+        for kw in ({}, {"rows_per_strip": 10}, {"tile_size": 16}):
+            blob = encode_tiff(bands, compression="jpeg_lossless", **kw)
+            out = decode_tiff(blob)
+            assert len(out) == 3
+            for a, b in zip(bands, out):
+                assert np.array_equal(b, a.astype(np.float64)), kw
+
+    def test_segments_are_sof3_streams(self):
+        import numpy as np
+
+        from biggis_landuse_spark.sources.tiff import encode_tiff
+
+        img = np.arange(64 * 64, dtype=np.uint16).reshape(64, 64)
+        blob = encode_tiff([img], compression="jpeg_lossless")
+        assert b"\xff\xc3" in blob  # SOF3 marker inside the segment
+
+    def test_honest_bounds(self):
+        import numpy as np
+        import pytest
+
+        from biggis_landuse_spark.sources.tiff import encode_tiff
+
+        img8 = np.zeros((8, 8), np.uint8)
+        with pytest.raises(ValueError, match="uint16"):
+            encode_tiff([img8], compression="jpeg_lossless")
+        img16 = np.zeros((8, 8), np.uint16)
+        with pytest.raises(ValueError, match="predictor"):
+            encode_tiff(
+                [img16], compression="jpeg_lossless", predictor=True
+            )
