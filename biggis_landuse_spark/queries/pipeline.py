@@ -964,6 +964,241 @@ def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- trained quality classifier (FineWeb-Edu shape) -------------------------
+# Distill a cheap heuristic gate into a parametric model: label every
+# document with a rule (stopword ratio + length — the kind of signal a
+# teacher model or annotator would produce), featurize with
+# scan-local text statistics, and train logistic regression by
+# full-batch gradient descent. The logreg_gd discipline on a 5-dim
+# feature space: per iteration the 5-float model broadcasts into the
+# scan, each gradient component rounds at 6dp so both engines enter
+# the next iteration with bit-identical weights.
+
+_QLR_ITERS = 3
+_QLR_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+_QLR_FEATS = ("f0", "f1", "f2", "f3", "f4")
+
+
+def _qlr_feats_sql() -> str:
+    lst = ", ".join(f"'{w}'" for w in _QLR_STOP)
+    sw = (
+        f"len(list_filter(t, x -> list_contains([{lst}], x)))"
+        " / CAST(greatest(len(t), 1) AS DOUBLE)"
+    )
+    return f"""
+    feats AS (
+      SELECT 1.0 AS f0,
+             len(t) / 100.0 AS f1,
+             list_aggregate(list_transform(t, x -> len(x)), 'sum')
+               / CAST(greatest(len(t), 1) AS DOUBLE) AS f2,
+             {sw} AS f3,
+             len(list_distinct(t)) / CAST(greatest(len(t), 1) AS DOUBLE)
+               AS f4,
+             CASE WHEN {sw} >= 0.05 AND len(t) >= 50
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM (SELECT {_TOKS} AS t FROM documents)
+    )"""
+
+
+def _qlr_dot_sql(w: str) -> str:
+    return " + ".join(f"{w}.w{j} * f{j}" for j in range(5))
+
+
+def _qlr_grad_sql(prev_w: str, grad: str) -> str:
+    p = f"1.0 / (1.0 + exp(-({_qlr_dot_sql('w')})))"
+    comps = ", ".join(
+        f"round(avg(({p} - y) * f{j}), 6) AS g{j}" for j in range(5)
+    )
+    return f"{grad} AS (SELECT {comps} FROM sf CROSS JOIN {prev_w} w)"
+
+
+def _qlr_chain_sql() -> str:
+    # standardize f1..f4 (bias stays 1.0): mu/sd round at 6dp — the
+    # cross-engine sync — and a zero sd (constant feature on a
+    # degenerate corpus) clamps to 1e-6 instead of dividing by zero
+    stats = ", ".join(
+        f"round(avg(f{j}), 6) AS mu{j}, "
+        f"round(stddev_pop(f{j}), 6) AS sd{j}"
+        for j in range(1, 5)
+    )
+    std = ", ".join(
+        f"(f{j} - mu{j}) / greatest(sd{j}, 0.000001) AS f{j}"
+        for j in range(1, 5)
+    )
+    parts = [
+        _qlr_feats_sql(),
+        f"stats AS (SELECT {stats} FROM feats)",
+        f"sf AS (SELECT 1.0 AS f0, {std}, y FROM feats CROSS JOIN stats)",
+        "w0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(5))
+        + ")",
+    ]
+    for it in range(_QLR_ITERS):
+        parts.append(_qlr_grad_sql(f"w{it}", f"g{it + 1}"))
+        upd = ", ".join(f"w.w{j} - g.g{j} AS w{j}" for j in range(5))
+        parts.append(
+            f"w{it + 1} AS (SELECT {upd} FROM w{it} w CROSS JOIN "
+            f"g{it + 1} g)"
+        )
+    return ",\n".join(parts)
+
+
+def _qlr_features(documents: DataFrame) -> DataFrame:
+    toks = tokens("text")
+    d = spread(documents).select(toks.alias("_t"))
+    n = F.size("_t")
+    n1 = F.greatest(n, F.lit(1)).cast("double")
+    sw = (
+        F.size(
+            F.filter(
+                F.col("_t"),
+                lambda x: F.array_contains(
+                    F.array(*[F.lit(w) for w in _QLR_STOP]), x
+                ),
+            )
+        )
+        / n1
+    )
+    return d.select(
+        F.lit(1.0).alias("f0"),
+        (n / F.lit(100.0)).alias("f1"),
+        (
+            F.aggregate(F.col("_t"), F.lit(0), lambda a, t: a + F.length(t))
+            / n1
+        ).alias("f2"),
+        sw.alias("f3"),
+        (F.size(F.array_distinct("_t")) / n1).alias("f4"),
+        F.when((sw >= 0.05) & (n >= 50), 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def _qlr_standardize(feats: DataFrame) -> DataFrame:
+    """z-score f1..f4 with 6dp-rounded mu/sd (the cross-engine sync;
+    an 8-float driver collect — model-sized traffic). A zero sd
+    clamps to 1e-6, mirroring the oracle."""
+    row = feats.agg(
+        *[
+            x
+            for j in range(1, 5)
+            for x in (
+                F.round(F.avg(f"f{j}"), 6).alias(f"mu{j}"),
+                F.round(F.stddev_pop(f"f{j}"), 6).alias(f"sd{j}"),
+            )
+        ]
+    ).first()
+    if row is None or row["mu1"] is None:
+        return feats  # empty corpus: standardization is a no-op
+    return feats.select(
+        "f0",
+        *[
+            (
+                (F.col(f"f{j}") - F.lit(row[f"mu{j}"]))
+                / F.lit(max(row[f"sd{j}"], 0.000001))
+            ).alias(f"f{j}")
+            for j in range(1, 5)
+        ],
+        "y",
+    )
+
+
+def _qlr_train(feats: DataFrame) -> list[float]:
+    w = [0.0] * 5
+    for _ in range(_QLR_ITERS):
+        dot = F.lit(w[0]) * F.col("f0")
+        for j in range(1, 5):
+            dot = dot + F.lit(w[j]) * F.col(f"f{j}")
+        p = 1.0 / (1.0 + F.exp(-dot))
+        row = feats.agg(
+            *[
+                F.round(F.avg((p - F.col("y")) * F.col(f"f{j}")), 6).alias(
+                    f"g{j}"
+                )
+                for j in range(5)
+            ]
+        ).first()
+        if row is None or row["g0"] is None:
+            return w  # empty corpus: the zero model
+        w = [w[j] - row[f"g{j}"] for j in range(5)]
+    return w
+
+
+@register(
+    "quality_classifier_train",
+    oracle=f"""
+    WITH {_qlr_chain_sql()}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f"SELECT {j} AS dim, round(w{j}, 6) AS weight FROM w{_QLR_ITERS}"
+          for j in range(5)
+      )}
+    )
+    """,
+    doc="""Train a document-quality classifier from heuristic labels
+    (the FineWeb-Edu / fastText-filter distillation shape): label =
+    a stopword+length rule, features = bias / scaled length / mean
+    word length / stopword ratio / distinct-token ratio, model =
+    logistic regression by 3 unrolled full-batch GD iterations
+    (lr=1.0). Per iteration the 5-float model broadcasts into one
+    corpus scan and the gradient partial-aggregates map-side to 5
+    floats of driver traffic (the treeAggregate contract) — at
+    100 TB each iteration is one scan, no shuffle beyond the final
+    1-row aggregate. Gradient components round at 6dp so both
+    engines step through bit-identical weights.""",
+    tags=("ML", "TEXT", "PIPELINE"),
+)
+def quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    w = _qlr_train(_qlr_standardize(_qlr_features(documents)))
+    out = [(j, round(w[j], 6)) for j in range(5)]
+    return spark.createDataFrame(out, "dim int, weight double")
+
+
+@register(
+    "quality_classifier_eval",
+    oracle=f"""
+    WITH {_qlr_chain_sql()}
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (y = 1.0) AS BIGINT) AS n_positive,
+           CAST(count(*) FILTER ({_qlr_dot_sql("w")} >= 0) AS BIGINT)
+             AS n_pred_positive,
+           CAST(count(*) FILTER (({_qlr_dot_sql("w")} >= 0) = (y = 1.0))
+                AS BIGINT) AS n_correct,
+           CAST(count(*) FILTER ({_qlr_dot_sql("w")} >= 0 AND y = 1.0)
+                AS BIGINT) AS n_true_positive
+    FROM sf CROSS JOIN w{_QLR_ITERS} w
+    """,
+    doc="""Confusion counts of the trained quality classifier against
+    its own training labels (the filter-quality report a pipeline
+    ships with the model): decision rule w·x >= 0 (sigmoid >= 0.5).
+    The weights entering the dot product are bit-identical across
+    engines (every gradient step is 6dp-synced and the w−g update is
+    exact IEEE), so the per-document decisions — and therefore the
+    exact integer counts — agree with no tolerance. One scan over
+    the feature relation with a broadcast 1-row model.""",
+    tags=("ML", "TEXT", "PIPELINE"),
+    bench=True,
+)
+def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    feats = _qlr_standardize(_qlr_features(documents))
+    w = _qlr_train(feats)
+    dot = F.lit(w[0]) * F.col("f0")
+    for j in range(1, 5):
+        dot = dot + F.lit(w[j]) * F.col(f"f{j}")
+    pred = dot >= 0
+    pos = F.col("y") == 1.0
+    c = lambda cond: F.count(F.when(cond, 1)).cast("long")  # noqa: E731
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        c(pos).alias("n_positive"),
+        c(pred).alias("n_pred_positive"),
+        c(pred == pos).alias("n_correct"),
+        c(pred & pos).alias("n_true_positive"),
+    )
+
+
 @register(
     "temperature_mix",
     oracle="""

@@ -297,3 +297,46 @@ def test_c4_line_filters_one_scan_no_joins(plan_of):
     plan = plan_of("c4_line_filters")
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial → final
+
+
+# -- quality classifier (train + eval) --------------------------------------
+
+
+def test_quality_classifier_learns_the_gate(run):
+    # trained decisions must beat the majority-class baseline — the
+    # distillation actually learned, not collapsed to all-negative
+    r = run("quality_classifier_eval").first()
+    majority = max(r["n_positive"], r["n_docs"] - r["n_positive"])
+    assert r["n_correct"] > majority, dict(r.asDict())
+    assert 0 < r["n_pred_positive"] < r["n_docs"]
+    assert r["n_true_positive"] <= r["n_positive"]
+    assert r["n_true_positive"] <= r["n_pred_positive"]
+
+
+def test_quality_classifier_weights_deterministic(run):
+    w1 = {r["dim"]: r["weight"] for r in run("quality_classifier_train").collect()}
+    w2 = {r["dim"]: r["weight"] for r in run("quality_classifier_train").collect()}
+    assert w1 == w2
+    assert len(w1) == 5
+    assert any(v != 0.0 for v in w1.values())
+
+
+def test_quality_classifier_total_on_empty_corpus(spark, tmp_path):
+    _ensure_loaded()
+    out = str(tmp_path / "empty_docs")
+    spark.createDataFrame(
+        [],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    w = REGISTRY["quality_classifier_train"].spark(spark, out).collect()
+    assert [r["weight"] for r in w] == [0.0] * 5  # zero model, no crash
+    e = REGISTRY["quality_classifier_eval"].spark(spark, out).first()
+    assert e["n_docs"] == 0
+
+
+def test_quality_classifier_grad_is_partial_agg(plan_of):
+    # each GD iteration is one scan → partial-aggregated 1-row result;
+    # the model rides in as literals, so the plan has no join at all
+    plan = plan_of("quality_classifier_eval")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
