@@ -4547,3 +4547,151 @@ def viewshed_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k * 11) % 97).cast("long").alias("elev"),
     )
     return viewshed(cells, _VS_OX, _VS_OY, _VS_MAST)
+
+
+# D8 drainage over a deterministic tilted-plane-plus-noise terrain:
+# integer elevations, strictly-downhill steepest descent, bounded-depth
+# accumulation. Shared by d8_flow_direction / flow_accumulation.
+_FLOW_W = 24
+_FLOW_DEPTH = 12
+
+_FLOW_CELLS_SQL = f"""
+    cells AS (
+      SELECT CAST(p_partkey % {_FLOW_W} AS INT)  AS gx,
+             CAST(p_partkey // {_FLOW_W} AS INT) AS gy,
+             CAST(3 * (p_partkey % {_FLOW_W})
+                  + 2 * (p_partkey // {_FLOW_W})
+                  + (p_partkey * 7919) % 13 AS BIGINT) AS elev
+      FROM part WHERE p_partkey < 768
+    ),
+    offs AS (
+      SELECT * FROM (VALUES (0, 1, 0), (1, 1, 1), (2, 0, 1), (3, -1, 1),
+                            (4, -1, 0), (5, -1, -1), (6, 0, -1),
+                            (7, 1, -1)) AS t(dir, dx, dy)
+    ),
+    cand AS (
+      SELECT c.gx, c.gy,
+             (c.elev - n.elev) AS dz, o.dir,
+             o.dx * o.dx + o.dy * o.dy AS d2
+      FROM cells c
+      JOIN offs o ON TRUE
+      JOIN cells n ON n.gx = c.gx + o.dx AND n.gy = c.gy + o.dy
+      WHERE c.elev > n.elev
+    ),
+    best AS (
+      SELECT gx, gy, max(dz * dz * (3 - d2) * 8 + (7 - dir)) AS p
+      FROM cand GROUP BY 1, 2
+    ),
+    dirs AS (
+      SELECT c.gx, c.gy, c.elev,
+             CAST(coalesce(7 - b.p % 8, -1) AS INT) AS dir
+      FROM cells c LEFT JOIN best b ON b.gx = c.gx AND b.gy = c.gy
+    )
+"""
+
+
+def _flow_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return part.where(k < 768).select(
+        (k % _FLOW_W).cast("int").alias("gx"),
+        (k / _FLOW_W).cast("int").alias("gy"),
+        (3 * (k % _FLOW_W) + 2 * (k / _FLOW_W).cast("long")
+         + (k * 7919) % 13).cast("long").alias("elev"),
+    )
+
+
+@register(
+    "d8_flow_direction",
+    oracle=f"""
+    WITH {_FLOW_CELLS_SQL}
+    SELECT CAST(dir AS BIGINT) AS dir, CAST(count(*) AS BIGINT) AS n_cells
+    FROM dirs GROUP BY 1
+    """,
+    doc="""D8 flow direction (GRASS r.watershed / ArcGIS Flow
+    Direction): per grid cell the steepest STRICTLY-downhill of the 8
+    neighbors, -1 for pits/flats, rolled up to a per-direction census.
+    Exact integers end to end: the slope comparison drop/√d² cross-
+    multiplies onto drop²·(3−d²) (d² ∈ {{1,2}}) and the arg-max +
+    lowest-index tie-break folds into ONE packed-BIGINT max — no
+    float ordering, no window, no pixel self-join. One offset-explode
+    equi-join against the grid (the proximity_grid discipline), one
+    partial-aggregated arg-max, one left join back: at 100 TB the
+    fan-out is the constant 8 and every stage hash-partitions on the
+    cell key. Operator: operators/flow.py d8_directions.""",
+    tags=("W1", "SPATIAL"),
+    bench=True,
+)
+def d8_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.flow import d8_directions
+
+    directed = d8_directions(_flow_cells(spark, sf_dir), _FLOW_W)
+    return directed.groupBy(
+        F.col("dir").cast("long").alias("dir")
+    ).agg(F.count(F.lit(1)).alias("n_cells"))
+
+
+@register(
+    "flow_accumulation",
+    oracle=f"""
+    WITH RECURSIVE {_FLOW_CELLS_SQL},
+    edges AS (
+      SELECT CAST(d.gy * {_FLOW_W} + d.gx AS BIGINT) AS u,
+             CAST((d.gy + o.dy) * {_FLOW_W} + d.gx + o.dx AS BIGINT) AS v
+      FROM dirs d JOIN offs o ON o.dir = d.dir
+      WHERE d.dir >= 0
+    ),
+    paths AS (
+      SELECT u, v, 1 AS s FROM edges
+      UNION ALL
+      SELECT p.u, e.v, p.s + 1
+      FROM paths p JOIN edges e ON e.u = p.v
+      WHERE p.s < {_FLOW_DEPTH}
+    ),
+    acc AS (SELECT v, count(*) AS n FROM paths GROUP BY v)
+    SELECT CAST(coalesce(a.n, 0) AS BIGINT) AS acc,
+           CAST(count(*) AS BIGINT)         AS n_cells
+    FROM cells c
+    LEFT JOIN acc a ON a.v = CAST(c.gy * {_FLOW_W} + c.gx AS BIGINT)
+    GROUP BY 1
+    """,
+    doc="""Bounded-depth D8 flow accumulation (ArcGIS Flow
+    Accumulation, the upstream-contributor count): how many cells
+    drain through each cell within {_FLOW_DEPTH} flow steps, rolled
+    up to an accumulation histogram (unreached cells appear at 0 via
+    the static-grid left join). Strictly-downhill edges make the flow
+    graph a DAG, so the count is the exact number of (source,
+    downstream) path pairs. {_FLOW_DEPTH} rounds of frontier ⋈ edges
+    pointer chasing with per-4-round localCheckpoint (the
+    connected_components lineage discipline); each round is one hash
+    equi-join on the cell id, work bounded by |edges|·depth — the
+    bounded depth IS the 100-TB contract, full-basin = depth ≥ grid
+    diameter. Oracle: depth-limited recursive CTE. Operator:
+    operators/flow.py flow_accumulation.""",
+    tags=("W1", "SPATIAL", "GRAPH"),
+    bench=True,
+)
+def flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.flow import (
+        d8_directions,
+        flow_accumulation as _facc,
+        flow_edges,
+    )
+
+    cells = _flow_cells(spark, sf_dir)
+    directed = d8_directions(cells, _FLOW_W)
+    edges = flow_edges(directed, _FLOW_W)
+    # the accumulation result is cell-bounded; materialize it so the
+    # final broadcast join plans against a plain relation instead of
+    # re-embedding all 12 union branches (measured 24 MiB task
+    # binaries without this)
+    acc = _facc(edges, _FLOW_DEPTH).localCheckpoint(eager=True)
+    ids = cells.select(
+        (F.col("gy") * _FLOW_W + F.col("gx")).cast("long").alias("v")
+    )
+    return (
+        ids.join(acc, "v", "left")
+        .select(F.coalesce("acc", F.lit(0)).cast("long").alias("acc"))
+        .groupBy("acc")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )

@@ -1,0 +1,122 @@
+"""D8 flow direction + bounded flow accumulation (operators/flow.py):
+semantics against a pure-Python replica on crafted terrains, the
+strict-downhill DAG invariant, and the plan shapes that carry to
+100 TB."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from biggis_landuse_spark.operators.flow import (
+    D8_OFFSETS,
+    d8_directions,
+    flow_accumulation,
+    flow_edges,
+)
+from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cells_df(spark, grid):
+    rows = [
+        (x, y, int(z)) for y, row in enumerate(grid) for x, z in enumerate(row)
+    ]
+    return spark.createDataFrame(rows, "gx int, gy int, elev long")
+
+
+def _d8_reference(grid):
+    """Independent per-cell steepest-descent with float slopes and the
+    lowest-index tie-break — no packed-integer trick shared with the
+    engine."""
+    h, w = len(grid), len(grid[0])
+    out = {}
+    for y in range(h):
+        for x in range(w):
+            best = None
+            for d, dx, dy in D8_OFFSETS:
+                nx, ny = x + dx, y + dy
+                if not (0 <= nx < w and 0 <= ny < h):
+                    continue
+                drop = grid[y][x] - grid[ny][nx]
+                if drop <= 0:
+                    continue
+                slope = drop / (2 ** 0.5 if dx and dy else 1.0)
+                if best is None or slope > best[0] + 1e-12:
+                    best = (slope, d)
+            out[(x, y)] = -1 if best is None else best[1]
+    return out
+
+
+def test_d8_matches_float_reference_on_noisy_terrain(spark):
+    import random
+
+    rng = random.Random(5)
+    grid = [[rng.randrange(0, 50) + 3 * x + 2 * y for x in range(9)]
+            for y in range(7)]
+    got = {
+        (r["gx"], r["gy"]): r["dir"]
+        for r in d8_directions(_cells_df(spark, grid), 9).collect()
+    }
+    assert got == _d8_reference(grid)
+
+
+def test_d8_bowl_drains_to_center_and_accumulates(spark):
+    # 5x5 bowl: elevation = chebyshev distance from center → every
+    # non-center cell flows inward, center is the single pit, and the
+    # center's accumulation is every other cell (24) within depth 2
+    grid = [[max(abs(x - 2), abs(y - 2)) * 10 for x in range(5)]
+            for y in range(5)]
+    cells = _cells_df(spark, grid)
+    directed = d8_directions(cells, 5)
+    dirs = {(r["gx"], r["gy"]): r["dir"] for r in directed.collect()}
+    assert dirs[(2, 2)] == -1
+    assert sum(1 for v in dirs.values() if v == -1) == 1
+    edges = flow_edges(directed, 5)
+    # strict downhill: every edge loses elevation (DAG invariant)
+    elev = {(r["gx"], r["gy"]): r["elev"] for r in cells.collect()}
+    for e in edges.collect():
+        ux, uy = e["u"] % 5, e["u"] // 5
+        vx, vy = e["v"] % 5, e["v"] // 5
+        assert elev[(ux, uy)] > elev[(vx, vy)]
+    acc = {r["v"]: r["acc"] for r in flow_accumulation(edges, 2).collect()}
+    assert acc[2 * 5 + 2] == 24  # all 24 outer cells reach the pit
+
+
+def test_flow_accumulation_depth_bounds_path_length(spark):
+    # a straight monotone ramp: cell i flows to i+1; with depth D the
+    # last cell sees exactly min(i, D) upstream contributors
+    grid = [[50 - x for x in range(8)]]
+    edges = flow_edges(d8_directions(_cells_df(spark, grid), 8), 8)
+    for depth in (1, 3, 7):
+        acc = {
+            r["v"]: r["acc"]
+            for r in flow_accumulation(edges, depth).collect()
+        }
+        for i in range(1, 8):
+            assert acc[i] == min(i, depth), (depth, i)
+
+
+def test_flow_queries_plan_shapes(spark):
+    _ensure_loaded()
+    plan = (
+        REGISTRY["d8_flow_direction"]
+        .spark(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan  # arg-max is the packed-integer max
+
+
+def test_flow_registry_totals(spark):
+    _ensure_loaded()
+    dirs = REGISTRY["d8_flow_direction"].spark(spark, SF).collect()
+    n_cells = sum(r["n_cells"] for r in dirs)
+    hist = REGISTRY["flow_accumulation"].spark(spark, SF).collect()
+    assert sum(r["n_cells"] for r in hist) == n_cells  # grid conserved
+    assert any(r["acc"] == 0 and r["n_cells"] > 0 for r in hist)
+    assert max(r["acc"] for r in hist) > 1  # real convergence happens
