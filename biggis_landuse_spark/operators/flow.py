@@ -143,3 +143,35 @@ def flow_accumulation(edges: DataFrame, depth: int) -> DataFrame:
     for l in layers[1:]:
         allp = allp.unionByName(l)
     return allp.groupBy("v").agg(F.count(F.lit(1)).alias("acc"))
+
+
+def watershed_roots(edges: DataFrame, cells_ids: DataFrame,
+                    rounds: int = 8) -> DataFrame:
+    """(u, v) strictly-downhill edges + the full cell-id relation →
+    (u, root): the terminal pit each cell ultimately drains to.
+
+    Pointer DOUBLING, not pointer chasing: pits self-loop, and each of
+    the ``rounds`` iterations composes the parent map with itself
+    (parent ∘ parent), so reach doubles per round — O(log diameter)
+    rounds for full-basin labeling where flow_accumulation's bounded
+    depth pays one round per step. 2^rounds must exceed the longest
+    flow path (rounds=8 covers diameter 256; at continental grids set
+    rounds = ceil(log2(diameter))). The same per-round
+    localCheckpoint discipline as connected_components keeps lineage
+    and task binaries flat.
+    """
+    pits = cells_ids.join(edges.select(F.col("u").alias("v2")).distinct()
+                          .withColumnRenamed("v2", "u"), "u", "left_anti")
+    parent = edges.unionByName(
+        pits.select("u", F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        hop = parent.select(
+            F.col("u").alias("v"), F.col("v").alias("w")
+        )
+        parent = (
+            parent.join(hop, "v")
+            .select("u", F.col("w").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+    return parent.select("u", F.col("v").alias("root"))

@@ -4695,3 +4695,64 @@ def flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("acc")
         .agg(F.count(F.lit(1)).alias("n_cells"))
     )
+
+
+@register(
+    "watershed_basins",
+    oracle=f"""
+    WITH RECURSIVE {_FLOW_CELLS_SQL},
+    edges AS (
+      SELECT CAST(d.gy * {_FLOW_W} + d.gx AS BIGINT) AS u,
+             CAST((d.gy + o.dy) * {_FLOW_W} + d.gx + o.dx AS BIGINT) AS v
+      FROM dirs d JOIN offs o ON o.dir = d.dir
+      WHERE d.dir >= 0
+    ),
+    ids AS (SELECT CAST(gy * {_FLOW_W} + gx AS BIGINT) AS u FROM cells),
+    pits AS (
+      SELECT u FROM ids WHERE u NOT IN (SELECT u FROM edges)
+    ),
+    parent AS (
+      SELECT u, v FROM edges UNION ALL SELECT u, u AS v FROM pits
+    ),
+    walk AS (
+      SELECT u, v FROM parent
+      UNION ALL
+      SELECT w.u, p.v FROM walk w JOIN parent p ON p.u = w.v
+      WHERE p.v <> w.v
+    ),
+    roots AS (
+      SELECT w.u, w.v AS root FROM walk w JOIN pits p ON p.u = w.v
+    )
+    SELECT root, CAST(count(*) AS BIGINT) AS n_cells
+    FROM roots GROUP BY 1
+    """,
+    doc="""Watershed (drainage-basin) delineation over the D8 flow
+    graph: every cell labels itself with the terminal pit it drains
+    to, rolled up to per-basin cell counts. The labeling is pointer
+    DOUBLING — pits self-loop and each round composes the parent map
+    with itself, so FULL basins resolve in O(log diameter) rounds (8
+    here covers path length 256) where flow_accumulation's bounded
+    chase pays one round per step; per-round localCheckpoint keeps
+    lineage flat (the connected_components discipline on a functional
+    graph). Every round is one hash equi-join on the cell id; the
+    strictly-downhill DAG guarantees convergence to a unique root.
+    Oracle: walk-to-fixpoint recursive CTE filtered to pit endpoints.
+    Operator: operators/flow.py watershed_roots.""",
+    tags=("W1", "SPATIAL", "GRAPH"),
+    bench=True,
+)
+def watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.flow import (
+        d8_directions,
+        flow_edges,
+        watershed_roots,
+    )
+
+    cells = _flow_cells(spark, sf_dir)
+    directed = d8_directions(cells, _FLOW_W)
+    edges = flow_edges(directed, _FLOW_W)
+    ids = cells.select(
+        (F.col("gy") * _FLOW_W + F.col("gx")).cast("long").alias("u")
+    )
+    roots = watershed_roots(edges, ids, rounds=8)
+    return roots.groupBy("root").agg(F.count(F.lit(1)).alias("n_cells"))

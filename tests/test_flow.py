@@ -120,3 +120,53 @@ def test_flow_registry_totals(spark):
     assert sum(r["n_cells"] for r in hist) == n_cells  # grid conserved
     assert any(r["acc"] == 0 and r["n_cells"] > 0 for r in hist)
     assert max(r["acc"] for r in hist) > 1  # real convergence happens
+
+
+def test_watershed_bowl_single_basin(spark):
+    from biggis_landuse_spark.operators.flow import watershed_roots
+
+    grid = [[max(abs(x - 2), abs(y - 2)) * 10 for x in range(5)]
+            for y in range(5)]
+    cells = _cells_df(spark, grid)
+    directed = d8_directions(cells, 5)
+    edges = flow_edges(directed, 5)
+    ids = cells.select(
+        (F.col("gy") * 5 + F.col("gx")).cast("long").alias("u")
+    )
+    roots = watershed_roots(edges, ids, rounds=4)
+    got = {r["u"]: r["root"] for r in roots.collect()}
+    assert len(got) == 25
+    assert set(got.values()) == {2 * 5 + 2}  # one basin, rooted at pit
+
+
+def test_watershed_two_basins_partition_the_grid(spark):
+    from biggis_landuse_spark.operators.flow import watershed_roots
+
+    # two bowls side by side: a ridge at x=4 splits drainage
+    def z(x, y):
+        cx = 2 if x <= 4 else 7
+        return max(abs(x - cx), abs(y - 2)) * 10
+
+    grid = [[z(x, y) for x in range(10)] for y in range(5)]
+    cells = _cells_df(spark, grid)
+    edges = flow_edges(d8_directions(cells, 10), 10)
+    ids = cells.select(
+        (F.col("gy") * 10 + F.col("gx")).cast("long").alias("u")
+    )
+    got = {r["u"]: r["root"] for r in watershed_roots(edges, ids).collect()}
+    pits = {2 * 10 + 2, 2 * 10 + 7}
+    assert set(got.values()) == pits
+    assert len(got) == 50
+    # basins are connected around their own pit: each pit labels itself
+    for p in pits:
+        assert got[p] == p
+
+
+def test_watershed_registry_conserves_cells(spark):
+    _ensure_loaded()
+    basins = REGISTRY["watershed_basins"].spark(spark, SF).collect()
+    dirs = REGISTRY["d8_flow_direction"].spark(spark, SF).collect()
+    n_cells = sum(r["n_cells"] for r in dirs)
+    n_pits = sum(r["n_cells"] for r in dirs if r["dir"] == -1)
+    assert sum(r["n_cells"] for r in basins) == n_cells
+    assert len(basins) == n_pits  # exactly one basin per pit
