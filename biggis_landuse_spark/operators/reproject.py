@@ -1471,6 +1471,117 @@ def krovak_to_lonlat(
     return lon, F.degrees(_conformal_to_geodetic(chi, e2))
 
 
+# -- Cassini-Soldner ----------------------------------------------------------
+# EPSG method 9806 — the 19th-century cadastral projection still
+# carried by legacy national grids (Trinidad 1903 EPSG:30200,
+# Palestine 1923 EPSG:28191, the old German Soldner sheets). The
+# reference ingests these through proj4j's cass
+# (UtilsShape.scala:54-59); an honest typed refusal here through r8
+# session 2. Non-conformal: forward/inverse are the Snyder/GN7-2
+# power series in A = Δλ·cosφ, the closing rectifying-latitude step
+# reuses the TM/sinu_ell e1 series — pure column expressions, no
+# iteration, no UDF. Validated against the EPSG GN7-2 Trinidad
+# worked example to the published 0.01 link
+# (tests/test_reproject.py). Unit-agnostic: the math carries whatever
+# unit a/FE/FN are stated in (Trinidad's Clarke links included) and
+# the geodetic output is unit-free.
+
+
+class CassiniParams:
+    """Cassini-Soldner definition (angles in degrees; a/fe/fn in the
+    CRS's own linear unit — metres for modern grids, Clarke links for
+    Trinidad 1903)."""
+
+    def __init__(self, a, f_inv, lat0, lon0, fe, fn):
+        self.a, self.f_inv = a, f_inv
+        self.lat0, self.lon0 = lat0, lon0
+        self.fe, self.fn = fe, fn
+
+
+_CASSINI_CRS = {
+    # Trinidad 1903 / Trinidad Grid — Clarke 1858, CLARKE LINK units
+    # (the GN7-2 worked-example CRS; 1 link = 0.201166195164 m)
+    30200: CassiniParams(
+        31706587.88, 294.2606764,
+        10.0 + 26.0 / 60 + 30.0 / 3600, -(61.0 + 20.0 / 60),
+        430_000.0, 325_000.0,
+    ),
+    # Palestine 1923 / Palestine Grid — Clarke 1880 (Benoit), metres
+    28191: CassiniParams(
+        6378300.789, 293.466307656,
+        31.0 + 44.0 / 60 + 2.749 / 3600, 35.0 + 12.0 / 60 + 43.49 / 3600,
+        170_251.555, 126_867.909,
+    ),
+}
+
+for _code in (30200, 28191):
+    # legacy datums with no registry towgs84 set: the projection
+    # inverse is exact to the SOURCE datum; warping to WebMercator
+    # refuses instead of silently keying (the module contract)
+    _CASSINI_CRS[_code].helmert = DATUM_UNKNOWN
+
+
+def _cassini_consts(
+    p: CassiniParams,
+) -> tuple[float, float, float, float, float, float, float, float]:
+    """Driver-side constants (e2, M0, m_den, c2, c4, c6, c8): M0 the
+    meridional arc at the origin, m_den the rectifying normalizer,
+    c2..c8 the e1-series coefficients (Snyder eq. 3-26 — shared shape
+    with the TM / ellipsoidal-sinusoidal inverses)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    phi0 = math.radians(p.lat0)
+    m0 = p.a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi0
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024)
+        * math.sin(2 * phi0)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi0)
+        - (35 * e2**3 / 3072) * math.sin(6 * phi0)
+    )
+    m_den = p.a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256)
+    e1 = (1 - math.sqrt(1 - e2)) / (1 + math.sqrt(1 - e2))
+    c2 = 3 * e1 / 2 - 27 * e1**3 / 32
+    c4 = 21 * e1**2 / 16 - 55 * e1**4 / 32
+    c6 = 151 * e1**3 / 96
+    c8 = 1097 * e1**4 / 512
+    return e2, m0, m_den, c2, c4, c6, c8, p.a
+
+
+def cassini_to_lonlat(
+    easting: Column, northing: Column, p: CassiniParams
+) -> tuple[Column, Column]:
+    """Inverse Cassini-Soldner (EPSG method 9806) as pure column
+    expressions → (lon_deg, lat_deg). Sub-centimeter inside the CRS's
+    domain (GN7-2 eqs: rectifying-series footpoint latitude, then the
+    D-power series; anchored to the GN7-2 Trinidad worked example)."""
+    e2, m0, m_den, c2, c4, c6, c8, a = _cassini_consts(p)
+    mu1 = (F.lit(m0) + (northing - F.lit(p.fn))) / F.lit(m_den)
+    phi1 = (
+        mu1
+        + F.lit(c2) * F.sin(2 * mu1)
+        + F.lit(c4) * F.sin(4 * mu1)
+        + F.lit(c6) * F.sin(6 * mu1)
+        + F.lit(c8) * F.sin(8 * mu1)
+    )
+    s1, co1 = F.sin(phi1), F.cos(phi1)
+    t1 = (s1 / co1) * (s1 / co1)
+    w = 1 - F.lit(e2) * s1 * s1
+    nu1 = F.lit(a) / F.sqrt(w)
+    rho1 = F.lit(a * (1 - e2)) / (w * F.sqrt(w))
+    d = (easting - F.lit(p.fe)) / nu1
+    d2 = d * d
+    lat = F.degrees(
+        phi1
+        - (nu1 * (s1 / co1) / rho1)
+        * (d2 / 2 - (1 + 3 * t1) * d2 * d2 / 24)
+    )
+    lon = F.lit(p.lon0) + F.degrees(
+        (d - t1 * d * d2 / 3 + (1 + 3 * t1) * t1 * d * d2 * d2 / 15)
+        / co1
+    )
+    return lon, lat
+
+
 # -- Ellipsoidal sinusoidal ---------------------------------------------------
 # The spherical fast path above covers the MODIS grid; legacy
 # continental deliveries (e.g. the old GIHLS/Africa sinusoidal grids)
@@ -1820,6 +1931,13 @@ def _parse_proj4_family(
             num("x_0", 0.0), num("y_0", 0.0),
             variant="A" if "no_uoff" in kv else "B",
         )
+    if proj == "cass":
+        # Cassini-Soldner (EPSG 9806) — the legacy cadastral grids
+        a, rf = ellipsoid()
+        return "cassini", CassiniParams(
+            a, rf, num("lat_0", 0.0), num("lon_0", 0.0),
+            num("x_0", 0.0), num("y_0", 0.0),
+        )
     if proj == "krovak":
         # S-JTSK oblique conformal conic (EPSG 9819). PROJ semantics:
         # +lon_0 is east of GREENWICH (the registry's 42°30' east of
@@ -1837,8 +1955,8 @@ def _parse_proj4_family(
     raise ValueError(
         f"unsupported +proj={proj}: longlat, utm, tmerc (any "
         f"ellipsoid/false origin), lcc, laea, stere (polar), sterea, "
-        f"somerc, omerc, krovak, aea, cea, merc, eqc, moll, sinu are "
-        f"supported — {proj4!r}"
+        f"somerc, omerc, krovak, cass, aea, cea, merc, eqc, moll, sinu "
+        f"are supported — {proj4!r}"
     )
 
 
@@ -2214,6 +2332,12 @@ def _parse_wkt_family(
             p("false_easting", 0.0), p("false_northing", 0.0),
             variant=variant,
         )
+    if proj in ("cassini_soldner", "cassini"):
+        return "cassini", CassiniParams(
+            a, rf,
+            p("latitude_of_origin", 0.0), p("central_meridian", 0.0),
+            p("false_easting", 0.0), p("false_northing", 0.0),
+        )
     if proj == "krovak":
         # EPSG-style WKT (method 9819) emits southing/westing axes;
         # the East-North variants spell the flip either as ESRI's
@@ -2246,9 +2370,9 @@ def _parse_wkt_family(
         "Lambert_Azimuthal_Equal_Area, Polar_Stereographic, "
         "Oblique/Double_Stereographic, "
         "Hotine_Oblique_Mercator_Azimuth_Center (azimuth 90), "
-        "Krovak, Albers_Conic_Equal_Area, Cylindrical_Equal_Area, "
-        "Mercator(_1SP/_2SP), Equidistant_Cylindrical, Mollweide, "
-        "Sinusoidal are supported"
+        "Krovak, Cassini_Soldner, Albers_Conic_Equal_Area, "
+        "Cylindrical_Equal_Area, Mercator(_1SP/_2SP), "
+        "Equidistant_Cylindrical, Mollweide, Sinusoidal are supported"
     )
 
 
@@ -2297,6 +2421,8 @@ def parse_crs(
         return "omerc", _OMERC_CRS[int(code)]
     if code.isdigit() and int(code) in _KROVAK_CRS:
         return "krovak", _KROVAK_CRS[int(code)]
+    if code.isdigit() and int(code) in _CASSINI_CRS:
+        return "cassini", _CASSINI_CRS[int(code)]
     if code.isdigit() and len(code) == 5:
         num = int(code)
         if 32601 <= num <= 32660:
@@ -2318,8 +2444,9 @@ def parse_crs(
         "Swiss oblique Mercator (EPSG:21781 LV03, EPSG:2056 LV95), "
         "EPSG:28992 (Amersfoort / RD New oblique stereographic), "
         "EPSG:29873 (Timbalai 1948 / RSO Borneo Hotine oblique "
-        "Mercator), and Krovak (EPSG:5514 East North, EPSG:2065 "
-        "southing/westing) are supported"
+        "Mercator), Krovak (EPSG:5514 East North, EPSG:2065 "
+        "southing/westing), and Cassini-Soldner (EPSG:30200 Trinidad "
+        "Grid, EPSG:28191 Palestine Grid) are supported"
     )
 
 
@@ -2431,6 +2558,8 @@ def reproject_pixels_to_webmercator(
         lon, lat = omerc_to_lonlat(sx, sy, crs_info)
     elif kind == "krovak":
         lon, lat = krovak_to_lonlat(sx, sy, crs_info)
+    elif kind == "cassini":
+        lon, lat = cassini_to_lonlat(sx, sy, crs_info)
     else:
         zone, north = crs_info
         lon, lat = utm_to_lonlat(sx, sy, zone, north)

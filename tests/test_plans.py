@@ -353,7 +353,7 @@ def test_warp_grid_queries_stay_jvm_side_one_shuffle_staged(plan_of):
     for name in ("utm_grid", "tm_grid", "lcc_grid", "laea_grid", "ps_grid",
                  "albers_grid", "sinu_grid", "cea_grid", "merc_grid",
                  "eqc_grid", "moll_grid", "somerc_grid", "sterea_grid",
-                 "sinu_ell_grid", "omerc_grid", "krovak_grid"):
+                 "sinu_ell_grid", "omerc_grid", "krovak_grid", "cassini_grid"):
         plan = plan_of(name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
         assert plan.count("Exchange") == 1, (name, plan.count("Exchange"))

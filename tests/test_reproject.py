@@ -3289,3 +3289,132 @@ def test_krovak_proj4_epsg_pipeline_equivalence(spark):
         r["tile_col"] * 256 + r["px"], r["tile_row"] * 256 + r["py"]
     )
     assert key(a) == key(b)
+
+
+# ---------------------------------------------------------------------------
+# Cassini-Soldner — r8 session 2
+# ---------------------------------------------------------------------------
+
+
+def _cassini_forward_scalar(lon_deg, lat_deg, p):
+    """Independent scalar FORWARD Cassini-Soldner per EPSG Guidance
+    Note 7-2 / Snyder eqs. 13-7..13-8 (the published forward, sharing
+    only the ellipsoid constants with the engine inverse)."""
+    f = 1.0 / p.f_inv
+    e2 = f * (2 - f)
+    a = p.a
+
+    def m_arc(phi):
+        return a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024)
+            * math.sin(2 * phi)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+            - (35 * e2**3 / 3072) * math.sin(6 * phi)
+        )
+
+    phi = math.radians(lat_deg)
+    aa = math.radians(lon_deg - p.lon0) * math.cos(phi)
+    t = math.tan(phi) ** 2
+    c = e2 * math.cos(phi) ** 2 / (1 - e2)
+    nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+    x = nu * (aa - t * aa**3 / 6 - (8 - t + 8 * c) * t * aa**5 / 120)
+    y = (
+        m_arc(phi)
+        - m_arc(math.radians(p.lat0))
+        + nu * math.tan(phi) * (aa * aa / 2 + (5 - t + 6 * c) * aa**4 / 24)
+    )
+    return p.fe + x, p.fn + y
+
+
+def test_cassini_gn7_trinidad_worked_example(spark):
+    # EPSG Guidance Note 7-2 Cassini-Soldner worked example
+    # (Trinidad 1903 / Trinidad Grid, Clarke 1858, CLARKE LINK units):
+    # E 66644.94 / N 82536.22 links ↔ 10°00'00"N 62°00'00"W. The
+    # published E/N round to 0.01 link (~2 mm); the engine inverse
+    # must recover the exact round-number geodetic input.
+    from biggis_landuse_spark.operators.reproject import (
+        _CASSINI_CRS,
+        cassini_to_lonlat,
+    )
+
+    lon, lat = _inv_scalar(
+        spark, cassini_to_lonlat, _CASSINI_CRS[30200], 66644.94, 82536.22
+    )
+    assert lat == pytest.approx(10.0, abs=1e-7)
+    assert lon == pytest.approx(-62.0, abs=1e-7)
+    # natural origin maps exactly to the false origin
+    p = _CASSINI_CRS[30200]
+    lon0, lat0 = _inv_scalar(
+        spark, cassini_to_lonlat, p, 430000.0, 325000.0
+    )
+    assert lat0 == pytest.approx(p.lat0, abs=1e-9)
+    assert lon0 == pytest.approx(p.lon0, abs=1e-9)
+
+
+@pytest.mark.parametrize(
+    "e,n",
+    [(170251.555, 126867.909), (60000.0, 10000.0), (255000.0, 366000.0),
+     (100000.0, 200000.0), (220000.0, 30000.0)],
+)
+def test_cassini_inverse_roundtrips_independent_forward(spark, e, n):
+    from biggis_landuse_spark.operators.reproject import (
+        _CASSINI_CRS,
+        cassini_to_lonlat,
+    )
+
+    p = _CASSINI_CRS[28191]
+    lon, lat = _inv_scalar(spark, cassini_to_lonlat, p, e, n)
+    e2, n2 = _cassini_forward_scalar(lon, lat, p)
+    assert e2 == pytest.approx(e, abs=1e-3)
+    assert n2 == pytest.approx(n, abs=1e-3)
+
+
+def test_parse_cassini_proj4_wkt_and_datum_refusal(spark):
+    from biggis_landuse_spark.operators.reproject import (
+        DATUM_UNKNOWN,
+        parse_crs,
+        parse_proj4,
+        parse_wkt_crs,
+    )
+
+    kind, p = parse_crs("EPSG:28191")
+    assert kind == "cassini" and p.fe == 170251.555
+    assert p.helmert is DATUM_UNKNOWN  # legacy datum: warp refuses
+    kind, p = parse_proj4(
+        "+proj=cass +lat_0=31.73409694444445 +lon_0=35.21263611111111 "
+        "+x_0=170251.555 +y_0=126867.909 +a=6378300.789 "
+        "+rf=293.466307656"
+    )
+    assert kind == "cassini" and p.a == 6378300.789
+    wkt = (
+        'PROJCS["Palestine 1923 / Palestine Grid",GEOGCS["Palestine '
+        '1923",DATUM["Palestine_1923",SPHEROID["Clarke 1880 (Benoit)",'
+        '6378300.789,293.466307656]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Cassini_Soldner"],'
+        'PARAMETER["latitude_of_origin",31.73409694444445],'
+        'PARAMETER["central_meridian",35.21263611111111],'
+        'PARAMETER["false_easting",170251.555],'
+        'PARAMETER["false_northing",126867.909],UNIT["metre",1]]'
+    )
+    kind, p = parse_wkt_crs(wkt)
+    assert kind == "cassini" and p.fn == 126867.909
+    assert p.helmert is DATUM_UNKNOWN
+    px = spark.createDataFrame(
+        [(0, 0, 0, 5.0, 170000.0, 127000.0, 30.0, 30.0)], PIX_DDL
+    )
+    with pytest.raises(ValueError, match="towgs84"):
+        reproject_pixels_to_webmercator(
+            px, zoom=12, layer="x", src_crs="EPSG:28191"
+        )
+    # an explicit towgs84 unlocks the warp (the module contract)
+    out = reproject_pixels_to_webmercator(
+        px, zoom=12, layer="x",
+        src_crs=(
+            "+proj=cass +lat_0=31.73409694444445 "
+            "+lon_0=35.21263611111111 +x_0=170251.555 +y_0=126867.909 "
+            "+a=6378300.789 +rf=293.466307656 +towgs84=-275.7,94.8,340.9"
+        ),
+    )
+    assert out.count() == 1
