@@ -876,3 +876,167 @@ def media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_b"),
         F.element_at("q", 1).alias("first_px_r"),
     )
+
+
+# -- EXIF metadata extraction (r8 session 2) --------------------------------
+# Four fixed EXIF template blobs (little- and big-endian classic-TIFF
+# IFD trees built by sources/exif.build_exif at import time, one
+# WITHOUT the Exif sub-IFD so missing tags surface as NULLs); each
+# document carries the doc_id % 4 variant. The engine parses with the
+# REAL IFD walker (sources/exif.parse_exif, Arrow-batched
+# mapInPandas); the oracle replays the extraction by reading the tag
+# values straight out of the template bytes at offsets discovered by
+# an independent entry scan — byte-level replay, not intent literals.
+
+
+def _exif_templates():
+    from biggis_landuse_spark.sources.exif import build_exif
+
+    specs = [
+        ("<", {"make": "CAM0", "orientation": 1, "iso": 100,
+               "exposure_time": (1, 125)}),
+        ("<", {"make": "CAM1", "orientation": 3, "iso": 200,
+               "exposure_time": (1, 250)}),
+        (">", {"make": "CAM2", "orientation": 6, "iso": 400,
+               "exposure_time": (1, 500)}),
+        ("<", {"make": "CAM3", "orientation": 8}),  # no Exif sub-IFD
+    ]
+    return [(order, build_exif(f, order=order)) for order, f in specs]
+
+
+def _exif_value_offsets(order: str, blob: bytes):
+    """Independent flat entry scan (NOT the parser): byte offsets of
+    the orientation/ISO inline SHORTs, the exposure-denominator LE/BE
+    32-bit word, and the make string."""
+    import struct as _s
+
+    def scan(off):
+        (n,) = _s.unpack(order + "H", blob[off : off + 2])
+        out = {}
+        for i in range(n):
+            e = off + 2 + 12 * i
+            tag, _t = _s.unpack(order + "HH", blob[e : e + 4])
+            out[tag] = e
+        return out
+    ifd0 = scan(8)
+    offs = {"make": None, "orientation": None, "iso": None, "den": None}
+    (mk_ptr,) = _s.unpack(order + "I", blob[ifd0[271] + 8 : ifd0[271] + 12])
+    offs["make"] = mk_ptr
+    offs["orientation"] = ifd0[274] + 8
+    if 34665 in ifd0:
+        (sub_off,) = _s.unpack(
+            order + "I", blob[ifd0[34665] + 8 : ifd0[34665] + 12]
+        )
+        sub = scan(sub_off)
+        offs["iso"] = sub[34855] + 8
+        (rat_ptr,) = _s.unpack(
+            order + "I", blob[sub[33434] + 8 : sub[33434] + 12]
+        )
+        offs["den"] = rat_ptr + 4
+    return offs
+
+
+_EXIF_TEMPLATES = _exif_templates()
+
+
+def _exif_short_sql(hx: str, pos: int, order: str) -> str:
+    lo, hi = (pos, pos + 1) if order == "<" else (pos + 1, pos)
+    return f"({_byte_sql(hx, str(lo))} + 256 * {_byte_sql(hx, str(hi))})"
+
+
+def _exif_oracle() -> str:
+    arms_make, arms_or, arms_iso, arms_den = [], [], [], []
+    for i, (order, blob) in enumerate(_EXIF_TEMPLATES):
+        hx = f"'{blob.hex().upper()}'"
+        o = _exif_value_offsets(order, blob)
+        arms_make.append(
+            f"WHEN {i} THEN decode(unhex(substr({hx}, "
+            f"2*{o['make']}+1, 8)))"
+        )
+        arms_or.append(
+            f"WHEN {i} THEN {_exif_short_sql(hx, o['orientation'], order)}"
+        )
+        if o["iso"] is None:
+            arms_iso.append(f"WHEN {i} THEN NULL")
+            arms_den.append(f"WHEN {i} THEN NULL")
+        else:
+            arms_iso.append(
+                f"WHEN {i} THEN {_exif_short_sql(hx, o['iso'], order)}"
+            )
+            terms = " + ".join(
+                f"{256 ** b} * {_byte_sql(hx, str(o['den'] + (b if order == '<' else 3 - b)))}"
+                for b in range(4)
+            )
+            arms_den.append(f"WHEN {i} THEN ({terms})")
+    return f"""
+    SELECT doc_id,
+           CASE doc_id % 4 {' '.join(arms_make)} END AS make,
+           CAST(CASE doc_id % 4 {' '.join(arms_or)} END AS INT)
+             AS orientation,
+           CAST(CASE doc_id % 4 {' '.join(arms_iso)} END AS INT) AS iso,
+           CAST(CASE doc_id % 4 {' '.join(arms_den)} END AS BIGINT)
+             AS exposure_den
+    FROM documents
+    """
+
+
+@register(
+    "media_exif",
+    oracle=_exif_oracle(),
+    doc="""EXIF extraction over binary media columns: each document
+    carries one of four classic-TIFF EXIF blocks (little- AND
+    big-endian, one missing the Exif sub-IFD so absent tags surface
+    as NULLs), and the REAL IFD walker (sources/exif.parse_exif —
+    marker walk, typed entries, out-of-line values, rational pairs,
+    private sub-IFD) runs Arrow-batched in mapInPandas to emit
+    make / orientation / ISO / exposure denominator. The oracle
+    re-reads the tag values straight from the template BYTES at
+    offsets found by an independent entry scan. Scale shape: one
+    mapInPandas pass, constant memory per worker, no shuffle at all —
+    the camera-metadata census shape of a multimodal ingest.""",
+    tags=("multimodal",),
+    bench=True,
+)
+def media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    arms = None
+    for i, (_o, blob) in enumerate(_EXIF_TEMPLATES):
+        cond = F.col("doc_id") % 4 == i
+        val = F.unhex(F.lit(blob.hex().upper()))
+        arms = F.when(cond, val) if arms is None else arms.when(cond, val)
+    m = documents.select("doc_id", arms.alias("content"))
+
+    def run(batches):
+        from biggis_landuse_spark.sources.exif import parse_exif
+
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["content"]):
+                f = parse_exif(bytes(raw))
+                et = f.get("exposure_time")
+                rows.append(
+                    (
+                        doc_id,
+                        f.get("make"),
+                        f.get("orientation"),
+                        f.get("iso"),
+                        et[1] if et else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "make", "orientation", "iso", "exposure_den",
+                ],
+            )
+
+    return m.mapInPandas(
+        run,
+        "doc_id long, make string, orientation int, iso int, "
+        "exposure_den long",
+    )
