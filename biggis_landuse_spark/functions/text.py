@@ -31,6 +31,72 @@ STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
 PUNCT_CLASS = "[^.!?,;:]"  # complement: keep only punctuation
 
+# Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+# Appendix A1.1) — the PUBLISHED thresholds, shared by the batch
+# query (queries/pipeline.py::gopher_rules) and the streaming
+# admission gate (streaming/quality.py):
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MAX_SYMBOL = 0.1  # '#' + '...' per word
+GOPHER_MAX_BULLET = 0.9  # frac lines starting with a bullet
+GOPHER_MAX_ELLIPSIS = 0.3  # frac lines ending with '...'
+GOPHER_MIN_ALPHA = 0.8  # frac words containing a letter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP = 2  # distinct required stop words present
+
+
+def gopher_rule_flags(
+    text: Column | str = "text",
+    toks: Column | str = "_t",
+    lines: Column | str = "_lines",
+) -> dict[str, Column]:
+    """The 7 Gopher rule booleans over a document whose token array
+    (``toks``) and line array (``lines``) are already materialized
+    (one select upstream — the flags reference them several times).
+    NULL text coalesces to rule FAILURE; every ratio is a single IEEE
+    division of exact integers, so a DuckDB oracle replaying the same
+    expressions matches bit-for-bit."""
+    text, toks, lines = (
+        F.col(c) if isinstance(c, str) else c for c in (text, toks, lines)
+    )
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1)).cast("double")
+    nl1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    mwl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n1
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        (
+            F.length(text)
+            - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        )
+        / F.lit(3)
+    ).cast("long")
+    bullet = F.size(
+        F.filter(
+            lines, lambda l: F.ltrim(l).like("•%") | F.ltrim(l).like("- %")
+        )
+    )
+    ell_end = F.size(F.filter(lines, lambda l: l.like("%...")))
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(toks, w),
+        )
+    )
+    rb = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    return {
+        "r_words": rb((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)),
+        "r_word_len": rb((mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)),
+        "r_symbol": rb(((n_hash + n_ell) / n1) <= GOPHER_MAX_SYMBOL),
+        "r_bullet": rb((bullet / nl1) <= GOPHER_MAX_BULLET),
+        "r_ellipsis": rb((ell_end / nl1) <= GOPHER_MAX_ELLIPSIS),
+        "r_alpha": rb((alpha / n1) >= GOPHER_MIN_ALPHA),
+        "r_stopword": rb(stop_hits >= GOPHER_MIN_STOP),
+    }
+
 
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization with empty-token removal (codegen'd)."""

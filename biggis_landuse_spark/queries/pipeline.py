@@ -511,17 +511,23 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
-# Appendix A1.1) — the PUBLISHED thresholds, not tuned to the fixture:
-_GOPHER_MIN_WORDS = 50
-_GOPHER_MAX_WORDS = 100_000
-_GOPHER_MIN_MWL = 3.0
-_GOPHER_MAX_MWL = 10.0
-_GOPHER_MAX_SYMBOL = 0.1  # '#' + '...' per word
-_GOPHER_MAX_BULLET = 0.9  # frac lines starting with a bullet
-_GOPHER_MAX_ELLIPSIS = 0.3  # frac lines ending with '...'
-_GOPHER_MIN_ALPHA = 0.8  # frac words containing a letter
-_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
-_GOPHER_MIN_STOP = 2  # distinct required stop words present
+# Appendix A1.1) — the PUBLISHED thresholds, not tuned to the fixture.
+# The rule expressions live in functions/text.py::gopher_rule_flags
+# (shared with the streaming admission gate); the oracle interpolates
+# the same constants.
+from biggis_landuse_spark.functions.text import (  # noqa: E402
+    GOPHER_MAX_BULLET as _GOPHER_MAX_BULLET,
+    GOPHER_MAX_ELLIPSIS as _GOPHER_MAX_ELLIPSIS,
+    GOPHER_MAX_MWL as _GOPHER_MAX_MWL,
+    GOPHER_MAX_SYMBOL as _GOPHER_MAX_SYMBOL,
+    GOPHER_MAX_WORDS as _GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA as _GOPHER_MIN_ALPHA,
+    GOPHER_MIN_MWL as _GOPHER_MIN_MWL,
+    GOPHER_MIN_STOP as _GOPHER_MIN_STOP,
+    GOPHER_MIN_WORDS as _GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS as _GOPHER_STOPWORDS,
+    gopher_rule_flags,
+)
 
 
 @register(
@@ -598,43 +604,9 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens("text").alias("_t"),
         F.split("text", "\n").alias("_lines"),
     )
-    n = F.size("_t")
-    n1 = F.greatest(n, F.lit(1)).cast("double")
-    nl1 = F.greatest(F.size("_lines"), F.lit(1)).cast("double")
-    mwl = (
-        F.aggregate(F.col("_t"), F.lit(0), lambda acc, t: acc + F.length(t))
-        / n1
-    )
-    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
-    n_ell = F.expr("(length(text) - length(replace(text, '...', ''))) div 3")
-    bullet = F.size(
-        F.filter(
-            F.col("_lines"),
-            lambda l: F.ltrim(l).like("•%") | F.ltrim(l).like("- %"),
-        )
-    )
-    ell_end = F.size(F.filter(F.col("_lines"), lambda l: l.like("%...")))
-    alpha = F.size(F.filter(F.col("_t"), lambda w: w.rlike("[A-Za-z]")))
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS]),
-            lambda w: F.array_contains(F.col("_t"), w),
-        )
-    )
-    rb = lambda c: F.coalesce(c, F.lit(False))  # noqa: E731
+    fl = gopher_rule_flags()
     flags = tokd.select(
-        "source",
-        rb(
-            (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS)
-        ).alias("r_words"),
-        rb((mwl >= _GOPHER_MIN_MWL) & (mwl <= _GOPHER_MAX_MWL)).alias(
-            "r_word_len"
-        ),
-        rb(((n_hash + n_ell) / n1) <= _GOPHER_MAX_SYMBOL).alias("r_symbol"),
-        rb((bullet / nl1) <= _GOPHER_MAX_BULLET).alias("r_bullet"),
-        rb((ell_end / nl1) <= _GOPHER_MAX_ELLIPSIS).alias("r_ellipsis"),
-        rb((alpha / n1) >= _GOPHER_MIN_ALPHA).alias("r_alpha"),
-        rb(stop_hits >= _GOPHER_MIN_STOP).alias("r_stopword"),
+        "source", *[c.alias(name) for name, c in fl.items()]
     )
     fail = lambda c: F.sum((~F.col(c)).cast("long"))  # noqa: E731
     return flags.groupBy("source").agg(
