@@ -106,6 +106,34 @@ SHOWCASE = {
         "shortlist, so the dense cosine rerank never touches the corpus — "
         "every BroadcastNestedLoopJoin in the plan carries a bounded side"
     ),
+    "gopher_rules": (
+        "one-pass quality census: all seven rule predicates are "
+        "scan-local array expressions in one whole-stage-codegen span, "
+        "the conditional aggregation partial-reduces map-side, and the "
+        "plan carries no join and exactly one Exchange (the |source|-row "
+        "final aggregate) — at 100 TB this is a pure map-side reduce"
+    ),
+    "d8_flow_direction": (
+        "exact-integer raster arg-max: the 8-way offset explode "
+        "equi-joins the grid once (the proximity discipline), the "
+        "steepest-descent choice folds into a single packed-BIGINT max "
+        "with the tie-break in the low bits — no Window, no float "
+        "ordering, no pixel self-join anywhere in the plan"
+    ),
+    "watershed_basins": (
+        "pointer doubling over a functional graph: every round is one "
+        "hash equi-join of the checkpointed parent map with itself "
+        "(LogicalRDD scans, lineage flat), so FULL basins resolve in "
+        "O(log diameter) rounds and the final census is one partial-"
+        "aggregated groupBy on the root id"
+    ),
+    "media_exif": (
+        "zero-shuffle multimodal extraction: template synthesis is a "
+        "CASE over unhex literals inside the scan projection, the real "
+        "IFD walker runs in ONE Arrow-batched mapInPandas pass, and the "
+        "plan has no Exchange at all — constant memory per worker, "
+        "ingest-speed metadata census"
+    ),
 }
 
 
