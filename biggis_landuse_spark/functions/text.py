@@ -90,7 +90,12 @@ def gopher_rule_flags(
     return {
         "r_words": rb((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)),
         "r_word_len": rb((mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)),
-        "r_symbol": rb(((n_hash + n_ell) / n1) <= GOPHER_MAX_SYMBOL),
+        # the paper thresholds EACH symbol ratio separately (hash-to-
+        # word AND ellipsis-to-word), not their sum
+        "r_symbol": rb(
+            ((n_hash / n1) <= GOPHER_MAX_SYMBOL)
+            & ((n_ell / n1) <= GOPHER_MAX_SYMBOL)
+        ),
         "r_bullet": rb((bullet / nl1) <= GOPHER_MAX_BULLET),
         "r_ellipsis": rb((ell_end / nl1) <= GOPHER_MAX_ELLIPSIS),
         "r_alpha": rb((alpha / n1) >= GOPHER_MIN_ALPHA),

@@ -37,7 +37,7 @@ D8_OFFSETS = [
 ]
 
 
-def d8_directions(cells: DataFrame, width: int) -> DataFrame:
+def d8_directions(cells: DataFrame) -> DataFrame:
     """``cells`` (gx int, gy int, elev bigint) → (gx, gy, elev, dir)
     with ``dir`` the steepest strictly-downhill D8 neighbor index
     (tie-break: lowest index) or -1 for a pit/flat cell.
@@ -114,9 +114,10 @@ def flow_edges(directed: DataFrame, width: int) -> DataFrame:
 def flow_accumulation(edges: DataFrame, depth: int) -> DataFrame:
     """(u, v) strictly-downhill edges → (v, acc): the number of
     upstream cells whose flow path reaches ``v`` in <= ``depth``
-    steps. ``depth`` rounds of frontier ⋈ edges, localCheckpoint
-    every 4 rounds (lineage stays bounded like connected_components).
-    """
+    steps. ``depth`` rounds of frontier ⋈ edges; the edge relation
+    and EVERY round checkpoint (see the inline task-binary notes —
+    the one loop where the connected_components every-N cadence is
+    too loose)."""
     # the edge relation is re-referenced depth times (every round's
     # probe side and every union branch): without this checkpoint the
     # full upstream plan (grid synthesis → d8 arg-max) serializes into
@@ -160,8 +161,7 @@ def watershed_roots(edges: DataFrame, cells_ids: DataFrame,
     localCheckpoint discipline as connected_components keeps lineage
     and task binaries flat.
     """
-    pits = cells_ids.join(edges.select(F.col("u").alias("v2")).distinct()
-                          .withColumnRenamed("v2", "u"), "u", "left_anti")
+    pits = cells_ids.join(edges.select("u").distinct(), "u", "left_anti")
     parent = edges.unionByName(
         pits.select("u", F.col("u").alias("v"))
     ).localCheckpoint(eager=True)

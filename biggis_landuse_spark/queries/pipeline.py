@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from biggis_landuse_spark.functions import dedup as D
-from biggis_landuse_spark.functions.text import tokens
+from biggis_landuse_spark.functions.text import STOPWORDS_EN, tokens
 from biggis_landuse_spark.queries import load_tables, register, spread
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -539,8 +539,10 @@ from biggis_landuse_spark.functions.text import (  # noqa: E402
                       FALSE) AS r_words,
              coalesce(mwl >= {_GOPHER_MIN_MWL} AND mwl <= {_GOPHER_MAX_MWL},
                       FALSE) AS r_word_len,
-             coalesce((n_hash + n_ell) / CAST(greatest(n, 1) AS DOUBLE)
-                      <= {_GOPHER_MAX_SYMBOL}, FALSE) AS r_symbol,
+             coalesce(n_hash / CAST(greatest(n, 1) AS DOUBLE)
+                        <= {_GOPHER_MAX_SYMBOL}
+                      AND n_ell / CAST(greatest(n, 1) AS DOUBLE)
+                        <= {_GOPHER_MAX_SYMBOL}, FALSE) AS r_symbol,
              coalesce(len(list_filter(lines, l -> ltrim(l) LIKE '•%'
                                                 OR ltrim(l) LIKE '- %'))
                       / CAST(greatest(len(lines), 1) AS DOUBLE)
@@ -583,8 +585,8 @@ from biggis_landuse_spark.functions.text import (  # noqa: E402
     """,
     doc="""The Gopher document-quality rule suite (Rae et al. 2021,
     arXiv:2112.11446 A1.1) at the PUBLISHED thresholds: word count in
-    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
-    ('#' + '...') <= 0.1, <=90% bullet-started lines, <=30%
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratios
+    ('#' and '...', EACH) <= 0.1, <=90% bullet-started lines, <=30%
     ellipsis-ended lines, >=80% words containing a letter, >=2 of the
     8 required English stop words. One corpus scan, all predicates
     scan-local array expressions over one materialized token array,
@@ -947,7 +949,7 @@ def c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the next iteration with bit-identical weights.
 
 _QLR_ITERS = 3
-_QLR_STOP = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+_QLR_STOP = STOPWORDS_EN  # the shared stopword vocabulary
 _QLR_FEATS = ("f0", "f1", "f2", "f3", "f4")
 
 
@@ -977,9 +979,12 @@ def _qlr_dot_sql(w: str) -> str:
 
 
 def _qlr_grad_sql(prev_w: str, grad: str) -> str:
+    # coalesce: an EMPTY corpus yields NULL means — the zero gradient
+    # keeps the oracle on the engine's zero-model totality contract
     p = f"1.0 / (1.0 + exp(-({_qlr_dot_sql('w')})))"
     comps = ", ".join(
-        f"round(avg(({p} - y) * f{j}), 6) AS g{j}" for j in range(5)
+        f"round(coalesce(avg(({p} - y) * f{j}), 0.0), 6) AS g{j}"
+        for j in range(5)
     )
     return f"{grad} AS (SELECT {comps} FROM sf CROSS JOIN {prev_w} w)"
 

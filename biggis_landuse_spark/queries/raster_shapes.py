@@ -4594,7 +4594,8 @@ def _cassini_grid_oracle() -> str:
     ),
     s6 AS (
       SELECT degrees(phi1 - (nu1 * (sin(phi1) / cos(phi1)) / rho1)
-                     * (d * d / 2 - (1 + 3 * t1) * d * d * d * d / 24))
+                     * (d * d / 2
+                        - (1 + 3 * t1) * (d * d) * (d * d) / 24))
                AS lat,
              {p.lon0!r} + degrees(
                (d - t1 * d * (d * d) / 3
@@ -4717,7 +4718,7 @@ def _flow_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     Direction): per grid cell the steepest STRICTLY-downhill of the 8
     neighbors, -1 for pits/flats, rolled up to a per-direction census.
     Exact integers end to end: the slope comparison drop/√d² cross-
-    multiplies onto drop²·(3−d²) (d² ∈ {{1,2}}) and the arg-max +
+    multiplies onto drop²·(3−d²) (d² in 1,2) and the arg-max +
     lowest-index tie-break folds into ONE packed-BIGINT max — no
     float ordering, no window, no pixel self-join. One offset-explode
     equi-join against the grid (the proximity_grid discipline), one
@@ -4730,7 +4731,7 @@ def _flow_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d8_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggis_landuse_spark.operators.flow import d8_directions
 
-    directed = d8_directions(_flow_cells(spark, sf_dir), _FLOW_W)
+    directed = d8_directions(_flow_cells(spark, sf_dir))
     return directed.groupBy(
         F.col("dir").cast("long").alias("dir")
     ).agg(F.count(F.lit(1)).alias("n_cells"))
@@ -4760,15 +4761,15 @@ def d8_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN acc a ON a.v = CAST(c.gy * {_FLOW_W} + c.gx AS BIGINT)
     GROUP BY 1
     """,
-    doc="""Bounded-depth D8 flow accumulation (ArcGIS Flow
+    doc=f"""Bounded-depth D8 flow accumulation (ArcGIS Flow
     Accumulation, the upstream-contributor count): how many cells
     drain through each cell within {_FLOW_DEPTH} flow steps, rolled
     up to an accumulation histogram (unreached cells appear at 0 via
     the static-grid left join). Strictly-downhill edges make the flow
     graph a DAG, so the count is the exact number of (source,
     downstream) path pairs. {_FLOW_DEPTH} rounds of frontier ⋈ edges
-    pointer chasing with per-4-round localCheckpoint (the
-    connected_components lineage discipline); each round is one hash
+    pointer chasing with per-round localCheckpoint (tighter than
+    the connected_components every-N cadence; see operators/flow.py); each round is one hash
     equi-join on the cell id, work bounded by |edges|·depth — the
     bounded depth IS the 100-TB contract, full-basin = depth ≥ grid
     diameter. Oracle: depth-limited recursive CTE. Operator:
@@ -4784,7 +4785,7 @@ def flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cells = _flow_cells(spark, sf_dir)
-    directed = d8_directions(cells, _FLOW_W)
+    directed = d8_directions(cells)
     edges = flow_edges(directed, _FLOW_W)
     # the accumulation result is cell-bounded; materialize it so the
     # final broadcast join plans against a plain relation instead of
@@ -4854,7 +4855,7 @@ def watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cells = _flow_cells(spark, sf_dir)
-    directed = d8_directions(cells, _FLOW_W)
+    directed = d8_directions(cells)
     edges = flow_edges(directed, _FLOW_W)
     ids = cells.select(
         (F.col("gy") * _FLOW_W + F.col("gx")).cast("long").alias("u")

@@ -57,7 +57,7 @@ def test_d8_matches_float_reference_on_noisy_terrain(spark):
             for y in range(7)]
     got = {
         (r["gx"], r["gy"]): r["dir"]
-        for r in d8_directions(_cells_df(spark, grid), 9).collect()
+        for r in d8_directions(_cells_df(spark, grid)).collect()
     }
     assert got == _d8_reference(grid)
 
@@ -69,7 +69,7 @@ def test_d8_bowl_drains_to_center_and_accumulates(spark):
     grid = [[max(abs(x - 2), abs(y - 2)) * 10 for x in range(5)]
             for y in range(5)]
     cells = _cells_df(spark, grid)
-    directed = d8_directions(cells, 5)
+    directed = d8_directions(cells)
     dirs = {(r["gx"], r["gy"]): r["dir"] for r in directed.collect()}
     assert dirs[(2, 2)] == -1
     assert sum(1 for v in dirs.values() if v == -1) == 1
@@ -88,7 +88,7 @@ def test_flow_accumulation_depth_bounds_path_length(spark):
     # a straight monotone ramp: cell i flows to i+1; with depth D the
     # last cell sees exactly min(i, D) upstream contributors
     grid = [[50 - x for x in range(8)]]
-    edges = flow_edges(d8_directions(_cells_df(spark, grid), 8), 8)
+    edges = flow_edges(d8_directions(_cells_df(spark, grid)), 8)
     for depth in (1, 3, 7):
         acc = {
             r["v"]: r["acc"]
@@ -128,7 +128,7 @@ def test_watershed_bowl_single_basin(spark):
     grid = [[max(abs(x - 2), abs(y - 2)) * 10 for x in range(5)]
             for y in range(5)]
     cells = _cells_df(spark, grid)
-    directed = d8_directions(cells, 5)
+    directed = d8_directions(cells)
     edges = flow_edges(directed, 5)
     ids = cells.select(
         (F.col("gy") * 5 + F.col("gx")).cast("long").alias("u")
@@ -149,7 +149,7 @@ def test_watershed_two_basins_partition_the_grid(spark):
 
     grid = [[z(x, y) for x in range(10)] for y in range(5)]
     cells = _cells_df(spark, grid)
-    edges = flow_edges(d8_directions(cells, 10), 10)
+    edges = flow_edges(d8_directions(cells), 10)
     ids = cells.select(
         (F.col("gy") * 10 + F.col("gx")).cast("long").alias("u")
     )
