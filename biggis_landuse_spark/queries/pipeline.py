@@ -1049,10 +1049,11 @@ def _qlr_features(documents: DataFrame) -> DataFrame:
     )
 
 
-def _qlr_standardize(feats: DataFrame) -> DataFrame:
+def _qlr_standardize(feats: DataFrame) -> tuple[DataFrame, bool]:
     """z-score f1..f4 with 6dp-rounded mu/sd (the cross-engine sync;
     an 8-float driver collect — model-sized traffic). A zero sd
-    clamps to 1e-6, mirroring the oracle."""
+    clamps to 1e-6, mirroring the oracle. Returns (df, is_empty) —
+    an empty corpus yields NO model rows (the logreg_gd contract)."""
     row = feats.agg(
         *[
             x
@@ -1064,7 +1065,7 @@ def _qlr_standardize(feats: DataFrame) -> DataFrame:
         ]
     ).first()
     if row is None or row["mu1"] is None:
-        return feats  # empty corpus: standardization is a no-op
+        return feats, True  # empty corpus
     return feats.select(
         "f0",
         *[
@@ -1075,7 +1076,7 @@ def _qlr_standardize(feats: DataFrame) -> DataFrame:
             for j in range(1, 5)
         ],
         "y",
-    )
+    ), False
 
 
 def _qlr_train(feats: DataFrame) -> list[float]:
@@ -1103,12 +1104,13 @@ def _qlr_train(feats: DataFrame) -> list[float]:
     "quality_classifier_train",
     oracle=f"""
     WITH {_qlr_chain_sql()}
-    SELECT * FROM (
+    SELECT dim, weight FROM (
       {" UNION ALL ".join(
           f"SELECT {j} AS dim, round(w{j}, 6) AS weight FROM w{_QLR_ITERS}"
           for j in range(5)
       )}
-    )
+    ) CROSS JOIN (SELECT count(*) AS _n FROM sf) g
+    WHERE g._n > 0
     """,
     doc="""Train a document-quality classifier from heuristic labels
     (the FineWeb-Edu / fastText-filter distillation shape): label =
@@ -1127,7 +1129,10 @@ def quality_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    w = _qlr_train(_qlr_standardize(_qlr_features(documents)))
+    feats, empty = _qlr_standardize(_qlr_features(documents))
+    if empty:  # no training rows → no model (the logreg_gd contract)
+        return spark.createDataFrame([], "dim int, weight double")
+    w = _qlr_train(feats)
     out = [(j, round(w[j], 6)) for j in range(5)]
     return spark.createDataFrame(out, "dim int, weight double")
 
@@ -1159,7 +1164,7 @@ def quality_classifier_train(
 )
 def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
-    feats = _qlr_standardize(_qlr_features(documents))
+    feats, _empty = _qlr_standardize(_qlr_features(documents))
     w = _qlr_train(feats)
     dot = F.lit(w[0]) * F.col("f0")
     for j in range(1, 5):

@@ -43,6 +43,12 @@ PROBES = [
     "simhash_hamming_pairs",
     "proximity_grid",  # no cells, no targets → empty grid, not a crash
     "viewshed_grid",  # empty grid → empty observer row, not a crash
+    # r8 session-2 families, one probe each
+    "gopher_rules",  # NULL-safe rule flags over zero docs
+    "quality_classifier_train",  # empty corpus → the zero model
+    "flow_accumulation",  # no cells → no edges → empty histogram
+    "watershed_basins",  # pointer doubling over an empty parent map
+    "media_exif",  # mapInPandas kernel over zero rows
 ]
 
 
