@@ -175,3 +175,54 @@ def watershed_roots(edges: DataFrame, cells_ids: DataFrame,
             .localCheckpoint(eager=True)
         )
     return parent.select("u", F.col("v").alias("root"))
+
+
+def strahler_orders(edges: DataFrame, cells_ids: DataFrame,
+                    rounds: int = 8) -> DataFrame:
+    """(u, v) strictly-downhill edges + the full cell-id relation →
+    (u, o): the Strahler stream order of every cell (headwaters 1; a
+    confluence of >= 2 equal-order tributaries increments).
+
+    Monotone fixpoint iteration: every cell starts at 1 and each
+    round recomputes order from its tributaries' current orders —
+    max, plus one when the max is shared by two or more. Converges
+    once information has crossed the longest tributary chain; the
+    fixpoint is order-insensitive (max / count-at-max over the
+    collected tributary list, never a float or a position), so the
+    nondeterministic collect_list order cannot change the result.
+    Each round is one hash equi-join + a fan-in-bounded aggregate
+    (<= 8 tributaries per cell on a D8 graph) with the per-round
+    localCheckpoint discipline. ``rounds`` must cover the deepest
+    chain between confluences; tests pin convergence by comparing
+    against ``rounds + 2``.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    # the id relation re-enters every round's left join — checkpoint
+    # once so its synthesis plan doesn't re-embed per round
+    cells_ids = cells_ids.localCheckpoint(eager=True)
+    ord_df = cells_ids.select("u", F.lit(1).cast("int").alias("o"))
+    for _ in range(rounds):
+        ch = (
+            edges.join(
+                ord_df.select(
+                    F.col("u").alias("cu"), F.col("o").alias("co")
+                ),
+                edges["u"] == F.col("cu"),
+            )
+            .groupBy("v")
+            .agg(F.collect_list("co").alias("arr"))
+        )
+        mx = F.array_max("arr")
+        bump = (
+            F.size(F.filter(F.col("arr"), lambda x: x == F.array_max("arr")))
+            >= 2
+        ).cast("int")
+        ord_df = (
+            cells_ids.join(ch, cells_ids["u"] == ch["v"], "left")
+            .select(
+                cells_ids["u"],
+                F.coalesce(mx + bump, F.lit(1)).cast("int").alias("o"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ord_df

@@ -4862,3 +4862,85 @@ def watershed_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roots = watershed_roots(edges, ids, rounds=8)
     return roots.groupBy("root").agg(F.count(F.lit(1)).alias("n_cells"))
+
+
+_STRAHLER_ROUNDS = 8
+
+
+def _strahler_oracle() -> str:
+    """DuckDB replay of strahler_orders: the same monotone fixpoint,
+    unrolled — per round, each cell's order recomputes as
+    max(tributary orders) + 1 if that max is shared by >= 2
+    tributaries (list aggregation, order-insensitive like the
+    engine's collect_list fold)."""
+    rounds = []
+    for k in range(_STRAHLER_ROUNDS):
+        rounds.append(f"""
+    j{k + 1} AS (
+      SELECT e.v AS u, list(p.o) AS arr
+      FROM edges e JOIN ord{k} p ON p.u = e.u GROUP BY e.v
+    ),
+    ord{k + 1} AS (
+      SELECT i.u,
+             CAST(coalesce(
+               list_max(j.arr)
+               + CASE WHEN len(list_filter(j.arr,
+                                x -> x = list_max(j.arr))) >= 2
+                      THEN 1 ELSE 0 END, 1) AS INT) AS o
+      FROM ids i LEFT JOIN j{k + 1} j ON j.u = i.u
+    )""")
+    return f"""
+    WITH {_FLOW_CELLS_SQL},
+    edges AS (
+      SELECT CAST(d.gy * {_FLOW_W} + d.gx AS BIGINT) AS u,
+             CAST((d.gy + o.dy) * {_FLOW_W} + d.gx + o.dx AS BIGINT) AS v
+      FROM dirs d JOIN offs o ON o.dir = d.dir
+      WHERE d.dir >= 0
+    ),
+    ids AS (SELECT CAST(gy * {_FLOW_W} + gx AS BIGINT) AS u FROM cells),
+    ord0 AS (SELECT u, CAST(1 AS INT) AS o FROM ids),
+    {",".join(rounds)}
+    SELECT CAST(o AS BIGINT) AS strahler_order,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM ord{_STRAHLER_ROUNDS} GROUP BY 1
+    """
+
+
+@register(
+    "strahler_order",
+    oracle=_strahler_oracle(),
+    doc=f"""Strahler stream ordering over the D8 drainage network
+    (GRASS r.stream.order / the hydrology-textbook stream
+    classification): headwater cells are order 1 and a confluence of
+    two or more equal-order tributaries increments, rolled up to a
+    per-order cell census. Monotone fixpoint iteration
+    ({_STRAHLER_ROUNDS} rounds — tests pin convergence by comparing
+    +2 rounds): each round is ONE hash equi-join of the order vector
+    against the edge list plus a fan-in-bounded aggregate (<= 8
+    tributaries per cell on a D8 graph, so the collected list is
+    constant-size), per-round localCheckpoint keeps lineage flat.
+    The update (max / count-at-max over the tributary list) is
+    order-insensitive integer arithmetic, so the nondeterministic
+    collect order can never change a result. Completes the hydrology
+    family: direction → accumulation → basins → stream order.
+    Operator: operators/flow.py strahler_orders.""",
+    tags=("W1", "SPATIAL", "GRAPH"),
+    bench=True,
+)
+def strahler_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.flow import (
+        d8_directions,
+        flow_edges,
+        strahler_orders,
+    )
+
+    cells = _flow_cells(spark, sf_dir)
+    directed = d8_directions(cells)
+    edges = flow_edges(directed, _FLOW_W)
+    ids = cells.select(
+        (F.col("gy") * _FLOW_W + F.col("gx")).cast("long").alias("u")
+    )
+    orders = strahler_orders(edges, ids, rounds=_STRAHLER_ROUNDS)
+    return orders.groupBy(
+        F.col("o").cast("long").alias("strahler_order")
+    ).agg(F.count(F.lit(1)).alias("n_cells"))

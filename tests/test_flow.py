@@ -170,3 +170,69 @@ def test_watershed_registry_conserves_cells(spark):
     n_pits = sum(r["n_cells"] for r in dirs if r["dir"] == -1)
     assert sum(r["n_cells"] for r in basins) == n_cells
     assert len(basins) == n_pits  # exactly one basin per pit
+
+
+def test_strahler_on_crafted_confluence_tree(spark):
+    """A hand-built binary drainage tree: four headwater chains merge
+    pairwise into two order-2 streams, which merge into one order-3
+    trunk — the defining Strahler semantics, pinned exactly."""
+    from biggis_landuse_spark.operators.flow import strahler_orders
+
+    #   0   1   2   3     headwaters (order 1)
+    #    \ /     \ /
+    #     4       5       confluences (order 2)
+    #      \     /
+    #        6            confluence of two order-2 (order 3)
+    #        |
+    #        7            chain below the trunk (stays order 3)
+    edges = spark.createDataFrame(
+        [(0, 4), (1, 4), (2, 5), (3, 5), (4, 6), (5, 6), (6, 7)],
+        "u long, v long",
+    )
+    ids = spark.createDataFrame([(i,) for i in range(8)], "u long")
+    got = {r["u"]: r["o"] for r in strahler_orders(edges, ids, rounds=4).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_strahler_chain_stays_order_one(spark):
+    # a pure chain has no confluence: order 1 everywhere regardless
+    # of length (the property that distinguishes Strahler from depth)
+    from biggis_landuse_spark.operators.flow import strahler_orders
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "u long")
+    got = {r["u"]: r["o"] for r in strahler_orders(edges, ids, rounds=6).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_strahler_registry_converged_and_conserves(spark):
+    _ensure_loaded()
+    from biggis_landuse_spark.operators.flow import (
+        d8_directions,
+        flow_edges,
+        strahler_orders,
+    )
+    from biggis_landuse_spark.queries.raster_shapes import (
+        _FLOW_W,
+        _STRAHLER_ROUNDS,
+        _flow_cells,
+    )
+
+    census = REGISTRY["strahler_order"].spark(spark, SF).collect()
+    dirs = REGISTRY["d8_flow_direction"].spark(spark, SF).collect()
+    assert sum(r["n_cells"] for r in census) == sum(
+        r["n_cells"] for r in dirs
+    )
+    assert {r["strahler_order"] for r in census} >= {1}
+    # convergence pin: +2 rounds changes nothing
+    cells = _flow_cells(spark, SF)
+    edges = flow_edges(d8_directions(cells), _FLOW_W)
+    ids = cells.select(
+        (F.col("gy") * _FLOW_W + F.col("gx")).cast("long").alias("u")
+    )
+    a = sorted(map(tuple, strahler_orders(edges, ids, _STRAHLER_ROUNDS).collect()))
+    b = sorted(map(tuple, strahler_orders(edges, ids, _STRAHLER_ROUNDS + 2).collect()))
+    assert a == b
