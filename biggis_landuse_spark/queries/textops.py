@@ -90,6 +90,121 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(nw) AS BIGINT)   AS total_words,
+           CAST(sum(ns) AS BIGINT)   AS total_subtokens,
+           round(CAST(sum(ns) AS DOUBLE)
+                 / greatest(sum(nw), 1), 6) AS fertility
+    FROM (
+      SELECT lang,
+             len({_TOKS}) AS nw,
+             len(regexp_extract_all(text, '{_BPE_RE}')) AS ns
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    doc="""Tokenizer fertility per language (subtokens per whitespace
+    word — THE cross-lingual tokenizer-quality metric: fertility far
+    above ~1.3 means the vocabulary under-serves that language and
+    its texts cost proportionally more context window). One scan
+    computing both counts side by side, conditional aggregation to a
+    |lang|-row result — pure map-side reduce at 100 TB; the ratio is
+    a single IEEE division of exact integer sums.""",
+    tags=("TEXT",),
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    counted = documents.select(
+        "lang",
+        TX.token_count("text").alias("nw"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0))
+        ).alias("ns"),
+    )
+    return counted.groupBy("lang").agg(
+        F.sum("nw").cast("long").alias("total_words"),
+        F.sum("ns").cast("long").alias("total_subtokens"),
+        F.round(
+            F.sum("ns").cast("double")
+            / F.greatest(F.sum("nw"), F.lit(1)),
+            6,
+        ).alias("fertility"),
+    )
+
+
+# LSH parameter planning: the closed-form S-curve P(match) =
+# 1 − (1 − s^r)^b over a (bands, rows) grid, evaluated at the design
+# points a dedup pipeline cares about — the collision threshold
+# (1/b)^(1/r), the catch rate at the target similarity, and the
+# false-positive rate at a clearly-distinct similarity.
+_LSH_PLAN_SIGBITS = 120  # signature budget: b*r <= 120
+_LSH_PLAN_TARGET = 0.8  # near-dup similarity the index must catch
+_LSH_PLAN_REJECT = 0.4  # distinct-pair similarity it should ignore
+
+
+@register(
+    "lsh_parameter_plan",
+    oracle=f"""
+    WITH grid AS (
+      SELECT b.b, r.r
+      FROM (SELECT unnest(range(2, 61)) AS b) b,
+           (SELECT unnest(range(2, 13)) AS r) r
+      WHERE b.b * r.r <= {_LSH_PLAN_SIGBITS}
+    )
+    SELECT CAST(b AS BIGINT) AS bands,
+           CAST(r AS BIGINT) AS rows_per_band,
+           CAST(b * r AS BIGINT) AS signature_size,
+           round(pow(1.0 / b, 1.0 / r), 6) AS threshold,
+           round(1.0 - pow(1.0 - pow({_LSH_PLAN_TARGET}, CAST(r AS DOUBLE)),
+                           CAST(b AS DOUBLE)), 6) AS p_catch,
+           round(1.0 - pow(1.0 - pow({_LSH_PLAN_REJECT}, CAST(r AS DOUBLE)),
+                           CAST(b AS DOUBLE)), 6) AS p_false
+    FROM grid
+    WHERE 1.0 - pow(1.0 - pow({_LSH_PLAN_TARGET}, CAST(r AS DOUBLE)),
+                    CAST(b AS DOUBLE)) >= 0.9
+    """,
+    doc="""MinHash-LSH parameter planning: sweep every (bands, rows)
+    pair within a {_LSH_PLAN_SIGBITS}-hash signature budget through
+    the closed-form S-curve P = 1 − (1 − s^r)^b, keep the
+    configurations that catch >= 90% of pairs at the target
+    similarity {_LSH_PLAN_TARGET}, and report each one's collision
+    threshold and false-positive rate at similarity
+    {_LSH_PLAN_REJECT} — the design table an engineer reads before
+    committing a 100-TB dedup pass (dedup_precision_eval then
+    MEASURES the curve the plan predicts). A few hundred rows of
+    pure math: schema-bounded generate + filter, no data tables
+    touched at all.""",
+    tags=("DEDUP", "PIPELINE"),
+)
+def lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = (
+        spark.range(2, 61)
+        .select(F.col("id").alias("b"))
+        .crossJoin(spark.range(2, 13).select(F.col("id").alias("r")))
+        .where(F.col("b") * F.col("r") <= _LSH_PLAN_SIGBITS)
+    )
+    s_r = F.pow(F.lit(_LSH_PLAN_TARGET), F.col("r").cast("double"))
+    f_r = F.pow(F.lit(_LSH_PLAN_REJECT), F.col("r").cast("double"))
+    p_catch = 1.0 - F.pow(1.0 - s_r, F.col("b").cast("double"))
+    p_false = 1.0 - F.pow(1.0 - f_r, F.col("b").cast("double"))
+    return (
+        grid.where(p_catch >= 0.9)
+        .select(
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            (F.col("b") * F.col("r")).alias("signature_size"),
+            F.round(
+                F.pow(1.0 / F.col("b"), 1.0 / F.col("r")), 6
+            ).alias("threshold"),
+            F.round(p_catch, 6).alias("p_catch"),
+            F.round(p_false, 6).alias("p_false"),
+        )
+    )
+
+
+@register(
     "quality_score",
     oracle=f"""
     SELECT source,

@@ -340,3 +340,34 @@ def test_quality_classifier_grad_is_partial_agg(plan_of):
     plan = plan_of("quality_classifier_eval")
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+# -- tokenizer_fertility / lsh_parameter_plan -------------------------------
+
+
+def test_tokenizer_fertility_bounds(run):
+    rows = run("tokenizer_fertility").collect()
+    assert rows
+    for r in rows:
+        # the BPE pre-tokenizer never merges whitespace words, so
+        # fertility is >= 1 on an all-letters corpus
+        assert r["total_subtokens"] >= r["total_words"] > 0
+        assert r["fertility"] >= 1.0
+
+
+def test_lsh_parameter_plan_s_curve_properties(run):
+    rows = run("lsh_parameter_plan").collect()
+    assert rows
+    by_key = {(r["bands"], r["rows_per_band"]): r for r in rows}
+    assert (20, 5) in by_key  # the canonical 100-hash configuration
+    for r in rows:
+        assert r["p_catch"] >= 0.9
+        assert r["signature_size"] <= 120
+        assert 0.0 < r["threshold"] < 1.0
+        assert r["p_false"] <= r["p_catch"]
+    # monotone in bands at fixed rows: more bands catch more
+    for rr in {k[1] for k in by_key}:
+        seq = sorted(
+            (k[0], v["p_catch"]) for k, v in by_key.items() if k[1] == rr
+        )
+        assert all(a[1] <= b[1] + 1e-9 for a, b in zip(seq, seq[1:]))
