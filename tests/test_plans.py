@@ -269,6 +269,7 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
     # and a BroadcastNestedLoopJoin is legal ONLY for the deliberate
     # bounded-side broadcasts (1-row global stats / bounded query sets)
     BNLJ_OK = {
+        "lsh_parameter_plan",  # 59x11 literal parameter grid, no data tables
         "knn_cosine",  # broadcast bounded query side, by design
         "knn_label_predict",  # same bounded query-side broadcast as knn_cosine
         "nearest_station",  # broadcast K-station table (bounded by contract)
