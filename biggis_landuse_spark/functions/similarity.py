@@ -926,11 +926,18 @@ def ivf_topk_hier_trained(
     n_probe_coarse: int | None = None,
     n_probe: int = 8,
     iters: int = 2,
+    codebooks: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Two-level IVF top-k over a TRAINED hierarchical codebook (r8,
     VERDICT r7 #2): Lloyd coarse + per-cell residual-Lloyd fines
     (:func:`hier_codebook_trained`), explicit parent mapping, then the
     standard fine-cell equi-join candidate contract.
+
+    ``codebooks`` (r9, VERDICT r8 #3): pass a pre-trained
+    ``(fines, coarse)`` pair — e.g. loaded via
+    ``ml.index_store.load_hier_index`` — to SKIP training and go
+    straight to assignment + probing; the production train-once /
+    probe-many shape. ``kc``/``kf``/``iters`` are ignored when given.
 
     Asymmetric probing — the design point the r7 measurement forced:
     CORPUS assignment (the n-row, cost-dominant side) prunes
@@ -945,9 +952,12 @@ def ivf_topk_hier_trained(
     constant and the same plan prunes both sides."""
     npc = kc if n_probe_coarse is None else n_probe_coarse
     v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
-    fines, coarse = hier_codebook_trained(
-        v, kc=kc, kf=kf, iters=iters, vec_col="vec"
-    )
+    if codebooks is not None:
+        fines, coarse = codebooks
+    else:
+        fines, coarse = hier_codebook_trained(
+            v, kc=kc, kf=kf, iters=iters, vec_col="vec"
+        )
     garr = hier_codebook_from_parents(fines, coarse)
     assign = ivf_assign_hier(
         v, fines, coarse, id_col=id_col,

@@ -22,6 +22,9 @@ shuffle-bounded compositions:
   depth ≥ grid diameter; at 100 TB the bounded depth IS the scale
   contract (work is |edges|·depth worst case, each round one hash
   equi-join on the cell key).
+- :func:`flow_accumulation_full`: the same counts over the WHOLE flow
+  path via pointer doubling — O(log L) shuffle rounds for horizon L,
+  the scale path when flow paths run thousands of cells.
 """
 
 from __future__ import annotations
@@ -45,7 +48,25 @@ def d8_directions(cells: DataFrame) -> DataFrame:
     Neighbors resolve through ONE equi-join of the 8-way offset
     explode against the grid; the arg-max folds into
     max(drop²·(3−d²)·8 + (7−dir)) — exact integers end to end.
+
+    Contract: the |drop| between neighbors must stay <= ~7.6e8
+    (sqrt(2^63 / 16)) or the packed key drop²·(3−d²)·8 overflows
+    BIGINT and picks a wrong direction, so |elev| is guarded at
+    3.8e8 (any drop then fits). Any real DEM (Everest in millimeters
+    is 8.8e6) is orders of magnitude inside the bound; it is asserted
+    here because the declared elev domain (bigint) would otherwise
+    permit silent wraparound.
     """
+    # cheap row-local guard: passes every in-domain value through,
+    # fails loudly on a domain violation instead of returning a wrong
+    # arg-max
+    cells = cells.withColumn(
+        "elev",
+        F.when(F.abs(F.col("elev")) <= F.lit(380_000_000), F.col("elev"))
+        .otherwise(F.raise_error(F.lit(
+            "d8_directions: |elev| exceeds the 3.8e8 packed-key bound"
+        ))),
+    )
     offs = F.array(
         *[
             F.struct(
@@ -146,8 +167,72 @@ def flow_accumulation(edges: DataFrame, depth: int) -> DataFrame:
     return allp.groupBy("v").agg(F.count(F.lit(1)).alias("acc"))
 
 
+def flow_accumulation_full(edges: DataFrame,
+                           max_rounds: int = 16,
+                           stats: dict | None = None) -> DataFrame:
+    """(u, v) strictly-downhill edges → (v, acc): upstream-contributor
+    counts over the FULL flow horizon — every path length — in
+    O(log L) pointer-DOUBLING rounds where :func:`flow_accumulation`
+    pays one shuffle round per step.
+
+    The D8 graph is functional (<= 1 outgoing edge per cell), so two
+    relations suffice: ``jump`` holds (u, node exactly 2^k steps
+    downstream) — cells whose path is shorter simply drop out — and
+    ``closure`` holds every (u, w) at distance 1..2^k. One round
+    extends both with one hash equi-join each: pairs at distance
+    (2^k, 2^(k+1)] are jump ∘ closure, the next jump is jump ∘ jump.
+    Strictly-decreasing elevation makes the graph a DAG with a unique
+    path per source, so every (u, w) pair appears exactly once and
+    count(*) per target is the exact contributor count — identical
+    output to the bounded form at depth >= the longest path, reached
+    in ceil(log2 L) rounds instead of L. The loop stops early when
+    ``jump`` drains (2^k passed the longest path); ``max_rounds``=16
+    covers diameter 65536. Per-round eager localCheckpoint on BOTH
+    relations keeps lineage and task binaries flat (the
+    flow_accumulation discipline: unchecked, each union branch
+    re-embeds the whole upstream plan into task binaries).
+
+    ``stats`` (optional dict) receives ``{"rounds": r}`` — the number
+    of doubling rounds actually run before the jump relation drained;
+    the scale probe records it so round-count growth vs grid size is
+    measured, not asserted.
+    """
+    closure = edges.localCheckpoint(eager=True)
+    jump = closure
+    rounds_run = 0
+    for _ in range(max_rounds):
+        mid = jump.select("u", F.col("v").alias("m"))
+        ext = (
+            mid.join(
+                closure.select(
+                    F.col("u").alias("m"), F.col("v").alias("w")
+                ),
+                "m",
+            )
+            .select("u", F.col("w").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        nxt_jump = (
+            mid.join(
+                jump.select(F.col("u").alias("m"), F.col("v").alias("w")),
+                "m",
+            )
+            .select("u", F.col("w").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        closure = closure.unionByName(ext).localCheckpoint(eager=True)
+        jump = nxt_jump
+        rounds_run += 1
+        if jump.isEmpty():
+            break
+    if stats is not None:
+        stats["rounds"] = rounds_run
+    return closure.groupBy("v").agg(F.count(F.lit(1)).alias("acc"))
+
+
 def watershed_roots(edges: DataFrame, cells_ids: DataFrame,
-                    rounds: int = 8) -> DataFrame:
+                    rounds: int = 8, early_stop: bool = False,
+                    stats: dict | None = None) -> DataFrame:
     """(u, v) strictly-downhill edges + the full cell-id relation →
     (u, root): the terminal pit each cell ultimately drains to.
 
@@ -160,25 +245,46 @@ def watershed_roots(edges: DataFrame, cells_ids: DataFrame,
     rounds = ceil(log2(diameter))). The same per-round
     localCheckpoint discipline as connected_components keeps lineage
     and task binaries flat.
+
+    ``early_stop=True`` breaks once a doubling round changes no
+    parent (every pointer reached its self-looping pit) at the cost
+    of one changed-row count per round; ``stats`` then receives the
+    measured ``{"rounds": r}`` for the scale probe.
     """
     pits = cells_ids.join(edges.select("u").distinct(), "u", "left_anti")
     parent = edges.unionByName(
         pits.select("u", F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
+    rounds_run = 0
     for _ in range(rounds):
-        hop = parent.select(
-            F.col("u").alias("v"), F.col("v").alias("w")
-        )
+        prev = parent
         parent = (
-            parent.join(hop, "v")
+            parent.join(
+                parent.select(
+                    F.col("u").alias("v"), F.col("v").alias("w")
+                ),
+                "v",
+            )
             .select("u", F.col("w").alias("v"))
             .localCheckpoint(eager=True)
         )
+        rounds_run += 1
+        if early_stop:
+            converged = (
+                parent.join(prev.withColumnRenamed("v", "pv"), "u")
+                .where(F.col("v") != F.col("pv"))
+                .isEmpty()
+            )
+            if converged:
+                break
+    if stats is not None:
+        stats["rounds"] = rounds_run
     return parent.select("u", F.col("v").alias("root"))
 
 
 def strahler_orders(edges: DataFrame, cells_ids: DataFrame,
-                    rounds: int = 8) -> DataFrame:
+                    rounds: int = 8, early_stop: bool = False,
+                    stats: dict | None = None) -> DataFrame:
     """(u, v) strictly-downhill edges + the full cell-id relation →
     (u, o): the Strahler stream order of every cell (headwaters 1; a
     confluence of >= 2 equal-order tributaries increments).
@@ -195,12 +301,21 @@ def strahler_orders(edges: DataFrame, cells_ids: DataFrame,
     localCheckpoint discipline. ``rounds`` must cover the deepest
     chain between confluences; tests pin convergence by comparing
     against ``rounds + 2``.
+
+    ``early_stop=True`` adds one cheap changed-row count per round
+    (an anti-join of consecutive checkpointed order vectors) and
+    breaks at the fixpoint; ``stats`` then receives
+    ``{"rounds": r}`` — the measured rounds-to-convergence the scale
+    probe records. The oracle-replayed registry query keeps the
+    fixed-rounds form (early_stop=False) so DuckDB unrolls the exact
+    same number of iterations.
     """
     edges = edges.localCheckpoint(eager=True)
     # the id relation re-enters every round's left join — checkpoint
     # once so its synthesis plan doesn't re-embed per round
     cells_ids = cells_ids.localCheckpoint(eager=True)
     ord_df = cells_ids.select("u", F.lit(1).cast("int").alias("o"))
+    rounds_run = 0
     for _ in range(rounds):
         ch = (
             edges.join(
@@ -217,6 +332,7 @@ def strahler_orders(edges: DataFrame, cells_ids: DataFrame,
             F.size(F.filter(F.col("arr"), lambda x: x == F.array_max("arr")))
             >= 2
         ).cast("int")
+        prev = ord_df
         ord_df = (
             cells_ids.join(ch, cells_ids["u"] == ch["v"], "left")
             .select(
@@ -225,4 +341,17 @@ def strahler_orders(edges: DataFrame, cells_ids: DataFrame,
             )
             .localCheckpoint(eager=True)
         )
+        rounds_run += 1
+        if early_stop:
+            # both sides are checkpointed plain relations, so the
+            # changed-row count is one hash join, not a plan replay
+            converged = (
+                ord_df.join(prev.withColumnRenamed("o", "po"), "u")
+                .where(F.col("o") != F.col("po"))
+                .isEmpty()
+            )
+            if converged:
+                break
+    if stats is not None:
+        stats["rounds"] = rounds_run
     return ord_df

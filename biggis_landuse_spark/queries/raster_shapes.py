@@ -4804,6 +4804,68 @@ def flow_accumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "flow_accumulation_full",
+    oracle=f"""
+    WITH RECURSIVE {_FLOW_CELLS_SQL},
+    edges AS (
+      SELECT CAST(d.gy * {_FLOW_W} + d.gx AS BIGINT) AS u,
+             CAST((d.gy + o.dy) * {_FLOW_W} + d.gx + o.dx AS BIGINT) AS v
+      FROM dirs d JOIN offs o ON o.dir = d.dir
+      WHERE d.dir >= 0
+    ),
+    paths AS (
+      SELECT u, v FROM edges
+      UNION ALL
+      SELECT p.u, e.v FROM paths p JOIN edges e ON e.u = p.v
+    ),
+    acc AS (SELECT v, count(*) AS n FROM paths GROUP BY v)
+    SELECT CAST(coalesce(a.n, 0) AS BIGINT) AS acc,
+           CAST(count(*) AS BIGINT)         AS n_cells
+    FROM cells c
+    LEFT JOIN acc a ON a.v = CAST(c.gy * {_FLOW_W} + c.gx AS BIGINT)
+    GROUP BY 1
+    """,
+    doc="""FULL-horizon D8 flow accumulation (the standard hydrology
+    product: upstream-contributor counts over the WHOLE flow path, no
+    depth bound), rolled up to the same accumulation histogram as the
+    bounded query. Pointer DOUBLING instead of step-per-round chasing:
+    a ``jump`` relation (node exactly 2^k steps downstream) composes
+    with itself each round, so the full transitive closure of the
+    functional flow graph lands in ceil(log2 L) shuffle rounds — at
+    Landsat-scene grids where flow paths run thousands of cells that
+    is ~12 rounds, not thousands. The strictly-downhill DAG guarantees
+    one path per source, so closure pairs are unique and count(*) per
+    target is exact; the loop drains (jump empties) rather than
+    trusting a preset horizon. Per-round localCheckpoint on both
+    relations keeps task binaries flat. Oracle: walk-to-fixpoint
+    recursive CTE (no depth cap). Operator:
+    operators/flow.py flow_accumulation_full.""",
+    tags=("W1", "SPATIAL", "GRAPH"),
+    bench=True,
+)
+def flow_accumulation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.operators.flow import (
+        d8_directions,
+        flow_accumulation_full as _facc_full,
+        flow_edges,
+    )
+
+    cells = _flow_cells(spark, sf_dir)
+    directed = d8_directions(cells)
+    edges = flow_edges(directed, _FLOW_W)
+    acc = _facc_full(edges).localCheckpoint(eager=True)
+    ids = cells.select(
+        (F.col("gy") * _FLOW_W + F.col("gx")).cast("long").alias("v")
+    )
+    return (
+        ids.join(acc, "v", "left")
+        .select(F.coalesce("acc", F.lit(0)).cast("long").alias("acc"))
+        .groupBy("acc")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
+@register(
     "watershed_basins",
     oracle=f"""
     WITH RECURSIVE {_FLOW_CELLS_SQL},

@@ -805,6 +805,83 @@ def ann_ivf2_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# train-once / probe-many artifact cache (r9, VERDICT r8 #3): one
+# persisted index per (process, sf_dir); the disk artifact is what a
+# production deployment would register in its catalog
+_HIER_INDEX_DIRS: dict[str, str] = {}
+
+
+def _persisted_hier_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """First call per (process, sf_dir) trains the two-level codebook
+    and persists it through ml.index_store; every later call loads the
+    model-sized parquet artifact — so the persisted query's bench
+    timing measures PROBING with training amortized to zero (the
+    production shape; ann_ivf2_trained_topk keeps the full in-query
+    training for oracle replayability)."""
+    import tempfile
+
+    from biggis_landuse_spark.ml.index_store import (
+        load_hier_index,
+        save_hier_index,
+    )
+
+    path = _HIER_INDEX_DIRS.get(sf_dir)
+    if path is None:
+        (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+        v = embeddings.select(
+            "vec_id", S.as_double("embedding").alias("vec")
+        )
+        fines, coarse = S.hier_codebook_trained(
+            v, kc=KC2T, kf=KF2T, iters=_H2_ITERS, vec_col="vec"
+        )
+        path = tempfile.mkdtemp(prefix="biggis-hier-index-")
+        save_hier_index(
+            fines, coarse, path,
+            params={"kc": KC2T, "kf": KF2T, "iters": _H2_ITERS,
+                    "trained_on": sf_dir},
+        )
+        _HIER_INDEX_DIRS[sf_dir] = path
+    fines, coarse, _meta = load_hier_index(spark, path)
+    return fines, coarse
+
+
+@register(
+    "ann_ivf2_persisted_topk",
+    oracle=_hier2_trained_sql() + f"""
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos_sim
+    FROM hivf WHERE rank <= {K}
+    """,
+    doc="""Two-level IVF ANN probing a PERSISTED trained index (r9,
+    VERDICT r8 #3 — the model.save analog for ANN): the codebook is
+    trained ONCE per process, written through ml/index_store (fines +
+    coarse as single-file parquet plus a parameter manifest — exact
+    array<double> round-trip on any Hadoop scheme), and every
+    invocation LOADS the model-sized artifact and goes straight to
+    assignment + probing via ivf_topk_hier_trained(codebooks=...).
+    Results are bit-identical to ann_ivf2_trained_topk (training is
+    deterministic and parquet round-trips doubles exactly — pinned in
+    tests), so the same training-replay oracle applies; what changes
+    is the COST SHAPE: Lloyd rounds leave the per-query critical path,
+    which is the 100 TB contract — train on the bounded sample once,
+    probe from a KB-sized broadcastable artifact forever. Bench time
+    for this query is probe-only (the r8 verdict's ask: trained-IVF's
+    5.5 s was almost entirely re-training).""",
+    tags=("ANN", "ML"),
+    bench=True,
+)
+def ann_ivf2_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    codebooks = _persisted_hier_codebooks(spark, sf_dir)
+    return S.ivf_topk_hier_trained(
+        queries, embeddings, kc=KC2T, kf=KF2T, k=K,
+        n_assign_coarse=NCC2T, n_probe=NPF2T, iters=_H2_ITERS,
+        codebooks=codebooks,
+    )
+
+
 @register(
     "ann_ivf2_recall_eval",
     oracle=_hier2_trained_sql() + f"""
