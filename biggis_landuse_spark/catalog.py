@@ -135,9 +135,13 @@ class LayerCatalog:
         metadata row.
 
         ``index_method``: "zorder" (default, Morton interleave) or
-        "hilbert" (exact parity with the reference's
-        HilbertKeyIndexMethod, api/package.scala:152 — better range
-        locality, same disjoint-file-range write contract).
+        "hilbert" (locality-equivalent Hilbert keying — the same
+        disjoint-file-range write contract and range locality as the
+        reference's HilbertKeyIndexMethod, api/package.scala:152; the
+        reference's uzaygezen compact-Hilbert index values generally
+        differ in curve orientation from the classic xy2d transform
+        used here, and the keys are internal sort keys, so index-value
+        parity is neither claimed nor needed).
 
         Reference: writeRddToLayer (api/package.scala:130-180) = SFC
         index + Avro write + histogram attribute; here the SFC is a

@@ -92,6 +92,11 @@ def parse_exif(data: bytes) -> dict[str, object]:
         while pos + 4 <= len(data):
             if data[pos] != 0xFF:
                 break
+            # optional 0xFF fill bytes may pad any marker
+            # (T.81 B.1.1.2): advance to the last 0xFF so the byte
+            # after it is the real marker, not another fill byte
+            while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+                pos += 1
             marker = data[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
                 pos += 2

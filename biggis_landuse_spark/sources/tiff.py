@@ -9,7 +9,9 @@ baseline plus the GeoTIFF georeferencing tags:
 - classic TIFF, little- or big-endian (``II``/``MM``, magic 42), and\n  BigTIFF (magic 43, 8-byte offsets) read + write — the layout\n  >4 GB rasters ship in at 100 TB scale;
 - stripped (RowsPerStrip) and tiled (TileWidth/TileLength) layouts;
 - compression: none (1), zlib/deflate (8, 32946), LZW (5), PackBits
-  (32773) and new-style JPEG (7, sources/jpeg.py — baseline streams
+  (32773), old-style JPEG (6 — TTN2-deprecated but alive in scanned
+  archives: full-interchange-stream and tables-split-strip flavors,
+  read-only) and new-style JPEG (7, sources/jpeg.py — baseline streams
   per segment for 8-bit samples, LOSSLESS SOF3 streams for 16-bit
   (the DNG/medical shape, r8 s2), abbreviated JPEGTables tag 347
   honored); old-style JPEG (6) raises;
@@ -50,6 +52,14 @@ ROWS_PER_STRIP = 278
 STRIP_BYTE_COUNTS = 279
 PLANAR_CONFIG = 284
 PREDICTOR = 317
+JPEG_PROC = 512
+JPEG_INTERCHANGE_FORMAT = 513
+JPEG_INTERCHANGE_FORMAT_LENGTH = 514
+JPEG_RESTART_INTERVAL = 515
+JPEG_QTABLES = 519
+JPEG_DCTABLES = 520
+JPEG_ACTABLES = 521
+YCBCR_SUBSAMPLING = 530
 TILE_WIDTH = 322
 TILE_LENGTH = 323
 TILE_OFFSETS = 324
@@ -233,8 +243,8 @@ def _decompress(
         return buf
     if comp == 6:
         raise TiffFormatError(
-            "old-style JPEG (compression 6) is deprecated by TIFF TN2 "
-            "and not supported; re-encode as new-style JPEG (7)"
+            "old-style JPEG (compression 6) segments need the 512/513/"
+            "519-521 tag context; decode through decode_tiff"
         )
     raise TiffFormatError(
         f"compression {comp} not supported "
@@ -255,6 +265,161 @@ def _undo_predictor(arr: np.ndarray, predictor: int) -> np.ndarray:
     raise TiffFormatError(f"predictor {predictor} not supported")
 
 
+def _jseg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _oldstyle_huff(data: bytes, off: int) -> bytes:
+    """Raw old-style Huffman table at ``off``: 16 BITS bytes + the
+    HUFFVAL bytes they count (TIFF 6.0 §22 JPEGDCTables format — the
+    DHT payload minus the Tc/Th byte)."""
+    bits = data[off : off + 16]
+    if len(bits) < 16:
+        raise TiffFormatError("old-style JPEG Huffman table truncated")
+    return data[off : off + 16 + sum(bits)]
+
+
+def _decode_oldstyle_jpeg(
+    data: bytes, tags: dict, w: int, h: int, spp: int
+) -> np.ndarray:
+    """TIFF 6.0 §22 old-style JPEG (compression 6, deprecated by TTN2
+    but common in scanned archives) → (spp, h, w) float64.
+
+    Two wild flavors, both handled; anything else refuses with a typed
+    error (refusal beats a wrong decode — the r8 codec discipline):
+
+    - **Full interchange stream** (tag 513/514): one complete
+      SOI..EOI stream covers the whole image; strip pointers (which
+      usually alias into the same bytes) are ignored. Decoded by the
+      in-repo T.81 engine (sources/jpeg.py) and cropped to the
+      declared extent; a lossless (SOF3) stream rides the same path
+      via the 16-bit decoder.
+    - **Tables-split strips** (tags 519/520/521 + entropy-only strip
+      data): each strip is a bare entropy-coded scan; a conforming
+      stream is STITCHED around it — DQT/DHT synthesized from the raw
+      table payloads with table id = component index, DRI from tag
+      515, SOF0/SOS sized to the strip (Y sampling from tag 530,
+      default 2x2) — then decoded like any abbreviated JPEG. Strips
+      that carry their own SOI decode directly.
+
+    3-component strips must be photometric YCbCr (6) and return RGB
+    after upsampling + color conversion — the libtiff
+    JPEGCOLORMODE_RGB contract the reference's readers rely on.
+    Old-style lossless STRIPS (JPEGProc 14 without 513), arithmetic
+    coding, and 12-bit precision stay typed refusals in the JPEG
+    engine. Ref parity: UtilsGeoTiff reads whatever GeoTools'
+    ImageIO-ext accepts, which includes these legacy archives.
+    """
+    from biggis_landuse_spark.sources.jpeg import (
+        decode_jpeg,
+        decode_jpeg_lossless,
+    )
+
+    if TILE_WIDTH in tags:
+        raise TiffFormatError(
+            "old-style JPEG (compression 6) tiled layout not supported"
+        )
+    if tags.get(PLANAR_CONFIG, [1])[0] != 1:
+        raise TiffFormatError(
+            "old-style JPEG (compression 6) requires chunky planar config"
+        )
+    out = np.empty((spp, h, w), dtype=np.float64)
+    proc = tags.get(JPEG_PROC, [1])[0]
+
+    if JPEG_INTERCHANGE_FORMAT in tags:
+        off = tags[JPEG_INTERCHANGE_FORMAT][0]
+        ln = tags.get(
+            JPEG_INTERCHANGE_FORMAT_LENGTH, [len(data) - off]
+        )[0]
+        stream = data[off : min(off + ln, len(data))]
+        if stream[:2] != b"\xff\xd8":
+            raise TiffFormatError(
+                "JPEGInterchangeFormat does not point at an SOI"
+            )
+        if proc == 14:
+            _jw, _jh, _c, arr = decode_jpeg_lossless(stream)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+        else:
+            jw, jh, c, buf = decode_jpeg(stream)
+            arr = np.frombuffer(buf, np.uint8).reshape(jh, jw, c)
+        if arr.shape[0] < h or arr.shape[1] < w or arr.shape[2] < spp:
+            raise TiffFormatError(
+                "old-style JPEG stream smaller than the declared extent"
+            )
+        for s in range(spp):
+            out[s] = arr[:h, :w, s]
+        return out
+
+    if proc != 1:
+        raise TiffFormatError(
+            f"old-style JPEG proc {proc} strips not supported "
+            "(baseline sequential only)"
+        )
+    if STRIP_OFFSETS not in tags:
+        raise TiffFormatError("old-style JPEG: no interchange stream "
+                              "and no strips")
+    if spp not in (1, 3):
+        raise TiffFormatError(
+            "old-style JPEG strips carry 1 (gray) or 3 (YCbCr) samples"
+        )
+    if spp == 3 and tags.get(PHOTOMETRIC, [6])[0] != 6:
+        raise TiffFormatError(
+            "3-sample old-style JPEG strips must be photometric YCbCr"
+        )
+    qts = [data[o : o + 64] for o in tags.get(JPEG_QTABLES, [])]
+    dcs = [_oldstyle_huff(data, o) for o in tags.get(JPEG_DCTABLES, [])]
+    acs = [_oldstyle_huff(data, o) for o in tags.get(JPEG_ACTABLES, [])]
+    if len(qts) < spp or len(dcs) < spp or len(acs) < spp:
+        raise TiffFormatError(
+            "old-style JPEG strips need per-component "
+            "JPEGQTables/JPEGDCTables/JPEGACTables"
+        )
+    restart = tags.get(JPEG_RESTART_INTERVAL, [0])[0]
+    sub = tags.get(YCBCR_SUBSAMPLING, [2, 2])
+    prefix = bytearray(b"\xff\xd8")
+    for i in range(spp):
+        prefix += _jseg(0xDB, bytes([i]) + qts[i])
+        prefix += _jseg(0xC4, bytes([i]) + dcs[i])
+        prefix += _jseg(0xC4, bytes([0x10 | i]) + acs[i])
+    if restart:
+        prefix += _jseg(0xDD, struct.pack(">H", restart))
+    if spp == 1:
+        comps = [(0, 1, 1)]
+    else:
+        comps = [(0, sub[0], sub[1]), (1, 1, 1), (2, 1, 1)]
+    rps = tags.get(ROWS_PER_STRIP, [h])[0]
+    offs, cnts = tags[STRIP_OFFSETS], tags[STRIP_BYTE_COUNTS]
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        y0 = i * rps
+        rows = min(rps, h - y0)
+        sdata = data[o : o + c]
+        if sdata[:2] == b"\xff\xd8":
+            # non-conforming writers emit a full stream per strip
+            jw, jh, ch, buf = decode_jpeg(sdata)
+        else:
+            sof = struct.pack(">BHHB", 8, rows, w, spp)
+            for cid, chs, cvs in comps:
+                sof += bytes([cid, (chs << 4) | cvs, cid])
+            sos = bytes([spp])
+            for cid, _chs, _cvs in comps:
+                sos += bytes([cid, (cid << 4) | cid])
+            sos += b"\x00\x3f\x00"
+            stream = bytes(prefix) + _jseg(0xC0, sof) + _jseg(0xDA, sos)
+            stream += sdata
+            if not sdata.rstrip(b"\x00").endswith(b"\xff\xd9"):
+                stream += b"\xff\xd9"
+            jw, jh, ch, buf = decode_jpeg(stream)
+        if ch < spp or jw < w or jh < rows:
+            raise TiffFormatError(
+                "old-style JPEG strip decodes smaller than its extent"
+            )
+        arr = np.frombuffer(buf, np.uint8).reshape(jh, jw, ch)
+        for s in range(spp):
+            out[s, y0 : y0 + rows, :] = arr[:rows, :w, s]
+    return out
+
+
 def decode_tiff(data: bytes) -> list[np.ndarray]:
     """Decode the first image to a list of (height, width) float64
     arrays, one per band."""
@@ -271,6 +436,9 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     planar = tags.get(PLANAR_CONFIG, [1])[0]
     predictor = tags.get(PREDICTOR, [1])[0]
     dt = _np_dtype(order, bits[0], fmts[0])
+    if comp == 6:  # old-style JPEG: tag-driven, not a segment codec
+        old = _decode_oldstyle_jpeg(data, tags, w, h, spp)
+        return [old[b] for b in range(spp)]
     jpeg_tables = None
     if comp == 7:
         if bits[0] not in (8, 16) or fmts[0] != 1:

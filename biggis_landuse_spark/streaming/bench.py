@@ -12,6 +12,10 @@ BENCH_r{N}.json. This module gives bench.py three deterministic legs:
   merge)
 - ``tile_reassembly``: pixel stream → reassemble_tiles_stream
   (applyInPandasWithState custom state, Arrow-batched)
+- ``tile_reassembly_scene`` (r9): the same operator at 256x256 tiles
+  — the 16x16 leg is micro-batch-latency bound, so kernel
+  regressions only show at real tile sizes (the r8 kernel ran 97x
+  slower here; SCALING.md "Streaming reassembly profile")
 
 Each leg synthesizes its input ONCE as K parquet files (K micro-
 batches via maxFilesPerTrigger=1), runs the stream with a foreachBatch
@@ -165,6 +169,29 @@ def run_streaming_bench(
             "rows": n_px,
             "sec": round(sec, 3),
             "rows_per_sec": round(n_px / sec),
+        }
+
+        # scene-tile leg (r9, VERDICT r8 #5): 8 tiles of 256x256 — the
+        # tile size real scenes ship. The 16x16 leg above is micro-
+        # batch-latency bound (4 batches x ~1.2 s floor, whatever the
+        # kernel costs); THIS leg is kernel-bound, where the r9 dense-
+        # state numpy-scatter rewrite measured 97x over the r8 dict +
+        # per-element map_from_arrays densify (1.2k -> 114k rows/s;
+        # SCALING.md "Streaming reassembly profile").
+        px2_src = f"{root}/pixels_scene"
+        n_px2 = 8 * 256 * 256
+        _write_pixel_files(spark, px2_src, 8, 256, n_files)
+        px2_stream = (
+            spark.readStream.schema(PIXEL_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(px2_src)
+        )
+        tiles2 = reassemble_tiles_stream(px2_stream, cols=256, rows=256)
+        sec = _drive(tiles2, f"{root}/ck_tiles_scene", "append")
+        out["tile_reassembly_scene"] = {
+            "rows": n_px2,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(n_px2 / sec),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -14,17 +14,31 @@ the batch reassembly semantics (pixeling.pixels_to_tiles) — so batch
 and stream produce identical tiles on the same input, which is exactly
 what tests/test_streaming.py asserts.
 
-Implementation note — why the UDF emits sparse (idx, vals) instead of
-dense band arrays: PySpark's applyInPandasWithState Arrow writer
-mis-encodes missing elements inside nested array<array<double>> output
-columns (both None and NaN arrive as nulls that the JVM state-output
-reader fails to decode: "IllegalStateException: Value at index is
-null" → EXPRESSION_DECODING_FAILED). The UDF therefore returns only
-the cells it has — two flat, null-free arrays — and the dense
-``bands`` layout is reconstructed JVM-side with ``map_from_arrays`` +
-``transform``, where NULL cells are fully supported. Missing cells in
-a flushed partial tile are NULL (the engine's relational NODATA,
-SURVEY.md §1.2).
+Implementation note — why the UDF emits dense, NULL-FREE (vals, seen)
+arrays instead of dense band arrays: PySpark's
+applyInPandasWithState Arrow writer mis-encodes missing elements
+inside nested array<array<double>> output columns (both None and NaN
+arrive as nulls that the JVM state-output reader fails to decode:
+"IllegalStateException: Value at index is null" →
+EXPRESSION_DECODING_FAILED). The UDF therefore crosses the Arrow
+boundary with two flat arrays that contain no nulls and no NaNs — a
+dense double array (0.0 placeholder at unseen cells) plus a boolean
+seen-mask — and the dense ``bands`` layout is reconstructed JVM-side
+as ``CASE WHEN seen[i] THEN vals[i] ELSE NULL END`` over plain column
+references. Missing cells in a flushed partial tile are NULL (the
+engine's relational NODATA, SURVEY.md §1.2).
+
+r9 throughput rewrite (VERDICT r8 #5, measured in SCALING.md): the r8
+shape kept a per-tile Python dict (per-pixel loop) and densified
+JVM-side with ``map_from_arrays(idx, vals)[i]`` inside the nested
+transform — Catalyst re-evaluates the map constructor PER ELEMENT, so
+each tile paid O(size²) map builds (the same
+expression-producer-re-evaluation trap as the r6 as_double lesson).
+Now the kernel scatters each Arrow batch into a dense numpy array
+(vectorized, no per-pixel Python), state round-trips as the same two
+null-free arrays, and the densify is O(size) column indexing. NaN
+input values count as NODATA (the cell stays missing) — the
+relational contract, and NaN must not cross the Arrow state boundary.
 """
 
 from __future__ import annotations
@@ -46,35 +60,38 @@ from pyspark.sql.types import (
 
 STATE_SCHEMA = StructType(
     [
-        StructField("idx", ArrayType(IntegerType())),
         StructField("vals", ArrayType(DoubleType())),
+        StructField("seen", ArrayType(BooleanType())),
     ]
 )
 
-# Sparse UDF output: only observed cells, no nulls anywhere (see
-# module docstring). Densified to `bands` right after, JVM-side.
+# Dense UDF output: no nulls and no NaNs anywhere (see module
+# docstring). Densified to `bands` right after, JVM-side.
 RAW_OUTPUT_SCHEMA = StructType(
     [
         StructField("tile_col", IntegerType()),
         StructField("tile_row", IntegerType()),
         StructField("complete", BooleanType()),
         StructField("n_pixels", IntegerType()),
-        StructField("idx", ArrayType(IntegerType())),
         StructField("vals", ArrayType(DoubleType())),
+        StructField("seen", ArrayType(BooleanType())),
     ]
 )
 
 
-def _emit(key: Tuple[Any, ...], cells: dict, target: int) -> pd.DataFrame:
+def _emit(
+    key: Tuple[Any, ...], vals, seen, target: int
+) -> pd.DataFrame:
+    n = int(seen.sum())
     return pd.DataFrame(
         [
             {
                 "tile_col": int(key[0]),
                 "tile_row": int(key[1]),
-                "complete": len(cells) >= target,
-                "n_pixels": len(cells),
-                "idx": [int(i) for i in cells.keys()],
-                "vals": [float(v) for v in cells.values()],
+                "complete": n >= target,
+                "n_pixels": n,
+                "vals": vals.tolist(),
+                "seen": seen.tolist(),
             }
         ]
     )
@@ -111,29 +128,47 @@ def reassemble_tiles_stream(
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.hasTimedOut:
-            (idx, vals) = state.get
+            (vals0, seen0) = state.get
             state.remove()
-            yield _emit(key, dict(zip(idx, vals)), target)
+            yield _emit(
+                key,
+                np.asarray(vals0, dtype=np.float64),
+                np.asarray(seen0, dtype=bool),
+                target,
+            )
             return
         if state.exists:
-            (idx0, vals0) = state.get
-            cells = dict(zip(idx0, vals0))
+            (vals0, seen0) = state.get
+            vals = np.asarray(vals0, dtype=np.float64)
+            seen = np.asarray(seen0, dtype=bool)
         else:
-            cells = {}
+            vals = np.zeros(target, dtype=np.float64)
+            seen = np.zeros(target, dtype=bool)
         for pdf in batches:
             flat = (
-                pdf["band"].astype(int) * size
-                + pdf["py"].astype(int) * cols
-                + pdf["px"].astype(int)
+                pdf["band"].to_numpy(dtype=np.int64) * size
+                + pdf["py"].to_numpy(dtype=np.int64) * cols
+                + pdf["px"].to_numpy(dtype=np.int64)
             )
-            for i, v in zip(flat.tolist(), pdf["value"].tolist()):
-                cells[i] = v  # duplicate pixel → last wins
-        if len(cells) >= target:
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            ok = ~np.isnan(v)  # NaN input = NODATA: cell stays missing
+            flat, v = flat[ok], v[ok]
+            # duplicate pixels → LAST wins, made explicit: reverse +
+            # first-unique keeps each index's final occurrence
+            # (sequential-order scatter is an implementation detail of
+            # numpy fancy assignment, not a contract)
+            rev_f, rev_v = flat[::-1], v[::-1]
+            uniq, first = np.unique(rev_f, return_index=True)
+            vals[uniq] = rev_v[first]
+            seen[uniq] = True
+        if int(seen.sum()) >= target:
             state.remove()
-            yield _emit(key, cells, target)
+            yield _emit(key, vals, seen, target)
         else:
-            state.update((list(cells.keys()), list(cells.values())))
+            state.update((vals.tolist(), seen.tolist()))
             if use_timeout:
                 state.setTimeoutDuration(timeout_ms)
 
@@ -150,7 +185,9 @@ def reassemble_tiles_stream(
             else GroupStateTimeout.NoTimeout,
         )
     )
-    # JVM-side densify: map lookup misses → NULL cells (NODATA)
+    # JVM-side densify: unseen cells → NULL (NODATA). Plain O(1)
+    # column-reference indexing per element — O(size) per tile, vs the
+    # r8 map_from_arrays form Catalyst re-built per element (O(size²))
     return raw.select(
         "tile_col",
         "tile_row",
@@ -159,7 +196,9 @@ def reassemble_tiles_stream(
         F.expr(
             f"transform(sequence(0, {n_bands - 1}), b -> "
             f"  transform(sequence(0, {size - 1}), i -> "
-            f"    map_from_arrays(idx, vals)[b * {size} + i]))"
+            f"    CASE WHEN seen[b * {size} + i] "
+            f"         THEN vals[b * {size} + i] "
+            f"         ELSE CAST(NULL AS DOUBLE) END))"
         ).alias("bands"),
     )
 

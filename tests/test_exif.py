@@ -39,6 +39,17 @@ def test_app1_in_jpeg_and_absence():
     assert parse_exif(jp) == {}  # JPEG without APP1: empty, not error
 
 
+def test_app1_found_past_fill_bytes():
+    # T.81 B.1.1.2: any marker may be padded with extra 0xFF fill
+    # bytes; the walk must skip them instead of misreading the length
+    from biggis_landuse_spark.sources.jpeg import encode_jpeg
+
+    jp = encode_jpeg(8, 8, bytes(64), channels=1)
+    app1 = build_exif({"make": "XCam", "iso": 1600}, as_app1=True)
+    spliced = jp[:2] + b"\xff\xff\xff" + app1 + jp[2:]
+    assert parse_exif(spliced) == {"make": "XCam", "iso": 1600}
+
+
 def test_sub_ifd_optional():
     got = parse_exif(build_exif({"make": "A", "orientation": 8}))
     assert got == {"make": "A", "orientation": 8}

@@ -180,6 +180,29 @@ def test_stateful_reassembly_complete_and_late(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_reassembly_nan_is_nodata(spark, tmp_path):
+    """NaN input values are NODATA (r9 dense-state contract): the cell
+    stays missing, so a tile whose only gap is a NaN pixel does not
+    complete until a real value arrives."""
+    path = str(tmp_path / "pixel_stream_nan")
+    rows = _pixel_rows(0, 0, list(range(16)))
+    # idx 7 arrives as NaN → 15 real cells, tile must NOT emit
+    rows[7] = (0, 0, 0, 3, 1, float("nan"), rows[7][6])
+    _write_pixels(spark, path, rows, mode="overwrite")
+    stream = spark.readStream.schema(PIXEL_DDL).parquet(path)
+    out = reassemble_tiles_stream(stream, cols=4, rows=4, n_bands=1)
+    q = _run_stream(out, "tiles_nan_out", "append")
+    try:
+        assert spark.sql("SELECT * FROM tiles_nan_out").count() == 0
+        _write_pixels(spark, path, _pixel_rows(0, 0, [7]))
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM tiles_nan_out").collect()
+        assert [(r["complete"], r["n_pixels"]) for r in got] == [(True, 16)]
+        assert got[0]["bands"][0][7] == 7.0
+    finally:
+        q.stop()
+
+
 def test_stateful_reassembly_timeout_flush(spark, tmp_path):
     path = str(tmp_path / "pixel_stream_t")
     _write_pixels(
