@@ -1279,6 +1279,72 @@ def pq_topk(
     )
 
 
+def pq_codebooks_from_residuals(
+    resid: DataFrame,
+    m: int,
+    ncode: int,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Residual relation (id, cid, rv) → DENSE per-subspace PQ
+    codebooks (s, c, cv): per-subspace Lloyd when ``train_iters`` > 0
+    (the real IVFADC training step — measured +4× recall on the
+    isotropic fixture, ann_ivfpq_recall_eval), else the deterministic
+    first-``ncode`` seed. Lloyd drops codes that lose all members,
+    leaving id gaps; the positional distance-table lookup downstream
+    (dt[s][code]) needs contiguous per-subspace codes, so ids densify
+    here — the codebook is m×ncode rows, the window is free."""
+    if train_iters > 0:
+        codebooks = pq_codebooks_trained(
+            resid.select(id_col, F.col("rv")), m, ncode,
+            iters=train_iters, id_col=id_col, vec_col="rv",
+        )
+    else:
+        codebooks = pq_codebooks(
+            resid.select(id_col, F.col("rv")), m, ncode,
+            id_col=id_col, vec_col="rv",
+        )
+    return codebooks.withColumn(
+        "c", F.row_number().over(W.partitionBy("s").orderBy("c")) - 1
+    )
+
+
+def ivfpq_train_codebooks(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    m: int,
+    ncode: int,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Standalone IVFPQ codebook training (r9, the persist path):
+    coarse-assign the corpus, derive residuals, train the per-subspace
+    codebooks — the exact chain :func:`ivfpq_topk` runs inline — and
+    return the dense (s, c, cv) relation ready for
+    ``ml.index_store.save_pq_codebooks``. Probing later with
+    ``ivfpq_topk(codebooks=...)`` reproduces the inline results
+    bit-for-bit (training is deterministic; parquet round-trips
+    doubles exactly)."""
+    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    assign = ivf_assign(v, centroids, id_col=id_col, n_probe=1).select(
+        F.col(id_col), "cid"
+    )
+    cent = centroids.select("cid", F.col("cv").alias("_cent"))
+    resid = (
+        v.join(assign, id_col)
+        .join(F.broadcast(cent), "cid")
+        .select(
+            F.col(id_col),
+            "cid",
+            F.zip_with("vec", "_cent", lambda x, y: x - y).alias("rv"),
+        )
+    )
+    return pq_codebooks_from_residuals(
+        resid, m, ncode, train_iters=train_iters, id_col=id_col
+    )
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1291,9 +1357,16 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache=None,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """IVF+PQ composite ANN with RESIDUAL encoding — the FAISS IVFPQ
     index shape, end-to-end relational.
+
+    ``codebooks`` (r9): pass pre-trained residual PQ codebooks
+    (s, c, cv) — e.g. loaded via ``ml.index_store.load_pq_codebooks``
+    after :func:`ivfpq_train_codebooks` — to skip the per-invocation
+    Lloyd training (``train_iters`` is then ignored): the train-once /
+    probe-many production shape.
 
     ``cache``: optional hook (e.g. queries.hold_cache) applied to the
     residual relation, which every downstream consumer — the Lloyd
@@ -1338,27 +1411,17 @@ def ivfpq_topk(
     )
     if cache is not None:
         resid = cache(resid)
-    # residual codebooks: per-subspace Lloyd over the residuals when
-    # train_iters > 0 (the real IVFADC training step — measured +4×
-    # recall on the isotropic fixture, see ann_ivfpq_recall_eval);
-    # train_iters=0 keeps the untrained first-`ncode` seed
-    if train_iters > 0:
-        codebooks = pq_codebooks_trained(
-            resid.select(id_col, F.col("rv")), m, ncode,
-            iters=train_iters, id_col=id_col, vec_col="rv",
+    if codebooks is None:
+        codebooks = pq_codebooks_from_residuals(
+            resid, m, ncode, train_iters=train_iters, id_col=id_col
         )
     else:
-        codebooks = pq_codebooks(
-            resid.select(id_col, F.col("rv")), m, ncode,
-            id_col=id_col, vec_col="rv",
+        # pre-trained (e.g. ml.index_store persisted) codebooks: the
+        # dense re-index below is idempotent, so applying it again is
+        # a no-op on an already-dense artifact and a repair otherwise
+        codebooks = codebooks.withColumn(
+            "c", F.row_number().over(W.partitionBy("s").orderBy("c")) - 1
         )
-    # dense per-subspace code ids: Lloyd drops codes that lose all
-    # members, leaving gaps — the positional distance-table lookup
-    # below (dt[s][code]) needs code ids contiguous from 0 per
-    # subspace. The codebook is m×ncode rows, so the window is free.
-    codebooks = codebooks.withColumn(
-        "c", F.row_number().over(W.partitionBy("s").orderBy("c")) - 1
-    )
     if cache is not None:
         # both consumers (corpus encode, query distance tables) re-run
         # the full Lloyd chain without this — the model is m×ncode rows

@@ -1409,6 +1409,91 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def _persisted_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / probe-many for the IVFPQ residual codebooks (r9):
+    first call per (process, sf_dir) runs ivfpq_train_codebooks and
+    persists through ml.index_store; later calls load the m×ncode-row
+    parquet artifact, so the persisted query's bench time is
+    probe-only (the hier-index discipline, applied to IVFADC)."""
+    import tempfile
+
+    from biggis_landuse_spark.ml.index_store import (
+        load_pq_codebooks,
+        save_pq_codebooks,
+    )
+
+    path = _PQ_INDEX_DIRS.get(sf_dir)
+    if path is None:
+        (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+        centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+        )
+        cbs = S.ivfpq_train_codebooks(
+            embeddings, centroids, m=PQIVF_M, ncode=PQIVF_NCODE,
+            train_iters=PQIVF_ITERS,
+        )
+        path = tempfile.mkdtemp(prefix="biggis-pq-index-")
+        save_pq_codebooks(
+            cbs, path,
+            params={"m": PQIVF_M, "ncode": PQIVF_NCODE,
+                    "train_iters": PQIVF_ITERS, "trained_on": sf_dir},
+        )
+        _PQ_INDEX_DIRS[sf_dir] = path
+    cbs, _meta = load_pq_codebooks(spark, path)
+    return cbs
+
+
+@register(
+    "ann_ivfpq_persisted_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTE}
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, approx_dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist, neighbor_id) AS rank
+      FROM score
+    )
+    WHERE rank <= {K}
+    """,
+    doc="""IVFADC probing a PERSISTED trained index (r9, the PQ twin
+    of ann_ivf2_persisted_topk): the residual PQ codebooks train ONCE
+    per process (functions.similarity.ivfpq_train_codebooks — the
+    exact chain the inline query runs), persist through ml/index_store
+    as m×ncode parquet rows + parameter manifest, and every invocation
+    loads the model-sized artifact and scores in the compressed domain
+    via ivfpq_topk(codebooks=...). Results are bit-identical to
+    ann_ivfpq_topk (deterministic training, exact double round-trip,
+    pinned in tests), so the training-replay oracle is shared; the
+    per-invocation Lloyd rounds leave the critical path — at 100 TB
+    the index artifact is what ships to probe jobs, the training
+    corpus never re-scans.""",
+    tags=("ANN", "ML"),
+    bench=True,
+)
+def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    queries = embeddings.where(F.col("vec_id") < PQ_NQ)
+    codebooks = _persisted_pq_codebooks(spark, sf_dir)
+    return S.ivfpq_topk(
+        queries,
+        embeddings,
+        centroids,
+        m=PQIVF_M,
+        ncode=PQIVF_NCODE,
+        k=K,
+        n_probe=N_PROBE,
+        id_col="vec_id",
+        cache=hold_cache,
+        codebooks=codebooks,
+    )
+
+
 @register(
     "ann_ivfpq_recall_eval",
     oracle=f"""

@@ -77,6 +77,32 @@ def test_persisted_query_caches_the_artifact(spark):
     assert qsim._HIER_INDEX_DIRS[SF] == path1  # trained exactly once
 
 
+def test_pq_persisted_probe_matches_inline_training(spark):
+    _ensure_loaded()
+    inline = REGISTRY["ann_ivfpq_topk"].spark(spark, SF)
+    persisted = REGISTRY["ann_ivfpq_persisted_topk"].spark(spark, SF)
+    assert _rows(inline) == _rows(persisted)
+
+
+def test_pq_train_codebooks_round_trip(spark, tmp_path):
+    from biggis_landuse_spark.functions.similarity import (
+        ivfpq_train_codebooks,
+    )
+
+    (embeddings,) = load_tables(spark, SF, "embeddings")
+    centroids = embeddings.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), S.as_double("embedding").alias("cv")
+    )
+    cbs = ivfpq_train_codebooks(
+        embeddings, centroids, m=16, ncode=64, train_iters=2
+    )
+    path = str(tmp_path / "pq_idx")
+    save_pq_codebooks(cbs, path, params={"m": 16, "ncode": 64})
+    loaded, meta = load_pq_codebooks(spark, path)
+    assert meta["m"] == 16
+    assert _rows(loaded) == _rows(cbs)
+
+
 def test_loaded_codebooks_skip_training_jobs(spark, tmp_path):
     # the codebooks= path must not re-enter hier_codebook_trained:
     # its plan reads the parquet artifact, with no Lloyd-loop scans

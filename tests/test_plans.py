@@ -281,6 +281,8 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "ann_ivf_topk",  # broadcast 16-centroid codebook
         "ann_ivf2_topk",  # broadcast 1-row two-level codebook (hier IVF)
         "ann_ivf2_trained_topk",  # Lloyd model + 1-row codebook broadcasts
+        "ann_ivf2_persisted_topk",  # same 1-row codebook, loaded not trained
+        "ann_ivfpq_persisted_topk",  # ann_ivfpq_topk's broadcasts, loaded
         "ann_ivf2_recall_eval",  # same + knn_cosine's bounded query side
         "ann_recall_eval",  # knn_cosine's query broadcast + the codebook
         "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
