@@ -233,6 +233,46 @@ def test_oldstyle_refusals_are_typed():
         decode_tiff(tif2)
 
 
+def test_oldstyle_tiff_through_spark_scan(spark, tmp_path):
+    """S1 integration: an old-style JPEG TIFF ingests through the
+    distributed scan → decode_to_pixels path (explicit baseline codec
+    — best_decoder may pick rasterio, whose GDAL build may refuse
+    compression 6), and the pixel relation matches the standalone
+    stream decode exactly."""
+    import numpy as np
+
+    from biggis_landuse_spark.sources.geotiff import (
+        GeoTiffDecoder,
+        decode_to_pixels,
+        scan_geotiffs,
+    )
+
+    w, h = 24, 16
+    px = _pixels(w, h, 1, seed=23)
+    stream = encode_jpeg(w, h, px.tobytes(), channels=1, quality=90)
+    tif = _tiff(
+        {
+            256: (4, [w]), 257: (4, [h]), 258: (3, [8]),
+            259: (3, [6]), 262: (3, [1]), 277: (3, [1]), 278: (4, [h]),
+            512: (3, [1]), 513: (4, [8]), 514: (4, [len(stream)]),
+        },
+        stream,
+    )
+    (tmp_path / "scene_oldjpeg.tif").write_bytes(tif)
+    pixels = decode_to_pixels(
+        scan_geotiffs(spark, str(tmp_path)), GeoTiffDecoder()
+    )
+    got = {
+        (r["py"], r["px"]): r["value"]
+        for r in pixels.where("band = 0").collect()
+    }
+    jw, jh, c, buf = decode_jpeg(stream)
+    ref = np.frombuffer(buf, np.uint8).reshape(jh, jw, c)
+    assert len(got) == w * h
+    for (y, x), v in got.items():
+        assert v == float(ref[y, x, 0])
+
+
 def test_flavor2_strip_carrying_full_stream_decodes():
     # the non-conforming-writer path: strips hold complete SOI..EOI
     # streams; tables tags still present but the strip wins
