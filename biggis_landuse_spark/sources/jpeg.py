@@ -36,8 +36,13 @@ Supported subset — what real-world writers emit:
   CMYK test payloads, with the spec's Annex K quantization (libjpeg
   quality scaling) and Annex K Huffman tables; bit-exact SOF3
   lossless via ``encode_jpeg_lossless``.
-- anything outside (arithmetic coding, 12-bit DCT, hierarchical
-  SOFs, subsampled/point-transformed/restart-interval lossless)
+- decode: 12-bit DCT frames (T.81 extended sequential SOF1 and
+  progressive SOF2 — the deep-precision medical/DNG shape; r9)
+  through the same coefficient engine with a 2^11 level shift,
+  returned as uint16 via ``decode_jpeg_deep``; encode twin
+  ``encode_jpeg_deep`` (SOF1, 16-bit DQT, full-range Huffman tables).
+- anything outside (arithmetic coding, hierarchical SOFs,
+  subsampled/point-transformed/restart-interval lossless)
   raises ``JpegFormatError`` — an honest bound, never a garbled
   image.
 
@@ -54,8 +59,10 @@ import numpy as np
 __all__ = [
     "JpegFormatError",
     "decode_jpeg",
+    "decode_jpeg_deep",
     "decode_jpeg_lossless",
     "encode_jpeg",
+    "encode_jpeg_deep",
     "encode_jpeg_lossless",
 ]
 
@@ -335,7 +342,7 @@ def decode_jpeg(
     if tables:
         _parse_tables(tables, qt, huff_dc, huff_ac)
     restart = 0
-    frame = None  # (w, h, comps=[(cid, ch, cv, tq)], hmax, vmax)
+    frame = None  # (w, h, comps=[(cid, ch, cv, tq)], hmax, vmax, prec)
     coefs: dict = {}  # cid → int32 (BY, BX, 64) zigzag-order coefficients
     nblocks: dict = {}  # cid → (by, bx) for NON-interleaved scans
     mcux = mcuy = 0
@@ -370,8 +377,16 @@ def decode_jpeg(
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
-            if prec != 8:
-                raise JpegFormatError(f"{prec}-bit JPEG not supported (8 only)")
+            # T.81: baseline SOF0 is 8-bit; extended sequential SOF1
+            # and progressive SOF2 allow 12-bit (the medical/DNG deep
+            # precision — r9, closing the last DCT refusal the spec
+            # actually permits with Huffman coding)
+            if prec == 12 and marker in (0xC1, 0xC2):
+                pass
+            elif prec != 8:
+                raise JpegFormatError(
+                    f"{prec}-bit JPEG not supported (8; 12 via SOF1/SOF2)"
+                )
             if nc not in (1, 3, 4):
                 raise JpegFormatError(f"{nc}-component JPEG not supported")
             comps = []
@@ -387,7 +402,7 @@ def decode_jpeg(
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
-            frame = (w, h, comps, hmax, vmax)
+            frame = (w, h, comps, hmax, vmax, prec)
             for cid, ch, cv, tq in comps:
                 # padded to the MCU grid (interleaved scans address it
                 # directly); non-interleaved scans cover the smaller
@@ -485,7 +500,43 @@ def decode_jpeg(
         return w, h, len(comps), arr.astype(np.uint8).tobytes()
     if frame is None or not seen_scan:
         raise JpegFormatError("no scan data (missing SOS)")
-    return _finish(frame, coefs, qt, adobe_transform)
+    return _finish(frame, coefs, qt, adobe_transform, _return16)
+
+
+def decode_jpeg_deep(
+    data: bytes, tables: bytes | None = None
+) -> tuple[int, int, int, np.ndarray]:
+    """Full-precision decode → (width, height, channels, uint16
+    samples array): any supported frame — SOF3 lossless (2-16 bit) or
+    12-bit extended-sequential/progressive DCT (r9) — at its native
+    sample depth, which :func:`decode_jpeg`'s byte contract cannot
+    carry."""
+    return decode_jpeg(data, tables, _return16=True)
+
+
+def _frame_marker(data: bytes) -> int | None:
+    """First SOF marker byte in a stream (0xC0-0xCF minus DHT/DAC/
+    reserved), or None before SOS / end — a light pre-scan so the
+    strictly-SOF3 entry can refuse DCT frames by TYPE, not by
+    guessing from the decoded payload."""
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        m = data[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m == 0x01 or 0xD0 <= m <= 0xD9:
+            pos += 2
+            continue
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        if m == 0xDA:
+            return None
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + seglen
+    return None
 
 
 def decode_jpeg_lossless(
@@ -494,12 +545,14 @@ def decode_jpeg_lossless(
     """Lossless (SOF3) JPEG → (width, height, channels, samples):
     row-major (h, w, c) uint16 — the full 2-16 bit sample precision
     (DNG / old medical TIFF payloads exceed 8 bits, which the byte
-    contract of :func:`decode_jpeg` cannot carry)."""
-    w, h, c, arr = decode_jpeg(data, tables, _return16=True)
-    if not isinstance(arr, np.ndarray):
+    contract of :func:`decode_jpeg` cannot carry). Strictly SOF3: a
+    DCT frame is a typed error here (use :func:`decode_jpeg` /
+    :func:`decode_jpeg_deep`)."""
+    if _frame_marker(data) != 0xC3:
         raise JpegFormatError(
             "not a lossless (SOF3) JPEG — use decode_jpeg"
         )
+    w, h, c, arr = decode_jpeg(data, tables, _return16=True)
     return w, h, c, arr
 
 
@@ -719,7 +772,7 @@ def _decode_scan_into(
     return n
 
 
-def _finish(frame, coefs, qt, adobe_transform=None):
+def _finish(frame, coefs, qt, adobe_transform=None, return16=False):
     """Dequantize → batched IDCT → upsample → color convert.
 
     Color interpretation follows the Adobe APP14 transform flag when
@@ -728,8 +781,15 @@ def _finish(frame, coefs, qt, adobe_transform=None):
     stored unless transform 2 (YCCK — the first three channels pass
     through the YCbCr inverse, K passes through untouched). 4-channel
     data is returned AS STORED: ink inversion is a writer convention
-    (Adobe stores inverted), not a codec transform."""
-    w, h, comps, hmax, vmax = frame
+    (Adobe stores inverted), not a codec transform.
+
+    Precision rides the frame (r9): the level shift is 2^(P−1) and
+    values clamp to [0, 2^P−1]; 12-bit frames (SOF1/SOF2) must be read
+    through ``decode_jpeg_deep`` / ``return16`` since they don't fit
+    the byte contract."""
+    w, h, comps, hmax, vmax, prec = frame
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     out_planes = []
     for cid, ch, cv, tq in comps:
         if tq not in qt:
@@ -738,7 +798,7 @@ def _finish(frame, coefs, qt, adobe_transform=None):
         nat = np.zeros_like(cf)
         nat[..., ZIGZAG] = cf  # de-zigzag into natural order
         blk = nat.reshape(cf.shape[0], cf.shape[1], 8, 8) * qt[tq]
-        spatial = np.einsum("ij,abjk,kl->abil", _A.T, blk, _A) + 128.0
+        spatial = np.einsum("ij,abjk,kl->abil", _A.T, blk, _A) + center
         p = spatial.transpose(0, 2, 1, 3).reshape(
             cf.shape[0] * 8, cf.shape[1] * 8
         )
@@ -747,34 +807,37 @@ def _finish(frame, coefs, qt, adobe_transform=None):
         if cv < vmax:
             p = np.repeat(p, vmax // cv, axis=0)
         out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        gray = np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
-        return w, h, 1, gray.tobytes()
 
     def _ycc_inverse(y, cb, cr):
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - center)
+        g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+        b = y + 1.772 * (cb - center)
         return r, g, b
 
-    if len(out_planes) == 4:
+    if len(out_planes) == 1:
+        planes = (out_planes[0],)
+    elif len(out_planes) == 4:
         if adobe_transform == 2:  # YCCK: YCbCr inverse on 1-3, K as-is
             c, m, ye = _ycc_inverse(*out_planes[:3])
             planes = (c, m, ye, out_planes[3])
         else:  # transform 0 / absent: CMYK stored directly
             planes = tuple(out_planes)
-        cmyk = np.stack(
-            [np.clip(np.rint(x), 0, 255) for x in planes], axis=-1
-        ).astype(np.uint8)
-        return w, h, 4, cmyk.tobytes()
-    if adobe_transform == 0:  # Adobe-flagged raw RGB (no transform)
+    elif adobe_transform == 0:  # Adobe-flagged raw RGB (no transform)
         planes = tuple(out_planes)
     else:
         planes = _ycc_inverse(*out_planes)
-    rgb = np.stack(
-        [np.clip(np.rint(x), 0, 255) for x in planes], axis=-1
-    ).astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+    stacked = np.stack(
+        [np.clip(np.rint(x), 0, maxv) for x in planes], axis=-1
+    )
+    if return16:
+        return w, h, len(planes), stacked.astype(np.uint16)
+    if prec > 8:
+        raise JpegFormatError(
+            f"{prec}-bit DCT JPEG does not fit the 8-bit pixel "
+            "contract — use decode_jpeg_deep for uint16 samples"
+        )
+    out = stacked.astype(np.uint8)
+    return w, h, len(planes), out.tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -819,8 +882,8 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _encode_block(bw, block, qtab, dc_tab, ac_tab, pred):
-    coef = _A @ (block - 128.0) @ _A.T
+def _encode_block(bw, block, qtab, dc_tab, ac_tab, pred, center=128.0):
+    coef = _A @ (block - center) @ _A.T
     q = np.rint(coef / qtab).astype(np.int64)
     zz = q.flat[ZIGZAG]
     dc = int(zz[0])
@@ -993,6 +1056,141 @@ def encode_jpeg(
                             enc_dc[min(ci, len(enc_dc) - 1)],
                             enc_ac[min(ci, len(enc_ac) - 1)],
                             pred[ci],
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -- 12-bit extended sequential (SOF1) encoder --------------------------------
+
+# full-range Huffman tables for 12-bit frames: DC categories reach 15
+# and AC sizes 14, past the Annex K tables' 11/10 — T.81 standardizes
+# no 12-bit tables (they ship in DHT), so these are flat canonical
+# codes: 16 DC symbols at 5 bits (Kraft 16/32), and EOB + ZRL + all
+# (run, size 1..14) AC symbols — 226 — at 8 bits (Kraft 226/256);
+# neither uses the all-ones code.
+_DC_DEEP = (
+    [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_AC_DEEP = (
+    [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+
+
+def _dqt_seg16(tid: int, qtab: np.ndarray) -> bytes:
+    """16-bit (Pq=1) quantization table segment — required once any
+    entry exceeds 255, the normal case for 12-bit quantizers."""
+    zz = b"".join(
+        struct.pack(">H", int(qtab.flat[ZIGZAG[z]])) for z in range(64)
+    )
+    return _seg(0xDB, bytes([0x10 | tid]) + zz)
+
+
+def encode_jpeg_deep(
+    width: int,
+    height: int,
+    samples,
+    channels: int = 1,
+    quality: int = 90,
+    subsample: bool = False,
+) -> bytes:
+    """12-bit extended sequential (SOF1) encoder: uint16 samples below
+    4096 (gray or RGB, row-major (h, w[, c])) → JPEG bytes with 16-bit
+    quantization tables (Annex K scaled ×16 to match the ×16 sample
+    range) and the full-range deep Huffman tables above. The decode
+    twin is :func:`decode_jpeg_deep`; round-trip error is bounded by
+    the quantizer exactly as in the verified 8-bit path (the DCT/IDCT/
+    Huffman machinery is shared — only the level shift, table width,
+    and SOF marker differ)."""
+    if channels not in (1, 3):
+        raise JpegFormatError("deep encode supports 1 or 3 channels")
+    arr = np.asarray(samples)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape != (height, width, channels):
+        raise JpegFormatError(
+            f"sample array {arr.shape} does not match "
+            f"{height}x{width}x{channels}"
+        )
+    if int(arr.max(initial=0)) >= 4096 or int(arr.min(initial=0)) < 0:
+        raise JpegFormatError("12-bit samples must lie in [0, 4096)")
+    arr = arr.astype(np.float64)
+    center = 2048.0
+    qy = np.clip(_quality_scale(_QT_LUMA, quality) * 16, 1, 65535)
+    qc = np.clip(_quality_scale(_QT_CHROMA, quality) * 16, 1, 65535)
+    qy, qc = qy.reshape(8, 8), qc.reshape(8, 8)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_seg16(0, qy)
+    if channels == 3:
+        out += _dqt_seg16(1, qc)
+    sub = 2 if (subsample and channels == 3) else 1
+    if channels == 1:
+        comp_spec = [(1, 1, 1, 0)]
+    else:
+        comp_spec = [(1, sub, sub, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    sof = struct.pack(">BHHB", 12, height, width, channels)
+    for cid, ch, cv, tq in comp_spec:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += _seg(0xC1, sof)  # SOF1: extended sequential
+    out += _dht_seg(0, 0, _DC_DEEP)
+    out += _dht_seg(1, 0, _AC_DEEP)
+    sos = bytes([channels])
+    for cid, ch, cv, tq in comp_spec:
+        sos += bytes([cid, 0x00])  # all components share table 0
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    if channels == 1:
+        planes = [arr[:, :, 0]]
+        qtabs = [qy]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = center - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = center + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if sub == 2:
+            ph, pw = -(-height // 2) * 2, -(-width // 2) * 2
+
+            def pad(p):
+                return np.pad(
+                    p, ((0, ph - height), (0, pw - width)), "edge"
+                )
+
+            cb = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        qtabs = [qy, qc, qc]
+
+    hmax = max(c[1] for c in comp_spec)
+    vmax = max(c[2] for c in comp_spec)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    padded = []
+    for p, (cid, ch, cv, tq) in zip(planes, comp_spec):
+        th_, tw_ = mcuy * cv * 8, mcux * ch * 8
+        padded.append(
+            np.pad(p, ((0, th_ - p.shape[0]), (0, tw_ - p.shape[1])), "edge")
+        )
+    enc_dc = _huff_encode_table(*_DC_DEEP)
+    enc_ac = _huff_encode_table(*_AC_DEEP)
+    bw = _BitWriter()
+    pred = [0] * channels
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, ch, cv, tq) in enumerate(comp_spec):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        pred[ci] = _encode_block(
+                            bw, block, qtabs[ci], enc_dc, enc_ac,
+                            pred[ci], center=center,
                         )
     bw.flush()
     out += bw.out
