@@ -230,14 +230,16 @@ def _decompress(
         from biggis_landuse_spark.sources.jpeg import decode_jpeg
 
         if dt is not None and dt.itemsize == 2:
-            # 16-bit samples ride a LOSSLESS (SOF3) payload — the
-            # DNG/medical-TIFF shape (r8 session 2); serialized in the
-            # container's byte order like every other segment codec
+            # deep samples ride either a LOSSLESS (SOF3) payload — the
+            # DNG/medical-TIFF shape (r8 session 2) — or a 12-bit DCT
+            # frame (lossy DNG, r9); decode_jpeg_deep handles both and
+            # the result serializes in the container's byte order like
+            # every other segment codec
             from biggis_landuse_spark.sources.jpeg import (
-                decode_jpeg_lossless,
+                decode_jpeg_deep,
             )
 
-            _w, _h, _c, arr = decode_jpeg_lossless(seg, tables=jpeg_tables)
+            _w, _h, _c, arr = decode_jpeg_deep(seg, tables=jpeg_tables)
             return arr.astype(dt).tobytes()
         _w, _h, _c, buf = decode_jpeg(seg, tables=jpeg_tables)
         return buf
@@ -435,16 +437,21 @@ def decode_tiff(data: bytes) -> list[np.ndarray]:
     comp = tags.get(COMPRESSION, [1])[0]
     planar = tags.get(PLANAR_CONFIG, [1])[0]
     predictor = tags.get(PREDICTOR, [1])[0]
-    dt = _np_dtype(order, bits[0], fmts[0])
+    if comp == 7 and bits[0] == 12 and fmts[0] == 1:
+        # 12-bit DCT JPEG payloads (the lossy-DNG shape, r9): the JPEG
+        # engine owns the sample width; container-side they are uint16
+        dt = _np_dtype(order, 16, fmts[0])
+    else:
+        dt = _np_dtype(order, bits[0], fmts[0])
     if comp == 6:  # old-style JPEG: tag-driven, not a segment codec
         old = _decode_oldstyle_jpeg(data, tags, w, h, spp)
         return [old[b] for b in range(spp)]
     jpeg_tables = None
     if comp == 7:
-        if bits[0] not in (8, 16) or fmts[0] != 1:
+        if bits[0] not in (8, 12, 16) or fmts[0] != 1:
             raise TiffFormatError(
-                "JPEG compression carries 8-bit (DCT) or 16-bit "
-                "(lossless SOF3) unsigned samples only"
+                "JPEG compression carries 8-bit DCT, 12-bit DCT, or "
+                "16-bit (lossless SOF3) unsigned samples only"
             )
         jt = tags.get(JPEG_TABLES)
         jpeg_tables = jt[0] if jt else None

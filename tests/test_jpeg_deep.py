@@ -108,6 +108,29 @@ def test_deep_entry_also_reads_8bit_frames_as_uint16():
     )
 
 
+def test_12bit_dct_in_tiff_comp7():
+    # the lossy-DNG container shape: BitsPerSample 12, compression 7,
+    # strip payload a 12-bit SOF1 stream — decodes through decode_tiff
+    # to the exact same samples the standalone deep decode yields
+    from biggis_landuse_spark.sources.tiff import decode_tiff
+    from tests.test_tiff_oldjpeg import _tiff
+
+    w, h = 24, 16
+    img = _smooth12(w, h, seed=9)
+    stream = encode_jpeg_deep(w, h, img, channels=1, quality=100)
+    tif = _tiff(
+        {
+            256: (4, [w]), 257: (4, [h]), 258: (3, [12]),
+            259: (3, [7]), 262: (3, [1]), 277: (3, [1]), 278: (4, [h]),
+            273: (4, [8]), 279: (4, [len(stream)]),
+        },
+        stream,
+    )
+    (band,) = decode_tiff(tif)
+    _, _, _, ref = decode_jpeg_deep(stream)
+    assert np.array_equal(band, ref[:, :, 0].astype(np.float64))
+
+
 def test_domain_guards():
     bad = np.full((4, 4), 4096, np.uint16)
     with pytest.raises(JpegFormatError, match="12-bit samples"):
