@@ -97,7 +97,82 @@ def test_rgb_sub_filter_uses_channel_stride():
 def test_refusals():
     with pytest.raises(PngFormatError, match="signature"):
         decode_png(b"JFIFnot-a-png")
-    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body)
+        )
+
+    # sub-byte depths stay refused at the header
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    png4 = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr4)
+    with pytest.raises(PngFormatError, match="bit depth"):
+        decode_png(png4)
+    # 16-bit parses (r9) but cannot ride the byte contract
+    from biggis_landuse_spark.sources.png import encode_png_gray16
+
+    png16 = encode_png_gray16(2, 2, np.full((2, 2), 40000, np.uint16))
+    with pytest.raises(PngFormatError, match="decode_png_deep"):
+        decode_png(png16)
+    # headerless/missing IDAT is a typed error, not a zlib traceback
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    )
+    with pytest.raises(PngFormatError, match="IDAT"):
+        decode_png(bad)
+
+
+def test_png16_round_trip_and_filtered_16bit_decode():
+    from biggis_landuse_spark.sources.png import (
+        decode_png_deep,
+        encode_png_gray16,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 65536, size=(13, 21), dtype=np.uint16)
+    blob = encode_png_gray16(21, 13, img)
+    w, h, c, arr = decode_png_deep(blob)
+    assert (w, h, c) == (21, 13, 1)
+    assert np.array_equal(arr[:, :, 0], img)  # bit-exact
+    # 8-bit frames widen to uint16 through the deep entry
+    rgba = rng.integers(0, 256, 3 * 2 * 4, dtype=np.uint8)
+    blob8 = encode_png_rgba(3, 2, rgba.tobytes())
+    w, h, c, arr8 = decode_png_deep(blob8)
+    assert (w, h, c) == (3, 2, 4) and arr8.dtype == np.uint16
+    assert np.array_equal(
+        arr8.reshape(-1).astype(np.uint8), rgba
+    )
+    # hand-build a FILTERED 16-bit stream (Sub + Up + Paeth rows) to
+    # pin the byte-level bpp-offset unfilter at depth 16
+    import zlib as _z
+
+    stride = 21 * 2
+    be = img.astype(">u2").tobytes()
+    rows = bytearray()
+    prev = bytearray(stride)
+    for y in range(13):
+        row = bytearray(be[y * stride : (y + 1) * stride])
+        ftype = (1, 2, 4)[y % 3]
+        enc = bytearray(stride)
+        for i in range(stride):
+            left = row[i - 2] if i >= 2 else 0
+            up = prev[i]
+            upleft = prev[i - 2] if i >= 2 else 0
+            if ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            else:
+                p = left + up - upleft
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                pred = (
+                    left if pa <= pb and pa <= pc else (up if pb <= pc
+                                                        else upleft)
+                )
+            enc[i] = (row[i] - pred) & 0xFF
+        rows += bytes([ftype]) + enc
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", 21, 13, 16, 0, 0, 0, 0)
 
     def chunk(tag, payload):
         body = tag + payload
@@ -105,9 +180,14 @@ def test_refusals():
             ">I", zlib.crc32(body)
         )
 
-    png16 = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr16)
-    with pytest.raises(PngFormatError, match="bit depth"):
-        decode_png(png16)
+    filt = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(bytes(rows)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, arr2 = decode_png_deep(filt)
+    assert np.array_equal(arr2[:, :, 0], img)
 
 
 def test_decode_media_png_codec_spark(spark):
