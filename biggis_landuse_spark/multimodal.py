@@ -376,3 +376,62 @@ def media_features(decoded: DataFrame, bright: float = 0.5) -> DataFrame:
             yield pd.DataFrame(out)
 
     return decoded.mapInPandas(run, FEATURES_SCHEMA)
+
+
+PNG16_STATS_SCHEMA = (
+    "doc_id long, n_px long, sum_v long, min_v long, max_v long"
+)
+
+
+def png16_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 16-bit PNG encode→decode round trip per id — the
+    REAL deep codec in both directions (sources/png.py
+    encode_png_gray16 / decode_png_deep, r9), Arrow-batched — with
+    exact-integer pixel statistics.
+
+    The synthesized image is closed-form — dims (8 + id % 5,
+    6 + id % 4), sample v(i) = (id·31 + i·7919) mod 65536 — so a
+    DuckDB oracle replays the pixel math relationally while the Spark
+    side actually serializes and re-parses PNG bytes per item: a
+    hash-exact end-to-end pin on the 16-bit PNG path (the DEM /
+    product delivery), exactly how the other media_* queries pin
+    their codecs. All outputs are integers; no float sync needed.
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from biggis_landuse_spark.sources.png import (
+            decode_png_deep,
+            encode_png_gray16,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col].tolist():
+                did = int(did)
+                w, h = 8 + did % 5, 6 + did % 4
+                i = np.arange(w * h, dtype=np.int64)
+                img = (
+                    ((did * 31 + i * 7919) % 65536)
+                    .astype(np.uint16)
+                    .reshape(h, w)
+                )
+                blob = encode_png_gray16(w, h, img)
+                w2, h2, c2, arr = decode_png_deep(blob)
+                if (w2, h2, c2) != (w, h, 1):
+                    raise ValueError(
+                        f"png16 round trip changed shape for id {did}"
+                    )
+                v = arr[:, :, 0].astype(np.int64)
+                rows.append(
+                    (did, w * h, int(v.sum()), int(v.min()), int(v.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_px", "sum_v", "min_v", "max_v"]
+            )
+
+    return df.select(id_col).mapInPandas(run, PNG16_STATS_SCHEMA)

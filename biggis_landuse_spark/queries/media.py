@@ -1040,3 +1040,43 @@ def media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, make string, orientation int, iso int, "
         "exposure_den long",
     )
+
+
+@register(
+    "media_png16_stats",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    dims AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h FROM d
+    ),
+    idx AS (SELECT doc_id, unnest(range(w * h)) AS i FROM dims),
+    px AS (
+      SELECT doc_id, (doc_id * 31 + i * 7919) % 65536 AS v FROM idx
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT)   AS sum_v,
+           CAST(min(v) AS BIGINT)   AS min_v,
+           CAST(max(v) AS BIGINT)   AS max_v
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="""16-bit PNG round-trip statistics (r9 — the deep-raster
+    delivery format): per document a deterministic 16-bit grayscale
+    image is ENCODED to real PNG bytes and DECODED back
+    executor-side (sources/png.py encode_png_gray16 /
+    decode_png_deep, Arrow-batched mapInPandas), then exact-integer
+    pixel stats come out. The closed-form pixel synthesis
+    v(i) = (doc_id·31 + i·7919) mod 65536 lets DuckDB replay the
+    pixel math relationally while Spark actually serializes and
+    re-parses PNG bytes per item — any codec defect (filtering,
+    byte order, depth handling) breaks the value hash. All-integer
+    outputs, no float sync. Scale shape: one map-side pass, no
+    shuffle before the per-doc aggregate the kernel itself emits.
+    Operator: multimodal.png16_roundtrip_stats.""",
+    tags=("multimodal",),
+    bench=True,
+)
+def media_png16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return MM.png16_roundtrip_stats(documents)

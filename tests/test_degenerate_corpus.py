@@ -47,8 +47,10 @@ PROBES = [
     "gopher_rules",  # NULL-safe rule flags over zero docs
     "quality_classifier_train",  # empty corpus → the zero model
     "flow_accumulation",  # no cells → no edges → empty histogram
+    "flow_accumulation_full",  # doubling loop drains round one (r9)
     "watershed_basins",  # pointer doubling over an empty parent map
     "media_exif",  # mapInPandas kernel over zero rows
+    "media_png16_stats",  # deep-PNG round-trip kernel over zero rows
 ]
 
 
