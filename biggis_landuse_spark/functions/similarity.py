@@ -937,7 +937,11 @@ def ivf_topk_hier_trained(
     ``(fines, coarse)`` pair — e.g. loaded via
     ``ml.index_store.load_hier_index`` — to SKIP training and go
     straight to assignment + probing; the production train-once /
-    probe-many shape. ``kc``/``kf``/``iters`` are ignored when given.
+    probe-many shape. ``kc``/``kf``/``iters`` are then ignored
+    entirely: the query-side coarse-probe default comes from the
+    loaded coarse codebook's own row count, not the caller's ``kc``
+    (an index trained with a different kc would otherwise silently
+    under- or over-probe).
 
     Asymmetric probing — the design point the r7 measurement forced:
     CORPUS assignment (the n-row, cost-dominant side) prunes
@@ -950,14 +954,18 @@ def ivf_topk_hier_trained(
     meaningful in compute (queries ≪ corpus). At production kc (~1e2+
     coarse cells over ~1e5 fines) set ``n_probe_coarse`` to a small
     constant and the same plan prunes both sides."""
-    npc = kc if n_probe_coarse is None else n_probe_coarse
     v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
     if codebooks is not None:
         fines, coarse = codebooks
+        # the loaded index is the authority on its own coarse width —
+        # coarse is model-sized, so the count is a metadata-cheap
+        # action, not a data scan
+        npc = coarse.count() if n_probe_coarse is None else n_probe_coarse
     else:
         fines, coarse = hier_codebook_trained(
             v, kc=kc, kf=kf, iters=iters, vec_col="vec"
         )
+        npc = kc if n_probe_coarse is None else n_probe_coarse
     garr = hier_codebook_from_parents(fines, coarse)
     assign = ivf_assign_hier(
         v, fines, coarse, id_col=id_col,

@@ -78,6 +78,22 @@ def load_hier_index(
         )
     fines = spark.read.parquet(f"{path}/fines")
     coarse = spark.read.parquet(f"{path}/coarse")
+    # refuse a parameter-mismatched artifact: the manifest's declared
+    # kc/kf must match the stored codebook shapes (both frames are
+    # model-sized, so the counts are cheap). A probe run against an
+    # index whose manifest lies about its width would silently under-
+    # or over-probe.
+    kc, kf = meta.get("kc"), meta.get("kf")
+    if kc is not None and coarse.count() != kc:
+        raise ValueError(
+            f"{path}: manifest kc={kc} but coarse codebook has "
+            f"{coarse.count()} rows"
+        )
+    if kc is not None and kf is not None and fines.count() != kc * kf:
+        raise ValueError(
+            f"{path}: manifest kc*kf={kc * kf} but fines codebook has "
+            f"{fines.count()} rows"
+        )
     return fines, coarse, meta
 
 

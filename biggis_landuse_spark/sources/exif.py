@@ -97,6 +97,10 @@ def parse_exif(data: bytes) -> dict[str, object]:
             # after it is the real marker, not another fill byte
             while pos + 1 < len(data) and data[pos + 1] == 0xFF:
                 pos += 1
+            if pos + 1 >= len(data):
+                # truncated stream ending in a fill-byte run (e.g.
+                # SOI + 0xFF...): no marker byte left to read
+                break
             marker = data[pos + 1]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD9:
                 pos += 2

@@ -50,6 +50,15 @@ def test_app1_found_past_fill_bytes():
     assert parse_exif(spliced) == {"make": "XCam", "iso": 1600}
 
 
+def test_truncated_fill_byte_run_returns_empty():
+    # ADVICE r9 #2: a truncated JPEG ending in a 0xFF fill-byte run
+    # must yield {} (no APP1 found), never IndexError — parse_exif
+    # runs per-row inside mapInPandas where one bad blob would fail
+    # the whole query
+    assert parse_exif(b"\xff\xd8\xff\xff\xff\xff") == {}
+    assert parse_exif(b"\xff\xd8\xff") == {}
+
+
 def test_sub_ifd_optional():
     got = parse_exif(build_exif({"make": "A", "orientation": 8}))
     assert got == {"make": "A", "orientation": 8}

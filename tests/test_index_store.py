@@ -60,6 +60,42 @@ def test_hier_index_kind_mismatch_raises(spark, tmp_path):
     assert _rows(loaded) == _rows(cb)
 
 
+def test_hier_index_manifest_shape_mismatch_raises(spark, tmp_path):
+    # the manifest is the authority on the trained width: a stored
+    # codebook whose shape disagrees with its declared kc/kf must be
+    # refused, not silently under/over-probed (r9 ADVICE #3)
+    fines, coarse = _train(spark)
+    path = str(tmp_path / "idx_bad")
+    save_hier_index(fines, coarse, path, params={"kc": 7, "kf": 4})
+    with pytest.raises(ValueError, match="manifest kc=7"):
+        load_hier_index(spark, path)
+    path2 = str(tmp_path / "idx_bad2")
+    save_hier_index(fines, coarse, path2, params={"kc": 4, "kf": 9})
+    with pytest.raises(ValueError, match="kc\\*kf=36"):
+        load_hier_index(spark, path2)
+
+
+def test_codebooks_probe_width_comes_from_the_index(spark, tmp_path):
+    # ADVICE r9 #3: with codebooks= the caller's kc must NOT set the
+    # query-side coarse-probe width — an index trained at kc=4 probed
+    # with a wrong caller kc=1 must still default to all 4 coarse
+    # cells and return the same rows as the honest call
+    fines, coarse = _train(spark, kc=4, kf=4)
+    path = str(tmp_path / "idx_w")
+    save_hier_index(fines, coarse, path)
+    lf, lc, _ = load_hier_index(spark, path)
+    (embeddings,) = load_tables(spark, SF, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < 10)
+
+    def run(kc):
+        return S.ivf_topk_hier_trained(
+            queries, embeddings, kc=kc, kf=4, k=5,
+            n_assign_coarse=2, n_probe=8, codebooks=(lf, lc),
+        )
+
+    assert _rows(run(kc=1)) == _rows(run(kc=4))
+
+
 def test_persisted_probe_matches_inline_training(spark):
     _ensure_loaded()
     inline = REGISTRY["ann_ivf2_trained_topk"].spark(spark, SF)
