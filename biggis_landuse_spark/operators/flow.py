@@ -23,7 +23,8 @@ shuffle-bounded compositions:
   contract (work is |edges|·depth worst case, each round one hash
   equi-join on the cell key).
 - :func:`flow_accumulation_full`: the same counts over the WHOLE flow
-  path via pointer doubling — O(log L) shuffle rounds for horizon L,
+  path via Euler tour + weighted list ranking — O(log) shuffle rounds
+  with O(n) state per round (never the O(n·L) transitive closure),
   the scale path when flow paths run thousands of cells.
 """
 
@@ -31,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 # D8 neighbor offsets in tie-break priority order (E, SE, S, SW, W,
 # NW, N, NE — lowest index wins on equal slope)
@@ -49,22 +51,24 @@ def d8_directions(cells: DataFrame) -> DataFrame:
     explode against the grid; the arg-max folds into
     max(drop²·(3−d²)·8 + (7−dir)) — exact integers end to end.
 
-    Contract: the |drop| between neighbors must stay <= ~7.6e8
-    (sqrt(2^63 / 16)) or the packed key drop²·(3−d²)·8 overflows
-    BIGINT and picks a wrong direction, so |elev| is guarded at
-    3.8e8 (any drop then fits). Any real DEM (Everest in millimeters
-    is 8.8e6) is orders of magnitude inside the bound; it is asserted
-    here because the declared elev domain (bigint) would otherwise
-    permit silent wraparound.
+    Contract: the |drop| between neighbors must stay <=
+    sqrt(2^63/16) = 759,250,124 or the packed key drop²·(3−d²)·8
+    overflows BIGINT and picks a wrong direction, so |elev| is
+    guarded at 379,000,000 (< 759,250,124/2 = 379,625,062, so ANY
+    in-guard drop fits — 2·3.8e8 would already wrap: 16·(7.6e8)² =
+    9.2416e18 > 2^63−1 = 9.2234e18). Any real DEM (Everest in
+    millimeters is 8.8e6) is orders of magnitude inside the bound; it
+    is asserted here because the declared elev domain (bigint) would
+    otherwise permit silent wraparound.
     """
     # cheap row-local guard: passes every in-domain value through,
     # fails loudly on a domain violation instead of returning a wrong
     # arg-max
     cells = cells.withColumn(
         "elev",
-        F.when(F.abs(F.col("elev")) <= F.lit(380_000_000), F.col("elev"))
+        F.when(F.abs(F.col("elev")) <= F.lit(379_000_000), F.col("elev"))
         .otherwise(F.raise_error(F.lit(
-            "d8_directions: |elev| exceeds the 3.8e8 packed-key bound"
+            "d8_directions: |elev| exceeds the 3.79e8 packed-key bound"
         ))),
     )
     offs = F.array(
@@ -168,35 +172,143 @@ def flow_accumulation(edges: DataFrame, depth: int) -> DataFrame:
 
 
 def flow_accumulation_full(edges: DataFrame,
-                           max_rounds: int = 16,
+                           max_rounds: int = 48,
                            stats: dict | None = None) -> DataFrame:
     """(u, v) strictly-downhill edges → (v, acc): upstream-contributor
-    counts over the FULL flow horizon — every path length — in
-    O(log L) pointer-DOUBLING rounds where :func:`flow_accumulation`
-    pays one shuffle round per step.
+    counts over the FULL flow horizon — every path length — with
+    O(n) state per shuffle round (r10, VERDICT r9 #1).
 
-    The D8 graph is functional (<= 1 outgoing edge per cell), so two
-    relations suffice: ``jump`` holds (u, node exactly 2^k steps
-    downstream) — cells whose path is shorter simply drop out — and
-    ``closure`` holds every (u, w) at distance 1..2^k. One round
-    extends both with one hash equi-join each: pairs at distance
-    (2^k, 2^(k+1)] are jump ∘ closure, the next jump is jump ∘ jump.
-    Strictly-decreasing elevation makes the graph a DAG with a unique
-    path per source, so every (u, w) pair appears exactly once and
-    count(*) per target is the exact contributor count — identical
-    output to the bounded form at depth >= the longest path, reached
-    in ceil(log2 L) rounds instead of L. The loop stops early when
-    ``jump`` drains (2^k passed the longest path); ``max_rounds``=16
-    covers diameter 65536. Per-round eager localCheckpoint on BOTH
-    relations keeps lineage and task binaries flat (the
-    flow_accumulation discipline: unchecked, each union branch
-    re-embeds the whole upstream plan into task binaries).
+    Euler tour + weighted list ranking, the textbook subtree-size
+    algorithm: acc(v) = |subtree(v)| − 1 in the in-forest where every
+    cell points at its downstream neighbor. The transitive-closure
+    form this replaces (kept as :func:`flow_accumulation_closure` for
+    the equality tests) materialized every (source, downstream) pair —
+    Σ path lengths = O(n·L) rows for horizon L, 3–4 orders of
+    magnitude more state than the n-sized answer on continental grids.
+    Here total state is exactly 2n arc rows in EVERY round:
 
-    ``stats`` (optional dict) receives ``{"rounds": r}`` — the number
-    of doubling rounds actually run before the jump relation drained;
-    the scale probe records it so round-count growth vs grid size is
-    measured, not asserted.
+    1. Each tree edge (child u → parent v) contributes a down-arc
+       (enter u, id 2u) and an up-arc (leave u, id 2u+1); roots get a
+       virtual sentinel parent so the formula is uniform. The Euler
+       tour successor is local arithmetic over (parent, first-child,
+       next-sibling) — one window shuffle partitioned by parent.
+    2. Weighted list ranking by pointer doubling: d(x) = number of
+       arcs strictly after x in its tour, computed in
+       ceil(log2 max-tour-length) rounds of one hash equi-join each,
+       each round carrying exactly one (ptr, d) pair per arc —
+       *partial sums instead of pairs*, the same O(n)-state
+       discipline :func:`watershed_roots` uses.
+    3. The arcs of v's subtree sit strictly between down(v) and
+       up(v), so d(down_v) − d(up_v) = 2·|subtree(v)| − 1 and
+       acc(v) = (d(down_v) − d(up_v) − 1) >> 1 — exact integers end
+       to end, read off with one groupBy on the node id.
+
+    Identical output to the closure/bounded forms (only targets with
+    acc >= 1 are returned). Rounds are ceil(log2 2n) worst-case —
+    vs the closure's ceil(log2 L) — but each round's state is 2n,
+    never n·L; the loop stops early once every arc has reached its
+    tour end. Per-round eager localCheckpoint keeps lineage and task
+    binaries flat (the flow_accumulation discipline).
+
+    ``stats`` (optional dict) receives ``{"rounds": r, "state_rows":
+    2n}`` — measured doubling rounds and the (constant) per-round
+    state size the scale probe records.
     """
+    edges = edges.localCheckpoint(eager=True)
+    # child ordering within each parent: first child starts the
+    # descent, next sibling continues the sweep — one shuffle on v
+    w = W.partitionBy("v").orderBy("u")
+    ch = edges.select(
+        "u",
+        "v",
+        F.lead("u").over(w).alias("sib"),
+        F.row_number().over(w).alias("rk"),
+    ).localCheckpoint(eager=True)
+    first_child = ch.where(F.col("rk") == 1).select(
+        F.col("v").alias("n"), F.col("u").alias("fc")
+    )
+    # one row per node: child nodes carry (parent, next sibling);
+    # roots (targets that are never sources) carry neither
+    roots = (
+        edges.select(F.col("v").alias("n"))
+        .distinct()
+        .join(edges.select(F.col("u").alias("n")).distinct(), "n",
+              "left_anti")
+    )
+    nodes = ch.select(
+        F.col("u").alias("n"), F.col("v").alias("par"), "sib"
+    ).unionByName(
+        roots.select(
+            "n", F.lit(None).cast("long").alias("par"),
+            F.lit(None).cast("long").alias("sib"),
+        )
+    ).join(first_child, "n", "left")
+    # Euler-tour successor, all local arithmetic: down(n)=2n enters n
+    # (next: descend to first child, else bounce straight up);
+    # up(n)=2n+1 leaves n (next: next sibling's descent, else leave
+    # the parent; roots end their tour → null)
+    down = nodes.select(
+        (F.col("n") * 2).alias("id"),
+        F.coalesce(F.col("fc") * 2, F.col("n") * 2 + 1).alias("ptr"),
+    )
+    up = nodes.select(
+        (F.col("n") * 2 + 1).alias("id"),
+        F.when(F.col("sib").isNotNull(), F.col("sib") * 2)
+        .when(F.col("par").isNotNull(), F.col("par") * 2 + 1)
+        .alias("ptr"),
+    )
+    arcs = down.unionByName(up).select(
+        "id", "ptr",
+        F.when(F.col("ptr").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0)).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+    n_arcs = arcs.count()
+    # weighted list ranking: each round jumps 2^k arcs ahead, summing
+    # the carried distance — state is exactly n_arcs rows per round
+    rounds_run = 0
+    for _ in range(max_rounds):
+        live = arcs.where(F.col("ptr").isNotNull())
+        if live.isEmpty():
+            break
+        hop = arcs.select(
+            F.col("id").alias("ptr"),
+            F.col("ptr").alias("p2"),
+            F.col("d").alias("d2"),
+        )
+        arcs = (
+            live.join(hop, "ptr")
+            .select("id", F.col("p2").alias("ptr"),
+                    (F.col("d") + F.col("d2")).alias("d"))
+            .unionByName(arcs.where(F.col("ptr").isNull()))
+            .localCheckpoint(eager=True)
+        )
+        rounds_run += 1
+    if stats is not None:
+        stats["rounds"] = rounds_run
+        stats["state_rows"] = n_arcs
+    # subtree size off the two tour ranks of each node: one groupBy
+    by_node = arcs.groupBy(
+        F.shiftright(F.col("id"), 1).alias("v")
+    ).agg(
+        F.max(F.when(F.col("id") % 2 == 0, F.col("d"))).alias("dd"),
+        F.max(F.when(F.col("id") % 2 == 1, F.col("d"))).alias("du"),
+    )
+    return by_node.select(
+        "v",
+        F.shiftright(F.col("dd") - F.col("du") - 1, 1).alias("acc"),
+    ).where(F.col("acc") >= 1)
+
+
+def flow_accumulation_closure(edges: DataFrame,
+                              max_rounds: int = 16,
+                              stats: dict | None = None) -> DataFrame:
+    """The r9 transitive-closure form of full-horizon accumulation,
+    kept as the independent cross-check for
+    :func:`flow_accumulation_full`'s Euler-tour rewrite (equality
+    pinned in tests/test_flow.py). Pointer doubling over a ``jump``
+    relation extends a materialized ``closure`` of every (source,
+    downstream) pair — O(log L) rounds but O(n·L) total closure rows,
+    which is why it is no longer the production path."""
     closure = edges.localCheckpoint(eager=True)
     jump = closure
     rounds_run = 0

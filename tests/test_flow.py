@@ -132,6 +132,51 @@ def test_flow_accumulation_full_long_chain_log_rounds(spark):
     assert acc == {i: i for i in range(1, n)}
 
 
+def test_flow_accumulation_full_matches_closure_form(spark):
+    # VERDICT r9 #1 equality pin: the Euler-tour + weighted-list-
+    # ranking rewrite must return exactly the r9 transitive-closure
+    # form's counts on crafted terrain — same keys, same values —
+    # while carrying O(n) state per round instead of O(n·L)
+    import random
+
+    from biggis_landuse_spark.operators.flow import (
+        flow_accumulation_closure,
+        flow_accumulation_full,
+    )
+
+    rng = random.Random(23)
+    grid = [[rng.randrange(0, 35) + 5 * x + 2 * y for x in range(11)]
+            for y in range(9)]
+    edges = flow_edges(d8_directions(_cells_df(spark, grid)), 11)
+    full = {
+        r["v"]: r["acc"] for r in flow_accumulation_full(edges).collect()
+    }
+    closure = {
+        r["v"]: r["acc"]
+        for r in flow_accumulation_closure(edges).collect()
+    }
+    assert full == closure
+
+
+def test_flow_accumulation_full_wide_confluence_tree(spark):
+    # a star + chains forest exercises the sibling sweep of the Euler
+    # tour (many children per node), the shape the closure form never
+    # stressed: 6 chains of length 3 all draining into one pit
+    from biggis_landuse_spark.operators.flow import flow_accumulation_full
+
+    edges = []
+    for c in range(6):
+        a, b, t = 100 + 3 * c, 101 + 3 * c, 102 + 3 * c
+        edges += [(a, b), (b, t), (t, 0)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    acc = {r["v"]: r["acc"] for r in flow_accumulation_full(df).collect()}
+    expect = {0: 18}
+    for c in range(6):
+        expect[101 + 3 * c] = 1
+        expect[102 + 3 * c] = 2
+    assert acc == expect
+
+
 def test_flow_accumulation_full_empty_edges(spark):
     # an all-flat grid has no downhill edges: the closure is empty and
     # the operator must return an empty frame, not loop or error
@@ -193,7 +238,13 @@ def test_early_stop_matches_fixed_rounds_and_reports_counts(spark):
 
     st3 = {}
     flow_accumulation_full(edges, stats=st3).count()
-    assert 0 < st3["rounds"] <= 6  # diameter <= 16 → <= ~4-5 doublings
+    # Euler-tour list ranking drains in ceil(log2 max-tour-length)
+    # rounds; a 63-cell grid tours at most ~126 arcs → <= 7
+    assert 0 < st3["rounds"] <= 7
+    # the O(n)-state contract: per-round state is exactly 2 arcs per
+    # node touched by an edge, never the closure's n·L pairs
+    n_nodes = edges.select("u").union(edges.select("v")).distinct().count()
+    assert st3["state_rows"] == 2 * n_nodes
 
 
 def test_flow_queries_plan_shapes(spark):

@@ -161,6 +161,71 @@ def _raster_probe_cases():
     }
 
 
+def run_flow_state_probe(spark) -> list[dict]:
+    """r10, VERDICT r9 #1: the O(n)-state claim for the Euler-tour
+    flow_accumulation_full, measured against the r9 closure form it
+    replaced — per-round STATE ROWS side by side, on grids up to 64x
+    (side x8) where the closure's O(n·L) curve visibly detaches from
+    the rewrite's flat 2n. Euler state comes from the operator's
+    stats hook; closure state is Σ_v acc(v) (= total materialized
+    (source, downstream) pairs), read off the result itself.
+
+    Terrain: a PURE tilted plane (elev = 3·gx + 2·gy, no noise) —
+    deliberately not the registry fixture formula, whose mod-13 noise
+    interacts with the grid width (w mod 13 changes per scale step)
+    and fragments the 64x grid into tiny basins, breaking cross-scale
+    comparability. The plane gives one basin draining to (0,0) with
+    flow-path length ~side at every scale: the exact regime (L grows
+    with the grid) where the closure's Σ path lengths detaches from
+    the rewrite's flat 2n."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from biggis_landuse_spark.operators.flow import (
+        d8_directions,
+        flow_accumulation_closure,
+        flow_accumulation_full,
+        flow_edges,
+    )
+
+    out = []
+    for f in (1, 4, 16, 64):
+        side = int(f ** 0.5)
+        w, h = GRID_BASE_W * side, GRID_BASE_H * side
+        cells = spark.range(w * h).select(
+            (F.col("id") % w).cast("int").alias("gx"),
+            (F.col("id") / w).cast("int").alias("gy"),
+            (3 * (F.col("id") % w)
+             + 2 * (F.col("id") / w).cast("long")).cast("long").alias("elev"),
+        ).localCheckpoint(eager=True)
+        edges = flow_edges(d8_directions(cells), w).localCheckpoint(
+            eager=True
+        )
+        n_cells = w * h
+        spark._jvm.System.gc()
+        st: dict = {}
+        t0 = _t.perf_counter()
+        res = flow_accumulation_full(edges, stats=st)
+        res.count()
+        t_euler = _t.perf_counter() - t0
+        spark._jvm.System.gc()
+        st_c: dict = {}
+        t0 = _t.perf_counter()
+        res_c = flow_accumulation_closure(edges, stats=st_c)
+        closure_rows = res_c.agg(F.sum("acc")).collect()[0][0] or 0
+        t_closure = _t.perf_counter() - t0
+        out.append({
+            "factor": f, "cells": n_cells,
+            "euler_t": t_euler, "euler_rounds": st.get("rounds"),
+            "euler_state": st.get("state_rows"),
+            "closure_t": t_closure,
+            "closure_rounds": st_c.get("rounds"),
+            "closure_state": int(closure_rows),
+        })
+    return out
+
+
 def run_raster_probes(spark) -> tuple[dict, dict]:
     import time as _t
 
@@ -246,11 +311,13 @@ def main() -> None:
         "(1x/4x/16x cells) — the registry fixtures pin a constant grid,",
         "so these probes drive the operators on synthesized terrain of",
         "the same formula. `rounds` columns are MEASURED (stats/",
-        "early_stop), not the parameter: doubling loops must grow",
-        "+~1 round per 4x (log of the 2x longer flow path); the",
-        "monotone strahler fixpoint tracks the longest tributary chain",
-        "(~side, so ~2x per step); bounded accumulation holds its",
-        "constant 12 rounds and must scale only in per-round data.",
+        "early_stop), not the parameter: watershed pointer doubling",
+        "grows +~1 round per 4x (log of the 2x longer flow path);",
+        "flow_accumulation_full's Euler-tour list ranking grows +~2",
+        "per 4x (log of the 4x longer tour — the price of O(n) state);",
+        "the monotone strahler fixpoint tracks the longest tributary",
+        "chain; bounded accumulation holds its constant 12 rounds and",
+        "must scale only in per-round data.",
         "",
         "| operator | t(1x) s | t(4x) s | t(16x) s | 4x/1x | 16x/4x |"
         " rounds 1x/4x/16x |",
@@ -264,6 +331,31 @@ def main() -> None:
         lines.append(
             f"| {name} | {t[1]:.2f} | {t[4]:.2f} | {t[16]:.2f} "
             f"| {t[4] / t[1]:.1f} | {t[16] / t[4]:.1f} | {rtxt} |"
+        )
+    lines.append("")
+    flow_rows = run_flow_state_probe(spark)
+    lines += [
+        "### flow_accumulation_full: O(n) state vs the r9 closure "
+        "(r10, VERDICT r9 #1)",
+        "",
+        "Per-round STATE ROWS of the Euler-tour rewrite (measured by",
+        "the operator's stats hook — constant 2n arc rows every round)",
+        "against the replaced transitive-closure form (state = total",
+        "materialized (source, downstream) pairs = Σ acc, read off the",
+        "result). Grid side x2 per step up to 64x cells; both forms",
+        "return identical counts (equality pinned in tests/test_flow).",
+        "",
+        "| grid | cells | euler s | rounds | state rows | closure s "
+        "| rounds | state rows | closure/euler state |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in flow_rows:
+        lines.append(
+            f"| {r['factor']}x | {r['cells']} | {r['euler_t']:.2f} "
+            f"| {r['euler_rounds']} | {r['euler_state']} "
+            f"| {r['closure_t']:.2f} | {r['closure_rounds']} "
+            f"| {r['closure_state']} "
+            f"| {r['closure_state'] / max(1, r['euler_state']):.1f}x |"
         )
     lines.append("")
     out_md = os.path.join(
