@@ -635,6 +635,18 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_wordcount)
 
     sp = sub.add_parser(
+        "sql", help="run Spark SQL over testdata tables + catalog layers"
+    )
+    sp.add_argument("text", help="SQL text, or @path to read a .sql file")
+    sp.add_argument("--sf-dir", default=None,
+                    help="register testdata parquet tables as views")
+    sp.add_argument("--catalog", default=None,
+                    help="register catalog layers as layer_<name>_z<zoom> views")
+    sp.add_argument("--out", help="write parquet instead of printing")
+    sp.add_argument("-n", type=int, default=20, help="rows to print")
+    sp.set_defaults(fn=cmd_sql)
+
+    sp = sub.add_parser(
         "query", help="run a registry query ('query list' to enumerate)"
     )
     sp.add_argument("name")
@@ -644,6 +656,33 @@ def build_parser() -> argparse.ArgumentParser:
     sp.set_defaults(fn=cmd_query)
 
     return p
+
+
+def cmd_sql(args) -> int:
+    """SQL console surface (r10): the same Catalyst planner the
+    DataFrame API feeds, over the same normalized relations — views
+    from the testdata loader and/or the layer catalog. Results print
+    through the same bounded show(n) guard as ``query`` (never an
+    unbounded driver collect); --out streams a distributed parquet
+    write instead."""
+    from biggis_landuse_spark import sql_surface
+
+    spark = _spark(args)
+    if args.sf_dir:
+        sql_surface.register_testdata_views(spark, args.sf_dir)
+    if args.catalog:
+        sql_surface.register_catalog_views(spark, args.catalog)
+    text = args.text
+    if text.startswith("@"):
+        with open(text[1:]) as fh:
+            text = fh.read()
+    df = sql_surface.run_sql(spark, text)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote sql result → {args.out}")
+    else:
+        df.show(args.n, truncate=False)
+    return 0
 
 
 def cmd_query(args) -> int:
