@@ -107,6 +107,11 @@ class _Slice(InputPartition):
 
 
 def _read_slice(s: _Slice):
+    # row tuples, not Arrow batches: A/B-measured identical at 0.5M
+    # rows (0.85 s vs 0.80 s full-partition batch read) — the string
+    # payload dominates the transfer either way, and the streaming
+    # pipe's real cost is per-micro-batch scheduling (see
+    # streaming/bench.run_pipeline_scene + SCALING.md decomposition)
     with open(s.fp, "r") as f:
         for off, line in enumerate(f):
             if off >= s.end:
@@ -347,6 +352,26 @@ class _SpoolStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         _drop_staged(messages)
+
+
+def register_spool(spark) -> None:
+    """Register the spool DataSource so it works from ANY driver cwd.
+
+    Spark pickles a Python DataSource class and unpickles it inside
+    separate Python runner processes (driver-side for the stream
+    reader, executor-side for partitions). Pickled BY REFERENCE, those
+    processes must be able to ``import biggis_landuse_spark`` — true
+    under pytest (cwd = repo) but not for a driver run from /tmp, and
+    ``addPyFile`` does not reach the driver-side stream-runner
+    process. Registering this module for BY-VALUE pickling makes the
+    class's code travel inside the pickle itself, so the source works
+    wherever pyspark itself is importable."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(SpoolDataSource)
 
 
 class SpoolDataSource(DataSource):

@@ -109,6 +109,137 @@ def _drive(stream_df, ckpt: str, mode: str = "update") -> float:
     return time.perf_counter() - t0
 
 
+def run_pipeline_scene(
+    spark: SparkSession,
+    n_tiles: int = 8,
+    size: int = 256,
+    n_chunks: int = 3,
+    n_spool_parts: int = 4,
+    stage: str = "full",
+) -> dict:
+    """End-to-end streaming pipe at scene tile size (r10, VERDICT r9
+    #5): spool source → wire-format decode → stateful 256x256 tile
+    reassembly → versioned exactly-once sink, as ONE streaming query.
+
+    The reassembly-kernel legs above isolate the state operator; this
+    leg measures the WHOLE pipe so the next bottleneck is a number,
+    not a guess. The producer appends pixel messages (the reference's
+    ``label;f1;SpatialKey(c,r);x;y`` wire format, band in label /
+    value in f1) in ``n_chunks`` row-band slices with
+    processAllAvailable between appends — every tile spans every
+    micro-batch, so per-batch state round-trips are real. All message
+    bytes are pre-encoded BEFORE the clock starts; the timed loop
+    contains only file appends (the producer analog) + the pipe.
+
+    ``stage`` trims the pipe for decomposition runs (recorded in
+    SCALING.md): ``source`` = spool+decode only, ``reassemble`` = +
+    stateful reassembly, ``full`` = + versioned sink.
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+    from biggis_landuse_spark.sources.codecs import encode_sample
+    from biggis_landuse_spark.sources.spool import (
+        append_messages,
+        register_spool,
+    )
+    from biggis_landuse_spark.streaming.pixels import (
+        reassemble_tiles_stream,
+        stream_to_versioned,
+    )
+    from biggis_landuse_spark.versioning import VersionedLayerStore
+
+    # reassembly kernels need the package on worker paths; the spool
+    # source additionally needs BY-VALUE pickling (register_spool) —
+    # addPyFile never reaches the driver-side stream-runner process
+    ensure_package_shipped(spark)
+    register_spool(spark)
+    root = tempfile.mkdtemp(prefix="pipe_scene_")
+    n_px = n_tiles * size * size
+    rows_per_chunk_band = size // n_chunks
+    try:
+        spool = f"{root}/spool"
+        import os
+
+        os.makedirs(spool)
+        # pre-encode every chunk's messages driver-side (producer prep,
+        # off the clock): chunk = a horizontal band of every tile, so
+        # no tile can complete before the last chunk arrives
+        msgs = spark.range(n_px).select(
+            encode_sample(
+                label=F.lit(0.0),
+                features=F.array((F.col("id") % 251).cast("double")),
+                tile_col=(F.col("id") / (size * size)).cast("int"),
+                tile_row=F.lit(0),
+                px=(F.col("id") % size).cast("int"),
+                py=((F.col("id") % (size * size)) / size).cast("int"),
+            ).alias("value"),
+            F.least(
+                ((F.col("id") % (size * size)) / size / rows_per_chunk_band)
+                .cast("int"),
+                F.lit(n_chunks - 1),
+            ).alias("chunk"),
+            ((F.col("id") / (size * size)).cast("int") % n_spool_parts)
+            .alias("part"),
+        )
+        chunks: dict[tuple[int, int], list[str]] = {}
+        for r in msgs.collect():
+            chunks.setdefault((r["chunk"], r["part"]), []).append(r["value"])
+
+        lines = (
+            spark.readStream.format("spool").option("path", spool).load()
+        )
+        from biggis_landuse_spark.sources.kafka import decode_stream
+
+        px = decode_stream(lines).select(
+            "tile_col",
+            "tile_row",
+            F.col("label").cast("int").alias("band"),
+            "px",
+            "py",
+            F.element_at("features", 1).alias("value"),
+            F.timestamp_seconds(F.lit(1_700_000_000)).alias("event_ts"),
+        )
+        if stage == "source":
+            out_stream, mode = px, "append"
+        else:
+            out_stream = reassemble_tiles_stream(px, cols=size, rows=size)
+            mode = "append"
+        if stage == "full":
+            store = VersionedLayerStore(spark, f"{root}/store")
+            writer = stream_to_versioned(
+                out_stream, store, "scene", cols=size, rows=size,
+                checkpoint=f"{root}/ck",
+            )
+        else:
+            writer = (
+                out_stream.writeStream.foreachBatch(
+                    lambda df, _bid: (df.count(), None)[1]
+                )
+                .option("checkpointLocation", f"{root}/ck")
+                .outputMode(mode)
+            )
+        q = writer.start()
+        t0 = time.perf_counter()
+        try:
+            for c in range(n_chunks):
+                for p in range(n_spool_parts):
+                    append_messages(spool, p, chunks.get((c, p), []))
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        sec = time.perf_counter() - t0
+        result = {
+            "rows": n_px,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(n_px / sec),
+            "stage": stage,
+        }
+        if stage == "full":
+            result["versions_committed"] = len(store.versions("scene", 0))
+        return result
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_streaming_bench(
     spark: SparkSession,
     n_events: int = 60_000,
@@ -193,6 +324,10 @@ def run_streaming_bench(
             "sec": round(sec, 3),
             "rows_per_sec": round(n_px2 / sec),
         }
+
+        # whole-pipe leg (r10, VERDICT r9 #5): spool source → decode →
+        # stateful reassembly → versioned sink in one streaming query
+        out["pipeline_scene"] = run_pipeline_scene(spark)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -706,3 +706,16 @@ def test_stream_change_matrix_parity(spark, tmp_path):
     }
     assert got == want and len(got) == 9
     assert sum(n for n, _ in got.values()) == 256
+
+
+def test_pipeline_scene_leg_end_to_end(spark):
+    # the whole-pipe bench leg (r10, VERDICT r9 #5): spool source →
+    # decode → stateful reassembly → versioned sink, shrunk to a
+    # test-sized scene; every tile spans every producer chunk, and the
+    # sink must commit exactly one version holding all tiles complete
+    from biggis_landuse_spark.streaming.bench import run_pipeline_scene
+
+    r = run_pipeline_scene(spark, n_tiles=2, size=32, n_chunks=2)
+    assert r["rows"] == 2 * 32 * 32
+    assert r["versions_committed"] == 1
+    assert r["rows_per_sec"] > 0
