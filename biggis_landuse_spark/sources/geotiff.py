@@ -38,13 +38,22 @@ class GeoTiffDecoder:
     """Default decode step: the pure-Python baseline TIFF codec
     (sources/tiff.py). Subclass to plug in rasterio/GDAL where those
     libs exist — needed for LZW/JPEG compression or exotic metadata
-    the baseline codec deliberately refuses (TiffFormatError)."""
+    the baseline codec deliberately refuses (TiffFormatError).
+
+    ``ifd`` (r10, VERDICT r9 #2) selects which image of a multi-IFD
+    file to decode: 0 (default) is the full-resolution IFD0 — ingest
+    always selects it — and higher indexes reach stored COG overviews
+    or multi-page archive pages (see sources.tiff.tiff_pages and
+    :func:`ingest_geotiff_overviews`)."""
+
+    def __init__(self, ifd: int = 0) -> None:
+        self.ifd = ifd
 
     def decode(self, path: str, payload: bytes):
         """→ list of (height, width) float64 arrays, one per band."""
         from biggis_landuse_spark.sources.tiff import decode_tiff
 
-        return decode_tiff(payload)
+        return decode_tiff(payload, ifd=self.ifd)
 
     def georef(self, path: str, payload: bytes):
         """Model-space affine of the file: (x0, y0, dx, dy) = top-left
@@ -255,6 +264,109 @@ def ingest_geotiff(
     binaries = scan_geotiffs(spark, path)
     pixels = decode_to_pixels(binaries, decoder or GeoTiffDecoder())
     return retile_pixels(pixels, tile_size, layer, n_bands=n_bands)
+
+
+PAGES_SCHEMA = (
+    "path string, ifd int, width int, height int, n_bands int, "
+    "bits int, compression int, reduced boolean, page boolean"
+)
+
+
+def scan_geotiff_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file, per-IFD metadata of a scene directory (r10, VERDICT
+    r9 #2): walks each TIFF's WHOLE IFD chain (sources.tiff.tiff_pages)
+    so COG overview levels and multi-page archives are visible to
+    planning — previously only IFD0 existed. Arrow-batched
+    executor-side scan; non-TIFF payloads yield no rows (the scan
+    directory may carry fake-codec fixtures or sidecars)."""
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    binaries = scan_geotiffs(spark, path)
+
+    def run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from biggis_landuse_spark.sources.tiff import (
+            TiffFormatError,
+            tiff_pages,
+        )
+
+        for pdf in batch_iter:
+            for r in pdf.itertuples(index=False):
+                try:
+                    pages = tiff_pages(bytes(r.content))
+                except TiffFormatError:
+                    continue
+                yield pd.DataFrame(
+                    [
+                        {
+                            "path": r.path,
+                            "ifd": p["index"],
+                            "width": p["width"],
+                            "height": p["height"],
+                            "n_bands": p["n_bands"],
+                            "bits": p["bits"],
+                            "compression": p["compression"],
+                            "reduced": p["reduced"],
+                            "page": p["page"],
+                        }
+                        for p in pages
+                    ]
+                )
+
+    return binaries.select("path", "content").mapInPandas(
+        run, schema=PAGES_SCHEMA
+    )
+
+
+def ingest_geotiff_overviews(
+    spark: SparkSession,
+    path: str,
+    layer: str,
+    catalog,
+    base_zoom: int,
+    tile_size: int = 256,
+    crs: str | None = None,
+) -> list[int]:
+    """Bootstrap pyramid levels from STORED COG overviews instead of
+    recomputing them (r10, VERDICT r9 #2 — the GeoTrellis multi-IFD
+    reader surface): ingest IFD0 as ``base_zoom`` and every
+    reduced-resolution IFD present in ALL scene files as successively
+    coarser zooms (IFD i → base_zoom − i, the COG factor-2 ladder).
+    Returns the zooms written, coarsest last — chain
+    ``build_pyramid(catalog, layer, from_zoom=<coarsest>)`` for levels
+    the file does not store. Equality with the computed pyramid is
+    pinned in tests/test_tiff_codec.py for mean-2x2 overviews."""
+    pages = scan_geotiff_pages(spark, path)
+    n_files = pages.where(F.col("ifd") == 0).count()
+    usable = [
+        r["ifd"]
+        for r in (
+            pages.where(F.col("reduced") | (F.col("ifd") == 0))
+            .groupBy("ifd")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") == n_files)
+            .orderBy("ifd")
+            .collect()
+        )
+    ]
+    written: list[int] = []
+    for i in usable:
+        tiles = ingest_geotiff(
+            spark, path, layer, tile_size=tile_size,
+            decoder=GeoTiffDecoder(ifd=i),
+        )
+        zoom = base_zoom - i
+        catalog.write_layer(
+            tiles.select(
+                "tile_col", "tile_row",
+                F.lit(None).cast("timestamp").alias("ts"), "tile",
+            ),
+            layer,
+            zoom,
+            **({"crs": crs} if crs else {}),
+        )
+        written.append(zoom)
+    return written
 
 
 # ---------------------------------------------------------------------------

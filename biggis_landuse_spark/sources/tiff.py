@@ -66,6 +66,7 @@ TILE_OFFSETS = 324
 TILE_BYTE_COUNTS = 325
 SAMPLE_FORMAT = 339
 JPEG_TABLES = 347
+NEW_SUBFILE_TYPE = 254
 MODEL_PIXEL_SCALE = 33550
 MODEL_TIEPOINT = 33922
 
@@ -74,8 +75,8 @@ class TiffFormatError(ValueError):
     pass
 
 
-def parse_ifd(data: bytes) -> tuple[str, dict[int, list]]:
-    """Parse the header + first IFD into ``(byteorder, {tag: values})``."""
+def _tiff_header(data: bytes) -> tuple[str, int, tuple]:
+    """Header → (byteorder, first-IFD offset, entry-layout params)."""
     if data[:2] == b"II":
         order = "<"
     elif data[:2] == b"MM":
@@ -90,16 +91,26 @@ def parse_ifd(data: bytes) -> tuple[str, dict[int, list]]:
         if osz != 8 or rsv != 0:
             raise TiffFormatError(f"bad BigTIFF header (offsetsize={osz})")
         (off,) = struct.unpack(order + "Q", data[8:16])
-        (n,) = struct.unpack(order + "Q", data[off : off + 8])
-        entry0, esize, inline, ptr_fmt = off + 8, 20, 8, "Q"
-        cnt_fmt = "Q"
+        layout = (20, 8, "Q", "Q", 8)  # esize, inline, ptr, cnt, n-size
     elif magic == 42:
         (off,) = struct.unpack(order + "I", data[4:8])
-        (n,) = struct.unpack(order + "H", data[off : off + 2])
-        entry0, esize, inline, ptr_fmt = off + 2, 12, 4, "I"
-        cnt_fmt = "I"
+        layout = (12, 4, "I", "I", 2)
     else:
         raise TiffFormatError(f"bad TIFF magic {magic}")
+    return order, off, layout
+
+
+def _ifd_at(
+    data: bytes, order: str, off: int, layout: tuple
+) -> tuple[dict[int, list], int]:
+    """One IFD at ``off`` → ({tag: values}, next-IFD offset or 0)."""
+    esize, inline, ptr_fmt, cnt_fmt, nsz = layout
+    if off <= 0 or off + nsz > len(data):
+        raise TiffFormatError(f"IFD offset {off} out of bounds")
+    (n,) = struct.unpack(
+        order + ("H" if nsz == 2 else "Q"), data[off : off + nsz]
+    )
+    entry0 = off + nsz
     tags: dict[int, list] = {}
     for i in range(n):
         e = data[entry0 + esize * i : entry0 + esize * (i + 1)]
@@ -125,7 +136,72 @@ def parse_ifd(data: bytes) -> tuple[str, dict[int, list]]:
             ]
         else:
             tags[tag] = list(struct.unpack(order + _TYPE_FMT[typ] * cnt, raw))
+    nxt_pos = entry0 + esize * n
+    nxt_raw = data[nxt_pos : nxt_pos + inline]
+    nxt = (
+        struct.unpack(order + ptr_fmt, nxt_raw)[0]
+        if len(nxt_raw) == inline
+        else 0
+    )
+    return tags, nxt
+
+
+def parse_ifds(
+    data: bytes, max_ifds: int = 1024
+) -> tuple[str, list[dict[int, list]]]:
+    """Walk the WHOLE next-IFD chain (r10, VERDICT r9 #2) →
+    ``(byteorder, [tags per IFD])``. Every cloud-optimized GeoTIFF
+    carries overview IFDs after the full-res IFD0, and multi-page
+    archives chain one page per IFD — previously invisible (the
+    parser stopped at "header + first IFD"). Guards: offsets are
+    bounds-checked, repeated offsets (a cycle) and chains past
+    ``max_ifds`` raise instead of looping."""
+    order, off, layout = _tiff_header(data)
+    out: list[dict[int, list]] = []
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise TiffFormatError(f"IFD chain cycle at offset {off}")
+        if len(out) >= max_ifds:
+            raise TiffFormatError(f"IFD chain longer than {max_ifds}")
+        seen.add(off)
+        tags, off = _ifd_at(data, order, off, layout)
+        out.append(tags)
+    if not out:
+        raise TiffFormatError("no IFDs in file")
+    return order, out
+
+
+def parse_ifd(data: bytes) -> tuple[str, dict[int, list]]:
+    """Parse the header + first IFD into ``(byteorder, {tag: values})``."""
+    order, off, layout = _tiff_header(data)
+    tags, _nxt = _ifd_at(data, order, off, layout)
     return order, tags
+
+
+def tiff_pages(data: bytes) -> list[dict]:
+    """Per-IFD metadata of the whole chain: ``[{index, width, height,
+    n_bands, bits, compression, reduced, page}]``. ``reduced`` is
+    NewSubfileType bit 0 (a stored overview — what COGs carry);
+    ``page`` is bit 1 (one page of a multi-page archive). Lets ingest
+    select IFD0 explicitly and pyramid builds bootstrap from stored
+    overviews instead of recomputing them."""
+    _, ifds = parse_ifds(data)
+    out = []
+    for i, tags in enumerate(ifds):
+        sub = tags.get(NEW_SUBFILE_TYPE, [0])[0]
+        spp = tags.get(SAMPLES_PER_PIXEL, [1])[0]
+        out.append({
+            "index": i,
+            "width": tags.get(IMAGE_WIDTH, [0])[0],
+            "height": tags.get(IMAGE_LENGTH, [0])[0],
+            "n_bands": spp,
+            "bits": tags.get(BITS_PER_SAMPLE, [8] * spp)[0],
+            "compression": tags.get(COMPRESSION, [1])[0],
+            "reduced": bool(sub & 1),
+            "page": bool(sub & 2),
+        })
+    return out
 
 
 def _np_dtype(order: str, bits: int, fmt: int) -> np.dtype:
@@ -422,10 +498,21 @@ def _decode_oldstyle_jpeg(
     return out
 
 
-def decode_tiff(data: bytes) -> list[np.ndarray]:
-    """Decode the first image to a list of (height, width) float64
-    arrays, one per band."""
-    order, tags = parse_ifd(data)
+def decode_tiff(data: bytes, ifd: int = 0) -> list[np.ndarray]:
+    """Decode one image of the file to a list of (height, width)
+    float64 arrays, one per band. ``ifd`` selects the image: 0 (the
+    default) is the full-resolution IFD0 — what ingest reads — and
+    higher indexes reach stored COG overviews / multi-page archive
+    pages (walk :func:`tiff_pages` to pick one)."""
+    if ifd == 0:
+        order, tags = parse_ifd(data)
+    else:
+        order, ifds = parse_ifds(data)
+        if ifd >= len(ifds):
+            raise TiffFormatError(
+                f"IFD {ifd} requested but file has {len(ifds)}"
+            )
+        tags = ifds[ifd]
     if IMAGE_WIDTH not in tags or IMAGE_LENGTH not in tags:
         raise TiffFormatError("missing ImageWidth/ImageLength")
     w, h = tags[IMAGE_WIDTH][0], tags[IMAGE_LENGTH][0]
@@ -620,6 +707,66 @@ def encode_tiff(
     writes ModelPixelScale + a (0,0) ModelTiepoint; ``bigtiff=True``
     writes the BigTIFF layout (magic 43, 8-byte offsets — the format
     >4 GB rasters actually ship in)."""
+    img = _prep_image(
+        bands, dtype, tile_size, compression, planar, rows_per_strip,
+        predictor, georef, jpeg_quality, subfile_type=None,
+    )
+    return _write_tiff([img], bigtiff)
+
+
+def encode_tiff_multi(
+    images: list[list[np.ndarray]],
+    subfile_types: list[int] | None = None,
+    bigtiff: bool = False,
+    georef: tuple[float, float, float, float] | None = None,
+    **kwargs,
+) -> bytes:
+    """Encode SEVERAL images into one file as a chained-IFD TIFF
+    (r10, VERDICT r9 #2): pass the full-res image first and reduced
+    2x2 overviews after it with ``subfile_types=[0, 1, 1, ...]`` for a
+    cloud-optimized-GeoTIFF shape, or pages with type 2 for a
+    multi-page (band-per-page) archive. ``georef`` applies to IFD0
+    only (the COG convention — overview geo placement derives from the
+    full-res affine and the decimation factor). Remaining kwargs are
+    shared by every image (dtype / tile_size / compression / ...)."""
+    if not images:
+        raise ValueError("need at least one image")
+    if subfile_types is None:
+        subfile_types = [0] + [1] * (len(images) - 1)
+    if len(subfile_types) != len(images):
+        raise ValueError("subfile_types must match images")
+    prepped = [
+        _prep_image(
+            bands,
+            kwargs.get("dtype"),
+            kwargs.get("tile_size"),
+            kwargs.get("compression", "none"),
+            kwargs.get("planar", False),
+            kwargs.get("rows_per_strip"),
+            kwargs.get("predictor", False),
+            georef if i == 0 else None,
+            kwargs.get("jpeg_quality", 95),
+            subfile_type=subfile_types[i],
+        )
+        for i, bands in enumerate(images)
+    ]
+    return _write_tiff(prepped, bigtiff)
+
+
+def _prep_image(
+    bands: list[np.ndarray],
+    dtype,
+    tile_size,
+    compression,
+    planar,
+    rows_per_strip,
+    predictor,
+    georef,
+    jpeg_quality,
+    subfile_type,
+) -> tuple[list[bytes], dict[int, tuple[int, list]], bool]:
+    """One image → (compressed segments, IFD entries sans offsets,
+    tiled?)."""
     if not bands:
         raise ValueError("need at least one band")
     dt = np.dtype(dtype or bands[0].dtype).newbyteorder("<")
@@ -712,16 +859,6 @@ def encode_tiff(
                 segments.append(pack(plane[y0 : y0 + rps]))
         extra[ROWS_PER_STRIP] = (3, [rps])
 
-    # lay out: header | segment data | IFD | out-of-line tag values
-    if bigtiff:
-        body = bytearray(b"II+\x00" + struct.pack("<HHQ", 8, 0, 0))
-    else:
-        body = bytearray(b"II*\x00\x00\x00\x00\x00")
-    seg_offsets = []
-    for seg in segments:
-        seg_offsets.append(len(body))
-        body += seg
-
     entries: dict[int, tuple[int, list]] = {
         IMAGE_WIDTH: (4, [w]),
         IMAGE_LENGTH: (4, [h]),
@@ -732,44 +869,73 @@ def encode_tiff(
         PLANAR_CONFIG: (3, [2 if planar else 1]),
         SAMPLE_FORMAT: (3, [_FMT_OF_KIND[dt.kind]] * spp),
     }
+    if subfile_type is not None:
+        entries[NEW_SUBFILE_TYPE] = (4, [subfile_type])
     if predictor:
         entries[PREDICTOR] = (3, [2])
     entries.update(extra)
-    off_typ = 16 if bigtiff else 4  # LONG8 offsets past 4 GB
-    if tile_size is not None:
-        entries[TILE_OFFSETS] = (off_typ, seg_offsets)
-        entries[TILE_BYTE_COUNTS] = (off_typ, [len(s) for s in segments])
-    else:
-        entries[STRIP_OFFSETS] = (off_typ, seg_offsets)
-        entries[STRIP_BYTE_COUNTS] = (off_typ, [len(s) for s in segments])
     if georef is not None:
         x0, y0, dx, dy = georef
         entries[MODEL_PIXEL_SCALE] = (12, [dx, dy, 0.0])
         entries[MODEL_TIEPOINT] = (12, [0.0, 0.0, 0.0, x0, y0, 0.0])
+    return segments, entries, tile_size is not None
 
-    ifd_off = len(body)
-    tag_codes = sorted(entries)
-    overflow = bytearray()
+
+def _write_tiff(
+    images: list[tuple[list[bytes], dict[int, tuple[int, list]], bool]],
+    bigtiff: bool,
+) -> bytes:
+    """Lay out prepped images as one file with a CHAINED IFD list:
+    header | img0 data | img0 IFD | img0 overflow | img1 data | … —
+    each IFD's next pointer patched to the following IFD's offset
+    (0 on the last)."""
     if bigtiff:
-        struct.pack_into("<Q", body, 8, ifd_off)
-        body += struct.pack("<Q", len(tag_codes))
-        overflow_base = ifd_off + 8 + 20 * len(tag_codes) + 8
+        body = bytearray(b"II+\x00" + struct.pack("<HHQ", 8, 0, 0))
         inline, ptr_fmt, cnt_fmt = 8, "<Q", "<HHQ"
+        nxt_ptr_pos = 8  # header's first-IFD pointer
     else:
-        struct.pack_into("<I", body, 4, ifd_off)
-        body += struct.pack("<H", len(tag_codes))
-        overflow_base = ifd_off + 2 + 12 * len(tag_codes) + 4
+        body = bytearray(b"II*\x00\x00\x00\x00\x00")
         inline, ptr_fmt, cnt_fmt = 4, "<I", "<HHI"
-    for tag in tag_codes:
-        typ, vals = entries[tag]
-        fmt = _TYPE_FMT[typ]
-        raw = struct.pack("<" + fmt * len(vals), *vals)
-        if len(raw) <= inline:
-            raw_field = raw.ljust(inline, b"\x00")
+        nxt_ptr_pos = 4
+    off_typ = 16 if bigtiff else 4  # LONG8 offsets past 4 GB
+    esize = 20 if bigtiff else 12
+    for segments, entries, tiled in images:
+        seg_offsets = []
+        for seg in segments:
+            seg_offsets.append(len(body))
+            body += seg
+        entries = dict(entries)
+        if tiled:
+            entries[TILE_OFFSETS] = (off_typ, seg_offsets)
+            entries[TILE_BYTE_COUNTS] = (off_typ, [len(s) for s in segments])
         else:
-            raw_field = struct.pack(ptr_fmt, overflow_base + len(overflow))
-            overflow += raw
-        body += struct.pack(cnt_fmt, tag, typ, len(vals)) + raw_field
-    body += b"\x00" * inline  # next-IFD pointer: none
-    body += overflow
+            entries[STRIP_OFFSETS] = (off_typ, seg_offsets)
+            entries[STRIP_BYTE_COUNTS] = (
+                off_typ, [len(s) for s in segments],
+            )
+        ifd_off = len(body)
+        struct.pack_into(ptr_fmt, body, nxt_ptr_pos, ifd_off)
+        tag_codes = sorted(entries)
+        overflow = bytearray()
+        if bigtiff:
+            body += struct.pack("<Q", len(tag_codes))
+            overflow_base = ifd_off + 8 + esize * len(tag_codes) + inline
+        else:
+            body += struct.pack("<H", len(tag_codes))
+            overflow_base = ifd_off + 2 + esize * len(tag_codes) + inline
+        for tag in tag_codes:
+            typ, vals = entries[tag]
+            fmt = _TYPE_FMT[typ]
+            raw = struct.pack("<" + fmt * len(vals), *vals)
+            if len(raw) <= inline:
+                raw_field = raw.ljust(inline, b"\x00")
+            else:
+                raw_field = struct.pack(
+                    ptr_fmt, overflow_base + len(overflow)
+                )
+                overflow += raw
+            body += struct.pack(cnt_fmt, tag, typ, len(vals)) + raw_field
+        nxt_ptr_pos = len(body)
+        body += b"\x00" * inline  # next-IFD pointer: patched or final 0
+        body += overflow
     return bytes(body)
