@@ -179,15 +179,29 @@ class LayerCatalog:
             if target_files is not None
             else self.spark.sparkContext.defaultParallelism
         )
-        (
-            keyed.repartitionByRange(n_files, "layer", "zoom", *sort_keys)
-            .sortWithinPartitions(*sort_keys)
-            .drop("_zk")
-            .write.mode("overwrite")
-            .partitionBy("layer", "zoom")
-            .option("partitionOverwriteMode", "dynamic")
-            .parquet(self.tiles_path)
-        )
+        # repartitionByRange needs a range-SAMPLING pass before the
+        # write pass, so an unmaterialized input executes its whole
+        # upstream plan twice — for the lazy ingest chain (chunked
+        # decode → warp → reassembly) that was most of scene-ingest
+        # wall time (r10, found by the 4-band scene e2e: 21-30 s per
+        # band of which ~5 s is the chain run once). Persist spills to
+        # local disk past memory, trading one extra local IO pass for
+        # a full recompute — the same trade at 1000 executors.
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            (
+                keyed.repartitionByRange(n_files, "layer", "zoom", *sort_keys)
+                .sortWithinPartitions(*sort_keys)
+                .drop("_zk")
+                .write.mode("overwrite")
+                .partitionBy("layer", "zoom")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(self.tiles_path)
+            )
+        finally:
+            keyed.unpersist()
         # metadata + histogram read BACK from the written parquet
         # (r8, found by the scene-scale e2e): computing them from the
         # input relation re-executed the whole upstream pipeline —
@@ -281,7 +295,7 @@ class LayerCatalog:
         )
 
     def _upsert_layer_row(self, meta: dict) -> None:
-        new_row = self.spark.createDataFrame([meta], schema=LAYER_META_SCHEMA)
+        new_row = self._local_df([meta], LAYER_META_SCHEMA)
         existing = self.layers()
         merged = existing.where(
             ~((F.col("layer") == meta["layer"]) & (F.col("zoom") == meta["zoom"]))
@@ -290,8 +304,29 @@ class LayerCatalog:
 
     def _rewrite_small_table(self, df: DataFrame, path: str, schema) -> None:
         rows = df.collect()  # metadata tables are tiny by construction
-        out = self.spark.createDataFrame(rows, schema=schema)
+        out = self._local_df(rows, schema)
         out.coalesce(1).write.mode("overwrite").parquet(path)
+
+    def _local_df(self, rows: list, schema) -> DataFrame:
+        """Tiny driver-local rows → DataFrame via the Arrow/pandas
+        path. A plain ``createDataFrame(list)`` plans a PYTHON RDD
+        scan, so every metadata write paid ~4.5 s of Python-worker
+        spin-up for a one-row table (r10, found profiling scene
+        ingest: upsert + attribute write cost more than the layer
+        write itself); the pandas route converts through Arrow into a
+        JVM-local relation — measured 0.15 s for the same write."""
+        import pandas as pd
+
+        if not rows:
+            return self.spark.createDataFrame([], schema=schema)
+        try:
+            pdf = pd.DataFrame([r.asDict() if hasattr(r, "asDict") else dict(r)
+                                for r in rows])
+            return self.spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            # Arrow conversion can refuse exotic values; correctness
+            # first — fall back to the slow-but-total path
+            return self.spark.createDataFrame(rows, schema=schema)
 
     # -- read --------------------------------------------------------------
 
@@ -464,11 +499,9 @@ class LayerCatalog:
     # -- attributes (S19) ---------------------------------------------------
 
     def write_attribute(self, layer: str, zoom: int, name: str, payload: str) -> None:
-        new_row = self.spark.createDataFrame(
-            [
-                {"layer": layer, "zoom": zoom, "name": name, "json": payload}
-            ],
-            schema=ATTRIBUTE_SCHEMA,
+        new_row = self._local_df(
+            [{"layer": layer, "zoom": zoom, "name": name, "json": payload}],
+            ATTRIBUTE_SCHEMA,
         )
         merged = self.attributes().where(
             ~(

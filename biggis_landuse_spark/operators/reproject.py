@@ -2669,6 +2669,7 @@ def ingest_geotiff_webmercator(
     decoder=None,
     n_bands: int | None = None,
     src_crs: str = "EPSG:4326",
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Full reference ingest parity (GeotiffTilingExample.scala:44-66):
     scan → decode → reproject to the WebMercator zoomed layout →
@@ -2684,12 +2685,19 @@ def ingest_geotiff_webmercator(
     (zoom_for_resolution), the ZoomedLayoutScheme behavior.
     ``src_crs="auto"`` resolves the CRS from a .prj/.proj4 sidecar
     next to the scenes (sidecar_crs).
+
+    ``chunk_rows`` (r10: the scene-scale ingest fix) splits each file
+    into row bands decoded in PARALLEL tasks — binaryFile rows are
+    non-splittable, so without it a whole 8k² scene decodes + warps in
+    one task per file. Set it to ~1024 for scene-sized files; None
+    keeps the one-task-per-file path (fine for tile-sized inputs).
     """
     from biggis_landuse_spark.pixeling import pixels_to_tiles
     from biggis_landuse_spark.shipping import ensure_package_shipped
     from biggis_landuse_spark.sources.geotiff import (
         GeoTiffDecoder,
         decode_to_pixels_georef,
+        decode_to_pixels_georef_chunked,
         scan_geotiffs,
     )
 
@@ -2697,8 +2705,15 @@ def ingest_geotiff_webmercator(
         src_crs = sidecar_crs(path)
 
     ensure_package_shipped(spark)
-    binaries = scan_geotiffs(spark, path)
-    pixels = decode_to_pixels_georef(binaries, decoder or GeoTiffDecoder())
+    if chunk_rows is not None:
+        pixels = decode_to_pixels_georef_chunked(
+            spark, path, decoder or GeoTiffDecoder(), chunk_rows=chunk_rows
+        )
+    else:
+        binaries = scan_geotiffs(spark, path)
+        pixels = decode_to_pixels_georef(
+            binaries, decoder or GeoTiffDecoder()
+        )
     if zoom is None:
         first = pixels.select("dx").first()
         if first is None:

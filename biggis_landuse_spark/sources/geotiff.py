@@ -33,6 +33,35 @@ DECODED_SCHEMA = (
     "width int, height int"
 )
 
+# max pixel rows per yielded pandas frame: each yield becomes ONE
+# Arrow record batch on the Python→JVM hop, so an unbounded yield
+# (a whole 8k² band = 64M rows ≈ multi-GB) exhausts the JVM's direct
+# memory pool — found by the 8192²×4 scene e2e (r10); 1M rows ≈
+# ~100 MB batches keeps 32 concurrent tasks inside the pool
+_EMIT_ROWS = 1 << 20
+
+
+def _emit_band_rows(arr: np.ndarray, y_base: int, fixed: dict):
+    """Yield one band's pixels as row-bounded pandas frames."""
+    bh, bw = arr.shape
+    step = max(1, _EMIT_ROWS // max(1, bw))
+    for y in range(0, bh, step):
+        seg = arr[y : y + step]
+        sh = seg.shape[0]
+        ys, xs = np.mgrid[y_base + y : y_base + y + sh, 0:bw]
+        yield pd.DataFrame(
+            {
+                "path": fixed["path"],
+                "band": fixed["band"],
+                "py": ys.ravel(),
+                "px": xs.ravel(),
+                "value": seg.ravel(),
+                "width": bw,
+                "height": fixed["height"],
+                **fixed.get("geo", {}),
+            }
+        )
+
 
 class GeoTiffDecoder:
     """Default decode step: the pure-Python baseline TIFF codec
@@ -63,6 +92,17 @@ class GeoTiffDecoder:
         from biggis_landuse_spark.sources.tiff import georef_of
 
         return georef_of(payload)
+
+    def decode_rows(self, path: str, payload: bytes, y0: int, y1: int):
+        """→ per-band (y1−y0, width) arrays for one row band — the
+        partial-decode hook chunked ingest fans out over. The baseline
+        codec decompresses only the segments intersecting the band;
+        subclasses without a partial path should override with a
+        decode-then-slice fallback (still correct, just not
+        cost-proportional)."""
+        from biggis_landuse_spark.sources.tiff import decode_tiff
+
+        return decode_tiff(payload, ifd=self.ifd, rows=(y0, y1))
 
 
 class RasterioDecoder(GeoTiffDecoder):
@@ -101,6 +141,17 @@ class RasterioDecoder(GeoTiffDecoder):
             t = src.transform
             return (t.c, t.f, t.a, -t.e)
 
+    def decode_rows(self, path: str, payload: bytes, y0: int, y1: int):
+        import rasterio
+
+        _, mem = self._open(payload)
+        with mem as m, m.open() as src:
+            win = rasterio.windows.Window(0, y0, src.width, y1 - y0)
+            return [
+                src.read(b + 1, window=win).astype("float64")
+                for b in range(src.count)
+            ]
+
 
 def best_decoder() -> GeoTiffDecoder:
     """Auto-select the decode step: rasterio/GDAL when importable
@@ -134,6 +185,10 @@ class FakeRampDecoder(GeoTiffDecoder):
             return float(x0), float(y0), float(dx), float(dy)
         return 0.0, 0.0, 1e-3, 1e-3
 
+    def decode_rows(self, path: str, payload: bytes, y0: int, y1: int):
+        # no partial path for the fake: decode-then-slice fallback
+        return [b[y0:y1] for b in self.decode(path, payload)]
+
 
 def scan_geotiffs(spark: SparkSession, path: str) -> DataFrame:
     """Distributed binary scan (S1/S2). Column pruning keeps payloads
@@ -162,18 +217,10 @@ def decode_to_pixels(
             for r in pdf.itertuples(index=False):
                 bands = decoder.decode(r.path, r.content)
                 for b, arr in enumerate(bands):
-                    h, w = arr.shape
-                    ys, xs = np.mgrid[0:h, 0:w]
-                    yield pd.DataFrame(
-                        {
-                            "path": r.path,
-                            "band": b,
-                            "py": ys.ravel(),
-                            "px": xs.ravel(),
-                            "value": arr.ravel(),
-                            "width": w,
-                            "height": h,
-                        }
+                    yield from _emit_band_rows(
+                        arr, 0,
+                        {"path": r.path, "band": b,
+                         "height": arr.shape[0]},
                     )
 
     return binaries.select("path", "content").mapInPandas(
@@ -196,28 +243,96 @@ def decode_to_pixels_georef(
             for r in pdf.itertuples(index=False):
                 bands = decoder.decode(r.path, r.content)
                 x0, y0, dx, dy = decoder.georef(r.path, r.content)
+                geo = {"x0": x0, "y0": y0, "dx": dx, "dy": dy}
                 for b, arr in enumerate(bands):
-                    h, w = arr.shape
-                    ys, xs = np.mgrid[0:h, 0:w]
-                    yield pd.DataFrame(
-                        {
-                            "path": r.path,
-                            "band": b,
-                            "py": ys.ravel(),
-                            "px": xs.ravel(),
-                            "value": arr.ravel(),
-                            "width": w,
-                            "height": h,
-                            "x0": x0,
-                            "y0": y0,
-                            "dx": dx,
-                            "dy": dy,
-                        }
+                    yield from _emit_band_rows(
+                        arr, 0,
+                        {"path": r.path, "band": b,
+                         "height": arr.shape[0], "geo": geo},
                     )
 
     return binaries.select("path", "content").mapInPandas(
         run, schema=GEOREF_SCHEMA
     )
+
+
+def _read_file_bytes(path: str) -> bytes:
+    """Read one scene file by URI inside a kernel task. Supports the
+    ``file:`` scheme binaryFile yields in local/shared-FS deployments;
+    a remote-FS deployment plugs a pyarrow.fs/Hadoop range reader in
+    here (one function, one contract)."""
+    p = path
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    with open(p, "rb") as fh:
+        return fh.read()
+
+
+def decode_to_pixels_georef_chunked(
+    spark: SparkSession,
+    path: str,
+    decoder: GeoTiffDecoder | None = None,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Chunk-parallel variant of :func:`decode_to_pixels_georef` (r10:
+    the scene-scale ingest fix). ``binaryFile`` rows are non-splittable,
+    so the plain path decodes + explodes + warps EVERY pixel of a
+    scene file in ONE task — a 4-file 8k² ingest keeps 4 of 32 cores
+    busy. Here the unit of work is a ROW BAND: a metadata pre-scan
+    reads each file's height, the driver plans ceil(h / chunk_rows)
+    (path, y0, y1) slices (a handful of metadata-sized rows), and the
+    kernel re-reads its file and decodes ONLY its band
+    (``decoder.decode_rows`` — segment-pruned in the baseline codec),
+    emitting pixels with GLOBAL row indexes. Downstream (warp,
+    re-tile) is identical; parity with the unchunked path is pinned in
+    tests/test_tiff_codec.py. The file re-read per chunk is page-cache
+    cheap on a shared FS; the decode cost is band-proportional."""
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    decoder = decoder or GeoTiffDecoder()
+    meta = (
+        scan_geotiff_pages(spark, path)
+        .where(F.col("ifd") == getattr(decoder, "ifd", 0))
+        .select("path", "height")
+        .collect()
+    )
+    if not meta:
+        # non-TIFF payloads (fake-codec fixtures): fall back to the
+        # per-file path — chunk planning needs the TIFF header
+        return decode_to_pixels_georef(
+            scan_geotiffs(spark, path), decoder
+        )
+    plan = [
+        (r["path"], lo, min(lo + chunk_rows, r["height"]), r["height"])
+        for r in meta
+        for lo in range(0, r["height"], chunk_rows)
+    ]
+    chunks = spark.createDataFrame(
+        plan, "path string, y0 int, y1 int, h int"
+    ).repartition(len(plan))
+
+    def run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, bytes] = {}
+        for pdf in batch_iter:
+            for r in pdf.itertuples(index=False):
+                if r.path not in cache:
+                    cache.clear()  # hold at most one file per task
+                    cache[r.path] = _read_file_bytes(r.path)
+                payload = cache[r.path]
+                bands = decoder.decode_rows(r.path, payload, r.y0, r.y1)
+                gx0, gy0, gdx, gdy = decoder.georef(r.path, payload)
+                geo = {"x0": gx0, "y0": gy0, "dx": gdx, "dy": gdy}
+                for b, arr in enumerate(bands):
+                    yield from _emit_band_rows(
+                        arr, int(r.y0),
+                        {"path": r.path, "band": b,
+                         "height": int(r.h), "geo": geo},
+                    )
+
+    return chunks.mapInPandas(run, schema=GEOREF_SCHEMA)
 
 
 def retile_pixels(

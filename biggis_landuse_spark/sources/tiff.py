@@ -498,12 +498,23 @@ def _decode_oldstyle_jpeg(
     return out
 
 
-def decode_tiff(data: bytes, ifd: int = 0) -> list[np.ndarray]:
+def decode_tiff(
+    data: bytes,
+    ifd: int = 0,
+    rows: tuple[int, int] | None = None,
+) -> list[np.ndarray]:
     """Decode one image of the file to a list of (height, width)
     float64 arrays, one per band. ``ifd`` selects the image: 0 (the
     default) is the full-resolution IFD0 — what ingest reads — and
     higher indexes reach stored COG overviews / multi-page archive
-    pages (walk :func:`tiff_pages` to pick one)."""
+    pages (walk :func:`tiff_pages` to pick one).
+
+    ``rows=(y0, y1)`` decodes ONLY the segments intersecting that row
+    band and returns (y1−y0, width) arrays (r10: the partial-decode
+    primitive behind chunked ingest — one 8k² scene file is a single
+    non-splittable binaryFile row, so without this every pixel of a
+    scene decodes in ONE task). Segments outside the band are never
+    decompressed; cost is proportional to the band, not the image."""
     if ifd == 0:
         order, tags = parse_ifd(data)
     else:
@@ -530,9 +541,13 @@ def decode_tiff(data: bytes, ifd: int = 0) -> list[np.ndarray]:
         dt = _np_dtype(order, 16, fmts[0])
     else:
         dt = _np_dtype(order, bits[0], fmts[0])
+    y_lo, y_hi = (0, h) if rows is None else rows
+    y_lo, y_hi = max(0, int(y_lo)), min(h, int(y_hi))
+    if y_hi <= y_lo:
+        return [np.empty((0, w), dtype=np.float64) for _ in range(spp)]
     if comp == 6:  # old-style JPEG: tag-driven, not a segment codec
         old = _decode_oldstyle_jpeg(data, tags, w, h, spp)
-        return [old[b] for b in range(spp)]
+        return [old[b][y_lo:y_hi] for b in range(spp)]
     jpeg_tables = None
     if comp == 7:
         if bits[0] not in (8, 12, 16) or fmts[0] != 1:
@@ -543,7 +558,7 @@ def decode_tiff(data: bytes, ifd: int = 0) -> list[np.ndarray]:
         jt = tags.get(JPEG_TABLES)
         jpeg_tables = jt[0] if jt else None
 
-    out = np.empty((spp, h, w), dtype=np.float64)
+    out = np.empty((spp, y_hi - y_lo, w), dtype=np.float64)
 
     if TILE_WIDTH in tags:  # tiled layout
         tw, th = tags[TILE_WIDTH][0], tags[TILE_LENGTH][0]
@@ -552,19 +567,27 @@ def decode_tiff(data: bytes, ifd: int = 0) -> list[np.ndarray]:
         per_plane = across * down
         chans = spp if planar == 1 else 1
         for i, (o, c) in enumerate(zip(offs, cnts)):
-            raw = _decompress(data[o : o + c], comp, jpeg_tables, dt)
-            seg = np.frombuffer(raw, dtype=dt, count=th * tw * chans).reshape(
-                th, tw, chans
-            )
-            seg = _undo_predictor(seg, predictor)
             if planar == 1:
                 band0, idx = 0, i
             else:
                 band0, idx = i // per_plane, i % per_plane
             ty, tx = (idx // across) * th, (idx % across) * tw
+            if ty >= y_hi or ty + th <= y_lo:
+                continue  # segment never decompressed
+            raw = _decompress(data[o : o + c], comp, jpeg_tables, dt)
+            seg = np.frombuffer(raw, dtype=dt, count=th * tw * chans).reshape(
+                th, tw, chans
+            )
+            seg = _undo_predictor(seg, predictor)
             ch, cw = min(th, h - ty), min(tw, w - tx)  # edge-tile crop
+            s_lo = max(ty, y_lo) - ty
+            s_hi = min(ty + ch, y_hi) - ty
             for s in range(chans):
-                out[band0 + s, ty : ty + ch, tx : tx + cw] = seg[:ch, :cw, s]
+                out[
+                    band0 + s,
+                    ty + s_lo - y_lo : ty + s_hi - y_lo,
+                    tx : tx + cw,
+                ] = seg[s_lo:s_hi, :cw, s]
     else:  # stripped layout
         if STRIP_OFFSETS not in tags:
             raise TiffFormatError("missing StripOffsets")
@@ -578,14 +601,20 @@ def decode_tiff(data: bytes, ifd: int = 0) -> list[np.ndarray]:
             else:
                 band0, idx = i // per_plane, i % per_plane
             y0 = idx * rps
-            rows = min(rps, h - y0)
+            n_rows = min(rps, h - y0)
+            if y0 >= y_hi or y0 + n_rows <= y_lo:
+                continue  # segment never decompressed
             raw = _decompress(data[o : o + c], comp, jpeg_tables, dt)
-            seg = np.frombuffer(raw, dtype=dt, count=rows * w * chans).reshape(
-                rows, w, chans
+            seg = np.frombuffer(raw, dtype=dt, count=n_rows * w * chans).reshape(
+                n_rows, w, chans
             )
             seg = _undo_predictor(seg, predictor)
+            s_lo = max(y0, y_lo) - y0
+            s_hi = min(y0 + n_rows, y_hi) - y0
             for s in range(chans):
-                out[band0 + s, y0 : y0 + rows, :] = seg[:, :, s]
+                out[band0 + s, y0 + s_lo - y_lo : y0 + s_hi - y_lo, :] = seg[
+                    s_lo:s_hi, :, s
+                ]
 
     return [out[b] for b in range(spp)]
 

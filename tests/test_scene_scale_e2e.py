@@ -3,11 +3,11 @@ flagship workload shape — a Landsat-size multiband scene through
 ingest → cloud-masked NDVI → layer write → pyramid → serve
 (GettingStarted.scala:45-75, ~8000×8000 px per band).
 
-Synthesizes a 3-band UTM-georeferenced deflate GeoTIFF with the
-repo's OWN encoder (B4/B5/BQA analog, 30 m cells), ingests through
-the REAL WebMercator reproject path (UTM inverse + zoomed-layout
-re-keying), and asserts output-layer statistics and wall-time
-budgets. Gated behind SPARK_GRAFT_SCENE_E2E=1 — it moves ~10⁸ pixel
+Synthesizes FOUR single-band UTM-georeferenced deflate GeoTIFFs with
+the repo's OWN encoder (B3/B4/B5/BQA — the reference's full download
+set, 30 m cells), ingests through the REAL WebMercator reproject path
+(UTM inverse + zoomed-layout re-keying, r10: row-banded chunked
+decode), and asserts output-layer statistics and wall-time budgets. Gated behind SPARK_GRAFT_SCENE_E2E=1 — it moves ~10⁸ pixel
 rows through the ingest shuffle and is a multi-minute test by
 design; recorded timings live in BASELINE.md (r8 scene-scale note).
 Run: SPARK_GRAFT_SCENE_E2E=1 pytest tests/test_scene_scale_e2e.py
@@ -39,12 +39,16 @@ UTM_X0, UTM_Y0, CELL = 399960.0, 5_300_040.0, 30.0
 
 
 def _scene_bands():
+    # the reference's full download set is FOUR band files (B3 green,
+    # B4 red, B5 nir, BQA — GettingStarted.scala:47-51 bandPath), so
+    # the e2e ingests four single-band scenes like the real workload
     yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    green = (800 + (yy * 3 + xx * 5) % 2000).astype(np.uint16)
     red = (500 + (yy * 7 + xx * 3) % 2500).astype(np.uint16)
     nir = (3000 + (yy * 5 + xx * 11) % 3000).astype(np.uint16)
     qa = np.zeros((SIZE, SIZE), dtype=np.uint16)
     qa[SIZE // 8 : SIZE // 4, SIZE // 8 : SIZE // 4] = CLOUD_BIT
-    return red, nir, qa
+    return green, red, nir, qa
 
 
 def test_scene_scale_ndvi_pipeline(spark, tmp_path):
@@ -57,9 +61,11 @@ def test_scene_scale_ndvi_pipeline(spark, tmp_path):
     from biggis_landuse_spark.serving import render_tiles_png
     from biggis_landuse_spark.sources.tiff import encode_tiff
 
-    red, nir, qa = _scene_bands()
+    green, red, nir, qa = _scene_bands()
     t0 = time.perf_counter()
-    for name, band in (("b4", red), ("b5", nir), ("bqa", qa)):
+    for name, band in (
+        ("b3", green), ("b4", red), ("b5", nir), ("bqa", qa)
+    ):
         d = tmp_path / name
         d.mkdir()
         (d / "scene.tif").write_bytes(
@@ -87,13 +93,18 @@ def test_scene_scale_ndvi_pipeline(spark, tmp_path):
     cat = LayerCatalog(spark, str(tmp_path / "cat"))
     zoom = zoom_for_resolution_m(CELL)
     assert zoom == 12
-    for name in ("b4", "b5", "bqa"):
+    for name in ("b3", "b4", "b5", "bqa"):
         tiles = ingest_geotiff_webmercator(
             spark,
             str(tmp_path / name),
             name,
             zoom=zoom,
             src_crs="EPSG:32632",
+            # row-banded chunked decode (r10): one binaryFile row is
+            # non-splittable, so without this each whole band decodes
+            # + warps in ONE task — the defect the 2048² run hid and
+            # the 8k² run exposed
+            chunk_rows=1024,
         )
         cat.write_layer(tiles.drop("layer", "zoom"), name, zoom)
     t_ingest = time.perf_counter() - t0
@@ -164,7 +175,7 @@ def test_scene_scale_ndvi_pipeline(spark, tmp_path):
 
     total = t_encode + t_ingest + t_ndvi + t_pyramid
     print(
-        f"\nscene {SIZE}x{SIZE}x3: encode {t_encode:.1f}s, "
+        f"\nscene {SIZE}x{SIZE}x4: encode {t_encode:.1f}s, "
         f"ingest {t_ingest:.1f}s, ndvi {t_ndvi:.1f}s, "
         f"pyramid {t_pyramid:.1f}s, total {total:.1f}s"
     )

@@ -477,3 +477,74 @@ class TestMultiIfd:
 
         for zoom in (2, 1, 0):
             assert grid("cog", zoom) == grid("ref", zoom), zoom
+
+
+class TestPartialDecode:
+    """Row-banded partial decode (r10: the scene-ingest parallelism
+    primitive): rows=(y0,y1) must equal the full decode's slice on
+    every layout, and segments outside the band never decompress."""
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {"compression": "deflate", "tile_size": 16},
+            {"compression": "lzw", "rows_per_strip": 8, "predictor": True},
+            {"compression": "packbits", "rows_per_strip": 5},
+            {"compression": "none", "tile_size": 16, "planar": True},
+        ],
+    )
+    def test_rows_equal_full_slice(self, kw):
+        rng = np.random.default_rng(7)
+        bands = [
+            rng.integers(0, 4000, (37, 29)).astype(np.uint16)
+            for _ in range(2)
+        ]
+        blob = encode_tiff(bands, **kw)
+        full = decode_tiff(blob)
+        for y0, y1 in ((0, 37), (5, 21), (16, 17), (30, 37), (7, 7)):
+            part = decode_tiff(blob, rows=(y0, y1))
+            for b in range(2):
+                assert np.array_equal(part[b], full[b][y0:y1]), (kw, y0, y1)
+
+    def test_band_outside_image_clamps(self):
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        blob = encode_tiff([img])
+        assert decode_tiff(blob, rows=(6, 99))[0].shape == (2, 8)
+        assert decode_tiff(blob, rows=(50, 60))[0].shape == (0, 8)
+
+    def test_chunked_ingest_parity(self, spark, tmp_path):
+        # decode_to_pixels_georef_chunked must produce EXACTLY the
+        # plain path's pixel rows (global py, same affine), with a
+        # chunk size that straddles segment boundaries
+        from biggis_landuse_spark.sources.geotiff import (
+            GeoTiffDecoder,
+            decode_to_pixels_georef,
+            decode_to_pixels_georef_chunked,
+            scan_geotiffs,
+        )
+
+        rng = np.random.default_rng(11)
+        d = tmp_path / "scene"
+        d.mkdir()
+        for name in ("a", "b"):
+            bands = [
+                rng.integers(0, 9000, (45, 33)).astype(np.uint16)
+                for _ in range(2)
+            ]
+            (d / f"{name}.tif").write_bytes(
+                encode_tiff(
+                    bands, compression="deflate", tile_size=16,
+                    georef=(7.0, 48.0, 0.001, 0.001),
+                )
+            )
+        plain = decode_to_pixels_georef(
+            scan_geotiffs(spark, str(d)), GeoTiffDecoder()
+        )
+        chunked = decode_to_pixels_georef_chunked(
+            spark, str(d), chunk_rows=13
+        )
+        assert chunked.rdd.getNumPartitions() == 8  # ceil(45/13) x 2
+        key = ["path", "band", "py", "px"]
+        a = sorted(map(tuple, plain.select(*key, "value", "x0", "dy").collect()))
+        b = sorted(map(tuple, chunked.select(*key, "value", "x0", "dy").collect()))
+        assert a == b
