@@ -435,3 +435,88 @@ def png16_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(run, PNG16_STATS_SCHEMA)
+
+
+COG_STATS_SCHEMA = (
+    "doc_id long, n_pages long, full_px long, full_sum long, "
+    "ov_px long, ov_sum long"
+)
+
+
+def cog_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Cloud-optimized-GeoTIFF round trip per id (r10, VERDICT r9 #2):
+    a deterministic full-res uint16 image plus its 2x2 BLOCK-SUM
+    overview are written as ONE multi-IFD TIFF (sources/tiff.py
+    encode_tiff_multi, NewSubfileType reduced flag) and decoded back
+    page by page (tiff_pages + decode_tiff(ifd=...)), Arrow-batched,
+    with exact-integer statistics.
+
+    Closed-form synthesis — dims (8 + 2·(id % 4), 6 + 2·(id % 3)),
+    sample v(i) = (id·17 + i·101) mod 4096 — so a DuckDB oracle
+    replays the pixel math relationally while the Spark side actually
+    serializes and re-parses the chained-IFD container: the overview
+    stores BLOCK SUMS (max 4·4095 < 2^16), so Σ overview = Σ full-res
+    is an intrinsic cross-page invariant the value hash enforces. Any
+    chain-walk, subfile-flag, or partial-decode defect breaks the
+    shape checks or the sums. One map-side pass, no shuffle.
+    """
+    from biggis_landuse_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from biggis_landuse_spark.sources.tiff import (
+            decode_tiff,
+            encode_tiff_multi,
+            tiff_pages,
+        )
+
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col].tolist():
+                did = int(did)
+                w, h = 8 + 2 * (did % 4), 6 + 2 * (did % 3)
+                i = np.arange(w * h, dtype=np.int64)
+                full = (
+                    ((did * 17 + i * 101) % 4096)
+                    .astype(np.uint16)
+                    .reshape(h, w)
+                )
+                ov = (
+                    full.astype(np.int64)
+                    .reshape(h // 2, 2, w // 2, 2)
+                    .sum(axis=(1, 3))
+                    .astype(np.uint16)
+                )
+                blob = encode_tiff_multi(
+                    [[full], [ov]], compression="deflate",
+                    georef=(float(did), 0.0, 1.0, 1.0),
+                )
+                pages = tiff_pages(blob)
+                if len(pages) != 2 or pages[0]["reduced"] or not pages[1]["reduced"]:
+                    raise ValueError(f"bad COG page chain for id {did}")
+                got_full = decode_tiff(blob, ifd=0)[0].astype(np.int64)
+                got_ov = decode_tiff(blob, ifd=1)[0].astype(np.int64)
+                if got_full.shape != (h, w) or got_ov.shape != (h // 2, w // 2):
+                    raise ValueError(f"COG page shapes wrong for id {did}")
+                rows.append(
+                    (
+                        did,
+                        len(pages),
+                        w * h,
+                        int(got_full.sum()),
+                        (w // 2) * (h // 2),
+                        int(got_ov.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_pages", "full_px", "full_sum",
+                    "ov_px", "ov_sum",
+                ],
+            )
+
+    return df.select(id_col).mapInPandas(run, COG_STATS_SCHEMA)

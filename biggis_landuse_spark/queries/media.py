@@ -1080,3 +1080,45 @@ def media_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_png16_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     return MM.png16_roundtrip_stats(documents)
+
+
+@register(
+    "media_cog_pages",
+    oracle="""
+    WITH d AS (SELECT doc_id FROM documents),
+    dims AS (
+      SELECT doc_id, 8 + 2 * (doc_id % 4) AS w, 6 + 2 * (doc_id % 3) AS h
+      FROM d
+    ),
+    idx AS (SELECT doc_id, w, h, unnest(range(w * h)) AS i FROM dims),
+    px AS (
+      SELECT doc_id, w, h, (doc_id * 17 + i * 101) % 4096 AS v FROM idx
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT)                    AS n_pages,
+           CAST(min(w) * min(h) AS BIGINT)      AS full_px,
+           CAST(sum(v) AS BIGINT)               AS full_sum,
+           CAST((min(w) // 2) * (min(h) // 2) AS BIGINT) AS ov_px,
+           CAST(sum(v) AS BIGINT)               AS ov_sum
+    FROM px
+    GROUP BY doc_id
+    """,
+    doc="""Cloud-optimized-GeoTIFF page-chain round trip (r10, VERDICT
+    r9 #2 — the multi-IFD surface): per document a deterministic
+    full-res uint16 image and its 2x2 BLOCK-SUM overview are written
+    as ONE chained-IFD TIFF (encode_tiff_multi, NewSubfileType
+    reduced flag) and decoded back page by page (tiff_pages +
+    decode_tiff(ifd=…)) executor-side. The overview stores block SUMS
+    (max 4·4095 < 2^16), making Σ overview = Σ full-res an intrinsic
+    cross-page invariant the value hash enforces; the oracle replays
+    the closed-form pixel math relationally while Spark actually
+    serializes and re-parses the container — any chain-walk,
+    subfile-flag, or page-shape defect raises or breaks the hash.
+    All-integer outputs; one map-side pass, no shuffle. Operator:
+    multimodal.cog_roundtrip_stats.""",
+    tags=("multimodal", "S1"),
+    bench=True,
+)
+def media_cog_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = load_tables(spark, sf_dir, "documents")
+    return MM.cog_roundtrip_stats(documents)
