@@ -21,11 +21,17 @@ job; deletes drop whole partition directories.
 from __future__ import annotations
 
 import json
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from biggis_landuse_spark.model import ATTRIBUTE_SCHEMA, LAYER_META_SCHEMA
+
+# serializes the read-modify-write metadata/attribute upserts so
+# concurrent per-layer ingest jobs (operators.reproject.
+# ingest_layers_webmercator) can share one catalog safely
+_META_LOCK = threading.RLock()
 
 Z_BITS = 16
 
@@ -295,12 +301,21 @@ class LayerCatalog:
         )
 
     def _upsert_layer_row(self, meta: dict) -> None:
-        new_row = self._local_df([meta], LAYER_META_SCHEMA)
-        existing = self.layers()
-        merged = existing.where(
-            ~((F.col("layer") == meta["layer"]) & (F.col("zoom") == meta["zoom"]))
-        ).unionByName(new_row)
-        self._rewrite_small_table(merged, self.layers_path, LAYER_META_SCHEMA)
+        # the metadata upsert is a read-modify-write of a tiny table:
+        # the ONE part of write_layer that is not safe under
+        # concurrent per-layer ingest jobs (the data writes commit
+        # disjoint (layer, zoom) partitions through per-job dynamic-
+        # overwrite staging dirs). Serialize it process-wide.
+        with _META_LOCK:
+            new_row = self._local_df([meta], LAYER_META_SCHEMA)
+            existing = self.layers()
+            merged = existing.where(
+                ~((F.col("layer") == meta["layer"])
+                  & (F.col("zoom") == meta["zoom"]))
+            ).unionByName(new_row)
+            self._rewrite_small_table(
+                merged, self.layers_path, LAYER_META_SCHEMA
+            )
 
     def _rewrite_small_table(self, df: DataFrame, path: str, schema) -> None:
         rows = df.collect()  # metadata tables are tiny by construction
@@ -499,18 +514,22 @@ class LayerCatalog:
     # -- attributes (S19) ---------------------------------------------------
 
     def write_attribute(self, layer: str, zoom: int, name: str, payload: str) -> None:
-        new_row = self._local_df(
-            [{"layer": layer, "zoom": zoom, "name": name, "json": payload}],
-            ATTRIBUTE_SCHEMA,
-        )
-        merged = self.attributes().where(
-            ~(
-                (F.col("layer") == layer)
-                & (F.col("zoom") == zoom)
-                & (F.col("name") == name)
+        with _META_LOCK:
+            new_row = self._local_df(
+                [{"layer": layer, "zoom": zoom, "name": name,
+                  "json": payload}],
+                ATTRIBUTE_SCHEMA,
             )
-        ).unionByName(new_row)
-        self._rewrite_small_table(merged, self.attributes_path, ATTRIBUTE_SCHEMA)
+            merged = self.attributes().where(
+                ~(
+                    (F.col("layer") == layer)
+                    & (F.col("zoom") == zoom)
+                    & (F.col("name") == name)
+                )
+            ).unionByName(new_row)
+            self._rewrite_small_table(
+                merged, self.attributes_path, ATTRIBUTE_SCHEMA
+            )
 
     def attributes(self) -> DataFrame:
         if not self._exists(self.attributes_path):

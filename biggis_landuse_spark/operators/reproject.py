@@ -2730,3 +2730,47 @@ def ingest_geotiff_webmercator(
     return pixels_to_tiles(
         keyed, cols=tile_size, rows=tile_size, n_bands=n_bands
     )
+
+
+def ingest_layers_webmercator(
+    spark,
+    scenes: dict[str, str],
+    catalog,
+    zoom: int,
+    tile_size: int = TILE_SIZE,
+    src_crs: str = "EPSG:4326",
+    chunk_rows: int | None = 1024,
+    max_parallel: int = 4,
+) -> None:
+    """Ingest SEVERAL band scenes concurrently (r10): one
+    ingest → write_layer pipeline per (layer, path), submitted from
+    worker threads so Spark schedules the jobs side by side — the
+    multi-band scene shape (B3/B4/B5/BQA) otherwise serializes four
+    independent shuffles one after another, leaving most cores idle
+    during each band's tail stages. Spark's scheduler interleaves
+    concurrently-submitted jobs natively; each write_layer commits an
+    independent (layer, zoom) partition, so there is no shared state
+    beyond the thread-safe catalog metadata upserts, which are
+    serialized with a lock here. Raises the first failure after all
+    threads settle."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(item: tuple[str, str]) -> None:
+        layer, path = item
+        tiles = ingest_geotiff_webmercator(
+            spark, path, layer, zoom=zoom, tile_size=tile_size,
+            src_crs=src_crs, chunk_rows=chunk_rows,
+        )
+        # dynamic-partition-overwrite stages each job in its own
+        # .spark-staging-<jobId> dir and commits only its (layer,
+        # zoom) partition, so the DATA writes are concurrency-safe;
+        # the catalog's metadata upserts serialize internally
+        # (catalog._META_LOCK)
+        catalog.write_layer(tiles.drop("layer", "zoom"), layer, zoom)
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as ex:
+        futures = [ex.submit(one, it) for it in scenes.items()]
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e

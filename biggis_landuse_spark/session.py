@@ -50,6 +50,17 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # direct (off-heap) memory backs Arrow batch transfer and
+        # netty shuffle buffers; the JVM default ties it to the heap
+        # (8g), which 32 concurrent Arrow-emitting tasks exhaust at
+        # scene scale (r10: 4 parallel band ingests x 8 row-band
+        # chunks died OutOfDirectMemoryError). Size it for the box —
+        # on a cluster the same knob is per executor.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:MaxDirectMemorySize="
+            + os.environ.get("SPARK_GRAFT_DIRECT_MEM", "24g"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -36,9 +36,10 @@ DECODED_SCHEMA = (
 # max pixel rows per yielded pandas frame: each yield becomes ONE
 # Arrow record batch on the Python→JVM hop, so an unbounded yield
 # (a whole 8k² band = 64M rows ≈ multi-GB) exhausts the JVM's direct
-# memory pool — found by the 8192²×4 scene e2e (r10); 1M rows ≈
-# ~100 MB batches keeps 32 concurrent tasks inside the pool
-_EMIT_ROWS = 1 << 20
+# memory pool — found by the 8192²×4 scene e2e (r10). 512k rows ≈
+# ~50 MB batches: sized so 32 concurrent emitting tasks (4 parallel
+# band jobs × 8 row-band chunks) stay well inside the pool
+_EMIT_ROWS = 1 << 19
 
 
 def _emit_band_rows(arr: np.ndarray, y_base: int, fixed: dict):

@@ -3418,3 +3418,58 @@ def test_parse_cassini_proj4_wkt_and_datum_refusal(spark):
         ),
     )
     assert out.count() == 1
+
+
+def test_parallel_band_ingest_matches_serial(spark, tmp_path):
+    # r10: concurrent per-band ingest jobs (the multi-band scene
+    # shape) must produce byte-identical layers to serial ingest —
+    # the data writes commit disjoint (layer, zoom) partitions and
+    # the catalog metadata upserts serialize internally
+    import numpy as np
+
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.operators.reproject import (
+        ingest_geotiff_webmercator,
+        ingest_layers_webmercator,
+    )
+    from biggis_landuse_spark.sources.tiff import encode_tiff
+
+    scenes = {}
+    for i, name in enumerate(("pa", "pb", "pc")):
+        d = tmp_path / name
+        d.mkdir()
+        yy, xx = np.mgrid[0:64, 0:64]
+        band = ((i + 1) * 100 + yy * 3 + xx * 7).astype(np.uint16)
+        (d / "scene.tif").write_bytes(
+            encode_tiff(
+                [band], compression="deflate", tile_size=32,
+                georef=(399960.0, 5_300_040.0, 30.0, 30.0),
+            )
+        )
+        scenes[name] = str(d)
+
+    cat = LayerCatalog(spark, str(tmp_path / "cat_par"))
+    ingest_layers_webmercator(
+        spark, scenes, cat, zoom=12, src_crs="EPSG:32632", chunk_rows=16
+    )
+    cat2 = LayerCatalog(spark, str(tmp_path / "cat_ser"))
+    for name, path in scenes.items():
+        tiles = ingest_geotiff_webmercator(
+            spark, path, name, zoom=12, src_crs="EPSG:32632",
+            chunk_rows=16,
+        )
+        cat2.write_layer(tiles.drop("layer", "zoom"), name, 12)
+
+    assert set(cat.layer_ids()) == {(n, 12) for n in scenes}
+    for name in scenes:
+        a = sorted(
+            (r["tile_col"], r["tile_row"], tuple(r["tile"]["bands"][0]))
+            for r in cat.read_layer(name, 12).collect()
+        )
+        b = sorted(
+            (r["tile_col"], r["tile_row"], tuple(r["tile"]["bands"][0]))
+            for r in cat2.read_layer(name, 12).collect()
+        )
+        assert a == b, name
+    # metadata upserts survived the concurrency: one row per layer
+    assert cat.layers().count() == 3

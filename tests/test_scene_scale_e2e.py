@@ -11,6 +11,10 @@ decode), and asserts output-layer statistics and wall-time budgets. Gated behind
 rows through the ingest shuffle and is a multi-minute test by
 design; recorded timings live in BASELINE.md (r8 scene-scale note).
 Run: SPARK_GRAFT_SCENE_E2E=1 pytest tests/test_scene_scale_e2e.py
+At the full reference size, size the JVM for four concurrent band
+pipelines (the default 8g heap OOMs):
+SPARK_GRAFT_SCENE_E2E=1 SPARK_GRAFT_SCENE_PX=8192 \
+SPARK_GRAFT_DRIVER_MEM=24g pytest tests/test_scene_scale_e2e.py
 """
 
 from __future__ import annotations
@@ -55,9 +59,6 @@ def test_scene_scale_ndvi_pipeline(spark, tmp_path):
     from biggis_landuse_spark.catalog import LayerCatalog
     from biggis_landuse_spark.operators.local import mask_bits, ndvi
     from biggis_landuse_spark.operators.pyramid import build_pyramid
-    from biggis_landuse_spark.operators.reproject import (
-        ingest_geotiff_webmercator,
-    )
     from biggis_landuse_spark.serving import render_tiles_png
     from biggis_landuse_spark.sources.tiff import encode_tiff
 
@@ -93,20 +94,24 @@ def test_scene_scale_ndvi_pipeline(spark, tmp_path):
     cat = LayerCatalog(spark, str(tmp_path / "cat"))
     zoom = zoom_for_resolution_m(CELL)
     assert zoom == 12
-    for name in ("b3", "b4", "b5", "bqa"):
-        tiles = ingest_geotiff_webmercator(
-            spark,
-            str(tmp_path / name),
-            name,
-            zoom=zoom,
-            src_crs="EPSG:32632",
-            # row-banded chunked decode (r10): one binaryFile row is
-            # non-splittable, so without this each whole band decodes
-            # + warps in ONE task — the defect the 2048² run hid and
-            # the 8k² run exposed
-            chunk_rows=1024,
-        )
-        cat.write_layer(tiles.drop("layer", "zoom"), name, zoom)
+    from biggis_landuse_spark.operators.reproject import (
+        ingest_layers_webmercator,
+    )
+
+    # all four band jobs submit CONCURRENTLY (r10) over row-banded
+    # chunked decode (r10: one binaryFile row is non-splittable, so
+    # without chunk_rows each whole band decodes + warps in ONE task
+    # — the defect the 2048² run hid and the 8k² run exposed);
+    # equality with serial ingest is pinned in test_reproject
+    ingest_layers_webmercator(
+        spark,
+        {name: str(tmp_path / name)
+         for name in ("b3", "b4", "b5", "bqa")},
+        cat,
+        zoom=zoom,
+        src_crs="EPSG:32632",
+        chunk_rows=1024,
+    )
     t_ingest = time.perf_counter() - t0
     print(f"ingest {t_ingest:.1f}s", flush=True)
 
