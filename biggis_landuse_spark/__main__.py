@@ -38,8 +38,22 @@ def cmd_ingest(args) -> int:
     cat = _catalog(spark, args)
     crs = "EPSG:3857"
     if args.no_reproject:
-        from biggis_landuse_spark.sources.geotiff import ingest_geotiff
+        from biggis_landuse_spark.sources.geotiff import (
+            ingest_geotiff,
+            ingest_geotiff_overviews,
+        )
 
+        if args.with_overviews:
+            # COG read surface (r10): IFD0 as the base zoom plus every
+            # stored overview IFD as a coarser level — pyramid levels
+            # the file already carries are loaded, not recomputed
+            base_zoom = args.zoom if args.zoom >= 0 else 0
+            written = ingest_geotiff_overviews(
+                spark, args.path, args.layer, cat, base_zoom,
+                tile_size=args.tile_size, crs=f"pixelgrid:{args.crs}",
+            )
+            print(f"wrote layer {args.layer} zooms {written}")
+            return 0
         tiles = ingest_geotiff(spark, args.path, args.layer, args.tile_size)
         zoom = args.zoom if args.zoom >= 0 else 0
         # the raw path tiles the SOURCE pixel grid — record that
@@ -488,6 +502,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--no-reproject", action="store_true",
                     help="keep source grid (MultibandGeotiffToLayerNoReproj)")
+    sp.add_argument(
+        "--with-overviews", action="store_true",
+        help="also ingest stored COG overview IFDs as coarser zooms "
+        "(requires --no-reproject; zoom = base level)",
+    )
     sp.set_defaults(fn=cmd_ingest)
 
     sp = sub.add_parser("ndvi", help="red ⋈ nir (⋈ qa) → NDVI layer")

@@ -358,3 +358,32 @@ def test_cli_regions_inventory(spark, workspace, tmp_path):
         "0", "0", "31", "31"
     )
     assert r["region_id"] == "0"
+
+
+def test_cli_ingest_with_overviews(spark, tmp_path, capsys):
+    # r10: --with-overviews loads a COG's stored overview IFDs as
+    # coarser zooms instead of recomputing a pyramid
+    import numpy as np
+
+    from biggis_landuse_spark.catalog import LayerCatalog
+    from biggis_landuse_spark.sources.tiff import encode_tiff_multi
+
+    full = (np.arange(64 * 64, dtype=np.int64) % 16).astype(
+        np.float64
+    ).reshape(64, 64)
+    ov1 = full.reshape(32, 2, 32, 2).sum(axis=(1, 3)) / 4
+    d = tmp_path / "cogdir"
+    d.mkdir()
+    (d / "scene.tif").write_bytes(
+        encode_tiff_multi([[full], [ov1]], compression="deflate")
+    )
+    cat_dir = str(tmp_path / "cogcat")
+    assert main([
+        "ingest", str(d), "cogl", "--catalog", cat_dir,
+        "--tile-size", "32", "--zoom", "5",
+        "--no-reproject", "--with-overviews",
+    ]) == 0
+    assert "zooms [5, 4]" in capsys.readouterr().out
+    c = LayerCatalog(spark, cat_dir)
+    assert {("cogl", 5), ("cogl", 4)} <= set(c.layer_ids())
+    assert c.read_layer("cogl", 4).count() == 1  # 32x32 ov in 1 tile
