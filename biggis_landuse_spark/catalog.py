@@ -324,24 +324,15 @@ class LayerCatalog:
 
     def _local_df(self, rows: list, schema) -> DataFrame:
         """Tiny driver-local rows → DataFrame via the Arrow/pandas
-        path. A plain ``createDataFrame(list)`` plans a PYTHON RDD
-        scan, so every metadata write paid ~4.5 s of Python-worker
-        spin-up for a one-row table (r10, found profiling scene
-        ingest: upsert + attribute write cost more than the layer
-        write itself); the pandas route converts through Arrow into a
-        JVM-local relation — measured 0.15 s for the same write."""
-        import pandas as pd
+        path (session.local_df). A plain ``createDataFrame(list)``
+        plans a PYTHON RDD scan, so every metadata write paid ~4.5 s
+        of Python-worker spin-up for a one-row table (r10, found
+        profiling scene ingest: upsert + attribute write cost more
+        than the layer write itself); the pandas route converts
+        through Arrow into a JVM-local relation — 0.15 s."""
+        from biggis_landuse_spark.session import local_df
 
-        if not rows:
-            return self.spark.createDataFrame([], schema=schema)
-        try:
-            pdf = pd.DataFrame([r.asDict() if hasattr(r, "asDict") else dict(r)
-                                for r in rows])
-            return self.spark.createDataFrame(pdf, schema=schema)
-        except Exception:
-            # Arrow conversion can refuse exotic values; correctness
-            # first — fall back to the slow-but-total path
-            return self.spark.createDataFrame(rows, schema=schema)
+        return local_df(self.spark, rows, schema)
 
     # -- read --------------------------------------------------------------
 

@@ -51,8 +51,13 @@ def train_codebook(
     train = vecs.select(array_to_vector("_arr").alias("features"))
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(train)
     centers = model.clusterCenters()
+    from biggis_landuse_spark.session import local_df
+
     spark = corpus.sparkSession
-    return spark.createDataFrame(
+    # model-sized relation via the Arrow local-relation path (r10:
+    # a python-list DF costs ~0.5-0.7 s of worker round-trips per job)
+    return local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cid int, cv array<double>",
     )
@@ -98,6 +103,8 @@ def train_pq_codebooks(
         model = KMeans(k=ncode, seed=seed + s, maxIter=max_iter).fit(train)
         for c, center in enumerate(model.clusterCenters()):
             rows.append((s, c, [float(x) for x in center]))
-    return corpus.sparkSession.createDataFrame(
-        rows, "s int, c int, cv array<double>"
+    from biggis_landuse_spark.session import local_df
+
+    return local_df(
+        corpus.sparkSession, rows, "s int, c int, cv array<double>"
     )

@@ -1132,9 +1132,11 @@ def quality_classifier_train(
     feats, empty = _qlr_standardize(_qlr_features(documents))
     if empty:  # no training rows → no model (the logreg_gd contract)
         return spark.createDataFrame([], "dim int, weight double")
+    from biggis_landuse_spark.session import local_df
+
     w = _qlr_train(feats)
     out = [(j, round(w[j], 6)) for j in range(5)]
-    return spark.createDataFrame(out, "dim int, weight double")
+    return local_df(spark, out, "dim int, weight double")
 
 
 @register(

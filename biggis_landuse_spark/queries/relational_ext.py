@@ -1430,8 +1430,10 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nodes = alive.count()
         n_edges = cur.count() // 2
         rows.append((r, n_nodes, n_edges))
-    return spark.createDataFrame(
-        rows, "round int, n_nodes long, n_edges long"
+    from biggis_landuse_spark.session import local_df
+
+    return local_df(
+        spark, rows, "round int, n_nodes long, n_edges long"
     )
 
 

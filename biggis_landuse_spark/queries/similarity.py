@@ -2222,8 +2222,10 @@ def logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame([], "dim long, weight double")
         g = {r["dim"]: r["g"] for r in g_rows}
         w = [w[j] - g[j] for j in range(_KM_DIM)]
+    from biggis_landuse_spark.session import local_df
+
     out = [(j, w[j]) for j in range(_KM_DIM)]
-    return spark.createDataFrame(out, "dim long, weight double").select(
+    return local_df(spark, out, "dim long, weight double").select(
         "dim", F.round("weight", 6).alias("weight")
     )
 
@@ -2307,7 +2309,10 @@ def pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     v = embeddings.select("vec_id", S.as_double("embedding").alias("x"))
     w, lam = S.power_iteration(v, "x", _PCA_DIM, iters=_PCA_ITERS)
-    loadings = spark.createDataFrame(
+    from biggis_landuse_spark.session import local_df
+
+    loadings = local_df(
+        spark,
         [(d, float(w[d])) for d in range(len(w))], "dim int, loading double"
     )
     # len(w) == _PCA_DIM normally; [] on an empty corpus, where the

@@ -2168,7 +2168,10 @@ def _bpe_train_oracle() -> str:
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = load_tables(spark, sf_dir, "documents")
     rules, _state = _bpe_train(documents)
-    return spark.createDataFrame(
+    from biggis_landuse_spark.session import local_df
+
+    return local_df(
+        spark,
         rules,
         "round bigint, left_sym string, right_sym string, pair_count bigint",
     )
