@@ -30,10 +30,33 @@ tail truncation clips it harmlessly), and the FINAL printed line is a
 compact headline (total, sf, canary, streaming rows/s, worst
 per-query ratio vs the operative BASELINE.md table) guaranteed to fit
 the tail window.
+
+Contention-proofing (r11, VERDICT r10 #1): the r10 driver run read
+1.379× on a loaded box (load_avg 5.8–8.6) while three same-HEAD solo
+runs read 0.93–1.03× — the gap was C2 JIT ramp degrading under CPU
+contention, concentrated in the staged-codegen grid family (lcc_grid
+5.43× in-driver vs 0.88× solo). Three changes make the protocol
+measure the engine, not the box:
+
+1. **Suite pre-warm**: every benched query executes once before ANY
+   timed loop, amortizing C2 compilation across the whole suite
+   instead of paying it inside the first timed queries.
+2. **Adaptive steady-state reruns**: after the two standard timed
+   runs, if the two best times still disagree by >1.3× the query is
+   re-run (up to 4 timed runs total) until they agree — a loaded
+   scheduler can inflate any single run; the min of agreeing runs is
+   the steady state.
+3. **Canary normalization**: the headline carries
+   ``shared_vs_baseline_canary_norm`` = shared ratio ÷ canary ratio,
+   where the canary ratio is this run's three pinned-plan trivial
+   queries vs their own baseline rows. Uniform machine slowdown moves
+   both numerator and denominator, so the normalized ratio isolates
+   code regressions from box load, machine-readably.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -71,8 +94,74 @@ def _load_baseline_table(path: str) -> dict[str, float]:
     return table
 
 
+def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(
+        description=(
+            "Benchmark harness: runs the headline queries and prints a "
+            "compact JSON headline as the LAST stdout line (full "
+            "per-query record in BENCH_DETAIL.json). Safe: --help does "
+            "not run anything."
+        )
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="parquet table directory (default $SPARK_GRAFT_SF_DIR "
+        "or /root/testdata/sf0.1)",
+    )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of query names to run "
+        "(default: all; headline ratios are only meaningful full-suite)",
+    )
+    ap.add_argument(
+        "--no-streaming",
+        action="store_true",
+        help="skip the streaming micro-bench (also SPARK_GRAFT_STREAMING=0)",
+    )
+    ap.add_argument(
+        "--no-prewarm",
+        action="store_true",
+        help="skip the suite-level pre-warm pass (r11 contention "
+        "hardening; skipping reproduces the pre-r11 protocol)",
+    )
+    ap.add_argument(
+        "--max-runs",
+        type=int,
+        default=4,
+        help="cap on timed runs per query for steady-state detection "
+        "(default 4; 2 reproduces the pre-r11 protocol)",
+    )
+    return ap.parse_args(argv)
+
+
+# two timed runs agreeing within this factor = steady state reached;
+# disagreement triggers adaptive reruns (contention / JIT-ramp runs
+# read high, never low, so the min of agreeing runs is trustworthy)
+STEADY_STATE_RATIO = 1.3
+
+
+def _time_query(spark, spec, sf_dir: str, max_runs: int) -> float:
+    """Timed runs until the two best agree within STEADY_STATE_RATIO
+    (or max_runs), returning the min — on a contended box any single
+    run can be inflated by scheduler noise; agreement of the two best
+    is the machine-checkable steady-state signal."""
+    times: list[float] = []
+    for _ in range(max(2, max_runs)):
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        times.append(time.perf_counter() - t0)
+        if len(times) >= 2:
+            best2 = sorted(times)[:2]
+            if best2[1] <= best2[0] * STEADY_STATE_RATIO:
+                break
+    return min(times)
+
+
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = _parse_args()
+    sf_dir = args.sf_dir
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     from biggis_landuse_spark.queries import bench_queries, release_caches
@@ -82,16 +171,42 @@ def main() -> None:
     spark = get_spark(app_name="biggis-bench")
 
     specs = bench_queries()
+    if args.queries:
+        wanted = {q.strip() for q in args.queries.split(",") if q.strip()}
+        unknown = wanted - set(specs)
+        if unknown:
+            sys.exit(f"unknown queries: {sorted(unknown)}")
+        specs = {n: s for n, s in specs.items() if n in wanted}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    # Suite pre-warm (r11): one execution of EVERY query before any
+    # timed loop. C2 JIT compilation of the shared codegen scaffolding
+    # (whole-stage codegen entry points, Arrow writers, shuffle paths)
+    # is amortized here, so the first timed queries no longer pay it —
+    # under CPU contention that ramp was 3-5× on the staged-codegen
+    # grid family (r10 driver run: lcc_grid 5.43× vs 0.88× solo).
+    prewarm_sec = 0.0
+    if not args.no_prewarm:
+        t0 = time.perf_counter()
+        for name, spec in specs.items():
+            try:
+                spec.spark(spark, sf_dir).count()
+            except Exception:  # noqa: BLE001 — the timed loop reports it
+                pass
+            finally:
+                release_caches()
+        prewarm_sec = round(time.perf_counter() - t0, 3)
+
     for name, spec in specs.items():
-        # per-query warmup absorbs plan compilation + codegen so the
-        # timed runs measure steady-state execution, not first-run JIT;
-        # min-of-2 suppresses GC/scheduler noise (±30% run-to-run
-        # observed on a loaded 32-core box). Loop-invariant caches an
-        # iterative query holds (pagerank's edge list) stay warm across
-        # its reruns — that IS its steady state — and are released
-        # between queries so they never accumulate across the suite.
+        # per-query warmup (after the suite pre-warm) restores this
+        # query's code/data caches right before its timed runs; the
+        # min of steady-state-agreeing runs suppresses GC/scheduler
+        # noise (±30% run-to-run observed on a loaded 32-core box).
+        # Loop-invariant caches an iterative query holds (pagerank's
+        # edge list) stay warm across its reruns — that IS its steady
+        # state — and are released between queries so they never
+        # accumulate across the suite.
         # A failing query is RECORDED, not fatal: one regression must
         # never cost the whole round's numbers (BENCH_r03 lesson).
         # The explicit JVM GC before each query's timed loop removes
@@ -103,19 +218,20 @@ def main() -> None:
         try:
             spark._jvm.System.gc()
             spec.spark(spark, sf_dir).count()
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                spec.spark(spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
+            timings[name] = round(
+                _time_query(spark, spec, sf_dir, args.max_runs), 3
+            )
         except Exception as exc:  # noqa: BLE001 — survive and report
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         finally:
             release_caches()
 
     streaming: dict | None = None
-    if os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0":
+    if (
+        os.environ.get("SPARK_GRAFT_STREAMING", "1") != "0"
+        and not args.no_streaming
+        and not args.queries
+    ):
         try:
             from biggis_landuse_spark.streaming.bench import (
                 run_streaming_bench,
@@ -140,6 +256,7 @@ def main() -> None:
             "after": [round(x, 2) for x in os.getloadavg()],
         },
         "canary": canary,
+        "prewarm_sec": prewarm_sec,
     }
     if streaming is not None:
         detail["streaming"] = streaming
@@ -191,6 +308,29 @@ def main() -> None:
         if worst is not None:
             compact["worst_query"] = worst
             compact["worst_ratio"] = round(timings[worst] / baseline[worst], 3)
+        # canary normalization (r11, VERDICT r10 #1): the three
+        # pinned-plan canaries never change round-to-round, so their
+        # drift vs their own baseline rows measures the BOX, not the
+        # code. Dividing the shared ratio by the canary ratio yields a
+        # contention-corrected headline — on an idle box the two
+        # ratios coincide; on a loaded box (r10 driver: load 5.8-8.6,
+        # canary drift 1.0-1.37×) the normalized number stays
+        # attributable to code.
+        canary_shared = [
+            n for n in CANARY_QUERIES if n in timings and baseline.get(n)
+        ]
+        if canary_shared and compact["shared_vs_baseline"] is not None:
+            canary_ratio = sum(timings[n] for n in canary_shared) / sum(
+                baseline[n] for n in canary_shared
+            )
+            compact["canary_ratio"] = round(canary_ratio, 3)
+            if canary_ratio > 0:
+                # clamp at 1.0: normalization may only FORGIVE box
+                # slowdown, never inflate the ratio (canaries running
+                # faster than baseline must not mask a regression)
+                compact["shared_vs_baseline_canary_norm"] = round(
+                    compact["shared_vs_baseline"] / max(canary_ratio, 1.0), 3
+                )
     if streaming is not None:
         compact["streaming_rows_per_sec"] = {
             leg: stats.get("rows_per_sec")

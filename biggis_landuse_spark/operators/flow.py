@@ -266,9 +266,11 @@ def flow_accumulation_full(edges: DataFrame,
     # weighted list ranking: each round jumps 2^k arcs ahead, summing
     # the carried distance — state is exactly n_arcs rows per round
     rounds_run = 0
+    drained = False
     for _ in range(max_rounds):
         live = arcs.where(F.col("ptr").isNotNull())
         if live.isEmpty():
+            drained = True
             break
         hop = arcs.select(
             F.col("id").alias("ptr"),
@@ -286,12 +288,30 @@ def flow_accumulation_full(edges: DataFrame,
     if stats is not None:
         stats["rounds"] = rounds_run
         stats["state_rows"] = n_arcs
-    # subtree size off the two tour ranks of each node: one groupBy
+    # a ranking loop that exits via max_rounds without draining means
+    # the edge set was cyclic (not a forest) or the tour outran
+    # 2^max_rounds arcs — either way the dd-du subtree formula below
+    # would return silently WRONG counts, so refuse instead. The check
+    # costs nothing when the loop broke: its own isEmpty proved drain.
+    if not drained:
+        undrained = arcs.where(F.col("ptr").isNotNull())
+        if not undrained.isEmpty():
+            if stats is not None:
+                stats["undrained_arcs"] = undrained.count()
+            raise ValueError(
+                "flow_accumulation_full: list ranking did not converge "
+                f"in {max_rounds} rounds — the edge set is cyclic (not "
+                "a drainage forest) or the tour exceeds 2^max_rounds "
+                "arcs"
+            )
+    # subtree size off the two tour ranks of each node: one groupBy.
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    # odd arc id would satisfy neither branch and drop the node
     by_node = arcs.groupBy(
         F.shiftright(F.col("id"), 1).alias("v")
     ).agg(
-        F.max(F.when(F.col("id") % 2 == 0, F.col("d"))).alias("dd"),
-        F.max(F.when(F.col("id") % 2 == 1, F.col("d"))).alias("du"),
+        F.max(F.when(F.pmod(F.col("id"), 2) == 0, F.col("d"))).alias("dd"),
+        F.max(F.when(F.pmod(F.col("id"), 2) == 1, F.col("d"))).alias("du"),
     )
     return by_node.select(
         "v",

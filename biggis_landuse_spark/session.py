@@ -90,9 +90,16 @@ def local_df(spark: SparkSession, rows, schema):
         if hasattr(first, "asDict"):
             pdf = pd.DataFrame([r.asDict() for r in rows])
         else:
-            # dicts keep their keys; positional tuples get the
-            # schema's column names at conversion time
             pdf = pd.DataFrame(rows)
+        # Arrow conversion zips pandas columns with schema fields
+        # POSITIONALLY (names are ignored), so a dict/Row source whose
+        # key order differs from the schema would silently write values
+        # into the wrong columns wherever the types coincide. Reindex
+        # to schema order whenever the frame carries names.
+        names = [f.name for f in schema.fields] if hasattr(
+            schema, "fields") else None
+        if names and set(pdf.columns) == set(names):
+            pdf = pdf[names]
         return spark.createDataFrame(pdf, schema=schema)
     except Exception:
         return spark.createDataFrame(rows, schema=schema)

@@ -306,6 +306,16 @@ def decode_to_pixels_georef_chunked(
         return decode_to_pixels_georef(
             scan_geotiffs(spark, path), decoder
         )
+    # mixed directory: files the pages scan could NOT parse as TIFF
+    # (fake-codec fixtures beside real scenes) still decode through the
+    # per-file path, unioned below — chunking is a plan optimization,
+    # never a filter (parity with chunk_rows=None pinned in tests)
+    binaries = scan_geotiffs(spark, path)
+    tiff_paths = {r["path"] for r in meta}
+    # path-only projection: binaryFile prunes `content`, so this is a
+    # listing-cost job, not a re-read of the scene bytes
+    all_paths = {r["path"] for r in binaries.select("path").collect()}
+    leftover_paths = sorted(all_paths - tiff_paths)
     plan = [
         (r["path"], lo, min(lo + chunk_rows, r["height"]), r["height"])
         for r in meta
@@ -333,7 +343,13 @@ def decode_to_pixels_georef_chunked(
                          "height": int(r.h), "geo": geo},
                     )
 
-    return chunks.mapInPandas(run, schema=GEOREF_SCHEMA)
+    chunked = chunks.mapInPandas(run, schema=GEOREF_SCHEMA)
+    if not leftover_paths:
+        return chunked
+    leftover = binaries.where(F.col("path").isin(leftover_paths))
+    return chunked.unionByName(
+        decode_to_pixels_georef(leftover, decoder)
+    )
 
 
 def retile_pixels(
@@ -401,6 +417,8 @@ def scan_geotiff_pages(spark: SparkSession, path: str) -> DataFrame:
     binaries = scan_geotiffs(spark, path)
 
     def run(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
         from biggis_landuse_spark.sources.tiff import (
             TiffFormatError,
             tiff_pages,
@@ -410,7 +428,12 @@ def scan_geotiff_pages(spark: SparkSession, path: str) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 try:
                     pages = tiff_pages(bytes(r.content))
-                except TiffFormatError:
+                except (TiffFormatError, struct.error, KeyError,
+                        IndexError):
+                    # truncated / corrupt files can fail inside the
+                    # raw struct unpacks while walking an untrusted
+                    # next-IFD chain — one bad file must not fail the
+                    # whole scene scan (it simply yields no pages)
                     continue
                 yield pd.DataFrame(
                     [

@@ -385,3 +385,35 @@ def test_strahler_registry_converged_and_conserves(spark):
     a = sorted(map(tuple, strahler_orders(edges, ids, _STRAHLER_ROUNDS).collect()))
     b = sorted(map(tuple, strahler_orders(edges, ids, _STRAHLER_ROUNDS + 2).collect()))
     assert a == b
+
+
+def test_flow_accumulation_full_negative_ids_match_closure(spark):
+    # r11 ADVICE pin: the 2n/2n+1 arc encoding must survive negative
+    # node ids — Spark's % keeps the dividend's sign, so the parity
+    # split uses pmod; shiftright floors, which is already correct
+    from biggis_landuse_spark.operators.flow import (
+        flow_accumulation_closure,
+        flow_accumulation_full,
+    )
+
+    edges = [(-7, -3), (-6, -3), (-3, -1), (-5, -1), (4, -1), (-1, 0)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    full = {r["v"]: r["acc"] for r in flow_accumulation_full(df).collect()}
+    closure = {
+        r["v"]: r["acc"] for r in flow_accumulation_closure(df).collect()
+    }
+    assert full == closure
+    assert full[0] == 6  # every cell drains to the outlet
+
+
+def test_flow_accumulation_full_cyclic_input_raises(spark):
+    # r11 ADVICE pin: a ranking loop that exits via max_rounds without
+    # draining (cyclic edges = not a drainage forest) must refuse, not
+    # feed partial distances into the subtree formula
+    from biggis_landuse_spark.operators.flow import flow_accumulation_full
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "u long, v long"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        flow_accumulation_full(df, max_rounds=3)

@@ -548,3 +548,69 @@ class TestPartialDecode:
         a = sorted(map(tuple, plain.select(*key, "value", "x0", "dy").collect()))
         b = sorted(map(tuple, chunked.select(*key, "value", "x0", "dy").collect()))
         assert a == b
+
+
+class TestScanRobustness:
+    """r11 ADVICE pins: one corrupt file must not fail a scene scan,
+    and the chunked ingest path must never silently FILTER a mixed
+    directory (chunking is a plan optimization, not a file selector)."""
+
+    def test_scan_pages_survives_truncated_file(self, spark, tmp_path):
+        # a valid TIFF magic with an IFD offset pointing past EOF makes
+        # the raw struct unpacks fail mid-chain; the scan must yield
+        # the good file's pages and skip the corrupt one, not raise
+        d = tmp_path / "scene"
+        d.mkdir()
+        good = encode_tiff(
+            [np.arange(64, dtype=np.uint8).reshape(8, 8)],
+            georef=(7.0, 48.0, 0.001, 0.001),
+        )
+        (d / "good.tif").write_bytes(good)
+        # magic + next-IFD offset aiming at byte 10_000 of a 12-byte file
+        (d / "bad.tif").write_bytes(
+            b"II*\x00" + struct.pack("<I", 10_000) + b"\x00" * 4
+        )
+        # and a file whose IFD entry count lies about the bytes present
+        (d / "worse.tif").write_bytes(
+            b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", 500)
+        )
+        from biggis_landuse_spark.sources.geotiff import scan_geotiff_pages
+
+        pages = scan_geotiff_pages(spark, str(d)).collect()
+        assert {p["path"].rsplit("/", 1)[-1] for p in pages} == {"good.tif"}
+
+    def test_chunked_mixed_dir_does_not_drop_files(self, spark, tmp_path):
+        # pre-r11, a mixed directory made chunk_rows=None and
+        # chunk_rows=N behave differently: the chunked planner silently
+        # dropped every file the pages scan could not parse. Now the
+        # leftover files route through the per-file decode, so BOTH
+        # paths agree — including agreeing to fail loudly when the
+        # decoder cannot handle the stray payload
+        from biggis_landuse_spark.sources.geotiff import (
+            GeoTiffDecoder,
+            decode_to_pixels_georef,
+            decode_to_pixels_georef_chunked,
+            scan_geotiffs,
+        )
+
+        d = tmp_path / "scene"
+        d.mkdir()
+        (d / "a.tif").write_bytes(
+            encode_tiff(
+                [np.arange(90, dtype=np.uint8).reshape(9, 10)],
+                georef=(7.0, 48.0, 0.001, 0.001),
+            )
+        )
+        (d / "ramp.bin").write_bytes(
+            (5).to_bytes(4, "little") + (4).to_bytes(4, "little")
+        )
+        plain = decode_to_pixels_georef(
+            scan_geotiffs(spark, str(d)), GeoTiffDecoder()
+        )
+        chunked = decode_to_pixels_georef_chunked(
+            spark, str(d), chunk_rows=4
+        )
+        with pytest.raises(Exception):
+            plain.count()
+        with pytest.raises(Exception):
+            chunked.count()

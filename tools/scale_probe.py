@@ -11,7 +11,8 @@ runtime grows ~quadratically in the scale factor; the sub-split caps
 subsplit_band_groups) bound every pair block, so runtime must grow
 ~linearly.
 
-Usage: python tools/scale_probe.py   (writes /root/repo/SCALE_PROBE.md)
+Usage: python tools/scale_probe.py [--write]   (the table only lands in
+/root/repo/SCALE_PROBE.md with --write; without it, stdout only)
 
 The probe runs each query END-TO-END through the registry (the same
 callable the driver benches), on parquet dirs laid out exactly like a
@@ -250,7 +251,29 @@ def run_raster_probes(spark) -> tuple[dict, dict]:
     return times, rounds
 
 
+def _parse_args(argv: list[str] | None = None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description=(
+            "Empirical growth probe for the dedup/ANN block queries and "
+            "the iterative raster family (1x/4x/16x corpora). Runs for "
+            "many minutes. SCALE_PROBE.md is only overwritten with "
+            "--write; --help is safe."
+        )
+    )
+    ap.add_argument(
+        "--write",
+        action="store_true",
+        help="overwrite SCALE_PROBE.md with the new table (hand-written "
+        "'## ...' analysis sections are preserved); without it the "
+        "table goes to stdout only",
+    )
+    return ap.parse_args(argv)
+
+
 def main() -> None:
+    args = _parse_args()
     from biggis_landuse_spark.queries import (
         REGISTRY,
         _ensure_loaded,
@@ -362,16 +385,20 @@ def main() -> None:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SCALE_PROBE.md",
     )
-    # the table is generated; any hand-written analysis sections after
-    # it ("## ..." onward) are preserved across regenerations
-    if os.path.exists(out_md):
-        old = open(out_md).read()
-        i = old.find("\n## ")
-        if i != -1:
-            lines.append(old[i + 1:])
-    with open(out_md, "w") as fh:
-        fh.write("\n".join(lines))
-    print(f"wrote {out_md}")
+    if args.write:
+        # the table is generated; any hand-written analysis sections
+        # after it ("## ..." onward) are preserved across regenerations
+        if os.path.exists(out_md):
+            old = open(out_md).read()
+            i = old.find("\n## ")
+            if i != -1:
+                lines.append(old[i + 1:])
+        with open(out_md, "w") as fh:
+            fh.write("\n".join(lines))
+        print(f"wrote {out_md}")
+    else:
+        print("\n".join(lines))
+        print(f"(dry run: pass --write to update {out_md})")
     for name in PROBES:
         t = times[name]
         print(
