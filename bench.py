@@ -67,6 +67,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # trivial pinned-plan queries used as environment canaries
 CANARY_QUERIES = ("pricing_summary", "media_metadata", "pyramid_level")
 
+# normalization basket (r11): the trivial canaries are driver-latency
+# dominated, so they read ~1.0 even while co-tenant load inflates the
+# compute-bound suite 1.2-2x (measured: suite median 1.12 on a box
+# with background load 3, canaries 0.93-0.97). Machine drift is only
+# attributable if the basket CONTENDS the way the suite does, so it
+# spans the suite's cost profiles — scan-agg, HOF+shuffle dedup,
+# n-way join, broadcast dot-product, text scoring, kernel window,
+# staged-codegen warp — restricted to queries whose code has been
+# frozen for 3+ rounds. The ratio is the MEDIAN of per-query ratios
+# (robust to one member regressing); if a round touches a member's
+# code, drop it from the basket in the same commit.
+NORM_BASKET = (
+    "pricing_summary",    # scan + group agg (trivial tier)
+    "dedup_minhash",      # minhash HOFs + band-bucket shuffle
+    "stack_join",         # n-way tile join
+    "knn_cosine",         # broadcast crossJoin + vector fold
+    "bm25_search",        # text tokenize + tf-idf scoring
+    "focal_mean_shape",   # buffered neighborhood kernel
+    "utm_grid",           # staged-codegen projection family
+    "semantic_dedup",     # IVF block + in-group pair explosion
+    "concurrent_events",  # grouped cumsum window over events
+    "tumbling_window",    # time-bucket aggregation
+    "hybrid_retrieval",   # BM25 + vector fusion, two-sided shuffle
+    "ann_ivf_topk",       # centroid probe + candidate join
+)
+
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
@@ -142,11 +168,22 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
 STEADY_STATE_RATIO = 1.3
 
 
-def _time_query(spark, spec, sf_dir: str, max_runs: int) -> float:
+def _time_query(
+    spark, spec, sf_dir: str, max_runs: int, pre: float | None = None
+) -> float:
     """Timed runs until the two best agree within STEADY_STATE_RATIO
     (or max_runs), returning the min — on a contended box any single
     run can be inflated by scheduler noise; agreement of the two best
-    is the machine-checkable steady-state signal."""
+    is the machine-checkable steady-state signal.
+
+    ``pre`` is this query's own COLD pre-warm time from earlier in
+    this session: warm timed runs should never be slower than the
+    cold first run, so best > 1.5×pre means every timed run so far
+    hit a bad window (GC storm, scheduler pile-up) and reruns are
+    warranted even though the runs agree with each other. This is the
+    guard against the rotating per-run outlier a loaded box produces
+    (measured: one query per loaded suite reading 2.4-4× while its
+    own pre-warm ran at baseline speed)."""
     times: list[float] = []
     for _ in range(max(2, max_runs)):
         t0 = time.perf_counter()
@@ -154,7 +191,9 @@ def _time_query(spark, spec, sf_dir: str, max_runs: int) -> float:
         times.append(time.perf_counter() - t0)
         if len(times) >= 2:
             best2 = sorted(times)[:2]
-            if best2[1] <= best2[0] * STEADY_STATE_RATIO:
+            agree = best2[1] <= best2[0] * STEADY_STATE_RATIO
+            plausible = pre is None or best2[0] <= pre * 1.5
+            if agree and plausible:
                 break
     return min(times)
 
@@ -187,11 +226,14 @@ def main() -> None:
     # under CPU contention that ramp was 3-5× on the staged-codegen
     # grid family (r10 driver run: lcc_grid 5.43× vs 0.88× solo).
     prewarm_sec = 0.0
+    prewarm_times: dict[str, float] = {}
     if not args.no_prewarm:
         t0 = time.perf_counter()
         for name, spec in specs.items():
             try:
+                q0 = time.perf_counter()
                 spec.spark(spark, sf_dir).count()
+                prewarm_times[name] = time.perf_counter() - q0
             except Exception:  # noqa: BLE001 — the timed loop reports it
                 pass
             finally:
@@ -219,7 +261,10 @@ def main() -> None:
             spark._jvm.System.gc()
             spec.spark(spark, sf_dir).count()
             timings[name] = round(
-                _time_query(spark, spec, sf_dir, args.max_runs), 3
+                _time_query(
+                    spark, spec, sf_dir, args.max_runs,
+                    pre=prewarm_times.get(name),
+                ), 3
             )
         except Exception as exc:  # noqa: BLE001 — survive and report
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
@@ -308,25 +353,29 @@ def main() -> None:
         if worst is not None:
             compact["worst_query"] = worst
             compact["worst_ratio"] = round(timings[worst] / baseline[worst], 3)
-        # canary normalization (r11, VERDICT r10 #1): the three
-        # pinned-plan canaries never change round-to-round, so their
-        # drift vs their own baseline rows measures the BOX, not the
-        # code. Dividing the shared ratio by the canary ratio yields a
-        # contention-corrected headline — on an idle box the two
-        # ratios coincide; on a loaded box (r10 driver: load 5.8-8.6,
-        # canary drift 1.0-1.37×) the normalized number stays
-        # attributable to code.
-        canary_shared = [
-            n for n in CANARY_QUERIES if n in timings and baseline.get(n)
+        # canary normalization (r11, VERDICT r10 #1): the drift of the
+        # frozen-code NORM_BASKET vs its own baseline rows measures
+        # the BOX, not the code — the basket members contend for CPU/
+        # memory bandwidth the way the suite does (trivial canaries
+        # alone read ~1.0 under load and miss the drift entirely).
+        # Median of per-query ratios: robust to one member being
+        # noisy. Dividing the shared ratio by it yields a contention-
+        # corrected headline; on an idle box both ratios coincide.
+        basket = [
+            n for n in NORM_BASKET if n in timings and baseline.get(n)
         ]
-        if canary_shared and compact["shared_vs_baseline"] is not None:
-            canary_ratio = sum(timings[n] for n in canary_shared) / sum(
-                baseline[n] for n in canary_shared
+        if basket and compact["shared_vs_baseline"] is not None:
+            ratios = sorted(timings[n] / baseline[n] for n in basket)
+            mid = len(ratios) // 2
+            canary_ratio = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
             )
             compact["canary_ratio"] = round(canary_ratio, 3)
             if canary_ratio > 0:
                 # clamp at 1.0: normalization may only FORGIVE box
-                # slowdown, never inflate the ratio (canaries running
+                # slowdown, never inflate the ratio (a basket running
                 # faster than baseline must not mask a regression)
                 compact["shared_vs_baseline_canary_norm"] = round(
                     compact["shared_vs_baseline"] / max(canary_ratio, 1.0), 3
