@@ -37,6 +37,14 @@ def cmd_ingest(args) -> int:
     spark = _spark(args)
     cat = _catalog(spark, args)
     crs = "EPSG:3857"
+    decoder = None
+    if getattr(args, "pages_as_bands", False):
+        # band-per-page archives (r11): stack every non-reduced page
+        # IFD into one multiband layer (the hadoopMultibandGeoTiffRDD
+        # surface, MultibandGeotiffTilingExample.scala:59)
+        from biggis_landuse_spark.sources.geotiff import PageBandDecoder
+
+        decoder = PageBandDecoder()
     if args.no_reproject:
         from biggis_landuse_spark.sources.geotiff import (
             ingest_geotiff,
@@ -54,7 +62,9 @@ def cmd_ingest(args) -> int:
             )
             print(f"wrote layer {args.layer} zooms {written}")
             return 0
-        tiles = ingest_geotiff(spark, args.path, args.layer, args.tile_size)
+        tiles = ingest_geotiff(
+            spark, args.path, args.layer, args.tile_size, decoder=decoder
+        )
         zoom = args.zoom if args.zoom >= 0 else 0
         # the raw path tiles the SOURCE pixel grid — record that
         # honestly so stack_layers' CRS check can catch a mix with
@@ -69,6 +79,7 @@ def cmd_ingest(args) -> int:
             spark, args.path, args.layer,
             zoom=args.zoom if args.zoom >= 0 else None,
             tile_size=args.tile_size, src_crs=args.crs,
+            decoder=decoder,
         )
         zoom = tiles.first()["zoom"]
     cat.write_layer(
@@ -502,6 +513,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--no-reproject", action="store_true",
                     help="keep source grid (MultibandGeotiffToLayerNoReproj)")
+    sp.add_argument(
+        "--pages-as-bands", action="store_true",
+        help="stack every non-reduced page IFD of a multi-page archive "
+        "into one multiband layer (band-per-page delivery)",
+    )
     sp.add_argument(
         "--with-overviews", action="store_true",
         help="also ingest stored COG overview IFDs as coarser zooms "

@@ -500,6 +500,37 @@ def lloyd_centroids(
     return cent
 
 
+def medoid_snap(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Snap each trained centroid to its nearest CORPUS VECTOR (the
+    k-medoids / PAM-style final step): (cid, cv) in, (cid, cv) out
+    with every cv an actual data point. Lloyd means sit between
+    density modes, which balances cells but costs blocking recall —
+    a near-duplicate pair can straddle the boundary between two
+    means, while data-point-anchored cells keep a vector and its
+    neighborhood together (measured r11: blocked kNN-graph recall
+    0.93 with raw Lloyd means vs 1.0 snapped, at matched cell count
+    and probe width). One broadcast crossJoin pass, map-side; 6dp
+    rounded L2 with ties to the lower vector id — the cross-engine
+    discipline, replayed by the persisted-query oracles' snap CTE."""
+    d = F.round(l2sq(F.col(vec_col), F.col("cv")), 6)
+    return (
+        vectors.crossJoin(F.broadcast(centroids))
+        .select(
+            "cid",
+            F.struct(
+                d.alias("d"), F.col(id_col), F.col(vec_col)
+            ).alias("dv"),
+        )
+        .groupBy("cid")
+        .agg(F.min_by("dv", "dv").getField(vec_col).alias("cv"))
+    )
+
+
 def hier_codebook_trained(
     corpus: DataFrame,
     kc: int,

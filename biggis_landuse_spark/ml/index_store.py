@@ -97,6 +97,43 @@ def load_hier_index(
     return fines, coarse, meta
 
 
+def save_flat_index(
+    centroids: DataFrame, path: str, params: dict | None = None
+) -> None:
+    """Persist a flat (single-level) IVF codebook — (cid, cv) rows,
+    ``functions.similarity.lloyd_centroids``'s output shape — with the
+    same parquet + manifest contract (r11, VERDICT r10 #3: the
+    blocked similarity paths' trained-centroid artifact)."""
+    centroids.coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+    meta = {"kind": "ivf_flat", "format": 1, **(params or {})}
+    _write_manifest(centroids.sparkSession, f"{path}/manifest.json", meta)
+
+
+def load_flat_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict]:
+    """Load a persisted flat IVF codebook → (centroids, manifest);
+    refuses a kind mismatch and a manifest whose declared ``k`` does
+    not bound the stored row count (Lloyd may DROP empty cells, so
+    rows <= k is the invariant, not equality)."""
+    meta = _read_manifest(spark, f"{path}/manifest.json")
+    if meta.get("kind") != "ivf_flat":
+        raise ValueError(
+            f"{path} is not an ivf_flat index (kind={meta.get('kind')!r})"
+        )
+    centroids = spark.read.parquet(f"{path}/centroids")
+    k = meta.get("k")
+    if k is not None:
+        n = centroids.count()
+        if n > k or n == 0:
+            raise ValueError(
+                f"{path}: manifest k={k} but centroid table has {n} rows"
+            )
+    return centroids, meta
+
+
 def save_pq_codebooks(
     codebooks: DataFrame, path: str, params: dict | None = None
 ) -> None:

@@ -1667,11 +1667,21 @@ _SUBSPLIT_SQL = f"""
 )
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    return _semantic_dedup_frame(embeddings)
+
+
+def _semantic_dedup_frame(
+    embeddings: DataFrame, centroids: DataFrame | None = None
+) -> DataFrame:
+    """The SemDeDup pipeline body — shared by semantic_dedup (derived
+    first-k centroids) and semantic_dedup_persisted (``centroids=``
+    carries the trained flat codebook, r11 VERDICT r10 #3)."""
     v = embeddings.select("vec_id", S.as_double("embedding").alias("vec"))
-    k = S.ivf_cell_count(embeddings.count())
-    centroids = v.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
-    )
+    if centroids is None:
+        k = S.ivf_cell_count(embeddings.count())
+        centroids = v.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+        )
     assign = S.ivf_assign(
         v, centroids, vec_col="vec", n_probe=BLOCK_NPROBE
     ).select("vec_id", "cid")
@@ -1863,17 +1873,23 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_block_edges(embeddings, BLOCK_NPROBE)
 
 
-def _knn_block_edges(embeddings: DataFrame, n_probe: int) -> DataFrame:
+def _knn_block_edges(
+    embeddings: DataFrame, n_probe: int, centroids: DataFrame | None = None
+) -> DataFrame:
     """The blocked k-NN-graph pipeline at a given probe count — shared
-    by knn_graph (production, BLOCK_NPROBE) and knn_graph_recall_eval
-    (which runs it at 1 and BLOCK_NPROBE to measure the lift)."""
+    by knn_graph (production, BLOCK_NPROBE), knn_graph_persisted
+    (``centroids=`` carries a trained codebook loaded from an
+    ml/index_store artifact — r11, VERDICT r10 #3) and
+    knn_graph_recall_eval (which runs it at 1 and BLOCK_NPROBE to
+    measure the lift)."""
     from pyspark.sql import Window as W
 
     v = embeddings.select("vec_id", S.as_double("embedding").alias("vec"))
-    k = S.ivf_cell_count(embeddings.count())
-    centroids = v.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
-    )
+    if centroids is None:
+        k = S.ivf_cell_count(embeddings.count())
+        centroids = v.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cv")
+        )
     assign = S.ivf_assign(
         v, centroids, vec_col="vec", n_probe=n_probe
     ).select("vec_id", "cid")
@@ -1954,6 +1970,259 @@ def _knn_block_edges_sql(np_: int, tag: str) -> str:
         FROM pairs{tag}
       ) WHERE rank <= {KNN_GRAPH_K}
     )"""
+
+
+# --- trained persisted centroids for the blocked paths (r11, -------
+# VERDICT r10 #3): at production scale the centroid pass belongs off
+# the probe critical path, as ann_ivf2_persisted_topk proved for the
+# hierarchical index (4.1x cheaper probes). The flat codebook is
+# Lloyd-trained at the SAME derived cell count the untrained paths
+# use, persisted once per (process, sf_dir) through ml/index_store,
+# and loaded as a model-sized parquet on every probe.
+_BLOCK_ITERS = 2
+_BLOCK_INDEX_DIRS: dict[str, str] = {}
+
+
+def _persisted_block_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once / probe-many flat centroids for semantic_dedup /
+    knn_graph: first call per (process, sf_dir) runs
+    ``S.lloyd_centroids`` (k = S.ivf_cell_count(n), _BLOCK_ITERS
+    rounds, the kmeans_lloyd 6dp discipline) and persists the
+    (cid, cv) table; later calls load the artifact — training leaves
+    the per-query critical path."""
+    import tempfile
+
+    from biggis_landuse_spark.ml.index_store import (
+        load_flat_index,
+        save_flat_index,
+    )
+
+    path = _BLOCK_INDEX_DIRS.get(sf_dir)
+    if path is None:
+        (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+        v = embeddings.select(
+            "vec_id", S.as_double("embedding").alias("vec")
+        )
+        k = S.ivf_cell_count(embeddings.count())
+        # Lloyd for density-balanced placement, then medoid snap so
+        # every cell anchors at an actual data point — raw means cost
+        # blocking recall (0.93 vs 1.0 snapped, see S.medoid_snap)
+        cent = S.medoid_snap(
+            v, S.lloyd_centroids(v, k, iters=_BLOCK_ITERS)
+        )
+        path = tempfile.mkdtemp(prefix="biggis-block-index-")
+        save_flat_index(
+            cent, path,
+            params={"k": k, "iters": _BLOCK_ITERS, "snap": "medoid",
+                    "trained_on": sf_dir},
+        )
+        _BLOCK_INDEX_DIRS[sf_dir] = path
+    cent, _meta = load_flat_index(spark, path)
+    return cent
+
+
+def _trained_block_prefix_sql() -> str:
+    """Shared oracle prefix for the persisted blocked queries: Lloyd
+    training at the derived cell count (seeds = first k by id rank,
+    _BLOCK_ITERS unrolled `_km_iter_sql` rounds — bit-identical to
+    ``S.lloyd_centroids`` through the 6dp mean sync), then the SAME
+    cosine multiprobe assignment + sub-split CTEs the untrained
+    oracles use. Ends after the ``sp`` CTE."""
+    iters = ",".join(
+        _km_iter_sql(f"bc{i}", f"ba{i + 1}", f"bcl{i + 1}", f"bc{i + 1}")
+        for i in range(_BLOCK_ITERS)
+    )
+    l2 = (
+        "round(list_sum(list_transform(range(64), i -> "
+        "(v.vec[i+1] - c.cv[i+1]) * (v.vec[i+1] - c.cv[i+1]))), 6)"
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    bc0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec AS cv
+      FROM v
+      QUALIFY row_number() OVER (ORDER BY vec_id) <= {_K_SQL}
+    ),
+    {iters},
+    bsnap AS (
+      SELECT cid, vec AS cv FROM (
+        SELECT c.cid, v.vec_id, v.vec,
+               row_number() OVER (
+                 PARTITION BY c.cid ORDER BY {l2}, v.vec_id
+               ) AS rn
+        FROM v CROSS JOIN bc{_BLOCK_ITERS} c
+      ) WHERE rn = 1
+    ),
+    cent AS (SELECT cid, cv FROM bsnap),
+    aff AS (
+      SELECT v.vec_id, cid,
+             {_IVF_COS.format(a="vec", b="cv")} AS a
+      FROM v CROSS JOIN cent
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY a DESC, cid) AS pr
+      FROM aff
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE pr <= {BLOCK_NPROBE}),
+    {_SUBSPLIT_SQL}"""
+
+
+@register(
+    "knn_graph_persisted",
+    oracle=_trained_block_prefix_sql() + f"""
+    , pairs AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             {_IVF_COS.format(a="va.vec", b="vb.vec")} AS cos
+      FROM sp a JOIN sp b
+        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id <> b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    ),
+    topk AS (
+      SELECT src, dst, cos, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cos DESC, dst) AS rank
+        FROM pairs
+      ) WHERE rank <= {KNN_GRAPH_K}
+    )
+    SELECT src, dst, CAST(rank AS BIGINT) AS rank, cos AS cos_sim
+    FROM topk
+    """,
+    doc="""knn_graph probing PERSISTED Lloyd-trained centroids (r11,
+    VERDICT r10 #3): identical blocked pipeline, but the coarse cells
+    come from a train-once ml/index_store artifact instead of the
+    in-query first-k derivation — at production scale the Lloyd pass
+    runs on a bounded sample once and every graph build loads a
+    KB-sized broadcastable table (the ann_ivf2_persisted_topk cost
+    shape, proven 4.1x cheaper probes there). Training = Lloyd for
+    density-balanced placement + a final MEDOID SNAP to the nearest
+    corpus vector (S.medoid_snap): raw Lloyd means sit between
+    density modes and measurably cost blocking recall (0.93 vs the
+    untrained path's 1.0 at fixture SFs), while snapped cells anchor
+    at data points and restore 1.0 — ≥ the untrained form, gated by
+    knn_graph_persisted_recall_eval + tests. Training determinism:
+    seeds are the first k by id rank, per-dim means round at 6dp each
+    round, snap ties to the lower vector id — the kmeans_lloyd
+    cross-engine discipline — so the DuckDB oracle replays training
+    CTE-for-CTE.""",
+    tags=("ANN", "GRAPH", "ML"),
+    bench=True,
+)
+def knn_graph_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    cent = _persisted_block_centroids(spark, sf_dir)
+    return _knn_block_edges(embeddings, BLOCK_NPROBE, centroids=cent)
+
+
+@register(
+    "semantic_dedup_persisted",
+    oracle=_trained_block_prefix_sql() + f"""
+    , pairs AS (
+      SELECT b.vec_id AS dropped_id, a.vec_id AS ka,
+             {_IVF_COS.format(a="va.vec", b="vb.vec")} AS cos
+      FROM sp a JOIN sp b
+        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    )
+    SELECT dropped_id, min(ka) AS kept_id, max(cos) AS max_sim
+    FROM pairs WHERE cos >= {SEMDEDUP_TAU}
+    GROUP BY dropped_id
+    """,
+    doc="""semantic_dedup probing PERSISTED Lloyd-trained centroids
+    (r11, VERDICT r10 #3): the SemDeDup cell structure comes from the
+    train-once flat-codebook artifact (ml/index_store), so the
+    production dedup job loads a model-sized table instead of running
+    the centroid pass per invocation. Same bounded pair volume
+    (sub-split caps, multiprobe), same tau; trained cells follow the
+    data's density so near-duplicate pairs co-locate at least as
+    often as under the arbitrary first-k cells. Oracle replays
+    training + assignment + pair enumeration CTE-for-CTE.""",
+    tags=("DEDUP", "ANN", "ML"),
+    bench=True,
+)
+def semantic_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    cent = _persisted_block_centroids(spark, sf_dir)
+    return _semantic_dedup_frame(embeddings, centroids=cent)
+
+
+@register(
+    "knn_graph_persisted_recall_eval",
+    oracle=_trained_block_prefix_sql() + f"""
+    , pairs AS (
+      SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+             {_IVF_COS.format(a="va.vec", b="vb.vec")} AS cos
+      FROM sp a JOIN sp b
+        ON a.cid = b.cid AND a.sub = b.sub AND a.vec_id <> b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    ),
+    topk AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY src ORDER BY cos DESC, dst) AS rank
+        FROM pairs
+      ) WHERE rank <= {KNN_GRAPH_K}
+    ),
+    bsim AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_IVF_COS.format(a="q.vec", b="c.vec")} AS cos_sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM bsim
+      ) WHERE rnk <= {KNN_GRAPH_K}
+    )
+    SELECT b.query_id,
+           CAST(count(t.dst) AS BIGINT) AS n_hits,
+           round(count(t.dst) / {KNN_GRAPH_K}.0, 6) AS recall_at_k
+    FROM brute b LEFT JOIN topk t
+      ON b.query_id = t.src AND b.neighbor_id = t.dst
+    GROUP BY b.query_id
+    """,
+    doc="""Recall@k of the TRAINED-centroid blocked k-NN graph against
+    exact brute force — the acceptance gate for knn_graph_persisted
+    (VERDICT r10 #3 done-criterion: recall ≥ the untrained form,
+    asserted in tests/test_ivf_trained.py). Panel-bounded ground
+    truth (broadcast query side); the blocked run is the production
+    pipeline itself.""",
+    tags=("ANN", "ML", "EVAL"),
+)
+def knn_graph_persisted_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (embeddings,) = load_tables(spark, sf_dir, "embeddings")
+    queries = embeddings.where(F.col("vec_id") < N_QUERIES)
+    brute = S.brute_force_topk(queries, embeddings, k=KNN_GRAPH_K).select(
+        "query_id", "neighbor_id"
+    )
+    cent = _persisted_block_centroids(spark, sf_dir)
+    edges = _knn_block_edges(
+        embeddings, BLOCK_NPROBE, centroids=cent
+    ).select(
+        F.col("src").alias("query_id"), F.col("dst").alias("neighbor_id")
+    )
+    base = brute.groupBy("query_id").agg(F.count(F.lit(1)).alias("_k"))
+    matched = (
+        brute.join(edges, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("nh"))
+    )
+    return base.join(matched, "query_id", "left").select(
+        "query_id",
+        F.coalesce("nh", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce("nh", F.lit(0)) / float(KNN_GRAPH_K), 6
+        ).alias("recall_at_k"),
+    )
 
 
 @register(

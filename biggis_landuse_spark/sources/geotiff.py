@@ -166,6 +166,62 @@ def best_decoder() -> GeoTiffDecoder:
         return GeoTiffDecoder()
 
 
+class PageBandDecoder(GeoTiffDecoder):
+    """Band-per-page archive decode (r11, VERDICT r10 #5): a
+    multi-page TIFF whose pages each carry one band stacks into ONE
+    multiband image — the GeoTrellis ``hadoopMultibandGeoTiffRDD``
+    reader surface (MultibandGeotiffTilingExample.scala:59) for
+    page-organized archives. IFD0 plus every non-reduced page IFD
+    contributes its band(s) in chain order; reduced-resolution IFDs
+    (COG overviews) are skipped — those are pyramid levels, not bands
+    (ingest them via ``ingest_geotiff_overviews``). Plugs into
+    ``ingest_geotiff(decoder=...)`` / the CLI ``--pages-as-bands``
+    flag; georeferencing comes from IFD0 (the COG convention)."""
+
+    def _band_ifds(self, payload: bytes):
+        from biggis_landuse_spark.sources.tiff import tiff_pages
+
+        return [p for p in tiff_pages(payload) if not p["reduced"]]
+
+    def _stack(self, payload: bytes, pages, decode_one):
+        from biggis_landuse_spark.sources.tiff import TiffFormatError
+
+        bands: list[np.ndarray] = []
+        shape = None
+        for p in pages:
+            arrs = decode_one(p["index"])
+            for a in arrs:
+                if shape is None:
+                    shape = a.shape
+                elif a.shape != shape:
+                    raise TiffFormatError(
+                        "page-band stack: page "
+                        f"{p['index']} is {a.shape}, expected {shape} — "
+                        "pages of a band-per-page archive must share "
+                        "the full-resolution grid"
+                    )
+                bands.append(a)
+        return bands
+
+    def decode(self, path: str, payload: bytes):
+        from biggis_landuse_spark.sources.tiff import decode_tiff
+
+        return self._stack(
+            payload,
+            self._band_ifds(payload),
+            lambda i: decode_tiff(payload, ifd=i),
+        )
+
+    def decode_rows(self, path: str, payload: bytes, y0: int, y1: int):
+        from biggis_landuse_spark.sources.tiff import decode_tiff
+
+        return self._stack(
+            payload,
+            self._band_ifds(payload),
+            lambda i: decode_tiff(payload, ifd=i, rows=(y0, y1)),
+        )
+
+
 class FakeRampDecoder(GeoTiffDecoder):
     """Deterministic fake: interprets the first 8 bytes of the payload
     as (width, height) uint32 little-endian and synthesizes a ramp

@@ -56,3 +56,57 @@ def test_sampled_training_is_deterministic(spark, embeddings):
     assert sorted(map(repr, cb1.collect())) == sorted(
         map(repr, cb2.collect())
     )
+
+
+def test_persisted_block_recall_at_least_untrained(spark, sf_dir):
+    # r11 (VERDICT r10 #3 done-criterion): the trained persisted
+    # centroids must block AT LEAST as well as the derived first-k
+    # cells — Lloyd cells tile the data, so true-neighbor pairs
+    # co-locate no less often
+    from biggis_landuse_spark.queries.similarity import (
+        knn_graph_persisted_recall_eval,
+        knn_graph_recall_eval,
+    )
+
+    trained = {
+        r["query_id"]: r["recall_at_k"]
+        for r in knn_graph_persisted_recall_eval(spark, sf_dir).collect()
+    }
+    untrained = {
+        r["query_id"]: r["recall_at_k"]
+        for r in knn_graph_recall_eval(spark, sf_dir)
+        .where(F.col("n_probe") == 2)
+        .collect()
+    }
+    assert trained and set(trained) == set(untrained)
+    mean_t = sum(trained.values()) / len(trained)
+    mean_u = sum(untrained.values()) / len(untrained)
+    assert mean_t >= mean_u, (mean_t, mean_u)
+
+
+def test_persisted_block_centroids_artifact_round_trip(spark, sf_dir):
+    # the loaded artifact IS the probe input: results identical to
+    # training inline (parquet round-trips doubles exactly)
+    from biggis_landuse_spark.functions import similarity as S
+    from biggis_landuse_spark.queries import load_tables
+    from biggis_landuse_spark.queries.similarity import (
+        _BLOCK_ITERS,
+        _knn_block_edges,
+        _persisted_block_centroids,
+    )
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", S.as_double("embedding").alias("vec"))
+    k = S.ivf_cell_count(emb.count())
+    inline = S.medoid_snap(v, S.lloyd_centroids(v, k, iters=_BLOCK_ITERS))
+    loaded = _persisted_block_centroids(spark, sf_dir)
+    a = sorted(map(repr, inline.collect()))
+    b = sorted(map(repr, loaded.collect()))
+    assert a == b
+    ea = sorted(
+        map(tuple, _knn_block_edges(emb, 2, centroids=loaded).collect())
+    )
+    eb = sorted(
+        map(tuple, _knn_block_edges(emb, 2, centroids=inline).collect())
+    )
+    assert ea == eb

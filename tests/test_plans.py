@@ -288,6 +288,11 @@ def test_no_query_in_registry_goes_cartesian(plan_of):
         "semantic_dedup",  # broadcast 16-centroid codebook (ivf_assign)
         "knn_graph",  # same 16-centroid codebook broadcast (ivf_assign)
         "knn_graph_recall_eval",  # codebook + bounded-panel brute force
+        # r11 persisted-codebook twins: the same model-sized broadcasts
+        # (loaded centroid table + Lloyd training's per-round model)
+        "semantic_dedup_persisted",
+        "knn_graph_persisted",
+        "knn_graph_persisted_recall_eval",
         "kmeans_lloyd",  # broadcast 16-centroid model per Lloyd iteration
         "pagerank_suppliers",  # 1-row node-count broadcast per iteration
         "above_avg_parts",  # 1-row scalar-subquery stat

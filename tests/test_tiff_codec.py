@@ -614,3 +614,90 @@ class TestScanRobustness:
             plain.count()
         with pytest.raises(Exception):
             chunked.count()
+
+
+class TestPageBandIngest:
+    """Band-per-page archive ingest (r11, VERDICT r10 #5 — the
+    GeoTrellis hadoopMultibandGeoTiffRDD surface,
+    MultibandGeotiffTilingExample.scala:59): a multi-page TIFF whose
+    pages each carry one band must stack into ONE multiband layer
+    equal to ingesting the same bands as a single multiband file."""
+
+    def _bands(self, n=3, h=32, w=48, seed=7):
+        rng = np.random.default_rng(seed)
+        return [
+            rng.integers(0, 255, (h, w)).astype(np.uint8) for _ in range(n)
+        ]
+
+    def test_pages_as_bands_equals_multiband_ingest(self, spark, tmp_path):
+        from biggis_landuse_spark.sources.geotiff import (
+            PageBandDecoder,
+            ingest_geotiff,
+        )
+        from biggis_landuse_spark.sources.tiff import encode_tiff_multi
+
+        bands = self._bands()
+        geo = (7.0, 48.0, 0.001, 0.001)
+        d1 = tmp_path / "multi"
+        d1.mkdir()
+        (d1 / "scene.tif").write_bytes(encode_tiff(bands, georef=geo))
+        d2 = tmp_path / "pages"
+        d2.mkdir()
+        (d2 / "scene.tif").write_bytes(
+            encode_tiff_multi(
+                [[b] for b in bands], subfile_types=[0, 2, 2], georef=geo
+            )
+        )
+        key = ("tile_col", "tile_row")
+
+        def grid(df):
+            return {
+                tuple(r[k] for k in key): r["tile"]["bands"]
+                for r in df.collect()
+            }
+
+        ref = grid(ingest_geotiff(spark, str(d1), "ref", tile_size=16))
+        got = grid(
+            ingest_geotiff(
+                spark, str(d2), "pg", tile_size=16,
+                decoder=PageBandDecoder(),
+            )
+        )
+        assert set(ref) == set(got)
+        assert all(len(b) == 3 for b in got.values())
+        assert ref == got
+
+    def test_page_bands_skip_reduced_overviews(self, spark, tmp_path):
+        # a COG-style archive mixing overview IFDs (reduced=True) with
+        # band pages must stack only the pages — overviews are pyramid
+        # levels, not bands
+        from biggis_landuse_spark.sources.geotiff import PageBandDecoder
+        from biggis_landuse_spark.sources.tiff import encode_tiff_multi
+
+        b0, b1 = self._bands(n=2, h=16, w=16)
+        ov = b0.reshape(8, 2, 8, 2).mean(axis=(1, 3)).astype(np.uint8)
+        blob = encode_tiff_multi(
+            [[b0], [ov], [b1]], subfile_types=[0, 1, 2]
+        )
+        dec = PageBandDecoder()
+        out = dec.decode("x", blob)
+        assert len(out) == 2
+        assert np.array_equal(out[0], b0.astype(np.float64))
+        assert np.array_equal(out[1], b1.astype(np.float64))
+        # decode_rows parity with decode-then-slice
+        rows = dec.decode_rows("x", blob, 3, 9)
+        assert [a.shape for a in rows] == [(6, 16), (6, 16)]
+        assert np.array_equal(rows[1], b1[3:9].astype(np.float64))
+
+    def test_page_bands_shape_mismatch_raises(self, spark):
+        from biggis_landuse_spark.sources.geotiff import PageBandDecoder
+        from biggis_landuse_spark.sources.tiff import (
+            TiffFormatError,
+            encode_tiff_multi,
+        )
+
+        a = np.zeros((8, 8), np.uint8)
+        b = np.zeros((4, 8), np.uint8)
+        blob = encode_tiff_multi([[a], [b]], subfile_types=[0, 2])
+        with pytest.raises(TiffFormatError, match="page"):
+            PageBandDecoder().decode("x", blob)

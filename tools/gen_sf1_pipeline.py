@@ -84,7 +84,43 @@ def main() -> None:
         "label": pa.array(labels.astype(np.int32), pa.int32()),
     })
     pq.write_table(tbl2, f"{out}/embeddings.parquet")
-    print(f"wrote {out}: documents={n_docs} embeddings={n_emb}")
+
+    # events / orders / lineitem (r11, VERDICT r10 #4): the iterative
+    # heavies' growth probe needs 10x relational inputs too. Key-offset
+    # copies: each copy shifts every id/key by copy*max_key, so joins
+    # stay key-correct (10 disjoint replicas of the same join graph =
+    # honest 10x node/edge growth for pagerank; timestamps shift by
+    # copy*1s so event overlap structure is preserved, not piled up).
+    for t, keys, ts_cols in (
+        ("events", ("event_id", "user_id"), ("ts",)),
+        ("orders", ("o_orderkey", "o_custkey"), ("o_orderdate",)),
+        ("lineitem", ("l_orderkey", "l_partkey", "l_suppkey"), ("l_shipdate",)),
+    ):
+        src = con.sql(
+            f"SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+        ).arrow()
+        offs = {k: int(con.sql(
+            f"SELECT max({k}) + 1 FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]) for k in keys}
+        copies = []
+        for c in range(SCALE):
+            cols = {}
+            for name in src.column_names:
+                col = src.column(name)
+                if name in keys:
+                    col = pa.compute.add(col, c * offs[name])
+                elif name in ts_cols and c:
+                    col = pa.compute.add(
+                        col, pa.scalar(c * 1_000_000, pa.duration("us"))
+                    )
+                cols[name] = col
+            copies.append(pa.table(cols))
+        pq.write_table(pa.concat_tables(copies), f"{out}/{t}.parquet")
+
+    print(
+        f"wrote {out}: documents={n_docs} embeddings={n_emb} "
+        f"events/orders/lineitem x{SCALE}"
+    )
 
 
 if __name__ == "__main__":

@@ -28,6 +28,13 @@ QUERIES = (
     "semantic_dedup",
     "ann_ivf2_persisted_topk",
     "dedup_incremental",
+    # iterative heavies (r11, VERDICT r10 #4): rounds x per-round state
+    # is where growth surprises hide; gen_sf1_pipeline synthesizes the
+    # 10x events/orders/lineitem these read. The raster iteratives
+    # (flow/watershed/regions) scale on GRIDS, not sf tables — their
+    # growth lives in tools/scale_probe.py's 1x/4x/16x grid section.
+    "pagerank_suppliers",
+    "concurrent_events",
 )
 
 
