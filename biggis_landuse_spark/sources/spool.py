@@ -83,19 +83,125 @@ def partition_files(path: str) -> dict[int, str]:
 
 def append_messages(path: str, partition: int, lines: list[str]) -> None:
     """Producer helper (test/ingest side): append messages to a
-    partition log. Lines must not contain newlines."""
+    partition log. Lines must not contain newlines.
+
+    Also appends a cumulative ``(lines, bytes)`` checkpoint to a
+    ``.idx`` sidecar (r11, VERDICT r10 #2): ``latestOffset`` runs in
+    the single driver-side Python runner once-or-more per micro-batch
+    and previously re-COUNTED every line of every partition log each
+    time — O(total log) serial work per trigger, a real slice of the
+    ~2 s/batch tax the r10 decomposition measured. With the sidecar
+    it is an O(1) read, and readers seek straight to the byte offset
+    of their start line instead of skipping from line 0. The sidecar
+    is advisory: any consumer that finds it missing or stale (bytes
+    disagree with the log size — e.g. a producer appended without
+    this helper) falls back to counting."""
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, f"p{partition}.log"), "a") as f:
+    fp = os.path.join(path, f"p{partition}.log")
+    # resolve the pre-append line count BEFORE appending (the sidecar
+    # entry must agree with the pre-append byte size to be usable; a
+    # fresh file counts as 0/0)
+    prev_lines = 0
+    if os.path.exists(fp):
+        fast, _ = _last_index_entry(fp)
+        prev_lines = fast if fast is not None else _raw_count_lines(fp)
+    with open(fp, "a") as f:
         for ln in lines:
             f.write(ln + "\n")
+        f.flush()
+        total_bytes = f.tell()
+    with open(fp + ".idx", "a") as ix:
+        ix.write(f"{prev_lines + len(lines)} {total_bytes}\n")
 
 
-def _count_lines(fp: str) -> int:
+def _last_index_entry(fp: str) -> tuple[int | None, int]:
+    """Last cumulative (lines, bytes) checkpoint of ``fp``'s sidecar
+    that still agrees with the log's real size → (lines, bytes);
+    (None, 0) when the sidecar is absent, unparsable, or stale."""
+    try:
+        size = os.path.getsize(fp)
+        with open(fp + ".idx") as ix:
+            entries = [
+                (int(a), int(b))
+                for a, b in (ln.split() for ln in ix if ln.strip())
+            ]
+    except (OSError, ValueError):
+        return None, 0
+    if entries and entries[-1][1] == size:
+        return entries[-1]
+    return None, 0
+
+
+def _index_entries(fp: str) -> list[tuple[int, int]]:
+    """All cumulative (lines, bytes) checkpoints, oldest first —
+    empty when absent/unparsable (callers fall back to line 0)."""
+    try:
+        with open(fp + ".idx") as ix:
+            return [
+                (int(a), int(b))
+                for a, b in (ln.split() for ln in ix if ln.strip())
+            ]
+    except (OSError, ValueError):
+        return []
+
+
+class atomic_appends:
+    """Producer-side wave atomicity (r11, VERDICT r10 #2): while the
+    marker is held, the stream reader's ``latestOffset`` keeps
+    reporting the offsets it last saw, so a multi-partition append
+    lands in ONE micro-batch instead of fragmenting into however many
+    trigger polls race the writes (measured: the 524k-row bench wave
+    split 1-3 ways run-to-run, each extra batch costing the full
+    per-trigger tax). The Kafka analog is producer transactions +
+    read-committed consumers. Crash-safe: the marker is advisory and
+    only DELAYS visibility — a producer dying mid-append leaves the
+    marker behind, and any reader that finds it older than
+    ``_PAUSE_MAX_AGE_SEC`` ignores it (the partial wave then shows,
+    exactly like a non-transactional producer crash)."""
+
+    def __init__(self, path: str):
+        self.marker = os.path.join(path, ".pause")
+
+    def __enter__(self):
+        os.makedirs(os.path.dirname(self.marker), exist_ok=True)
+        with open(self.marker, "w") as f:
+            f.write(str(time.time()))
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.remove(self.marker)
+        except FileNotFoundError:
+            pass
+        return False
+
+
+_PAUSE_MAX_AGE_SEC = 60.0
+
+
+def _appends_paused(path: str) -> bool:
+    marker = os.path.join(path, ".pause")
+    try:
+        with open(marker) as f:
+            t0 = float(f.read().strip() or 0)
+    except (OSError, ValueError):
+        return False
+    return (time.time() - t0) < _PAUSE_MAX_AGE_SEC
+
+
+def _raw_count_lines(fp: str) -> int:
     n = 0
     with open(fp, "rb") as f:
         for _ in f:
             n += 1
     return n
+
+
+def _count_lines(fp: str) -> int:
+    fast, _ = _last_index_entry(fp)
+    if fast is not None:
+        return fast
+    return _raw_count_lines(fp)
 
 
 class _Slice(InputPartition):
@@ -111,9 +217,18 @@ def _read_slice(s: _Slice):
     # rows (0.85 s vs 0.80 s full-partition batch read) — the string
     # payload dominates the transfer either way, and the streaming
     # pipe's real cost is per-micro-batch scheduling (see
-    # streaming/bench.run_pipeline_scene + SCALING.md decomposition)
+    # streaming/bench.run_pipeline_scene + SCALING.md decomposition).
+    # Seek to the last append-time (lines, bytes) checkpoint at or
+    # below the slice start (r11): a later wave's reader no longer
+    # re-reads and discards every earlier wave's lines.
+    seek_lines, seek_bytes = 0, 0
+    for ln, by in _index_entries(s.fp):
+        if ln <= s.start and by > seek_bytes:
+            seek_lines, seek_bytes = ln, by
     with open(s.fp, "r") as f:
-        for off, line in enumerate(f):
+        if seek_bytes:
+            f.seek(seek_bytes)
+        for off, line in enumerate(f, start=seek_lines):
             if off >= s.end:
                 break
             if off >= s.start:
@@ -137,15 +252,22 @@ class _SpoolBatchReader(DataSourceReader):
 class _SpoolStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.path = options["path"]
+        self._last: dict | None = None
 
     def initialOffset(self) -> dict:
         return {str(pid): 0 for pid in partition_files(self.path)}
 
     def latestOffset(self) -> dict:
-        return {
+        # honor the producer's atomic-append marker: report the last
+        # seen offsets while a wave is mid-append so it lands whole in
+        # one micro-batch (see atomic_appends)
+        if self._last is not None and _appends_paused(self.path):
+            return self._last
+        self._last = {
             str(pid): _count_lines(fp)
             for pid, fp in partition_files(self.path).items()
         }
+        return self._last
 
     def partitions(self, start: dict, end: dict):
         files = partition_files(self.path)
@@ -227,10 +349,22 @@ def _append_staged(path: str, messages) -> None:
             continue
         for pid in sorted(msg.files):
             fp = msg.files[pid]
-            with open(fp) as src, open(
-                os.path.join(path, f"p{pid}.log"), "a"
-            ) as dst:
-                dst.write(src.read())
+            log = os.path.join(path, f"p{pid}.log")
+            prev_lines = 0
+            if os.path.exists(log):
+                fast, _ = _last_index_entry(log)
+                prev_lines = (
+                    fast if fast is not None else _raw_count_lines(log)
+                )
+            with open(fp) as src, open(log, "a") as dst:
+                payload = src.read()
+                dst.write(payload)
+                dst.flush()
+                total_bytes = dst.tell()
+            with open(log + ".idx", "a") as ix:
+                ix.write(
+                    f"{prev_lines + payload.count(chr(10))} {total_bytes}\n"
+                )
             os.remove(fp)
 
 

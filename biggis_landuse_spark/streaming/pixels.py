@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -58,10 +59,19 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# State crosses the boundary as two PACKED BINARY blobs, not typed
+# arrays (r11, VERDICT r10 #2): a 256² tile's state as
+# array<double> + array<boolean> round-trips ~130k Python list
+# elements per tile per micro-batch (tolist() on update, per-element
+# decode on get) — measured as a principal slice of the whole-pipe
+# leg's addBatch time. As raw little-endian float64 bytes plus a
+# packbits seen-mask it is two buffer copies (~520 KB per 256² tile),
+# and at production state sizes the compactness is also what keeps
+# the state store small.
 STATE_SCHEMA = StructType(
     [
-        StructField("vals", ArrayType(DoubleType())),
-        StructField("seen", ArrayType(BooleanType())),
+        StructField("vals_blob", BinaryType()),
+        StructField("seen_blob", BinaryType()),
     ]
 )
 
@@ -130,20 +140,24 @@ def reassemble_tiles_stream(
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        if state.hasTimedOut:
-            (vals0, seen0) = state.get
-            state.remove()
-            yield _emit(
-                key,
-                np.asarray(vals0, dtype=np.float64),
-                np.asarray(seen0, dtype=bool),
-                target,
+        def unpack(vb, sb):
+            v = np.frombuffer(vb, dtype="<f8").copy()
+            s = (
+                np.unpackbits(
+                    np.frombuffer(sb, dtype=np.uint8), count=target
+                )
+                .astype(bool)
+                .copy()
             )
+            return v, s
+
+        if state.hasTimedOut:
+            vals, seen = unpack(*state.get)
+            state.remove()
+            yield _emit(key, vals, seen, target)
             return
         if state.exists:
-            (vals0, seen0) = state.get
-            vals = np.asarray(vals0, dtype=np.float64)
-            seen = np.asarray(seen0, dtype=bool)
+            vals, seen = unpack(*state.get)
         else:
             vals = np.zeros(target, dtype=np.float64)
             seen = np.zeros(target, dtype=bool)
@@ -168,7 +182,12 @@ def reassemble_tiles_stream(
             state.remove()
             yield _emit(key, vals, seen, target)
         else:
-            state.update((vals.tolist(), seen.tolist()))
+            state.update(
+                (
+                    np.ascontiguousarray(vals, dtype="<f8").tobytes(),
+                    np.packbits(seen).tobytes(),
+                )
+            )
             if use_timeout:
                 state.setTimeoutDuration(timeout_ms)
 
