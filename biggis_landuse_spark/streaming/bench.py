@@ -293,6 +293,14 @@ def run_streaming_bench(
 
     root = tempfile.mkdtemp(prefix="stream_bench_")
     out: dict[str, dict] = {}
+    # r11: state partitions sized to the legs' key cardinality
+    # (hundreds of window/session keys, 8-64 tiles) instead of the
+    # session's 32 — same rationale + sweep as run_pipeline_scene.
+    # No-data micro-batches stay ENABLED for the window legs (their
+    # append-mode emission is watermark-driven) and are disabled only
+    # inside run_pipeline_scene, whose operator needs none.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         ev_src = f"{root}/events"
         _write_event_files(spark, ev_src, n_events, n_files)
@@ -369,5 +377,6 @@ def run_streaming_bench(
         runs = [run_pipeline_scene(spark) for _ in range(2)]
         out["pipeline_scene"] = min(runs, key=lambda r: r["sec"])
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         shutil.rmtree(root, ignore_errors=True)
     return out
