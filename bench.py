@@ -159,6 +159,16 @@ def _parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="cap on timed runs per query for steady-state detection "
         "(default 4; 2 reproduces the pre-r11 protocol)",
     )
+    ap.add_argument(
+        "--budget-sec",
+        type=float,
+        default=float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1800")),
+        help="soft wall-clock budget: past 60%% of it the adaptive "
+        "reruns degrade to min-of-2, past 85%% the remaining pre-warm "
+        "is skipped — a slow box must produce a degraded-but-complete "
+        "record, never a killed run (default 1800, or "
+        "$SPARK_GRAFT_BENCH_BUDGET)",
+    )
     return ap.parse_args(argv)
 
 
@@ -225,11 +235,20 @@ def main() -> None:
     # is amortized here, so the first timed queries no longer pay it —
     # under CPU contention that ramp was 3-5× on the staged-codegen
     # grid family (r10 driver run: lcc_grid 5.43× vs 0.88× solo).
+    suite_t0 = time.perf_counter()
+    degraded: list[str] = []
+
+    def over_budget(frac: float) -> bool:
+        return time.perf_counter() - suite_t0 > args.budget_sec * frac
+
     prewarm_sec = 0.0
     prewarm_times: dict[str, float] = {}
     if not args.no_prewarm:
         t0 = time.perf_counter()
         for name, spec in specs.items():
+            if over_budget(0.85):
+                degraded.append("prewarm_truncated")
+                break
             try:
                 q0 = time.perf_counter()
                 spec.spark(spark, sf_dir).count()
@@ -260,11 +279,17 @@ def main() -> None:
         try:
             spark._jvm.System.gc()
             spec.spark(spark, sf_dir).count()
+            runs = args.max_runs
+            pre = prewarm_times.get(name)
+            if over_budget(0.6):
+                # soft budget: a slow box yields a degraded-but-
+                # complete record (min-of-2, no floor-guard reruns),
+                # never a killed run — flagged in the output
+                if "adaptive_degraded" not in degraded:
+                    degraded.append("adaptive_degraded")
+                runs, pre = 2, None
             timings[name] = round(
-                _time_query(
-                    spark, spec, sf_dir, args.max_runs,
-                    pre=prewarm_times.get(name),
-                ), 3
+                _time_query(spark, spec, sf_dir, runs, pre=pre), 3
             )
         except Exception as exc:  # noqa: BLE001 — survive and report
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
@@ -303,6 +328,8 @@ def main() -> None:
         "canary": canary,
         "prewarm_sec": prewarm_sec,
     }
+    if degraded:
+        detail["budget_degraded"] = degraded
     if streaming is not None:
         detail["streaming"] = streaming
     if errors:
@@ -386,6 +413,8 @@ def main() -> None:
             for leg, stats in streaming.items()
             if isinstance(stats, dict)
         }
+    if degraded:
+        compact["budget_degraded"] = degraded
     if errors:
         compact["partial_total"] = total
         compact["errors_n"] = len(errors)
