@@ -23,6 +23,26 @@ from pyspark.sql import Window as W
 N_PLANES = 8
 
 
+def materialize_model(df: DataFrame) -> DataFrame:
+    """Collect a MODEL-SIZED relation (a codebook, a centroid table —
+    kilobytes by contract) and rebuild it as a driver-local Arrow
+    relation, CUTTING the plan lineage (r11, guide §2.4/§3.3).
+
+    Why: an unrolled training loop composed lazily re-embeds the whole
+    training subtree into every downstream reference — measured on
+    ann_ivf2_trained_topk as a 3,732-line physical plan carrying 242
+    Exchange nodes (coarse Lloyd re-planned under every fine
+    iteration, assignment, and probe branch). Materializing each
+    round's k-row model keeps every consumer a local scan; the values
+    are bit-identical because collect → Arrow → local relation
+    round-trips doubles exactly (the ml/index_store parquet argument,
+    without the file). The collect is model-sized driver traffic —
+    the same k×dim doubles the broadcast would ship anyway."""
+    from biggis_landuse_spark.session import local_df
+
+    return local_df(df.sparkSession, df.collect(), df.schema)
+
+
 def as_double(arr: Column | str) -> Column:
     col = F.col(arr) if isinstance(arr, str) else arr
     return F.transform(col, lambda x: x.cast("double"))
@@ -283,12 +303,20 @@ def ivf_assign(
     cid_col: str = "cid",
     cvec_col: str = "cv",
     n_probe: int = 1,
+    carry_vec: str | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its ``n_probe``
     nearest centroids by cosine (rounded to 6dp, ties broken by
     centroid id — deterministic across engines).
 
-    Returns (id, cid, probe_rank). The centroid table is broadcast
+    Returns (id, cid, probe_rank); with ``carry_vec`` set, the input
+    vector (as ``carry_vec``) and its norm (``carry_vec + '_norm'``)
+    ride along in the output — the assignment pass already holds both,
+    so consumers that need the vector next to the cell id (the blocked
+    pair paths) skip a corpus-sized join back to the vector table
+    (r11, guide §2.4: one exchange + sort removed per blocked query).
+
+    The centroid table is broadcast
     (small by contract: a few hundred to a few thousand rows even at
     100 TB); the big side streams map-side — no shuffle of the corpus.
     At scale the corpus is then written partitioned by ``cid`` so cell
@@ -314,6 +342,8 @@ def ivf_assign(
         # centroid id (the negated id inside the ordering struct).
         aff = v.crossJoin(F.broadcast(c)).select(
             id_col,
+            "_v",
+            "_nv",
             cid_col,
             F.round(
                 F.try_divide(
@@ -323,14 +353,31 @@ def ivf_assign(
                 6,
             ).alias("_a"),
         )
+        carry_aggs = (
+            [
+                F.first("_v").alias(carry_vec),
+                F.first("_nv").alias(carry_vec + "_norm"),
+            ]
+            if carry_vec
+            else []
+        )
+        carry_cols = (
+            [carry_vec, carry_vec + "_norm"] if carry_vec else []
+        )
         return (
             aff.groupBy(id_col)
             .agg(
                 F.max_by(
                     cid_col, F.struct(F.col("_a"), -F.col(cid_col))
-                ).alias(cid_col)
+                ).alias(cid_col),
+                *carry_aggs,
             )
-            .select(id_col, cid_col, F.lit(1).cast("long").alias("probe_rank"))
+            .select(
+                id_col,
+                cid_col,
+                F.lit(1).cast("long").alias("probe_rank"),
+                *carry_cols,
+            )
         )
     carr = c.agg(
         F.array_sort(
@@ -366,13 +413,23 @@ def ivf_assign(
         ), 1, {np})
         """.format(np=int(n_probe))
     )
+    carry_in = (
+        [
+            F.col("_v").alias(carry_vec),
+            F.col("_nv").alias(carry_vec + "_norm"),
+        ]
+        if carry_vec
+        else []
+    )
+    carry_out = [carry_vec, carry_vec + "_norm"] if carry_vec else []
     return (
         v.crossJoin(F.broadcast(carr))
-        .select(F.col(id_col), F.posexplode(ordered))
+        .select(F.col(id_col), *carry_in, F.posexplode(ordered))
         .select(
             id_col,
             F.col("col.cid").alias(cid_col),
             (F.col("pos") + 1).cast("long").alias("probe_rank"),
+            *carry_out,
         )
     )
 
@@ -445,6 +502,97 @@ def hier_codebook(
     )
 
 
+_CENT_SCHEMA = (
+    "cid BIGINT, cv ARRAY<DOUBLE>"
+)
+
+
+def _cents_literal(cents: list[tuple[int, list[float]]]) -> Column:
+    """A driver-held codebook as ONE constant-folded literal
+    ``array<struct<cid, cv>>`` expression — zero broadcast exchange,
+    zero extra job; Catalyst's ConstantFolding collapses the literal
+    tree to a single ArrayData before execution. Bounded by contract:
+    codebooks are kilobytes (k·dim doubles)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def _nearest_struct(vec: Column, cents_arr: Column) -> Column:
+    """struct(d, cid[, cv]) of the nearest codebook entry to ``vec``:
+    6dp-rounded squared L2, ties to the lower cid — array_min's
+    lexicographic struct ordering IS min_by(dc, dc)'s, and the l2sq
+    fold inside the transform is element-for-element the expression
+    the old crossJoin+min_by form evaluated, so distances and
+    tie-breaks are bit-identical. Map-side only: no n-row crossJoin
+    fan-out, no groupBy(vec_id) exchange (r11, guide §2.4 — the
+    assignment shuffle removed outright)."""
+    return F.array_min(
+        F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                F.round(l2sq(vec, c["cv"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+                c["cv"].alias("cv"),
+            ),
+        )
+    )
+
+
+def _nearest_fine_struct(
+    vec: Column,
+    ccid: Column,
+    fcb: dict[tuple[int, int], list[float]],
+) -> Column:
+    """struct(d, cid) of the nearest fine code WITHIN the row's own
+    coarse cell: the per-ccid fine codebooks become one literal
+    ``array<struct<ccid, fines>>``; the row filters out its cell's
+    entry and argmins over those fines only — the map-side equivalent
+    of the old broadcast-join-on-ccid + groupBy(vec_id) round
+    (identical candidate set, distance expression and lower-code
+    tie-break)."""
+    by_ccid: dict[int, list[tuple[int, list[float]]]] = {}
+    for (g, code), fcv in sorted(fcb.items()):
+        by_ccid.setdefault(g, []).append((code, fcv))
+    groups = F.array(
+        *[
+            F.struct(
+                F.lit(int(g)).cast("long").alias("ccid"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(code)).cast("long").alias("cid"),
+                            F.array(
+                                *[F.lit(float(x)) for x in fcv]
+                            ).alias("cv"),
+                        )
+                        for code, fcv in fines
+                    ]
+                ).alias("fines"),
+            )
+            for g, fines in sorted(by_ccid.items())
+        ]
+    )
+    mine = F.element_at(
+        F.filter(groups, lambda grp: grp["ccid"] == ccid), 1
+    )["fines"]
+    return F.array_min(
+        F.transform(
+            mine,
+            lambda c: F.struct(
+                F.round(l2sq(vec, c["cv"]), 6).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
 def lloyd_centroids(
     vectors: DataFrame,
     k: int,
@@ -452,52 +600,65 @@ def lloyd_centroids(
     id_col: str = "vec_id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """K-means training (Lloyd's) as DataFrame composition → (cid, cv)
-    with cid densely 0..k-1 from rank-ordered seeds: the reusable form
-    of the kmeans_lloyd registry query's loop (assignment = min_by
-    over a BROADCAST centroid table, map-side; update = posexplode +
-    per-dim mean rounded at 6dp per round so both engines feed
-    bit-identical centroids into the next iteration). Seeds are the
-    first ``k`` vectors BY RANK in id order (TakeOrderedAndProject),
-    so offset/sparse id spaces train the same as dense ones. Cells
-    that lose all members drop out (standard Lloyd behavior)."""
-    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_lv"))
-    seed_w = W.orderBy(id_col)  # bounded: k rows after the limit
-    cent = (
-        v.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(seed_w) - 1).cast("long").alias("cid"),
-            F.col("_lv").alias("cv"),
-        )
+    """K-means training (Lloyd's) → (cid, cv) with cid densely 0..k-1
+    from rank-ordered seeds. Seeds are the first ``k`` vectors BY RANK
+    in id order (TakeOrderedAndProject), so offset/sparse id spaces
+    train the same as dense ones. Cells that lose all members drop out
+    (standard Lloyd behavior).
+
+    r11 shape (guide §2.4/§1.2 — remove shuffles outright): each
+    round's model is k×dim doubles held on the DRIVER; assignment is a
+    map-side argmin against the literal codebook (``_nearest_struct``
+    — no crossJoin fan-out, no groupBy(vec_id) exchange), the update
+    is ONE partial-aggregated (cid, dim) shuffle whose k·dim result
+    rows are collected and re-assembled into arrays driver-side (no
+    second collect_list exchange). One 2-stage job per round instead
+    of a 4-stage lazy chain that re-planned every earlier round — the
+    lazily composed form cost ~0.75 s/round of pure scheduling at
+    n=2000. Distances, tie-breaks and the 6dp mean rounding are
+    expression-identical to the previous form (and to the DuckDB
+    oracle CTEs)."""
+    from biggis_landuse_spark.session import local_df
+
+    cents = _lloyd_cents(
+        vectors.select(F.col(id_col), F.col(vec_col).alias("_v")),
+        k,
+        iters=iters,
+        id_col=id_col,
     )
+    return local_df(vectors.sparkSession, cents, _CENT_SCHEMA)
+
+
+def _lloyd_cents(
+    v: DataFrame, k: int, iters: int, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """:func:`lloyd_centroids`'s loop body returning the driver-side
+    codebook list (``v`` must carry ``id_col`` and ``_v``)."""
+    v = v.select(F.col(id_col), F.col("_v").alias("_lv"))
+    seeds = v.orderBy(id_col).limit(k).collect()
+    cents = [(i, list(r["_lv"])) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        dist = F.round(l2sq(F.col("_lv"), F.col("cv")), 6)
-        assign = (
-            v.crossJoin(F.broadcast(cent))
-            .select(
-                id_col,
-                "_lv",
-                F.struct(dist.alias("d"), F.col("cid")).alias("dc"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.min_by("dc", "dc").getField("cid").alias("cid"),
-                F.first("_lv").alias("_lv"),
-            )
-        )
+        if not cents:
+            break
+        best = _nearest_struct(F.col("_lv"), _cents_literal(cents))
+        # assignment in its OWN select below the explode: a generator
+        # and the argmin in one projection puts the argmin ABOVE the
+        # Generate, re-evaluating it once per exploded dim (measured
+        # 64×: 2.8 s vs 0.5 s per round at n=2000)
+        assign = v.select(best["cid"].alias("cid"), F.col("_lv"))
         long = (
             assign.select("cid", F.posexplode("_lv").alias("dim", "x"))
             .groupBy("cid", "dim")
             .agg(F.round(F.avg("x"), 6).alias("val"))
         )
-        cent = long.groupBy("cid").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "val"))),
-                lambda s: s.getField("val"),
-            ).alias("cv")
-        )
-    return cent
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in long.collect():
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["val"]
+        cents = [
+            (cid, [dims[i] for i in sorted(dims)])
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return cents
 
 
 def medoid_snap(
@@ -561,57 +722,67 @@ def hier_codebook_trained(
     ml/ivf.train_codebook; at oracle scale it is replayed CTE-for-CTE
     by DuckDB. All means/residuals round at 6dp — the cross-engine
     sync discipline."""
+    from biggis_landuse_spark.session import local_df
+
+    spark = corpus.sparkSession
     v = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    coarse = lloyd_centroids(v, kc, iters=iters, vec_col="_v").select(
-        F.col("cid").alias("ccid"), F.col("cv").alias("_gcv")
-    )
-    # final coarse assignment + per-element 6dp residuals
-    dist = F.round(l2sq(F.col("_v"), F.col("_gcv")), 6)
-    members = (
-        v.crossJoin(F.broadcast(coarse))
-        .select(
-            id_col,
-            "_v",
-            F.struct(
-                dist.alias("d"), F.col("ccid"), F.col("_gcv")
-            ).alias("dc"),
+    ccents = _lloyd_cents(v, kc, iters=iters, id_col=id_col)
+    fines_schema = "cid BIGINT, cv ARRAY<DOUBLE>, ccid BIGINT"
+    coarse_schema = "ccid BIGINT, cv ARRAY<DOUBLE>"
+    if not ccents:
+        return (
+            local_df(spark, [], fines_schema),
+            local_df(spark, [], coarse_schema),
         )
-        .groupBy(id_col)
-        .agg(
-            F.min_by("dc", "dc").getField("ccid").alias("ccid"),
-            F.zip_with(
-                F.first("_v"),
-                F.min_by("dc", "dc").getField("_gcv"),
-                lambda x, y: F.round(x - y, 6),
-            ).alias("_r"),
-        )
+    # final coarse assignment + per-element 6dp residuals: one
+    # map-side projection against the literal coarse codebook — the
+    # crossJoin + groupBy(vec_id) exchange of the lazy form is gone
+    # (guide §2.4). The nearest-struct stays a single expression in
+    # its own projection so CollapseProject (SPARK-36718) does not
+    # duplicate the argmin into both consumers.
+    best = _nearest_struct(F.col("_v"), _cents_literal(ccents))
+    members = v.select(
+        F.col(id_col), F.col("_v"), best.alias("_b")
+    ).select(
+        F.col(id_col),
+        F.col("_b").getField("cid").alias("ccid"),
+        F.zip_with(
+            F.col("_v"),
+            F.col("_b").getField("cv"),
+            lambda x, y: F.round(x - y, 6),
+        ).alias("_r"),
     )
-    # per-cell seeds: first kf members by id rank within the cell
+    # the residual table is re-read by every fine-training round (the
+    # seeds pass + each fassign) — persist it so the coarse-assignment
+    # pass over the corpus runs once, not once per reference (the
+    # pagerank edge-list discipline; released by the harness's
+    # release_caches after the query)
+    from biggis_landuse_spark.queries import hold_cache
+
+    members = hold_cache(members)
+    # per-cell seeds: first kf members by id rank within the cell —
+    # the one ccid-partitioned window shuffle in fine training; the
+    # ≤ kc·kf seed rows come straight to the driver
     cell_w = W.partitionBy("ccid").orderBy(id_col)
-    fcb = (
+    seed_rows = (
         members.select(
             "ccid", F.row_number().over(cell_w).alias("_rn"), "_r"
         )
         .where(F.col("_rn") <= kf)
-        .select("ccid", (F.col("_rn") - 1).cast("long").alias("code"),
-                F.col("_r").alias("fcv"))
+        .collect()
     )
+    # fcb: {(ccid, code) -> fcv} held driver-side between rounds
+    fcb: dict[tuple[int, int], list[float]] = {
+        (r["ccid"], r["_rn"] - 1): list(r["_r"]) for r in seed_rows
+    }
     for _ in range(iters):
-        fdist = F.round(l2sq(F.col("_r"), F.col("fcv")), 6)
-        fassign = (
-            members.join(F.broadcast(fcb), "ccid")
-            .select(
-                id_col,
-                "ccid",
-                "_r",
-                F.struct(fdist.alias("d"), F.col("code")).alias("dc"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.any_value("ccid").alias("ccid"),
-                F.min_by("dc", "dc").getField("code").alias("code"),
-                F.first("_r").alias("_r"),
-            )
+        if not fcb:
+            break
+        fbest = _nearest_fine_struct(F.col("_r"), F.col("ccid"), fcb)
+        # argmin below the Generate (see _lloyd_cents): one eval per
+        # member row, not per exploded dim
+        fassign = members.select(
+            "ccid", fbest.getField("cid").alias("code"), F.col("_r")
         )
         flong = (
             fassign.select(
@@ -620,31 +791,30 @@ def hier_codebook_trained(
             .groupBy("ccid", "code", "dim")
             .agg(F.round(F.avg("x"), 6).alias("val"))
         )
-        fcb = flong.groupBy("ccid", "code").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "val"))),
-                lambda s: s.getField("val"),
-            ).alias("fcv")
+        nxt: dict[tuple[int, int], dict[int, float]] = {}
+        for r in flong.collect():
+            nxt.setdefault((r["ccid"], r["code"]), {})[r["dim"]] = r["val"]
+        fcb = {
+            key: [dims[i] for i in sorted(dims)]
+            for key, dims in nxt.items()
+        }
+    # absolute fine centroids (coarse + residual center — Python float
+    # adds ARE the IEEE double adds the zip_with form performed) with
+    # dense (ccid, code)-ordered cids, assembled driver-side from the
+    # ≤ kc·kf codebook entries
+    coarse_map = {cid: cv for cid, cv in ccents}
+    fines_rows = [
+        (
+            i,
+            [gx + fx for gx, fx in zip(coarse_map[ccid], fcv)],
+            ccid,
         )
-    # absolute fine centroids + dense (ccid, code)-ordered fine cids;
-    # the window is codebook-sized (≤ kc·kf rows), not corpus-sized
-    fine_w = W.orderBy("ccid", "code")
-    fines = (
-        fcb.join(F.broadcast(coarse), "ccid")
-        .select(
-            "ccid",
-            "code",
-            F.zip_with(
-                F.col("_gcv"), F.col("fcv"), lambda x, y: x + y
-            ).alias("cv"),
-        )
-        .select(
-            (F.row_number().over(fine_w) - 1).cast("long").alias("cid"),
-            "cv",
-            "ccid",
-        )
+        for i, ((ccid, code), fcv) in enumerate(sorted(fcb.items()))
+    ]
+    return (
+        local_df(spark, fines_rows, fines_schema),
+        local_df(spark, ccents, coarse_schema),
     )
-    return fines, coarse.select("ccid", F.col("_gcv").alias("cv"))
 
 
 def hier_codebook_from_parents(
