@@ -1128,8 +1128,13 @@ def _qlr_train(feats: DataFrame) -> list[float]:
 def quality_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from biggis_landuse_spark.queries import hold_cache
+
     (documents,) = load_tables(spark, sf_dir, "documents")
-    feats, empty = _qlr_standardize(_qlr_features(documents))
+    # the feature relation feeds 1 standardize + _QLR_ITERS gradient
+    # aggregations — persist it so the tokenize/feature pass over the
+    # corpus runs once, not once per job (r11)
+    feats, empty = _qlr_standardize(hold_cache(_qlr_features(documents)))
     if empty:  # no training rows → no model (the logreg_gd contract)
         return spark.createDataFrame([], "dim int, weight double")
     from biggis_landuse_spark.session import local_df
@@ -1165,8 +1170,12 @@ def quality_classifier_train(
     bench=True,
 )
 def quality_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.queries import hold_cache
+
     (documents,) = load_tables(spark, sf_dir, "documents")
-    feats, _empty = _qlr_standardize(_qlr_features(documents))
+    # persist the feature relation: standardize + 3 gradient rounds +
+    # the confusion aggregate each scan it (see quality_classifier_train)
+    feats, _empty = _qlr_standardize(hold_cache(_qlr_features(documents)))
     w = _qlr_train(feats)
     dot = F.lit(w[0]) * F.col("f0")
     for j in range(1, 5):

@@ -1377,7 +1377,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = documents.where(F.col("doc_id") % 2 == 0)
     inc = documents.where(F.col("doc_id") % 2 == 1)
 
+    from biggis_landuse_spark.queries import hold_cache
+
     snap_digests = snap.select(F.md5("text").alias("digest")).distinct()
+    # exact is referenced twice (its own branch + the near branch's
+    # anti-join), but ReuseExchange already shares its shuffle — an
+    # explicit persist was MEASURED SLOWER here (1.86 → 2.22 s: cache
+    # build cost without a second computation to save)
     exact = (
         inc.select("doc_id", F.md5("text").alias("digest"))
         .join(snap_digests, "digest", "leftsemi")
@@ -1392,8 +1398,6 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fresh-build twin.) hold_cache registers it for the
     # harnesses' release_caches() so a long session doesn't
     # accumulate caches (ADVICE r4).
-    from biggis_landuse_spark.queries import hold_cache
-
     sig = hold_cache(
         D.minhash_signatures_from_text(documents, "doc_id", "text")
     )
