@@ -105,10 +105,13 @@ def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
     from biggis_landuse_spark.queries import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    # all three block queries enumerate pairs inside a groupBy (the
-    # single-pass shape) — the sub-split key must survive as a
-    # GROUPING key next to the cell key (dropping `sub` silently
-    # reverts to unbounded per-cell quadratic blocks)
+    # the block queries confine pair enumeration to same-(cell, sub)
+    # groups — the sub-split key must survive next to the cell key in
+    # whichever operator forms the pairs (dropping `sub` silently
+    # reverts to unbounded per-cell quadratic blocks). Two accepted
+    # shapes: a GROUPING key of an in-group Aggregate (the pre-r11
+    # single-pass flatten) or an equi-JOIN key of the cached
+    # self-join (the r11 shape for semantic_dedup / knn_graph).
     for name, cell_key in (
         ("semantic_dedup", "cid"),
         ("knn_graph", "cid"),
@@ -119,11 +122,11 @@ def test_pair_joins_keep_the_subsplit_key(spark, sf_dir):
         with redirect_stdout(buf):
             df.explain(True)
         plan = buf.getvalue()
-        agg_lines = [
+        pair_lines = [
             ln for ln in plan.splitlines()
-            if "Aggregate" in ln and cell_key in ln
+            if ("Aggregate" in ln or "Join" in ln) and cell_key in ln
         ]
-        assert any("sub" in ln for ln in agg_lines), (
-            f"{name}: no aggregate groups on the sub-split key\n"
-            + "\n".join(agg_lines)
+        assert any("sub" in ln for ln in pair_lines), (
+            f"{name}: pair stage neither groups nor joins on the "
+            "sub-split key\n" + "\n".join(pair_lines)
         )
