@@ -336,49 +336,13 @@ def ivf_assign(
     c = centroids.select(
         F.col(cid_col), F.col(cvec_col).alias("_c")
     ).withColumn("_ncv", norm(F.col("_c")))
-    if n_probe == 1:
-        # max_by partial-aggregates map-side, so the shuffle carries
-        # one row per vector. Tie-break: higher affinity, then lower
-        # centroid id (the negated id inside the ordering struct).
-        aff = v.crossJoin(F.broadcast(c)).select(
-            id_col,
-            "_v",
-            "_nv",
-            cid_col,
-            F.round(
-                F.try_divide(
-                    dot(F.col("_v"), F.col("_c")),
-                    F.col("_nv") * F.col("_ncv"),
-                ),
-                6,
-            ).alias("_a"),
-        )
-        carry_aggs = (
-            [
-                F.first("_v").alias(carry_vec),
-                F.first("_nv").alias(carry_vec + "_norm"),
-            ]
-            if carry_vec
-            else []
-        )
-        carry_cols = (
-            [carry_vec, carry_vec + "_norm"] if carry_vec else []
-        )
-        return (
-            aff.groupBy(id_col)
-            .agg(
-                F.max_by(
-                    cid_col, F.struct(F.col("_a"), -F.col(cid_col))
-                ).alias(cid_col),
-                *carry_aggs,
-            )
-            .select(
-                id_col,
-                cid_col,
-                F.lit(1).cast("long").alias("probe_rank"),
-                *carry_cols,
-            )
-        )
+    # r11: n_probe == 1 goes through the same map-side one-row-array
+    # path as multiprobe (slice(..., 1, 1)) — the old special case
+    # crossJoined n×k affinity rows and groupBy(id)-shuffled the
+    # corpus to argmax them (guide §2.4: an n-row exchange on every
+    # coarse assignment, removed outright). The array comparator
+    # reproduces max_by(cid, struct(a, -cid)) exactly: affinity DESC
+    # with NULL last, then cid ASC.
     carr = c.agg(
         F.array_sort(
             F.collect_list(
@@ -883,6 +847,7 @@ def ivf_assign_hier(
     n_probe_coarse: int = 1,
     n_probe: int = 1,
     codebook: DataFrame | None = None,
+    carry_vec: str | None = None,
 ) -> DataFrame:
     """Hierarchical (two-level) IVF coarse quantization — the IMI-style
     assignment that fixes the flat quantizer's measured n^1.5 cost
@@ -968,13 +933,23 @@ def ivf_assign_hier(
             np=int(n_probe),
         )
     )
+    carry_in = (
+        [
+            F.col("_v").alias(carry_vec),
+            F.col("_nv").alias(carry_vec + "_norm"),
+        ]
+        if carry_vec
+        else []
+    )
+    carry_out = [carry_vec, carry_vec + "_norm"] if carry_vec else []
     return (
         v.crossJoin(F.broadcast(garr))
-        .select(F.col(id_col), F.posexplode(ordered))
+        .select(F.col(id_col), *carry_in, F.posexplode(ordered))
         .select(
             id_col,
             F.col("col.cid").alias(cid_col),
             (F.col("pos") + 1).cast("long").alias("probe_rank"),
+            *carry_out,
         )
     )
 
@@ -1000,8 +975,17 @@ def ivf_topk(
     v = corpus.select(
         F.col(id_col), as_double(vec_col).alias("vec")
     )
-    assign = ivf_assign(v, centroids, id_col=id_col, n_probe=1).select(
-        F.col(id_col).alias("neighbor_id"), "cid"
+    # r11 probe shape (guide §2.3/§2.4): the corpus assignment CARRIES
+    # the vector + norm, so no join back to the corpus by neighbor_id;
+    # with corpus n_probe=1 each neighbor lives in exactly ONE cell, so
+    # (query, neighbor) pairs are unique by construction and the old
+    # distinct() exchange is a no-op — both removed. The only exchange
+    # left on the probe path is the ranking window.
+    assign = ivf_assign(
+        v, centroids, id_col=id_col, n_probe=1, carry_vec="cv"
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "cid", "cv",
+        F.col("cv_norm").alias("nc"),
     )
     q_probes = ivf_assign(
         queries.select(F.col(id_col), as_double(vec_col).alias("vec")),
@@ -1009,32 +993,23 @@ def ivf_topk(
         id_col=id_col,
         n_probe=n_probe,
     ).select(F.col(id_col).alias("query_id"), "cid")
-    c = v.select(
-        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv")
-    ).withColumn("nc", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     ).withColumn("nq", norm(F.col("qv")))
     cand = (
         assign.join(F.broadcast(q_probes), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()  # a neighbor reachable via 2 probes counts once
     )
-    sim = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.try_divide(
-                    dot(F.col("qv"), F.col("cv")),
-                    F.col("nq") * F.col("nc"),
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
+    sim = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv")),
+                F.col("nq") * F.col("nc"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -1067,10 +1042,15 @@ def ivf_topk_hier(
     # the two-level codebook is built ONCE and shared by corpus
     # assignment and query probing (it is the same broadcast row)
     garr = hier_codebook(centroids, coarse)
+    # r11 probe shape: carried corpus vector + no-op distinct removed
+    # (corpus lands in ONE fine cell; see ivf_topk)
     assign = ivf_assign_hier(
         v, centroids, coarse, id_col=id_col,
-        n_probe_coarse=1, n_probe=1, codebook=garr,
-    ).select(F.col(id_col).alias("neighbor_id"), "cid")
+        n_probe_coarse=1, n_probe=1, codebook=garr, carry_vec="cv",
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "cid", "cv",
+        F.col("cv_norm").alias("nc"),
+    )
     q_probes = ivf_assign_hier(
         queries.select(F.col(id_col), as_double(vec_col).alias("vec")),
         centroids,
@@ -1080,32 +1060,23 @@ def ivf_topk_hier(
         n_probe=n_probe,
         codebook=garr,
     ).select(F.col(id_col).alias("query_id"), "cid")
-    c = v.select(
-        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv")
-    ).withColumn("nc", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     ).withColumn("nq", norm(F.col("qv")))
     cand = (
         assign.join(F.broadcast(q_probes), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
     )
-    sim = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.try_divide(
-                    dot(F.col("qv"), F.col("cv")),
-                    F.col("nq") * F.col("nc"),
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
+    sim = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv")),
+                F.col("nq") * F.col("nc"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -1168,10 +1139,16 @@ def ivf_topk_hier_trained(
         )
         npc = kc if n_probe_coarse is None else n_probe_coarse
     garr = hier_codebook_from_parents(fines, coarse)
+    # r11 probe shape: carried corpus vector + no-op distinct removed
+    # (corpus n_probe=1 → ONE fine cell per vector; see ivf_topk)
     assign = ivf_assign_hier(
         v, fines, coarse, id_col=id_col,
         n_probe_coarse=n_assign_coarse, n_probe=1, codebook=garr,
-    ).select(F.col(id_col).alias("neighbor_id"), "cid")
+        carry_vec="cv",
+    ).select(
+        F.col(id_col).alias("neighbor_id"), "cid", "cv",
+        F.col("cv_norm").alias("nc"),
+    )
     q_probes = ivf_assign_hier(
         queries.select(F.col(id_col), as_double(vec_col).alias("vec")),
         fines,
@@ -1181,32 +1158,23 @@ def ivf_topk_hier_trained(
         n_probe=n_probe,
         codebook=garr,
     ).select(F.col(id_col).alias("query_id"), "cid")
-    c = v.select(
-        F.col(id_col).alias("neighbor_id"), F.col("vec").alias("cv")
-    ).withColumn("nc", norm(F.col("cv")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     ).withColumn("nq", norm(F.col("qv")))
     cand = (
         assign.join(F.broadcast(q_probes), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
     )
-    sim = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.try_divide(
-                    dot(F.col("qv"), F.col("cv")),
-                    F.col("nq") * F.col("nc"),
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
+    sim = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv")),
+                F.col("nq") * F.col("nc"),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -1289,67 +1257,89 @@ def pq_codebooks_trained(
     discipline run independently in each of the ``m`` subspaces (the
     actual PQ training step; pq_codebooks is the untrained seed).
 
-    Assignment is an argmin over the BROADCAST (m × ncode) codebook
-    (map-side min_by — the corpus never shuffles for assignment); the
-    update is one posexplode + partial-aggregated (s, c, dim) mean per
-    round; per-dim means round at 6dp at each iteration boundary so
-    both engines feed the next round bit-identical codebooks. Returns
-    (s, c, cv) like pq_codebooks. Codes that lose all their members
-    drop out of the codebook (same as any k-means implementation) —
-    encoding simply never picks them.
+    r11 shape (guide §2.4/§1.2, the lloyd_centroids discipline applied
+    per subspace): each round's m×ncode codebook is held on the DRIVER
+    and assignment is a map-side argmin against a constant-folded
+    literal codebook keyed by the row's own subspace (the
+    ``_nearest_fine_struct`` machinery with s playing ccid) — the old
+    lazily-composed loop re-planned every earlier round under each
+    consumer (ann_ivfpq_topk's physical plan carried 89 Exchange
+    nodes) and joined + groupBy(vec_id, s)-shuffled the exploded
+    corpus every round. The update is ONE partial-aggregated
+    (s, c, dim) shuffle whose ≤ m·ncode·dsub result rows are collected
+    and re-assembled driver-side. Distances, tie-breaks (lower code)
+    and the 6dp mean rounding are expression-identical to the previous
+    form and the DuckDB oracle CTEs. Returns (s, c, cv) like
+    pq_codebooks. Codes that lose all their members drop out of the
+    codebook (same as any k-means implementation) — encoding simply
+    never picks them.
     """
-    dsub = F.floor(F.size("_v") / m).cast("int")
-    sub = vectors.select(
-        F.col(id_col),
-        as_double(vec_col).alias("_v"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-    ).select(
-        id_col,
-        "s",
-        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
-    )
-    seed = (
+    from biggis_landuse_spark.queries import hold_cache
+    from biggis_landuse_spark.session import local_df
+
+    spark = vectors.sparkSession
+    pq_schema = "s INT, c BIGINT, cv ARRAY<DOUBLE>"
+    seed_rows = (
         vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
         .orderBy(id_col)
         .limit(ncode)
+        .collect()
     )
-    cb = seed.select(
-        F.col(id_col).alias("c"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        "_v",
-    ).select(
-        "s",
-        "c",
-        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("cv"),
+    if not seed_rows:
+        return local_df(spark, [], pq_schema)
+    dim = len(seed_rows[0]["_v"])
+    dsub_i = dim // m
+    # {(s, c) -> subvector}: F.slice(_v, s*dsub+1, dsub) == the Python
+    # slice below (same elements, same order — the doubles round-trip
+    # through collect() exactly)
+    fcb: dict[tuple[int, int], list[float]] = {
+        (s, int(r[id_col])): list(r["_v"])[s * dsub_i:(s + 1) * dsub_i]
+        for r in seed_rows
+        for s in range(m)
+    }
+    dsub = F.floor(F.size("_v") / m).cast("int")
+    # the exploded subvector relation is re-read by every round —
+    # persist it so the upstream chain (for IVFPQ: the full residual
+    # derivation) runs once, not once per round (released by the
+    # harness's release_caches after the query)
+    sub = hold_cache(
+        vectors.select(
+            F.col(id_col),
+            as_double(vec_col).alias("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        ).select(
+            id_col,
+            "s",
+            F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
+        )
     )
     for _ in range(iters):
-        dist = F.round(l2sq(F.col("sv"), F.col("cv")), 6)
-        assign = (
-            sub.join(F.broadcast(cb), "s")
-            .select(
-                id_col,
-                "s",
-                "sv",
-                F.struct(dist.alias("d"), F.col("c")).alias("dc"),
-            )
-            .groupBy(id_col, "s")
-            .agg(
-                F.min_by("dc", "dc").getField("c").alias("c"),
-                F.first("sv").alias("sv"),
-            )
+        if not fcb:
+            break
+        fbest = _nearest_fine_struct(F.col("sv"), F.col("s"), fcb)
+        # argmin in its OWN select below the posexplode (see
+        # _lloyd_cents — a generator above the argmin re-evaluates it
+        # once per exploded dim)
+        assign = sub.select(
+            "s", fbest.getField("cid").alias("c"), F.col("sv")
         )
         long = (
             assign.select("s", "c", F.posexplode("sv").alias("dim", "x"))
             .groupBy("s", "c", "dim")
             .agg(F.round(F.avg("x"), 6).alias("val"))
         )
-        cb = long.groupBy("s", "c").agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "val"))),
-                lambda x: x.getField("val"),
-            ).alias("cv")
-        )
-    return cb
+        nxt: dict[tuple[int, int], dict[int, float]] = {}
+        for r in long.collect():
+            nxt.setdefault((r["s"], r["c"]), {})[r["dim"]] = r["val"]
+        fcb = {
+            key: [dims[i] for i in sorted(dims)]
+            for key, dims in nxt.items()
+        }
+    return local_df(
+        spark,
+        [(s, c, cv) for (s, c), cv in sorted(fcb.items())],
+        pq_schema,
+    )
 
 
 def pq_encode(
@@ -1536,13 +1526,13 @@ def ivfpq_train_codebooks(
     bit-for-bit (training is deterministic; parquet round-trips
     doubles exactly)."""
     v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
-    assign = ivf_assign(v, centroids, id_col=id_col, n_probe=1).select(
-        F.col(id_col), "cid"
-    )
+    # assignment CARRIES the vector (r11): no corpus self-join by id
+    assign = ivf_assign(
+        v, centroids, id_col=id_col, n_probe=1, carry_vec="vec"
+    ).select(F.col(id_col), "cid", "vec")
     cent = centroids.select("cid", F.col("cv").alias("_cent"))
     resid = (
-        v.join(assign, id_col)
-        .join(F.broadcast(cent), "cid")
+        assign.join(F.broadcast(cent), "cid")
         .select(
             F.col(id_col),
             "cid",
@@ -1603,15 +1593,15 @@ def ivfpq_topk(
     Schmid, "Product quantization for nearest neighbor search" (IVFADC).
     """
     v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
-    assign = ivf_assign(v, centroids, id_col=id_col, n_probe=1).select(
-        F.col(id_col), "cid"
-    )
+    # assignment CARRIES the vector (r11): no corpus self-join by id
+    assign = ivf_assign(
+        v, centroids, id_col=id_col, n_probe=1, carry_vec="vec"
+    ).select(F.col(id_col), "cid", "vec")
     cent = centroids.select("cid", F.col("cv").alias("_cent"))
     # corpus residuals vs the assigned centroid (map-side: broadcast
     # centroid join + zip_with projection)
     resid = (
-        v.join(assign, id_col)
-        .join(F.broadcast(cent), "cid")
+        assign.join(F.broadcast(cent), "cid")
         .select(
             F.col(id_col),
             "cid",
@@ -1639,16 +1629,15 @@ def ivfpq_topk(
         resid.select(id_col, "cid", F.col("rv")), codebooks, m,
         id_col=id_col, vec_col="rv", carry=("cid",),
     ).select(F.col(id_col).alias("neighbor_id"), "cid", "codes")
-    # query probes + per-(query, probed cell) residuals
+    # query probes + per-(query, probed cell) residuals; the probe
+    # assignment CARRIES the query vector, so no join back by id (r11)
     q = queries.select(F.col(id_col), as_double(vec_col).alias("vec"))
-    q_probes = ivf_assign(q, centroids, id_col=id_col, n_probe=n_probe).select(
-        F.col(id_col).alias("query_id"), "cid"
-    )
+    qp = ivf_assign(
+        q, centroids, id_col=id_col, n_probe=n_probe, carry_vec="vec"
+    ).select(F.col(id_col).alias("query_id"), "cid", "vec")
+    q_probes = qp.select("query_id", "cid")
     qresid = (
-        q_probes.join(
-            q.select(F.col(id_col).alias("query_id"), "vec"), "query_id"
-        )
-        .join(F.broadcast(cent), "cid")
+        qp.join(F.broadcast(cent), "cid")
         .select(
             "query_id",
             "cid",

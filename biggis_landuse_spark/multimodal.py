@@ -434,7 +434,15 @@ def png16_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=["doc_id", "n_px", "sum_v", "min_v", "max_v"]
             )
 
-    return df.select(id_col).mapInPandas(run, PNG16_STATS_SCHEMA)
+    # the per-id codec work dominates wall time while the input is a
+    # single-row-group parquet scan (one task): round-robin the pruned
+    # id column across the cores before the Python stage (guide §2.6/
+    # §4 — the exchange moves 8 bytes/row and unlocks |cores|×
+    # parallelism on the encode/parse/decode loop). At production the
+    # input arrives in many files and spread() is a no-op.
+    from biggis_landuse_spark.queries import spread
+
+    return spread(df.select(id_col)).mapInPandas(run, PNG16_STATS_SCHEMA)
 
 
 COG_STATS_SCHEMA = (
@@ -519,4 +527,7 @@ def cog_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ],
             )
 
-    return df.select(id_col).mapInPandas(run, COG_STATS_SCHEMA)
+    # single-file scan → one task otherwise; see png16_roundtrip_stats
+    from biggis_landuse_spark.queries import spread
+
+    return spread(df.select(id_col)).mapInPandas(run, COG_STATS_SCHEMA)

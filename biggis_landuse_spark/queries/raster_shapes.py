@@ -1972,18 +1972,28 @@ def terrain_tile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = pixels_to_tiles(pixels, cols=8, rows=8, n_bands=1)
     t = terrain(tiles)
     px = tiles_to_pixels(t)
-    slope = px.where(F.col("band") == 0).select(
-        "tile_col", "tile_row", "px", "py", F.col("value").alias("slope_deg")
-    )
-    hs = px.where(F.col("band") == 1).select(
-        "tile_col", "tile_row", "px", "py", F.col("value").alias("hillshade")
-    )
-    asp = px.where(F.col("band") == 2).select(
-        "tile_col", "tile_row", "px", "py", F.col("value").alias("aspect_deg")
-    )
+    # r11 (guide §2.4): pivot the three bands in ONE conditional
+    # aggregation instead of filtering px three ways and inner-joining
+    # the splits back — the join form executed the whole
+    # pixels→tiles→terrain→pixels subtree THREE times (28 Exchange
+    # nodes; plans/r11/terrain_tile_before.txt). tiles_to_pixels emits
+    # every band for every pixel exactly once, so max(when(band=b)) is
+    # the single value (NULL for NODATA) and the pivot row set equals
+    # the three-way inner join's; the partial aggregate collapses
+    # map-side because all bands of a pixel sit in the same tile task.
     joined = (
-        slope.join(hs, ["tile_col", "tile_row", "px", "py"])
-        .join(asp, ["tile_col", "tile_row", "px", "py"])
+        px.groupBy("tile_col", "tile_row", "px", "py")
+        .agg(
+            F.max(F.when(F.col("band") == 0, F.col("value"))).alias(
+                "slope_deg"
+            ),
+            F.max(F.when(F.col("band") == 1, F.col("value"))).alias(
+                "hillshade"
+            ),
+            F.max(F.when(F.col("band") == 2, F.col("value"))).alias(
+                "aspect_deg"
+            ),
+        )
         .where(F.col("slope_deg").isNotNull())
     )
     return joined.select(

@@ -719,7 +719,14 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a 139-query session doesn't accumulate caches (ADVICE r4).
     from biggis_landuse_spark.queries import hold_cache
 
-    edges_w = hold_cache(edges.join(deg, "src"))
+    # r11 (guide §2.4): cache the weighted edge list ALREADY
+    # hash-partitioned by src — the deg join broadcasts, so the cached
+    # partitioning was the upstream distinct's (c, s) layout and every
+    # iteration re-exchanged the edge list by src (3 shuffles of the
+    # fact-sized relation per query; plans/r11/pagerank_suppliers_
+    # before.txt). Repartitioned once at cache time, the per-round
+    # join reuses the cached layout.
+    edges_w = hold_cache(edges.join(deg, "src").repartition("src"))
     nodes = hold_cache(nodes)
     # the node count is a single integer: collect it ONCE driver-side
     # (a count over the cached node list — metadata-sized traffic) and
