@@ -336,13 +336,57 @@ def ivf_assign(
     c = centroids.select(
         F.col(cid_col), F.col(cvec_col).alias("_c")
     ).withColumn("_ncv", norm(F.col("_c")))
-    # r11: n_probe == 1 goes through the same map-side one-row-array
-    # path as multiprobe (slice(..., 1, 1)) — the old special case
-    # crossJoined n×k affinity rows and groupBy(id)-shuffled the
-    # corpus to argmax them (guide §2.4: an n-row exchange on every
-    # coarse assignment, removed outright). The array comparator
-    # reproduces max_by(cid, struct(a, -cid)) exactly: affinity DESC
-    # with NULL last, then cid ASC.
+    if n_probe == 1:
+        # max_by partial-aggregates map-side, so the shuffle carries
+        # one row per vector. Tie-break: higher affinity, then lower
+        # centroid id (the negated id inside the ordering struct).
+        # r11 note (measured, kept deliberately): routing n_probe=1
+        # through the multiprobe one-row-array path removes this n-row
+        # exchange, but the interpreted array_sort-comparator lineage
+        # embedded under the IVFPQ query's nested training broadcasts
+        # produced erratic 10-20x run-to-run degradation (4.6 s -> 81 s
+        # across three repeats in one session, stable 2-3 s with this
+        # codegen'd form) — the exchange is the cheaper, stable shape
+        # for the assignment that feeds deeply re-broadcast lineage.
+        aff = v.crossJoin(F.broadcast(c)).select(
+            id_col,
+            "_v",
+            "_nv",
+            cid_col,
+            F.round(
+                F.try_divide(
+                    dot(F.col("_v"), F.col("_c")),
+                    F.col("_nv") * F.col("_ncv"),
+                ),
+                6,
+            ).alias("_a"),
+        )
+        carry_aggs = (
+            [
+                F.first("_v").alias(carry_vec),
+                F.first("_nv").alias(carry_vec + "_norm"),
+            ]
+            if carry_vec
+            else []
+        )
+        carry_cols = (
+            [carry_vec, carry_vec + "_norm"] if carry_vec else []
+        )
+        return (
+            aff.groupBy(id_col)
+            .agg(
+                F.max_by(
+                    cid_col, F.struct(F.col("_a"), -F.col(cid_col))
+                ).alias(cid_col),
+                *carry_aggs,
+            )
+            .select(
+                id_col,
+                cid_col,
+                F.lit(1).cast("long").alias("probe_rank"),
+                *carry_cols,
+            )
+        )
     carr = c.agg(
         F.array_sort(
             F.collect_list(
@@ -688,8 +732,14 @@ def hier_codebook_trained(
     sync discipline."""
     from biggis_landuse_spark.session import local_df
 
+    from biggis_landuse_spark.queries import spread
+
     spark = corpus.sparkSession
-    v = corpus.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    # spread before the Lloyd/residual chain — the cached residual
+    # relation inherits this partitioning, so the per-round fine
+    # aggregations run |cores|-way instead of single-task over a
+    # single-row-group scan (r11; see ivfpq_topk)
+    v = spread(corpus.select(F.col(id_col), F.col(vec_col).alias("_v")))
     ccents = _lloyd_cents(v, kc, iters=iters, id_col=id_col)
     fines_schema = "cid BIGINT, cv ARRAY<DOUBLE>, ccid BIGINT"
     coarse_schema = "ccid BIGINT, cv ARRAY<DOUBLE>"
@@ -1038,7 +1088,10 @@ def ivf_topk_hier(
     (coarse top-1 → fine top-1); queries probe ``n_probe_coarse``
     coarse cells and the best ``n_probe`` fine cells within them.
     """
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    from biggis_landuse_spark.queries import spread
+
+    # spread: see ivf_topk_hier_trained (r11)
+    v = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("vec")))
     # the two-level codebook is built ONCE and shared by corpus
     # assignment and query probing (it is the same broadcast row)
     garr = hier_codebook(centroids, coarse)
@@ -1126,7 +1179,11 @@ def ivf_topk_hier_trained(
     meaningful in compute (queries ≪ corpus). At production kc (~1e2+
     coarse cells over ~1e5 fines) set ``n_probe_coarse`` to a small
     constant and the same plan prunes both sides."""
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    from biggis_landuse_spark.queries import spread
+
+    # spread: the map-side assignment (array scoring per row) over a
+    # single-row-group scan is otherwise one task (r11; see ivfpq_topk)
+    v = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("vec")))
     if codebooks is not None:
         fines, coarse = codebooks
         # the loaded index is the authority on its own coarse width —
@@ -1257,89 +1314,79 @@ def pq_codebooks_trained(
     discipline run independently in each of the ``m`` subspaces (the
     actual PQ training step; pq_codebooks is the untrained seed).
 
-    r11 shape (guide §2.4/§1.2, the lloyd_centroids discipline applied
-    per subspace): each round's m×ncode codebook is held on the DRIVER
-    and assignment is a map-side argmin against a constant-folded
-    literal codebook keyed by the row's own subspace (the
-    ``_nearest_fine_struct`` machinery with s playing ccid) — the old
-    lazily-composed loop re-planned every earlier round under each
-    consumer (ann_ivfpq_topk's physical plan carried 89 Exchange
-    nodes) and joined + groupBy(vec_id, s)-shuffled the exploded
-    corpus every round. The update is ONE partial-aggregated
-    (s, c, dim) shuffle whose ≤ m·ncode·dsub result rows are collected
-    and re-assembled driver-side. Distances, tie-breaks (lower code)
-    and the 6dp mean rounding are expression-identical to the previous
-    form and the DuckDB oracle CTEs. Returns (s, c, cv) like
-    pq_codebooks. Codes that lose all their members drop out of the
-    codebook (same as any k-means implementation) — encoding simply
-    never picks them.
-    """
-    from biggis_landuse_spark.queries import hold_cache
-    from biggis_landuse_spark.session import local_df
+    Assignment is an argmin over the BROADCAST (m × ncode) codebook
+    (map-side min_by — the corpus never shuffles for assignment); the
+    update is one posexplode + partial-aggregated (s, c, dim) mean per
+    round; per-dim means round at 6dp at each iteration boundary so
+    both engines feed the next round bit-identical codebooks. Returns
+    (s, c, cv) like pq_codebooks. Codes that lose all their members
+    drop out of the codebook (same as any k-means implementation) —
+    encoding simply never picks them.
 
-    spark = vectors.sparkSession
-    pq_schema = "s INT, c BIGINT, cv ARRAY<DOUBLE>"
-    seed_rows = (
+    r11 note (measured, deliberately NOT driver-side): unlike the
+    hier/kmeans Lloyd loops, this training stays LAZY. The m×ncode
+    codebook here is ~1k entries — a literal-expression codebook costs
+    more to build (~6k py4j Column constructions/round, measured
+    25.7 s/query) than the round executes, and a driver-side
+    collect-per-round re-pays training at every DataFrame
+    construction, where the lazy chain amortizes through the
+    consumer's cache (ann_ivfpq_topk holds the trained relation via
+    ``cache=``). The replicated-lineage cost the driver-side form
+    removes is bounded for 2 rounds and the production path trains
+    once through ivfpq_train_codebooks / index_store anyway.
+    """
+    dsub = F.floor(F.size("_v") / m).cast("int")
+    sub = vectors.select(
+        F.col(id_col),
+        as_double(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+    ).select(
+        id_col,
+        "s",
+        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
+    )
+    seed = (
         vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
         .orderBy(id_col)
         .limit(ncode)
-        .collect()
     )
-    if not seed_rows:
-        return local_df(spark, [], pq_schema)
-    dim = len(seed_rows[0]["_v"])
-    dsub_i = dim // m
-    # {(s, c) -> subvector}: F.slice(_v, s*dsub+1, dsub) == the Python
-    # slice below (same elements, same order — the doubles round-trip
-    # through collect() exactly)
-    fcb: dict[tuple[int, int], list[float]] = {
-        (s, int(r[id_col])): list(r["_v"])[s * dsub_i:(s + 1) * dsub_i]
-        for r in seed_rows
-        for s in range(m)
-    }
-    dsub = F.floor(F.size("_v") / m).cast("int")
-    # the exploded subvector relation is re-read by every round —
-    # persist it so the upstream chain (for IVFPQ: the full residual
-    # derivation) runs once, not once per round (released by the
-    # harness's release_caches after the query)
-    sub = hold_cache(
-        vectors.select(
-            F.col(id_col),
-            as_double(vec_col).alias("_v"),
-            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        ).select(
-            id_col,
-            "s",
-            F.slice("_v", F.col("s") * dsub + 1, dsub).alias("sv"),
-        )
+    cb = seed.select(
+        F.col(id_col).alias("c"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "_v",
+    ).select(
+        "s",
+        "c",
+        F.slice("_v", F.col("s") * dsub + 1, dsub).alias("cv"),
     )
     for _ in range(iters):
-        if not fcb:
-            break
-        fbest = _nearest_fine_struct(F.col("sv"), F.col("s"), fcb)
-        # argmin in its OWN select below the posexplode (see
-        # _lloyd_cents — a generator above the argmin re-evaluates it
-        # once per exploded dim)
-        assign = sub.select(
-            "s", fbest.getField("cid").alias("c"), F.col("sv")
+        dist = F.round(l2sq(F.col("sv"), F.col("cv")), 6)
+        assign = (
+            sub.join(F.broadcast(cb), "s")
+            .select(
+                id_col,
+                "s",
+                "sv",
+                F.struct(dist.alias("d"), F.col("c")).alias("dc"),
+            )
+            .groupBy(id_col, "s")
+            .agg(
+                F.min_by("dc", "dc").getField("c").alias("c"),
+                F.first("sv").alias("sv"),
+            )
         )
         long = (
             assign.select("s", "c", F.posexplode("sv").alias("dim", "x"))
             .groupBy("s", "c", "dim")
             .agg(F.round(F.avg("x"), 6).alias("val"))
         )
-        nxt: dict[tuple[int, int], dict[int, float]] = {}
-        for r in long.collect():
-            nxt.setdefault((r["s"], r["c"]), {})[r["dim"]] = r["val"]
-        fcb = {
-            key: [dims[i] for i in sorted(dims)]
-            for key, dims in nxt.items()
-        }
-    return local_df(
-        spark,
-        [(s, c, cv) for (s, c), cv in sorted(fcb.items())],
-        pq_schema,
-    )
+        cb = long.groupBy("s", "c").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "val"))),
+                lambda x: x.getField("val"),
+            ).alias("cv")
+        )
+    return cb
 
 
 def pq_encode(
@@ -1525,7 +1572,10 @@ def ivfpq_train_codebooks(
     ``ivfpq_topk(codebooks=...)`` reproduces the inline results
     bit-for-bit (training is deterministic; parquet round-trips
     doubles exactly)."""
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    from biggis_landuse_spark.queries import spread
+
+    # spread before the training chain — see ivfpq_topk (r11)
+    v = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("vec")))
     # assignment CARRIES the vector (r11): no corpus self-join by id
     assign = ivf_assign(
         v, centroids, id_col=id_col, n_probe=1, carry_vec="vec"
@@ -1592,7 +1642,16 @@ def ivfpq_topk(
     broadcast into an ordinary BroadcastHashJoin. Ref: Jégou/Douze/
     Schmid, "Product quantization for nearest neighbor search" (IVFADC).
     """
-    v = corpus.select(F.col(id_col), as_double(vec_col).alias("vec"))
+    from biggis_landuse_spark.queries import spread
+
+    # spread BEFORE the assignment/training chain (r11, guide §2.6):
+    # a single-row-group corpus scan otherwise leaves the cached
+    # residual relation in ONE partition, and every downstream
+    # training fan-out (n·m×ncode rows/round) sort-aggregates in a
+    # single task — measured 30-80 s/query with 31 cores idle
+    # (thread dump: one RUNNABLE SortBasedAggregationIterator). At
+    # production partition counts spread() is a no-op.
+    v = spread(corpus.select(F.col(id_col), as_double(vec_col).alias("vec")))
     # assignment CARRIES the vector (r11): no corpus self-join by id
     assign = ivf_assign(
         v, centroids, id_col=id_col, n_probe=1, carry_vec="vec"

@@ -1994,14 +1994,25 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(1, greatest(size(toks) - {_SPAN_N - 1}, 0)), "
         f"i -> concat_ws(' ', slice(toks, i, {_SPAN_N})))"
     )
+    # r11 (guide §2.3/§2.4): pre-aggregate to (g, doc_id, c) once, get
+    # the document frequency as a count window on the SAME g-keyed
+    # exchange, and weight the per-doc rollup by c — the old form
+    # computed the tokenize+explode subtree TWICE (dfq + join probe)
+    # and shuffled every raw gram instance by g for the join; now one
+    # explode, one g-exchange of (g, doc)-distinct rows (strictly
+    # fewer under hot grams), one doc-keyed rollup. Counts are the
+    # same integers, so the 6dp division is unchanged.
     ex = tokd.select("doc_id", F.explode(grams).alias("g"))
-    dfq = ex.groupBy("g").agg(F.count_distinct("doc_id").alias("dfc"))
-    joined = ex.join(dfq, "g")
-    return joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum((F.col("dfc") > 1).cast("long")).alias("n_dup_grams"),
+    per_doc = ex.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    dfw = per_doc.withColumn(
+        "dfc", F.count(F.lit(1)).over(W.partitionBy("g"))
+    )
+    dup = F.when(F.col("dfc") > 1, F.col("c")).otherwise(F.lit(0))
+    return dfw.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(dup).alias("n_dup_grams"),
         F.round(
-            F.sum((F.col("dfc") > 1).cast("double")) / F.count(F.lit(1)), 6
+            F.sum(dup.cast("double")) / F.sum("c"), 6
         ).alias("dup_frac"),
     )
 
