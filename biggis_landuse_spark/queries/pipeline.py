@@ -1491,6 +1491,10 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from biggis_landuse_spark.queries import hold_cache
 
     (documents,) = load_tables(spark, sf_dir, "documents")
+    # deliberately NOT spread (r11): the shingle+collect_set chain
+    # aggregates to a vocabulary-sized relation; measured same-context,
+    # the round-robin exchange costs more than the single-split scan
+    # parallelism it buys here (0.93 s vs 0.75 s warm at sf0.1)
     grouped = hold_cache(
         documents.select("source", tokens("text").alias("_toks"))
         .select(
