@@ -9,8 +9,9 @@ Scale design (100 TB posture):
 - n-gram Jaccard: inverted-index equi-join on shingle, then grouped
   intersection counts; per-shingle document-frequency cap bounds the
   worst-case join fan-out on hot shingles (stopword shingles).
-- SimHash: per-token md5-bit contributions aggregated per (doc, bit)
-  then recombined — all built-in functions, no UDF.
+- SimHash: per-token md5-bit votes folded map-side in an
+  Arrow-batched kernel (hashlib md5 + one numpy bit-count per doc);
+  zero shuffle, only (id, text) crosses the Python boundary.
 
 The min-hash family here is "lexicographic min of salted md5", which
 is engine-portable (any SQL engine with md5 reproduces it bit-for-bit)
@@ -342,8 +343,9 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     For every token occurrence, the first 8 hex digits of md5(token)
     give 32 bits; each bit contributes +1/-1 to its position; the
-    fingerprint sets bit j iff the position-j sum is positive. Pure
-    built-in functions (explode + groupBy), engine-portable.
+    fingerprint sets bit j iff the position-j sum is positive.
+    Executed by the simhash_fp Arrow kernel (r11); the md5-vote math
+    is engine-portable and the DuckDB oracles replay it exactly.
     """
     return simhash_fp(df, id_col, text_col, n_hex=8)
 
@@ -358,69 +360,90 @@ def simhash_fp(
     signed BIGINT without touching the sign bit (both engines would
     otherwise overflow-check the power-of-two sum).
 
-    Execution (r8, VERDICT r7 #3): the whole fingerprint folds inside
-    ONE projection via array higher-order functions — md5 once per
-    token (transform), ±1 vote sums per bit (aggregate + zip_with,
-    exact integer arithmetic in any order), bit assembly (aggregate)
-    — so fingerprinting is MAP-SIDE with zero shuffle and stays in
-    whole-stage codegen. The previous form exploded tokens × n_hex ×
-    4 rows (60 rows per token at the 60-bit width) through a
-    (doc, bit) groupBy shuffle: the dominant data-proportional cost
-    in the simhash scale probe. Values are bit-identical (integer
-    votes), so every DuckDB oracle replay is unchanged. Token-less
+    Execution (r11): an Arrow-batched kernel — hashlib md5 per token
+    (C speed, identical bytes to Spark's md5 over UTF-8), then one
+    vectorized numpy fold per document: bit-j counts c_j over the
+    token hashes, fingerprint bit j set iff 2*c_j > n_tokens
+    (equivalent to the ±1 vote sum being positive — exact integers,
+    so every DuckDB oracle replay is unchanged). Map-side, zero
+    shuffle, only (id, text) crosses the Python boundary.
+
+    This replaces the r8 array-HOF fold (aggregate + zip_with + 60
+    per-token vote expressions). Higher-order-function lambdas are
+    CodegenFallback — evaluated on the interpreted expression path —
+    and that path proved JVM-profile-fragile: running knn_graph's
+    HOF-heavy dot-product lineage BEFORE this query's first execution
+    left the fingerprint projection permanently ~2.3-3.3x slower
+    (megamorphic call sites at first C2 compile; bisected
+    deterministically, survives System.gc() and any number of reruns,
+    and hit 2 of 6 full-suite bench runs as a 3.3-5.5 s
+    simhash_hamming_pairs reading vs 1.3-1.9 s solo). The kernel is
+    both faster and immune: same-session noop A/B at sf0.1 — HOF form
+    2.35-2.52 s clean / 3.07-3.37 s polluted; kernel 0.36-0.47 s in
+    BOTH states (a codegen'd explode + 60-sum groupBy form measured
+    0.81-1.0 s, also immune; the kernel wins 2.3x on top). Token-less
     (or NULL-text) docs carry no signature, matching the old
     explode-drop semantics."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     nbits = 4 * n_hex
-    toks = tokens(text_col)
-    hashes = F.transform(
-        toks, lambda t: F.substring(F.md5(t), 1, n_hex)
+    out_schema = StructType(
+        [df.schema[id_col], StructField("simhash", LongType())]
     )
-    seq = F.sequence(F.lit(0), F.lit(nbits - 1))
+    sub = df.select(id_col, text_col)
 
-    def vote(h8, j):
-        # bit j lives in hex digit j//4, bit j%4 (the oracle's layout)
-        dval = (
-            F.conv(
-                h8.substr((j / 4).cast("int") + 1, F.lit(1)), 16, 10
-            ).cast("int")
-        )
-        return (
-            F.when(
-                F.call_function("shiftright", dval, (j % 4).cast("int"))
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-        )
+    def fp_batches(it):
+        import hashlib
 
-    votes = F.aggregate(
-        hashes,
-        F.transform(seq, lambda j: F.lit(0)),
-        lambda acc, h8: F.zip_with(
-            acc,
-            F.transform(seq, lambda j: vote(h8, j)),
-            lambda a, b: a + b,
-        ),
-    )
-    fp = F.aggregate(
-        F.zip_with(
-            votes,
-            seq,
-            lambda s, j: F.when(
-                s > 0,
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), j.cast("int")
-                ),
-            ).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return (
-        df.where(F.size(toks) > 0)
-        .select(F.col(id_col), fp.alias("simhash"))
-    )
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(nbits, dtype=np.uint64)
+        md5 = hashlib.md5
+        # chunked bit-count fold: bounds the (tokens x nbits) vote
+        # matrix at ~30 MB however long one document is
+        chunk = 65536
+        for pdf in it:
+            ids, fps = [], []
+            for doc_id, text in zip(
+                pdf[id_col].values, pdf[text_col].values
+            ):
+                if text is None:
+                    continue
+                toks_py = [t for t in text.split(" ") if t]
+                if not toks_py:
+                    continue
+                # first n_hex md5 hex digits, nibble-reversed into a
+                # little-endian int: bit j == (digit j//4 >> j%4) & 1,
+                # the same bit layout the votes index (and the oracle)
+                hs = np.array(
+                    [
+                        int(
+                            md5(t.encode("utf-8")).hexdigest()[
+                                n_hex - 1 :: -1
+                            ],
+                            16,
+                        )
+                        for t in toks_py
+                    ],
+                    dtype=np.uint64,
+                )
+                c = np.zeros(nbits, dtype=np.int64)
+                for lo in range(0, len(hs), chunk):
+                    part = hs[lo : lo + chunk]
+                    c += ((part[:, None] >> shifts) & 1).sum(
+                        0, dtype=np.int64
+                    )
+                fp = int(
+                    (
+                        (2 * c > len(hs)).astype(np.uint64) << shifts
+                    ).sum()
+                )
+                ids.append(doc_id)
+                fps.append(fp)
+            yield pd.DataFrame({id_col: ids, "simhash": fps})
+
+    return sub.mapInPandas(fp_batches, schema=out_schema)
 
 
 SIMHASH_BITS = 60       # fingerprint width for Hamming pairing (15 hex digits)

@@ -796,8 +796,10 @@ def ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_bit GROUP BY doc_id
     """,
     doc="""32-bit SimHash per document from md5 token hashes — per-bit ±1
-    contributions aggregated with built-in functions only
-    (functions.dedup.simhash32). Near-dup = small Hamming distance.""",
+    votes folded map-side in an Arrow-batched kernel (hashlib md5 +
+    one numpy bit-count per doc; functions.dedup.simhash32 — the r11
+    rewrite of the JIT-fragile array-HOF fold, bit-identical).
+    Near-dup = small Hamming distance.""",
     tags=("DEDUP",),
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

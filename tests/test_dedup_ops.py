@@ -220,6 +220,51 @@ def test_simhash_band_pairs_exact_at_default_threshold(spark, sf_dir):
     assert got == want
 
 
+def test_simhash_fp_matches_pure_python_reference(spark):
+    """The r11 Arrow-kernel simhash_fp against an INDEPENDENT pure-
+    Python replay of the md5 ±1-vote math (neither the kernel's
+    bit-count shortcut nor the old array-HOF fold), on the edge
+    shapes that could diverge: NULL text, empty text, spaces-only,
+    multi-space runs, unicode, single token, and a tie-heavy doc.
+    Pins the kernel's exact semantics: token = non-empty segment of
+    split(' '), vote bit j = (digit j//4 of md5 hex >> j%4) & 1,
+    fingerprint bit j set iff the vote sum is strictly positive."""
+    import hashlib
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "héllo wörld héllo"),
+        (5, "a  b"),
+        (6, "single"),
+        (7, "x y z x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_hex in (8, D.SIMHASH_BITS // 4):
+        want = {}
+        for doc_id, text in rows:
+            if text is None:
+                continue
+            toks = [t for t in text.split(" ") if t]
+            if not toks:
+                continue
+            votes = [0] * (4 * n_hex)
+            for t in toks:
+                h = hashlib.md5(t.encode("utf-8")).hexdigest()[:n_hex]
+                for j in range(4 * n_hex):
+                    bit = (int(h[j // 4], 16) >> (j % 4)) & 1
+                    votes[j] += 1 if bit else -1
+            want[doc_id] = sum(
+                1 << j for j, s in enumerate(votes) if s > 0
+            )
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in D.simhash_fp(df, "doc_id", "text", n_hex=n_hex).collect()
+        }
+        assert got == want, n_hex
+
+
 def test_simhash_band_pairs_fanout_capped_on_identical_corpus(spark):
     """Hot-band guard: a corpus where every doc has the SAME fingerprint
     puts everyone behind one band value in all 4 bands; the md5
