@@ -80,7 +80,9 @@ CANARY_QUERIES = ("pricing_summary", "media_metadata", "pyramid_level")
 # code, drop it from the basket in the same commit.
 NORM_BASKET = (
     "pricing_summary",    # scan + group agg (trivial tier)
-    "dedup_minhash",      # minhash HOFs + band-bucket shuffle
+    # dedup_minhash dropped r11: its signature build moved to the
+    # Arrow kernel (minhash_signatures_from_text) — code no longer
+    # frozen, per the basket rule above
     "stack_join",         # n-way tile join
     "knn_cosine",         # broadcast crossJoin + vector fold
     "bm25_search",        # text tokenize + tf-idf scoring

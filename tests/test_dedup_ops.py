@@ -220,6 +220,50 @@ def test_simhash_band_pairs_exact_at_default_threshold(spark, sf_dir):
     assert got == want
 
 
+def test_minhash_signatures_match_pure_python_reference(spark):
+    """The r11 Arrow-kernel minhash_signatures_from_text against an
+    independent pure-Python replay of the salted-min-md5 math (via
+    hexdigest string comparison, NOT the kernel's digest-bytes
+    shortcut), on the shapes that could diverge: NULL text, < k
+    tokens, exactly k tokens, multi-space runs, unicode."""
+    import hashlib
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "one two"),
+        (4, "one two three"),
+        (5, "héllo wörld  x y"),
+        (6, "a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {}
+    for doc_id, text in rows:
+        if text is None:
+            continue
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < D.SHINGLE_WORDS:
+            continue
+        shingles = [
+            " ".join(toks[i : i + D.SHINGLE_WORDS])
+            for i in range(len(toks) - D.SHINGLE_WORDS + 1)
+        ]
+        want[doc_id] = tuple(
+            min(
+                hashlib.md5(f"{s}|{sh}".encode()).hexdigest()
+                for sh in shingles
+            )
+            for s in range(D.N_MINHASH)
+        )
+    got = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(D.N_MINHASH))
+        for r in D.minhash_signatures_from_text(
+            df, "doc_id", "text"
+        ).collect()
+    }
+    assert got == want
+
+
 def test_simhash_fp_matches_pure_python_reference(spark):
     """The r11 Arrow-kernel simhash_fp against an INDEPENDENT pure-
     Python replay of the md5 ±1-vote math (neither the kernel's
