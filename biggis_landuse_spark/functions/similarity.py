@@ -89,6 +89,55 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("int")
 
 
+# --- fixed-dim codegen folds (r12, VERDICT r11 #5/#6) --------------------
+#
+# The aggregate/zip_with HOF folds above are CodegenFallback (evaluated
+# on the interpreted expression path). Unrolling them into fixed-dim
+# left-to-right sums is bit-identical (same element order and fold
+# order as F.aggregate) and codegen-able — but it only PAYS when the
+# tree is SMALL: the r12 probes measured dim=64 unrolls (256-2,400
+# expression nodes) at 1-9 s of py4j Column construction per query
+# build plus ~0.7 s/run of optimizer walk, losing to the interpreted
+# HOF end-to-end (the embedding_near_dup negative result,
+# OPTIMIZATION_r12.md). l2sq_fixed is therefore used only in the PQ
+# paths (dsub = 4-16 terms), where every call site sits above a
+# broadcast join whose inputs carry the operands — materialized, so
+# per-element F.get is cheap (never unroll over an expression-valued
+# array: GetArrayItem re-evaluates the producer per element, the
+# round-6 O(dim²) gotcha).
+
+
+def l2sq_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen-able :func:`l2sq` twin for fixed ``dim`` (same
+    left-to-right fold over (a[d]-b[d])² terms — bit-identical).
+    Operands MUST be materialized arrays; in the PQ pipelines every
+    call site sits ABOVE a join whose inputs carry the operands, so
+    they are materialized at the join boundary by construction."""
+    acc = F.lit(0.0)
+    for d in range(dim):
+        diff = F.get(a, d) - F.get(b, d)
+        acc = acc + diff * diff
+    return acc
+
+
+def materialize_model(df: DataFrame) -> DataFrame:
+    """Collect a MODEL-SIZED relation (codebooks, trained weights —
+    thousands of rows at most) and rebuild it as a driver-local Arrow
+    relation (r12, VERDICT r11 #6): consumers then plan against a
+    LocalRelation instead of re-optimizing (and potentially
+    re-executing) the full training lineage per consumer. Unlike the
+    r11-rejected literal-expression codebook (6k py4j Column
+    constructions, 25.7 s/query), the pandas/Arrow local-relation path
+    costs ~0.2 s regardless of width; and unlike a persisted cache the
+    downstream plan carries ZERO training operators. Values round-trip
+    exactly (Arrow preserves the IEEE doubles collect returns), so
+    every oracle replay is unchanged. The training job runs ONCE, at
+    the collect."""
+    from biggis_landuse_spark.session import local_df
+
+    return local_df(df.sparkSession, df.collect(), df.schema)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1304,6 +1353,7 @@ def pq_codebooks_trained(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-subspace k-means PQ codebooks: ``iters`` unrolled Lloyd
     rounds over the subvectors, seeded from the first ``ncode``
@@ -1360,7 +1410,14 @@ def pq_codebooks_trained(
         F.slice("_v", F.col("s") * dsub + 1, dsub).alias("cv"),
     )
     for _ in range(iters):
-        dist = F.round(l2sq(F.col("sv"), F.col("cv")), 6)
+        # dim known → codegen'd unrolled distance (r12): sv and cv
+        # cross the broadcast-join boundary, so both are materialized
+        dist = F.round(
+            l2sq_fixed(F.col("sv"), F.col("cv"), dim // m)
+            if dim is not None
+            else l2sq(F.col("sv"), F.col("cv")),
+            6,
+        )
         assign = (
             sub.join(F.broadcast(cb), "s")
             .select(
@@ -1396,6 +1453,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry: tuple[str, ...] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """PQ encoding: each vector → ``m`` small code ids (argmin squared
     L2 to the subspace codebook, 6dp-rounded, ties to the lower code).
@@ -1430,7 +1488,12 @@ def pq_encode(
         *carry,
         "s",
         "c",
-        F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        F.round(
+            l2sq_fixed(F.col("sv"), F.col("cv"), dim // m)
+            if dim is not None
+            else l2sq(F.col("sv"), F.col("cv")),
+            6,
+        ).alias("d"),
     )
     per_sub = dist.groupBy(id_col, "s").agg(
         *[F.first(c).alias(c) for c in carry],
@@ -1445,6 +1508,20 @@ def pq_encode(
     )
 
 
+def _adc_sum(m: int) -> Column:
+    """Unrolled ADC lookup-sum Σ_s dt[s][codes[s]] (r12): bit-identical
+    to the F.aggregate fold it replaces (same order, same 0.0 seed)
+    but codegen-able — ``m`` is a compile-time int and dt/codes are
+    materialized at the broadcast-join boundary below."""
+    acc = F.lit(0.0)
+    for s in range(m):
+        acc = acc + F.element_at(
+            F.element_at("dt", s + 1),
+            (F.element_at("codes", s + 1) + 1).cast("int"),
+        )
+    return acc
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1453,6 +1530,7 @@ def pq_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k (ADC): approximate squared-L2
     nearest neighbors scored entirely in the compressed domain.
@@ -1466,7 +1544,9 @@ def pq_topk(
     scans. Pair with IVF cell pruning (ivf_topk) for sub-linear
     candidate sets; rank ties break on neighbor id.
     """
-    codes = pq_encode(corpus, codebooks, m, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        corpus, codebooks, m, id_col=id_col, vec_col=vec_col, dim=dim
+    )
     dsub = F.floor(F.size("_v") / m).cast("int")
     qsub = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1481,7 +1561,12 @@ def pq_topk(
         "query_id",
         "s",
         "c",
-        F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        F.round(
+            l2sq_fixed(F.col("sv"), F.col("cv"), dim // m)
+            if dim is not None
+            else l2sq(F.col("sv"), F.col("cv")),
+            6,
+        ).alias("d"),
     )
     per_sub = dt_entries.groupBy("query_id", "s").agg(
         F.transform(
@@ -1501,18 +1586,7 @@ def pq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    F.lit(0.0),
-                    lambda acc, s: acc
-                    + F.element_at(
-                        F.element_at("dt", s + 1),
-                        (F.element_at("codes", s + 1) + 1).cast("int"),
-                    ),
-                ),
-                6,
-            ).alias("approx_dist"),
+            F.round(_adc_sum(m), 6).alias("approx_dist"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -1531,6 +1605,7 @@ def pq_codebooks_from_residuals(
     ncode: int,
     train_iters: int = 0,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Residual relation (id, cid, rv) → DENSE per-subspace PQ
     codebooks (s, c, cv): per-subspace Lloyd when ``train_iters`` > 0
@@ -1543,7 +1618,7 @@ def pq_codebooks_from_residuals(
     if train_iters > 0:
         codebooks = pq_codebooks_trained(
             resid.select(id_col, F.col("rv")), m, ncode,
-            iters=train_iters, id_col=id_col, vec_col="rv",
+            iters=train_iters, id_col=id_col, vec_col="rv", dim=dim,
         )
     else:
         codebooks = pq_codebooks(
@@ -1563,6 +1638,7 @@ def ivfpq_train_codebooks(
     train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Standalone IVFPQ codebook training (r9, the persist path):
     coarse-assign the corpus, derive residuals, train the per-subspace
@@ -1590,7 +1666,7 @@ def ivfpq_train_codebooks(
         )
     )
     return pq_codebooks_from_residuals(
-        resid, m, ncode, train_iters=train_iters, id_col=id_col
+        resid, m, ncode, train_iters=train_iters, id_col=id_col, dim=dim
     )
 
 
@@ -1607,6 +1683,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     cache=None,
     codebooks: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF+PQ composite ANN with RESIDUAL encoding — the FAISS IVFPQ
     index shape, end-to-end relational.
@@ -1670,8 +1747,17 @@ def ivfpq_topk(
     if cache is not None:
         resid = cache(resid)
     if codebooks is None:
-        codebooks = pq_codebooks_from_residuals(
-            resid, m, ncode, train_iters=train_iters, id_col=id_col
+        # r12 (VERDICT r11 #6): the inline-trained codebook relation is
+        # collected ONCE and rebuilt as a local Arrow relation — the
+        # m×ncode model rows are what downstream consumers need, not
+        # the ~87-Exchange Lloyd lineage they used to re-plan (and,
+        # before the cache materialized, re-execute). Training still
+        # runs exactly once per query invocation, at the collect.
+        codebooks = materialize_model(
+            pq_codebooks_from_residuals(
+                resid, m, ncode, train_iters=train_iters, id_col=id_col,
+                dim=dim,
+            )
         )
     else:
         # pre-trained (e.g. ml.index_store persisted) codebooks: the
@@ -1680,13 +1766,13 @@ def ivfpq_topk(
         codebooks = codebooks.withColumn(
             "c", F.row_number().over(W.partitionBy("s").orderBy("c")) - 1
         )
-    if cache is not None:
-        # both consumers (corpus encode, query distance tables) re-run
-        # the full Lloyd chain without this — the model is m×ncode rows
-        codebooks = cache(codebooks)
+        if cache is not None:
+            # both consumers (corpus encode, query distance tables)
+            # re-run the load+densify without this
+            codebooks = cache(codebooks)
     codes = pq_encode(
         resid.select(id_col, "cid", F.col("rv")), codebooks, m,
-        id_col=id_col, vec_col="rv", carry=("cid",),
+        id_col=id_col, vec_col="rv", carry=("cid",), dim=dim,
     ).select(F.col(id_col).alias("neighbor_id"), "cid", "codes")
     # query probes + per-(query, probed cell) residuals; the probe
     # assignment CARRIES the query vector, so no join back by id (r11)
@@ -1720,7 +1806,12 @@ def ivfpq_topk(
         "cid",
         "s",
         "c",
-        F.round(l2sq(F.col("sv"), F.col("cv")), 6).alias("d"),
+        F.round(
+            l2sq_fixed(F.col("sv"), F.col("cv"), dim // m)
+            if dim is not None
+            else l2sq(F.col("sv"), F.col("cv")),
+            6,
+        ).alias("d"),
     )
     per_sub = dt_entries.groupBy("query_id", "cid", "s").agg(
         F.transform(
@@ -1743,18 +1834,7 @@ def ivfpq_topk(
     scored = cand.join(F.broadcast(dtable), ["query_id", "cid"]).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, s: acc
-                + F.element_at(
-                    F.element_at("dt", s + 1),
-                    (F.element_at("codes", s + 1) + 1).cast("int"),
-                ),
-            ),
-            6,
-        ).alias("approx_dist"),
+        F.round(_adc_sum(m), 6).alias("approx_dist"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.asc("approx_dist"), F.asc("neighbor_id")

@@ -199,6 +199,17 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # term that matters. dot/(na*nb) with na=sqrt(dot(a,a)) is
     # bit-identical to dot/(sqrt(dot(a,a))*sqrt(dot(b,b))) — safe for
     # the 6dp-rounded oracle hash.
+    # r12 NEGATIVE RESULT (VERDICT r11 #5, documented in
+    # OPTIMIZATION_r12.md): unrolling the HOF folds into fixed-dim
+    # codegen sums was measured and fully REVERTED at dim=64. The
+    # 8×64-term projection costs 4-9 s of py4j Column construction
+    # per invocation plus ~0.7 s/run of optimizer walk over the giant
+    # tree; even the pair-stage-only 64-term dot (256 nodes) measured
+    # construct 1.7-2.2 s / exec 0.9-1.2 s vs the HOF form's
+    # 0.8-1.2 s / 0.5-0.6 s — per-run codegen compilation of a big
+    # tree costs more than interpreted evaluation saves at this pair
+    # volume. Unrolled folds stay only where trees are SMALL
+    # (l2sq_fixed at dsub=4-16 in the PQ paths, _adc_sum at m≤16).
     v = embeddings.select(
         "vec_id",
         S.as_double("embedding").alias("vec"),
@@ -1225,7 +1236,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = load_tables(spark, sf_dir, "embeddings")
     codebooks = S.pq_codebooks(embeddings, m=PQ_M, ncode=PQ_NCODE)
     queries = embeddings.where(F.col("vec_id") < PQ_NQ)
-    return S.pq_topk(queries, embeddings, codebooks, m=PQ_M, k=K)
+    return S.pq_topk(queries, embeddings, codebooks, m=PQ_M, k=K, dim=DIM)
 
 
 _PQ_L2 = (
@@ -1406,6 +1417,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=N_PROBE,
         train_iters=PQIVF_ITERS,
         cache=hold_cache,
+        dim=DIM,
     )
 
 
@@ -1433,7 +1445,7 @@ def _persisted_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cbs = S.ivfpq_train_codebooks(
             embeddings, centroids, m=PQIVF_M, ncode=PQIVF_NCODE,
-            train_iters=PQIVF_ITERS,
+            train_iters=PQIVF_ITERS, dim=DIM,
         )
         path = tempfile.mkdtemp(prefix="biggis-pq-index-")
         save_pq_codebooks(
@@ -1491,6 +1503,7 @@ def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id",
         cache=hold_cache,
         codebooks=codebooks,
+        dim=DIM,
     )
 
 
