@@ -96,7 +96,10 @@ NORM_BASKET = (
     "semantic_dedup",     # IVF block + in-group pair explosion
     "concurrent_events",  # grouped cumsum window over events
     "tumbling_window",    # time-bucket aggregation
-    "hybrid_retrieval",   # BM25 + vector fusion, two-sided shuffle
+    # hybrid_retrieval dropped r12: its shortlist/feedback stage was
+    # restructured (cached shortlist, VERDICT r11 #7) — code no
+    # longer frozen, per the basket rule above
+    "dedup_bloom",        # shingle explode + bloom-bit probe join
     "ann_ivf_topk",       # centroid probe + candidate join
 )
 

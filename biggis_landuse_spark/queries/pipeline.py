@@ -73,8 +73,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
+    # r12 (VERDICT r11 #7): df was count_distinct(doc_id) over the
+    # full (doc, term) explode — planned as Expand + a double
+    # aggregate whose first phase shuffles every distinct (term, doc)
+    # pair. Deduplicating per document FIRST (array_distinct before
+    # the explode, scan-local) makes df a plain count with map-side
+    # partial aggregation: count(distinct doc per term) == count of
+    # per-doc-distinct term occurrences, exactly.
+    df = (
+        spread(documents)
+        .select(F.explode(F.array_distinct(tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

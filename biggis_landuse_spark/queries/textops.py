@@ -592,10 +592,25 @@ _HR_DIM = 64        # embedding dimensionality (TESTDATA.md)
     bench=True,
 )
 def hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from biggis_landuse_spark.queries import hold_cache
+
     documents, embeddings = load_tables(spark, sf_dir, "documents", "embeddings")
     scored = _bm25_scored(documents)
-    short = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HR_SHORTLIST)
-    fb_ids = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HR_FEEDBACK)
+    # r12 (VERDICT r11 #7): the shortlist and the feedback ids used to
+    # be two independent TakeOrdered consumers of the BM25 subtree, so
+    # the tokenize+score pipeline (itself two scans) executed TWICE —
+    # four corpus passes per query. The feedback top-3 is a prefix of
+    # the shortlist top-20 under the SAME deterministic total order
+    # (score DESC, doc_id ASC), so it derives from the cached 20-row
+    # shortlist instead: BM25 now runs once (two corpus passes total).
+    short = hold_cache(
+        scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(_HR_SHORTLIST)
+    )
+    fb_ids = (
+        short.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_HR_FEEDBACK)
+        .select("doc_id")
+    )
     emb = embeddings.select(
         F.col("vec_id").alias("doc_id"), SIM.as_double("embedding").alias("cv")
     )
@@ -2206,6 +2221,21 @@ def _bpe_train(documents: DataFrame):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     chars = F.expr("filter(split(w, ''), x -> x != '')")
+    # r12 (VERDICT r11 #9): the cached vocabulary state froze at the
+    # static shuffle partition count (32 sub-MB partitions at fixture
+    # scale — cached plans keep their partitioning), so every training
+    # round paid a 32-task wave plus an AQE map-stage job over near-
+    # empty partitions: 11 jobs/query. Sizing the state to its actual
+    # volume cuts it to 7 jobs and ~25% wall (A/B in
+    # OPTIMIZATION_r12.md). The count is parameterized, NOT a local
+    # constant: a vocabulary is Zipf-bounded (a 100 TB corpus still
+    # has ≤ ~100M distinct words ≈ a few GB), so production sets
+    # SPARK_GRAFT_BPE_STATE_PARTS ≈ vocab_bytes / 64 MB — tens of
+    # partitions — while the fixture default (1) matches its sub-MB
+    # vocabulary.
+    import os
+
+    state_parts = int(os.environ.get("SPARK_GRAFT_BPE_STATE_PARTS", "1"))
     state = hold_cache(
         words.select(
             "w",
@@ -2213,7 +2243,7 @@ def _bpe_train(documents: DataFrame):
             F.concat(
                 F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
             ).alias("s"),
-        )
+        ).coalesce(max(1, state_parts))
     )
     rules: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_TRAIN_ROUNDS + 1):
