@@ -726,7 +726,25 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact-sized relation per query; plans/r11/pagerank_suppliers_
     # before.txt). Repartitioned once at cache time, the per-round
     # join reuses the cached layout.
-    edges_w = hold_cache(edges.join(deg, "src").repartition("src"))
+    #
+    # r12 (guide §2.2): SIZE the cached layout instead of inheriting
+    # the static shuffle partition count — cached plans keep their
+    # partitioning, so `repartition("src")` froze the fixture's ~30 MB
+    # edge list into 32 sub-MB partitions and every iteration paid a
+    # 32-task wave over near-empty partitions (a same-hour A/B with
+    # AQE allowed to re-coalesce cached output read 1.79× — that conf
+    # was rejected globally, see session.py, so the sizing happens
+    # here). The count is DATA-derived, never a core-count constant:
+    # edges ≤ 2×|lineitem| rows (metadata-only parquet count), ~24 B
+    # per cached row, 64 MB advisory target — the fixture lands at 1
+    # partition, a 100 TB edge list at tens of thousands, and the
+    # partition count is identical at any $SPARK_GRAFT_CPUS so the
+    # driver's core-scaling legs stay comparable.
+    n_li = lineitem.count()  # parquet footer metadata, no scan
+    edge_parts = max(1, (2 * n_li * 24) // (64 << 20) + 1)
+    edges_w = hold_cache(
+        edges.join(deg, "src").repartition(int(edge_parts), "src")
+    )
     nodes = hold_cache(nodes)
     # the node count is a single integer: collect it ONCE driver-side
     # (a count over the cached node list — metadata-sized traffic) and

@@ -42,6 +42,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 NEGATIVE RESULT (measured, then reverted):
+        # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=
+        # true lets AQE size cached-plan output and read 1.79× on
+        # pagerank_suppliers (its 32 sub-MB cached edge partitions
+        # coalesce), but it also coalesced the CPU-heavy cached
+        # relations whose parallelism IS the optimization — knn_graph
+        # 0.49×, ann_ivfpq_topk 0.37× (single-task pair explosion /
+        # encode) in a same-hour A/B. Cache partitioning stays pinned;
+        # vocab-sized iterative states size themselves explicitly
+        # (see queries/textops._bpe_train).
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
