@@ -22,6 +22,15 @@ batches via maxFilesPerTrigger=1), runs the stream with a foreachBatch
 count sink (full plan execution, no driver data collection), and
 reports rows/s of source rows. Deterministic sizing — no rate source
 clock dependency — so numbers are comparable round over round.
+
+r12 (VERDICT r11 #3): every leg is min-of-2 with a fresh checkpoint
+per run (pipeline_scene had this since r11; the window/reassembly legs
+join the protocol — the first run of a leg pays stream-query setup,
+and one loaded-scheduler window otherwise writes the round's number).
+A ``canary_stream`` leg — a frozen stateless passthrough whose cost is
+almost purely per-trigger machinery — rides along so box-load drift in
+the stateful legs is machine-attributable (the batch suite's canary
+discipline, applied to streaming).
 """
 
 from __future__ import annotations
@@ -86,6 +95,58 @@ def _write_pixel_files(
         base.where(F.col("f") == i).drop("f").coalesce(1).write.mode(
             "append"
         ).parquet(src)
+
+
+def _min_of(runs: int, fn) -> dict:
+    """Run a leg ``runs`` times (fresh checkpoint each — fn takes the
+    attempt index) and keep the fastest (r12, VERDICT r11 #3): the
+    first run of a leg pays stream-query setup + kernel JIT, and on a
+    loaded box any single run can be inflated by scheduler noise. The
+    same min-of-N steady-state protocol the batch suite has used since
+    r8; pipeline_scene adopted it in r11, the window/reassembly legs
+    join it now. The per-run methodology (same input files, same
+    batching, full processAllAvailable drain) is unchanged."""
+    return min((fn(i) for i in range(runs)), key=lambda r: r["sec"])
+
+
+def _streaming_canary(spark: SparkSession, root: str) -> dict:
+    """Pinned-plan micro-batch canary (r12, VERDICT r11 #3): a
+    STATELESS passthrough stream over 4 tiny fixed files. Its cost is
+    almost purely the per-trigger machinery (planning, offset/commit
+    log, task scheduling) — the shared denominator of every stateful
+    leg — so round-over-round drift here measures the BOX, not the
+    engine's state kernels. Freeze this leg's code like the batch
+    canaries."""
+    src = f"{root}/canary_src"
+    n_rows, n_files = 4000, 4
+    base = spark.range(n_rows).select(
+        (F.col("id") % 16).alias("user_id"),
+        F.lit("c").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % n_files).alias("f"),
+    )
+    for i in range(n_files):
+        base.where(F.col("f") == i).drop("f").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def one(i: int) -> dict:
+        stream = (
+            spark.readStream.schema(EVENT_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sec = _drive(
+            stream.select("user_id", "value"), f"{root}/ck_canary{i}", "append"
+        )
+        return {
+            "rows": n_rows,
+            "sec": round(sec, 3),
+            "rows_per_sec": round(n_rows / sec),
+        }
+
+    return _min_of(2, one)
 
 
 def _drive(stream_df, ckpt: str, mode: str = "update") -> float:
@@ -312,38 +373,43 @@ def run_streaming_bench(
                 .parquet(ev_src)
             )
 
-        sec = _drive(tumbling_counts(ev_stream()), f"{root}/ck_tumble")
-        out["tumbling"] = {
-            "rows": n_events,
-            "sec": round(sec, 3),
-            "rows_per_sec": round(n_events / sec),
-        }
-        sec = _drive(
-            session_counts(ev_stream()), f"{root}/ck_session", "append"
-        )
-        out["session"] = {
-            "rows": n_events,
-            "sec": round(sec, 3),
-            "rows_per_sec": round(n_events / sec),
-        }
+        out["canary_stream"] = _streaming_canary(spark, root)
+
+        def ev_leg(builder, mode: str, tag: str):
+            def one(i: int) -> dict:
+                sec = _drive(builder(ev_stream()), f"{root}/ck_{tag}{i}", mode)
+                return {
+                    "rows": n_events,
+                    "sec": round(sec, 3),
+                    "rows_per_sec": round(n_events / sec),
+                }
+
+            return _min_of(2, one)
+
+        out["tumbling"] = ev_leg(tumbling_counts, "update", "tumble")
+        out["session"] = ev_leg(session_counts, "append", "session")
 
         px_src = f"{root}/pixels"
         n_px = n_tiles * tile_size * tile_size
         _write_pixel_files(spark, px_src, n_tiles, tile_size, n_files)
-        px_stream = (
-            spark.readStream.schema(PIXEL_DDL)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(px_src)
-        )
-        tiles = reassemble_tiles_stream(
-            px_stream, cols=tile_size, rows=tile_size
-        )
-        sec = _drive(tiles, f"{root}/ck_tiles", "append")
-        out["tile_reassembly"] = {
-            "rows": n_px,
-            "sec": round(sec, 3),
-            "rows_per_sec": round(n_px / sec),
-        }
+
+        def tile_leg(i: int) -> dict:
+            px_stream = (
+                spark.readStream.schema(PIXEL_DDL)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(px_src)
+            )
+            tiles = reassemble_tiles_stream(
+                px_stream, cols=tile_size, rows=tile_size
+            )
+            sec = _drive(tiles, f"{root}/ck_tiles{i}", "append")
+            return {
+                "rows": n_px,
+                "sec": round(sec, 3),
+                "rows_per_sec": round(n_px / sec),
+            }
+
+        out["tile_reassembly"] = _min_of(2, tile_leg)
 
         # scene-tile leg (r9, VERDICT r8 #5): 8 tiles of 256x256 — the
         # tile size real scenes ship. The 16x16 leg above is micro-
@@ -355,18 +421,22 @@ def run_streaming_bench(
         px2_src = f"{root}/pixels_scene"
         n_px2 = 8 * 256 * 256
         _write_pixel_files(spark, px2_src, 8, 256, n_files)
-        px2_stream = (
-            spark.readStream.schema(PIXEL_DDL)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(px2_src)
-        )
-        tiles2 = reassemble_tiles_stream(px2_stream, cols=256, rows=256)
-        sec = _drive(tiles2, f"{root}/ck_tiles_scene", "append")
-        out["tile_reassembly_scene"] = {
-            "rows": n_px2,
-            "sec": round(sec, 3),
-            "rows_per_sec": round(n_px2 / sec),
-        }
+
+        def scene_leg(i: int) -> dict:
+            px2_stream = (
+                spark.readStream.schema(PIXEL_DDL)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(px2_src)
+            )
+            tiles2 = reassemble_tiles_stream(px2_stream, cols=256, rows=256)
+            sec = _drive(tiles2, f"{root}/ck_tiles_scene{i}", "append")
+            return {
+                "rows": n_px2,
+                "sec": round(sec, 3),
+                "rows_per_sec": round(n_px2 / sec),
+            }
+
+        out["tile_reassembly_scene"] = _min_of(2, scene_leg)
 
         # whole-pipe leg (r10, VERDICT r9 #5): spool source → decode →
         # stateful reassembly → versioned sink in one streaming query.
